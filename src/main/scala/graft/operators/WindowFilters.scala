@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Date-window filters replicating the reference's client-side extraction
+  * window semantics. The reference compares ISO-date *strings*
+  * lexicographically ('2024-01-01' <= s <= '2025-12-31'), never date types —
+  * we keep that (SURVEY.md §7.3): ISO dates sort lexicographically, so the
+  * semantics agree for well-formed values and diverge only on the malformed
+  * edge cases the reference also mishandles.
+  *
+  * Reference: extract_qb_customers_py.py:61-67 (window filter, F1);
+  * extract_qb_invoices.py:61-69 (coalescing key, F2);
+  * save_to_raw_customers_py.py:19 (null-key filter, F3).
+  *
+  * Scale note: these are plain Catalyst predicates — they push down to the
+  * parquet/JDBC scan and stay inside whole-stage codegen.
+  */
+object WindowFilters {
+
+  /** X1: ISO day prefix (`s[:10]`) of a timestamp-ish column. */
+  def isoDay(c: Column): Column = substring(c.cast("string"), 1, 10)
+
+  /** F1: keep rows whose `ts` ISO day lies in [lo, hi]; null keys dropped. */
+  def dateWindow(df: DataFrame, ts: Column, lo: String, hi: String): DataFrame =
+    df.filter(ts.isNotNull && isoDay(ts).between(lo, hi))
+
+  /** F2: invoice semantics — the filter key is `primary` when present, else
+    * the ISO day of `fallback`; rows with neither are dropped. */
+  def coalescingDateWindow(df: DataFrame, primary: Column, fallback: Column,
+      lo: String, hi: String): DataFrame = {
+    val key = coalesce(primary, isoDay(fallback))
+    df.filter(key.isNotNull && key.between(lo, hi))
+  }
+
+  /** F3: drop rows with a null sink key before writing. */
+  def dropNullKeys(df: DataFrame, key: String): DataFrame =
+    df.filter(col(key).isNotNull)
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** The declared relational query battery — SURVEY.md §2 sections A-F.
+  * Every query has a DuckDB-oracle twin in [[Relational.oracles]]; names,
+  * aliases, types and ORDER BY are kept identical on both sides so the
+  * driver's column-sorted value hash matches.
+  *
+  * Conventions for oracle parity:
+  *  - every query ends in a deterministic ORDER BY;
+  *  - SUM over integers is cast to BIGINT (DuckDB widens to HUGEINT);
+  *  - SUM/AVG over doubles is rounded to 2 dp (absorbs partial-agg
+  *    reassociation noise at any partitioning);
+  *  - casts double→integer go through floor() (DuckDB rounds, Spark
+  *    truncates — floor agrees everywhere for positive values);
+  *  - timestamps surface as DATE or ISO strings (unit-safe in parquet).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // ------------------------------------------------------- projections
+    "q_p1_envelope" -> ((s, dir) => {
+      // P1 envelope projection shape (extract_qb_customers_py.py:69-88)
+      t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(
+          col("l_orderkey").cast("string").as("id"),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("payload_key"),
+          to_date(lit("2024-01-01")).as("window_start"),
+          lit(1).as("page_number"))
+    }),
+    "q_p2_project" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))),
+
+    // ----------------------------------------------------------- filters
+    "q_f1_window_filter" -> ((s, dir) =>
+      WindowFilters.dateWindow(t(s, dir, "orders"), col("o_orderdate"),
+          "1995-01-01", "1996-12-31")
+        .select(col("o_orderkey")).orderBy(col("o_orderkey"))),
+    "q_f2_coalesce_filter" -> ((s, dir) =>
+      WindowFilters.coalescingDateWindow(t(s, dir, "orders"),
+          lit(null).cast("string"), col("o_orderdate"),
+          "1995-01-01", "1995-12-31")
+        .select(col("o_orderkey"),
+          coalesce(lit(null).cast("string"),
+            WindowFilters.isoDay(col("o_orderdate"))).as("fd"))
+        .orderBy(col("o_orderkey"))),
+    "q_f3_null_filter" -> ((s, dir) =>
+      WindowFilters.dropNullKeys(t(s, dir, "events"), "user_id")
+        .agg(count(lit(1)).as("n"))),
+    "q_f4_filter_agg" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(when(col("o_orderstatus") === "F", lit(1))).as("f_cnt"),
+        count(when(col("o_orderstatus") === "O", lit(1))).as("o_cnt"),
+        count(when(col("o_orderstatus") === "P", lit(1))).as("p_cnt"))),
+
+    // ------------------------------------------------------ joins / dedup
+    "q_j1_dedup_first" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("event_id")).as("first_event"))
+        .orderBy(col("user_id"))),
+    "q_j2_anti_join" -> ((s, dir) => {
+      // customers with no large order — J2 semantics with survivors
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+    "q_j3_idempotent_append" -> ((s, dir) => {
+      // Runs the real sink protocol twice: second append must insert 0.
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_j3_sink"
+      val p = new Path(sink)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val batch = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal"))
+      IdempotentAppend.toParquet(batch, sink, "id")
+      IdempotentAppend.toParquet(batch, sink, "id") // idempotent re-run
+      s.read.parquet(sink).select(col("id")).orderBy(col("id"))
+    }),
+    "q_j4_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer") // small dim → broadcast
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_name"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("total").desc, col("c_name"))
+        .limit(10)
+    }),
+
+    // ------------------------------------------------------- aggregations
+    "q_a1_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+    "q_a2_count_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("u"))),
+    "q_a3_cond_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(when(col("l_returnflag") === "R", lit(1))).as("r_cnt"))),
+    "q_a4_minmax" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        min(col("o_orderdate")).cast("date").as("min_d"),
+        max(col("o_orderdate")).cast("date").as("max_d"))),
+    "q_a5_having" -> ((s, dir) =>
+      Dedup.duplicateKeys(t(s, dir, "orders"), "o_custkey", 10)
+        .select(col("o_custkey"), col("c")).orderBy(col("o_custkey"))),
+    "q_a6_groupby_multi" -> ((s, dir) =>
+      // TPC-H Q1 skeleton (A6)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          round(avg(col("l_discount")), 4).as("avg_disc"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q_a7_dup_arith" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        (count(lit(1)) - countDistinct(col("o_custkey"))).as("dups"))),
+    "q_a8_median" -> ((s, dir) => {
+      val m = MedianImpute.exactLowerMedian(t(s, dir, "customer"), "c_acctbal")
+      s.range(1).select(lit(m.get).as("median_acctbal"))
+    }),
+
+    // ------------------------------------- set ops / sort / limit / window
+    "q_u1_union" -> ((s, dir) => {
+      def cnt(name: String, tag: String) =
+        t(s, dir, name).agg(count(lit(1)).as("n")).select(lit(tag).as("t"), col("n"))
+      cnt("customer", "c").union(cnt("orders", "o")).union(cnt("lineitem", "l"))
+        .orderBy(col("t"))
+    }),
+    "q_o1_limit" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(100)),
+    "q_w1_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ----------------------------------------------------scalar functions
+    "q_x1_substr" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+        .distinct().orderBy(col("ym"))),
+    "q_x2_lower" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(lower(col("c_mktsegment")).as("seg"))
+        .agg(count(lit(1)).as("n")).orderBy(col("seg"))),
+    "q_x4_string_agg" -> ((s, dir) =>
+      t(s, dir, "region").agg(
+        array_join(
+          transform(sort_array(collect_list(col("r_regionkey"))),
+            x => x.cast("string")), ",").as("keys"))),
+    "q_x5_base64" -> ((s, dir) =>
+      t(s, dir, "region")
+        .select(col("r_regionkey"),
+          base64(col("r_name").cast("binary")).as("b64"))
+        .orderBy(col("r_regionkey"))),
+    "q_x6_json_serialize" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(10)
+        .select(to_json(struct(col("l_orderkey"), col("l_linenumber")))
+          .as("j"))),
+    "q_x7_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long"))
+            .as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+    "q_x9_cast" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), floor(col("o_totalprice")).as("p"))
+        .orderBy(col("o_orderkey")).limit(20)),
+    "q_x10_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >=
+          to_date(lit("1996-01-01")))
+        .agg(min(col("o_orderdate")).cast("date").as("min_d"),
+          max(col("o_orderdate")).cast("date").as("max_d"),
+          count(lit(1)).as("n")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_p1_envelope" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS id,
+         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS payload_key,
+         DATE '2024-01-01' AS window_start, 1 AS page_number
+         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "q_p2_project" ->
+      "SELECT c_custkey, c_acctbal, c_nationkey FROM customer ORDER BY c_custkey",
+    "q_f1_window_filter" ->
+      """SELECT o_orderkey FROM orders
+         WHERE substr(CAST(o_orderdate AS VARCHAR),1,10) IS NOT NULL
+           AND substr(CAST(o_orderdate AS VARCHAR),1,10) BETWEEN '1995-01-01' AND '1996-12-31'
+         ORDER BY o_orderkey""",
+    "q_f2_coalesce_filter" ->
+      """SELECT o_orderkey,
+           COALESCE(CAST(NULL AS VARCHAR), substr(CAST(o_orderdate AS VARCHAR),1,10)) AS fd
+         FROM orders
+         WHERE COALESCE(CAST(NULL AS VARCHAR), substr(CAST(o_orderdate AS VARCHAR),1,10))
+               BETWEEN '1995-01-01' AND '1995-12-31'
+         ORDER BY o_orderkey""",
+    "q_f3_null_filter" ->
+      "SELECT COUNT(*) AS n FROM events WHERE user_id IS NOT NULL",
+    "q_f4_filter_agg" ->
+      """SELECT COUNT(*) FILTER (WHERE o_orderstatus='F') AS f_cnt,
+                COUNT(*) FILTER (WHERE o_orderstatus='O') AS o_cnt,
+                COUNT(*) FILTER (WHERE o_orderstatus='P') AS p_cnt
+         FROM orders""",
+    "q_j1_dedup_first" ->
+      """SELECT user_id, MIN(event_id) AS first_event FROM events
+         GROUP BY user_id ORDER BY user_id""",
+    "q_j2_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+         ORDER BY c_custkey""",
+    "q_j3_idempotent_append" ->
+      "SELECT c_custkey AS id FROM customer ORDER BY id",
+    "q_j4_join_agg" ->
+      """SELECT c.c_name, COUNT(*) AS cnt, ROUND(SUM(o.o_totalprice), 2) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_name ORDER BY total DESC, c.c_name LIMIT 10""",
+    "q_a1_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "q_a2_count_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS u FROM orders",
+    "q_a3_cond_agg" ->
+      "SELECT COUNT(*) FILTER (WHERE l_returnflag='R') AS r_cnt FROM lineitem",
+    "q_a4_minmax" ->
+      """SELECT CAST(MIN(o_orderdate) AS DATE) AS min_d,
+                CAST(MAX(o_orderdate) AS DATE) AS max_d FROM orders""",
+    "q_a5_having" ->
+      """SELECT o_custkey, COUNT(*) AS c FROM orders
+         GROUP BY o_custkey HAVING COUNT(*) > 10 ORDER BY o_custkey""",
+    "q_a6_groupby_multi" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                ROUND(SUM(l_quantity), 2) AS sum_qty,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                ROUND(AVG(l_discount), 4) AS avg_disc
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_a7_dup_arith" ->
+      "SELECT COUNT(*) - COUNT(DISTINCT o_custkey) AS dups FROM orders",
+    "q_a8_median" ->
+      """SELECT v AS median_acctbal FROM (
+           SELECT c_acctbal AS v,
+                  ROW_NUMBER() OVER (ORDER BY c_acctbal) - 1 AS rn,
+                  COUNT(*) OVER () AS n
+           FROM customer WHERE c_acctbal IS NOT NULL)
+         WHERE rn = n // 2""",
+    "q_u1_union" ->
+      """SELECT 'c' AS t, COUNT(*) AS n FROM customer
+         UNION ALL SELECT 'o', COUNT(*) FROM orders
+         UNION ALL SELECT 'l', COUNT(*) FROM lineitem ORDER BY t""",
+    "q_o1_limit" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_w1_window_topk" ->
+      """SELECT user_id, event_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
+         FROM events QUALIFY rn <= 3 ORDER BY user_id, rn""",
+    "q_x1_substr" ->
+      """SELECT DISTINCT substr(CAST(o_orderdate AS VARCHAR),1,7) AS ym
+         FROM orders ORDER BY ym""",
+    "q_x2_lower" ->
+      """SELECT lower(c_mktsegment) AS seg, COUNT(*) AS n FROM customer
+         GROUP BY 1 ORDER BY seg""",
+    "q_x4_string_agg" ->
+      """SELECT string_agg(CAST(r_regionkey AS VARCHAR), ',' ORDER BY r_regionkey) AS keys
+         FROM region""",
+    "q_x5_base64" ->
+      """SELECT r_regionkey, to_base64(encode(r_name)) AS b64
+         FROM region ORDER BY r_regionkey""",
+    "q_x6_json_serialize" ->
+      """SELECT to_json(struct_pack(l_orderkey := l_orderkey, l_linenumber := l_linenumber)) AS j
+         FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+               ORDER BY l_orderkey, l_linenumber LIMIT 10)""",
+    "q_x7_json_extract" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_x9_cast" ->
+      """SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS p
+         FROM orders ORDER BY o_orderkey LIMIT 20""",
+    "q_x10_date_funcs" ->
+      """SELECT CAST(MIN(o_orderdate) AS DATE) AS min_d,
+                CAST(MAX(o_orderdate) AS DATE) AS max_d, COUNT(*) AS n
+         FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'"""
+  )
+}
