@@ -20,7 +20,7 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
-        spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+        spark_glob = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not spark_glob:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:

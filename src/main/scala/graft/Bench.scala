@@ -1,9 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver contract: print ONE unadorned JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * (build.sbt sets `outputStrategy := StdoutOutput` so sbt does not wrap
+  * the line in `[info]` — BENCH_r01.json had `"parsed": null` for that).
+  *
+  * Vs round 1: a warmup pass primes codegen/classloading (first-query
+  * warmup was ~3.6 s of q_x9's recorded time), failures are recorded
+  * per-query in an `"errors"` map instead of being swallowed as plausible
+  * timings, and row counts are kept so a query that regresses to 0 rows is
+  * visible. Timings go to stderr as they happen for stall diagnosis. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,15 +25,63 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=q_a1,q_x2
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Warmup: prime parquet reader, codegen, shuffle and broadcast paths
+    // once so the first measured query doesn't pay JVM/classloader costs.
+    // Root cause of the round-1 "q_x2 stall" (BENCH_r01 20.96 s, VERDICT r1
+    // #4): the FIRST `lower()` call in the JVM pays ~10 s of one-time
+    // collation/case-mapping init (measured via graft.Probe: `lower()`
+    // select 10.9 s, identical query immediately after 0.4 s) — data-size
+    // independent and billed to whichever query hits it first. Touch that
+    // path, plus JSON and window subsystems, in warmup instead.
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.read.parquet(s"$sfDir/region.parquet")
+      w.join(broadcast(w.select(col("r_regionkey"))), "r_regionkey")
+        .groupBy(col("r_name")).count().collect()
+      spark.range(2).select(
+        lower(lit("Warmup")), upper(lit("w")),
+        base64(lit("w").cast("binary")),
+        to_json(struct(lit(1).as("a"))),
+        get_json_object(lit("""{"k":1}"""), "$.k"),
+        md5(lit("w")), xxhash64(lit("w")),
+        substring(lit("warmup"), 1, 3)).collect()
+      spark.range(10).select(col("id"),
+        row_number().over(Window.orderBy(col("id"))).as("rn")).collect()
+    }
+
+    var rows = Map.empty[String, Long]
+    var errors = Map.empty[String, String]
+    val results = selected.toSeq.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        val n = fn(spark, sfDir).count()
+        rows += name -> n
+      } catch {
+        case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s ${sec}%8.3f s rows=${rows.getOrElse(name, -1L)}")
+      name -> sec
+    }
+
+    def jm(m: Iterable[(String, String)]) =
+      m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = jm(results.map { case (k, v) => k -> v.toString })
+    val es = jm(errors.map { case (k, v) =>
+      k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
+    val total = results.map(_._2).sum
+    // The one contract line, on stdout, no decoration:
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

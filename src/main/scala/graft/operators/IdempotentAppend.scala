@@ -1,34 +1,54 @@
 package graft.operators
 
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** J2/J3: the idempotent-append protocol — the reference's core sink
+/** J2/J3/S5-S7: the idempotent-append protocol — the reference's core sink
   * semantics (save_to_raw_customers_py.py:46-61; contract README.md:176-187):
   * re-running the same extraction window must insert 0 new rows.
   *
-  * Protocol: null-filter (F3) → dedup batch (J1) → anti-join against the
-  * sink's existing keys (J2) → append only the fresh rows.
+  * Protocol: empty short-circuit (S7) → null-filter (F3) → dedup batch (J1)
+  * → anti-join against the sink's existing keys (J2/S5) → append only the
+  * fresh rows (S6).
   *
-  * Scale note: the reference probes with a `WHERE id IN (…literal list…)`
-  * SQL round-trip, which dies at ~100k keys. Here the probe is a distributed
-  * left-anti join of the batch against the sink's key column only (column
-  * pruning keeps the probe scan narrow); AQE turns it into a broadcast join
-  * whenever either side is small. The reference's fallback blind append on
-  * error (save_to_raw_customers_py.py:63-65) is a real observed bug
-  * (UniqueViolation crashes, SURVEY.md §2 S8) and is deliberately NOT
-  * replicated — failures propagate instead of corrupting the sink.
+  * Scale notes:
+  *  - The reference probes with a `WHERE id IN (…literal list…)` SQL
+  *    round-trip, which dies at ~100k keys; here the probe is a distributed
+  *    left-anti join against the sink's key column only, and AQE broadcasts
+  *    whichever side is small.
+  *  - Round 1 rescanned EVERY sink key per append — O(sink) per batch, a
+  *    scale-killer at a 100 TB sink (VERDICT r1 #2). [[toBucketedParquet]]
+  *    fixes it: the sink is laid out as a hash-bucketed partitioned dataset
+  *    (`__bucket = pmod(xxhash64(key), numBuckets)`), and the probe prunes
+  *    to only the partition directories whose bucket appears in the batch —
+  *    probe cost is O(sink/numBuckets × touched buckets), independent of
+  *    total sink size for small batches.
+  *  - The empty-input short-circuit is a `limit(1)`-backed `isEmpty`, not a
+  *    full `count()` (VERDICT r1 S7 note).
+  *  - The reference's fallback blind append on error
+  *    (save_to_raw_customers_py.py:63-65) is a real observed bug
+  *    (UniqueViolation crashes, SURVEY.md §2 S8) and is deliberately NOT
+  *    replicated — failures propagate instead of corrupting the sink.
   */
 object IdempotentAppend {
 
-  /** Append `batch` to the parquet dataset at `sinkPath`, inserting only rows
-    * whose `key` is not already present. Returns the number of rows inserted.
-    */
-  def toParquet(batch: DataFrame, sinkPath: String, key: String): Long = {
-    val spark = batch.sparkSession
-    val deduped = Dedup.byKey(WindowFilters.dropNullKeys(batch, key), key)
+  val BucketCol = "__bucket"
 
+  /** S7 + F3 + J1: the shared front half of the protocol. */
+  private def prepare(batch: DataFrame, key: String): DataFrame =
+    Dedup.byKey(WindowFilters.dropNullKeys(batch, key), key)
+
+  /** Append `batch` to the flat parquet dataset at `sinkPath`, inserting only
+    * rows whose `key` is not already present. Returns rows inserted.
+    * Probe scans the whole sink key column — fine for small/medium sinks;
+    * use [[toBucketedParquet]] when the sink outgrows its batches. */
+  def toParquet(batch: DataFrame, sinkPath: String, key: String): Long = {
+    if (batch.isEmpty) return 0L // S7: cheap limit(1) short-circuit
+    val spark = batch.sparkSession
+    val deduped = prepare(batch, key)
     val fs = new Path(sinkPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val fresh =
@@ -36,12 +56,120 @@ object IdempotentAppend {
         val existingKeys = spark.read.parquet(sinkPath).select(col(key))
         deduped.join(existingKeys, Seq(key), "left_anti")
       } else deduped
-
     fresh.persist()
     try {
       val n = fresh.count()
       if (n > 0) fresh.write.mode("append").parquet(sinkPath)
       n
     } finally fresh.unpersist()
+  }
+
+  /** Scale-safe variant: sink partitioned by a key-hash bucket; the probe
+    * reads only the buckets the batch touches (partition pruning — verify
+    * with `df.inputFiles`). `numBuckets` sizes the pruning granularity:
+    * at a 100 TB sink, 1024 buckets ≈ 100 GB probed per touched bucket. */
+  def toBucketedParquet(batch: DataFrame, sinkPath: String, key: String,
+      numBuckets: Int = 256): Long = {
+    if (batch.isEmpty) return 0L // S7
+    val spark = batch.sparkSession
+    val withBucket = prepare(batch, key)
+      .withColumn(BucketCol, pmod(xxhash64(col(key)), lit(numBuckets)))
+    val fs = new Path(sinkPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(new Path(sinkPath))) {
+        // Bucket values are bounded by numBuckets — a driver-side collect
+        // of at most numBuckets longs, never data-sized.
+        val touched = withBucket.select(BucketCol).distinct()
+          .collect().map(_.getLong(0))
+        val existingKeys = spark.read.parquet(sinkPath)
+          .filter(col(BucketCol).isin(touched: _*)) // partition pruning
+          .select(col(key))
+        withBucket.join(existingKeys, Seq(key), "left_anti")
+      } else withBucket
+    fresh.persist()
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.write.mode("append").partitionBy(BucketCol).parquet(sinkPath)
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** Probe helper for tests/monitoring: the sink files a batch's probe would
+    * actually read (demonstrates partition pruning). */
+  def probeFiles(batch: DataFrame, sinkPath: String, key: String,
+      numBuckets: Int = 256): Array[String] = {
+    val spark = batch.sparkSession
+    val touched = prepare(batch, key)
+      .withColumn(BucketCol, pmod(xxhash64(col(key)), lit(numBuckets)))
+      .select(BucketCol).distinct().collect().map(_.getLong(0))
+    spark.read.parquet(sinkPath)
+      .filter(col(BucketCol).isin(touched: _*)).inputFiles
+  }
+
+  /** How the conflict-skipping INSERT is phrased per backend (S5/S6).
+    * The reference sink is Postgres; Derby stands in for tests (the only
+    * JDBC-capable engine shipped in /opt/spark/jars — no Postgres driver). */
+  sealed trait SqlDialect {
+    /** (sql, bindKeyTwice): `bindKeyTwice` = statement binds all columns and
+      * then the key again (for the NOT EXISTS probe). */
+    def insertIgnore(table: String, cols: Seq[String], key: String): (String, Boolean)
+  }
+  /** `INSERT … ON CONFLICT (key) DO NOTHING` — atomic, the correct fix for
+    * the reference's racy probe-then-append (save_to_raw_customers_py.py:49-58). */
+  case object Postgres extends SqlDialect {
+    def insertIgnore(table: String, cols: Seq[String], key: String) =
+      (s"INSERT INTO $table (${cols.mkString(",")}) VALUES " +
+        s"(${cols.map(_ => "?").mkString(",")}) ON CONFLICT ($key) DO NOTHING",
+        false)
+  }
+  /** ANSI-ish fallback (Derby et al.): INSERT … WHERE NOT EXISTS probe. */
+  case object AnsiNotExists extends SqlDialect {
+    def insertIgnore(table: String, cols: Seq[String], key: String) =
+      (s"INSERT INTO $table (${cols.mkString(",")}) " +
+        s"SELECT ${cols.map(_ => "?").mkString(",")} FROM (VALUES 1) v(x) " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE t.$key = ?)",
+        true)
+  }
+
+  /** JDBC idempotent append: dedup + per-partition batched conflict-skipping
+    * INSERTs. Connections are opened per partition on the executors (never
+    * serialized from the driver); inserted count aggregated via accumulator.
+    * At scale: one connection per partition — size partitions to the DB's
+    * write throughput, not to Spark's default parallelism. */
+  def toJdbc(batch: DataFrame, url: String, table: String, key: String,
+      dialect: SqlDialect = Postgres, batchSize: Int = 500): Long = {
+    if (batch.isEmpty) return 0L // S7
+    val deduped = prepare(batch, key)
+    val cols = deduped.columns.toSeq
+    val keyIdx = cols.indexOf(key)
+    require(keyIdx >= 0, s"key $key not in ${cols.mkString(",")}")
+    val (sql, bindKeyTwice) = dialect.insertIgnore(table, cols, key)
+    val inserted = deduped.sparkSession.sparkContext.longAccumulator("inserted")
+    deduped.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps: PreparedStatement = conn.prepareStatement(sql)
+          var pending = 0
+          def flush(): Unit = if (pending > 0) {
+            inserted.add(ps.executeBatch().map(c => math.max(c, 0)).sum)
+            conn.commit()
+            pending = 0
+          }
+          rows.foreach { row =>
+            cols.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
+            if (bindKeyTwice) ps.setObject(cols.size + 1, row.get(keyIdx))
+            ps.addBatch()
+            pending += 1
+            if (pending >= batchSize) flush()
+          }
+          flush()
+        } finally conn.close()
+      }
+    }
+    inserted.value
   }
 }

@@ -1,57 +1,155 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A8/X11: the reference's exact median imputation
   * (transformers/fill_in_missing_values.py:13-18): per column, sort the
   * non-null values and take the element at index `floor(n/2)` — the *upper*
-  * median for even n, no interpolation. `percentile_approx` and interpolated
-  * medians diverge from this; the oracle-checked path must be exact
-  * (SURVEY.md §7.3).
+  * median for even n, no interpolation ("lower median" in round-1 naming was
+  * wrong — ADVICE r1). `percentile_approx` and interpolated medians diverge
+  * from this; the oracle-checked path must be exact (SURVEY.md §7.3).
   *
-  * Scale note: exact selection without a global sort — bracket the target
-  * rank with `approxQuantile` (one pass, bounded error), count below the
-  * bracket (one pass), then top-k only the tiny in-bracket slice. Falls back
-  * to a global TakeOrdered if the bracket misses (never at these error
-  * bounds, but correctness must not depend on a sketch).
+  * Scale design (vs the round-1 driver-collect version — VERDICT r1 #1):
+  * exact selection at any n without a global sort, without `Long→Int` casts
+  * and without collecting a data-sized slice:
+  *
+  *  1. Bracket the target rank k with `approxQuantile(frac ± eps)`. The
+  *     Greenwald–Khanna sketch guarantees rank error ≤ relErr·n, so with
+  *     eps > relErr the bracket *deterministically* contains rank k — the
+  *     miss path is unreachable, but still guarded.
+  *  2. Count `below` and `inSlice` in ONE aggregate pass.
+  *  3. Recurse on the bracket slice (≈2·eps·n rows) until it fits a fixed
+  *     row budget, then rank-select with a `row_number` window over the tiny
+  *     slice and return exactly one row to the driver. Depth is
+  *     O(log_{1/eps} n) ≤ 3 even at 10^12 rows.
+  *  4. Duplicate-heavy degenerate distributions (slice refuses to shrink
+  *     because one value carries the mass) fall back to value-domain
+  *     bisection, which halves [lo,hi] per pass and terminates by float
+  *     precision; `lo == hi` resolves immediately.
   */
 object MedianImpute {
 
-  /** Exact value at 0-based rank `floor(n/2)` of the sorted non-null values. */
-  def exactLowerMedian(df: DataFrame, column: String): Option[Double] = {
+  /** Above this, rank-select recurses instead of using a single-partition
+    * window (a window with no PARTITION BY ships the slice to one task). */
+  private val MaxWindowRows = 1L << 22 // ~4M rows ≈ 32 MB of doubles
+
+  /** Exact value at 0-based rank `floor(n/2)` of the sorted non-null values
+    * — the reference's `sorted(values)[n // 2]` (upper median for even n). */
+  def exactUpperMedian(df: DataFrame, column: String): Option[Double] = {
     val vals = df.select(col(column).cast("double").as("v"))
       .filter(col("v").isNotNull)
-    vals.persist()
-    try {
-      val n = vals.count()
-      if (n == 0) return None
-      val k = n / 2 // 0-based target rank (upper median for even n)
-      val frac = k.toDouble / n
-      val eps = 0.001
-      val bounds = vals.stat.approxQuantile("v",
-        Array(math.max(0.0, frac - eps), math.min(1.0, frac + eps)), 1e-4)
-      val (lo, hi) = (bounds(0), bounds(1))
-      val below = vals.filter(col("v") < lo).count()
-      val offset = k - below // rank of the target within the slice
-      val sliceSize = vals.filter(col("v") >= lo && col("v") <= hi).count()
-      if (offset >= 0 && offset < sliceSize) {
-        val slice = vals.filter(col("v") >= lo && col("v") <= hi)
-          .orderBy(col("v")).limit(offset.toInt + 1)
-          .collect()
-        Some(slice.last.getDouble(0))
-      } else {
-        // sketch missed — exact fallback via top-k (k+1 smallest values)
-        Some(vals.orderBy(col("v")).limit(k.toInt + 1).collect().last.getDouble(0))
-      }
-    } finally vals.unpersist()
+    val n = vals.count()
+    if (n == 0) None else Some(selectRank(vals, n / 2, n))
   }
 
-  /** Fill nulls in each column with that column's exact lower median. */
+  /** Exact value at 0-based rank k (0 <= k < n) of `vals` sorted ascending.
+    * `vals` must be a single non-null double column named "v". */
+  private[operators] def selectRank(vals: DataFrame, k: Long, n: Long): Double = {
+    require(k >= 0 && k < n, s"rank $k out of [0, $n)")
+    if (n <= MaxWindowRows) {
+      // Tiny remainder: exact rank via window; exactly one row to driver.
+      vals.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+        .filter(col("rn") === lit(k + 1))
+        .select(col("v")).head().getDouble(0)
+    } else {
+      val frac = k.toDouble / n
+      var eps = 0.001
+      val relErr = 1e-4 // < eps ⇒ GK bracket provably contains rank k
+      var result = Option.empty[Double]
+      while (result.isEmpty) {
+        val bounds = vals.stat.approxQuantile("v",
+          Array(math.max(0.0, frac - eps), math.min(1.0, frac + eps)), relErr)
+        val (lo, hi) = (bounds(0), bounds(1))
+        if (lo == hi) {
+          // Bracket collapsed to a single value that carries the rank mass.
+          result = Some(lo)
+        } else {
+          val r = vals.agg(
+            sum(when(col("v") < lo, 1L).otherwise(0L)).as("below"),
+            sum(when(col("v") >= lo && col("v") <= hi, 1L).otherwise(0L))
+              .as("inSlice")).head()
+          val below = r.getLong(0)
+          val inSlice = r.getLong(1)
+          val offset = k - below
+          if (offset < 0 || offset >= inSlice) {
+            eps = math.min(eps * 8, 0.5) // unreachable per GK guarantee
+          } else if (inSlice < math.max(n / 2, MaxWindowRows)) {
+            result = Some(selectRank(
+              vals.filter(col("v").between(lo, hi)), offset, inSlice))
+          } else {
+            // Slice won't shrink (duplicate-heavy): value-domain bisection.
+            // If the midpoint rounds onto lo (adjacent floats), split at hi
+            // instead — GK returns actual data values, so v==lo is nonempty
+            // and both halves make progress.
+            val midRaw = lo / 2 + hi / 2
+            val mid = if (midRaw > lo) midRaw else hi
+            val belowMid = vals.filter(col("v") < mid).count()
+            result = Some(
+              if (k < belowMid) selectRank(vals.filter(col("v") < mid), k, belowMid)
+              else selectRank(vals.filter(col("v") >= mid), k - belowMid, n - belowMid))
+          }
+        }
+      }
+      result.get
+    }
+  }
+
+  /** Fill nulls in each column with that column's exact upper median —
+    * batched: one count pass + one multi-column `approxQuantile` + one
+    * bracket-count pass shared by ALL columns (vs round 1's 4 sequential
+    * passes per column), then a tiny per-column rank-select. */
   def impute(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val fills = columns.flatMap { c =>
-      exactLowerMedian(df, c).map(m => c -> m)
-    }.toMap
-    df.na.fill(fills)
+    if (columns.isEmpty) return df
+    // Pass 1: non-null counts for every column at once.
+    val countRow = df.agg(
+      count(col(columns.head)).as(columns.head),
+      columns.tail.map(c => count(col(c)).as(c)): _*).head()
+    val ns = columns.map(c => c -> countRow.getAs[Long](c)).toMap
+
+    val (small, large) = columns.filter(ns(_) > 0)
+      .partition(c => ns(c) <= MaxWindowRows)
+
+    val fills = scala.collection.mutable.Map.empty[String, Double]
+    // Small columns: direct tiny-slice rank-select each (cheap).
+    small.foreach { c =>
+      val vals = df.select(col(c).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      fills(c) = selectRank(vals, ns(c) / 2, ns(c))
+    }
+    if (large.nonEmpty) {
+      // frac_c = floor(n/2)/n ∈ [0.5 - 1/(2n), 0.5]; with n > MaxWindowRows
+      // the shared bracket [0.5-eps, 0.5+eps] covers every column's frac
+      // with margin >> relErr, so the GK containment guarantee holds.
+      val eps = 0.001
+      val relErr = 1e-4
+      val brackets = df.stat.approxQuantile(large.toArray,
+        Array(0.5 - eps, 0.5 + eps), relErr)
+      // Pass 3: below/inSlice for all large columns in one aggregate.
+      val aggCols = large.zipWithIndex.flatMap { case (c, i) =>
+        val v = col(c).cast("double")
+        val (lo, hi) = (brackets(i)(0), brackets(i)(1))
+        Seq(
+          sum(when(v.isNotNull && v < lo, 1L).otherwise(0L)).as(s"below_$i"),
+          sum(when(v.between(lo, hi), 1L).otherwise(0L)).as(s"in_$i"))
+      }
+      val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+      large.zipWithIndex.foreach { case (c, i) =>
+        val (lo, hi) = (brackets(i)(0), brackets(i)(1))
+        val below = row.getAs[Long](s"below_$i")
+        val inSlice = row.getAs[Long](s"in_$i")
+        val k = ns(c) / 2
+        val offset = k - below
+        val vals = df.select(col(c).cast("double").as("v"))
+          .filter(col("v").isNotNull)
+        fills(c) =
+          if (offset >= 0 && offset < inSlice && lo < hi)
+            selectRank(vals.filter(col("v").between(lo, hi)), offset, inSlice)
+          else if (lo == hi) lo
+          else selectRank(vals, k, ns(c)) // shared bracket missed: solo path
+      }
+    }
+    df.na.fill(fills.toMap)
   }
 }

@@ -85,7 +85,10 @@ object Relational {
     }),
     "q_j3_idempotent_append" -> ((s, dir) => {
       // Runs the real sink protocol twice: second append must insert 0.
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_j3_sink"
+      // Per-run unique sink dir — concurrent Verify/Bench runs must not
+      // delete each other's sink mid-run (ADVICE r1).
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_j3_sink_" +
+        java.util.UUID.randomUUID().toString.take(8)
       val p = new Path(sink)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
@@ -136,8 +139,10 @@ object Relational {
       t(s, dir, "orders").agg(
         (count(lit(1)) - countDistinct(col("o_custkey"))).as("dups"))),
     "q_a8_median" -> ((s, dir) => {
-      val m = MedianImpute.exactLowerMedian(t(s, dir, "customer"), "c_acctbal")
-      s.range(1).select(lit(m.get).as("median_acctbal"))
+      val m = MedianImpute.exactUpperMedian(t(s, dir, "customer"), "c_acctbal")
+      // graceful on all-null/empty input (ADVICE r1): null, not NoSuchElement
+      s.range(1).select(
+        m.map(lit(_)).getOrElse(lit(null).cast("double")).as("median_acctbal"))
     }),
 
     // ------------------------------------- set ops / sort / limit / window
