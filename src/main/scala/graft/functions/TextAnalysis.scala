@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM training-data pipelines
+  * (BASELINE.json north star; SURVEY.md §2 X): tokenization, shingling,
+  * Jaccard, quality metrics, language ID, fingerprinting.
+  *
+  * Everything here is composed from built-in Catalyst expressions — no UDFs —
+  * so the whole stage stays inside whole-stage codegen and scales linearly
+  * with executor count: per-row narrow transforms, no shuffle, no
+  * driver-side work. (Higher-order functions `transform`/`filter`/`aggregate`
+  * are evaluated per-row on executors.)
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the reference corpus is plain lowercase text;
+    * for BPE-ish subword counting see [[bpeishTokenCount]]). */
+  def tokens(c: Column): Column = {
+    val t = trim(c)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token estimate without a vocab: count word pieces after
+    * splitting on whitespace AND between letter/digit/punct boundaries —
+    * the usual cheap stand-in for a real tokenizer's token count. */
+  def bpeishTokenCount(c: Column): Column = {
+    val pieces = regexp_replace(c,
+      "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])",
+      " ")
+    size(when(length(trim(pieces)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(pieces), "\\s+")))
+  }
+
+  /** Distinct n-word shingles ("word n-grams"), the unit of near-dup
+    * similarity. Returns an empty array when the doc has < n tokens. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** Exact Jaccard similarity of two array columns (treated as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, "\\p{Punct}", "")))
+        .cast("double") / length(c))
+
+  /** Fraction of tokens that appear in `stopwords`. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+        / size(toks))
+  }
+
+  /** Mean characters per token (0 for empty docs). */
+  def avgWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1] — the usual pre-training heuristics:
+    * long enough, not punctuation soup, some stopword signal, sane word
+    * lengths. Weights are arbitrary but fixed; callers filter on it. */
+  def qualityScore(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lenOk = when(length(c) >= 100 && length(c) <= 20000, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c, stopwords) > 0.02, 1.0).otherwise(0.0)
+    val wordOk = when(avgWordLen(c).between(2.0, 12.0), 1.0).otherwise(0.0)
+    round((lenOk * 0.4 + punctOk * 0.2 + stopOk * 0.2 + wordOk * 0.2), 2)
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Per-language marker words for [[langId]]. Alphabetical language order
+    * is the deterministic tiebreak. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Marker-hit count for one language. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(markers)))
+
+  /** n-gram-heuristic language ID: argmax of marker-word hits; ties resolve
+    * to the alphabetically first language; zero hits everywhere → "und"
+    * (undetermined). A chained CASE keeps the exact same semantics
+    * expressible in the DuckDB oracle. */
+  def langId(c: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val scores = markers.map { case (lang, words) => lang -> langScore(c, words) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    // first (alphabetical) language whose score >= every other score
+    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val geAll = scores.zipWithIndex.collect { case ((_, o), j) if j != i => s >= o }
+        .reduce(_ && _)
+      (geAll, lang)
+    }
+    val chain = cases.foldRight(lit("und")) { case ((cond, lang), els) =>
+      when(cond, lit(lang)).otherwise(els)
+    }
+    when(allZero, lit("und")).otherwise(chain)
+  }
+
+  /** Whole-document fingerprint: md5 of the whitespace-normalized lowercase
+    * text — the exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** 64-bit rolling-shingle fingerprint (winnowing-lite): the minimum
+    * xxhash64 over the doc's n-word shingles. Equal for near-identical docs
+    * with high probability; the 1-hash special case of a MinHash signature. */
+  def shingleFingerprint(c: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(c, n), s => xxhash64(s)))
+}

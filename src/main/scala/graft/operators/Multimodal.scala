@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata carried alongside an opaque media blob. */
+final case class MediaMeta(n_bytes: Long, checksum: String, media_type: String)
+
+/** One multimodal record: opaque binary content + typed metadata.
+  * At 100 TB the `content` column dominates row size — partition sizing
+  * must budget for it (`spark.sql.files.maxPartitionBytes`), and queries
+  * that only touch metadata must NOT read it (parquet column pruning does
+  * this for free as long as the blob is a separate top-level column). */
+final case class MediaRecord(doc_id: Long, content: Array[Byte], meta: MediaMeta)
+
+/** Features extracted from a decoded media blob. The decode itself is
+  * STUBBED (no image/audio libs in this container — builder brief): shapes
+  * are derived deterministically from the blob so tests are exact. */
+final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+    n_frames: Int, feat_checksum: String)
+
+/** Multimodal-column handling for LLM data pipelines (BASELINE.json north
+  * star): treat image/audio/video as opaque `binary` columns with typed
+  * metadata; decode/feature-extract runs per-partition over the typed
+  * Dataset — the Scala analog of `mapInPandas` batch processing: one
+  * iterator per partition, library handles (a real decoder, a model) would
+  * be initialized once per partition, rows streamed through.
+  *
+  * The decode is a clearly-marked STUB (deterministic fake derived from the
+  * bytes); the Spark-side plumbing — schema, encoders, partition-iterator
+  * batch shape, column pruning — is real and tested. */
+object Multimodal {
+
+  /** Pack a text table into multimodal shape: content = UTF-8 bytes (stands
+    * in for image/audio payloads), metadata as a typed struct. Pure narrow
+    * projection, fuses with the scan. */
+  def packBinary(df: DataFrame, idCol: String, textCol: String,
+      mediaType: String = "text/plain", keep: Seq[String] = Nil): DataFrame =
+    df.select(Seq(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("content"),
+      struct(
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
+        md5(col(textCol).cast("binary")).as("checksum"),
+        lit(mediaType).as("media_type")).as("meta")) ++ keep.map(col): _*)
+
+  /** STUB decoder — stands in for an image/audio decode library that is not
+    * in this container. Deterministic: dimensions derive from blob length,
+    * the feature checksum from the bytes, so tests and oracles are exact.
+    * A real implementation would decode `rec.content` here (one decoder
+    * instance per partition, initialized before the iterator is consumed). */
+  def decodeStub(rec: MediaRecord): MediaFeatures = {
+    val n = rec.meta.n_bytes
+    MediaFeatures(
+      doc_id = rec.doc_id,
+      width = (n % 1920L).toInt,
+      height = ((n * 7919L) % 1080L).toInt,
+      n_frames = (n / 64L).toInt + 1,
+      feat_checksum = rec.meta.checksum)
+  }
+
+  /** Decode / feature-extract over the typed Dataset, batch-shaped: one
+    * partition = one iterator = one (stub) decoder instance. This is the
+    * `mapInPandas` pattern in Scala — per-partition setup cost amortized
+    * over the partition's rows, executors stream rows without
+    * materializing the partition. */
+  def extractFeatures(ds: Dataset[MediaRecord])
+      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decoder init would go here (STUB: nothing to open)
+      rows.map(decodeStub)
+    }
+  }
+
+  /** Frame/chunk sampling on the raw blob: every `stride`-th `chunkBytes`
+    * slice, as a preview array — the Spark-side shape of video frame
+    * sampling (`substring` on binary is a codegen'd expression; no UDF). */
+  def sampleChunks(df: DataFrame, chunkBytes: Int = 16, stride: Int = 4,
+      maxChunks: Int = 8): DataFrame =
+    df.withColumn("chunks",
+      transform(
+        sequence(lit(0), least(
+          (length(col("content")) / (chunkBytes * stride)).cast("int"),
+          lit(maxChunks - 1))),
+        i => col("content").substr(i * (chunkBytes * stride) + 1, lit(chunkBytes))))
+
+  /** Metadata-only profile per group — demonstrates that blob-free queries
+    * prune the `content` column out of the scan entirely (check
+    * `.explain`'s ReadSchema). */
+  def metaProfile(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        countDistinct(col("meta.checksum")).as("distinct_blobs"))
+}

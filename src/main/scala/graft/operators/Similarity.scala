@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — BASELINE.json
+  * north star. Two tiers:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; cost O(|corpus|·|queries|) but embarrassingly
+  *    parallel, no shuffle except the final per-query top-k. The correctness
+  *    baseline and the right tool when |queries| is small.
+  *  - [[lshTopK]]: sign-random-projection LSH — bucket every vector by the
+  *    sign pattern of `numPlanes` fixed pseudo-random hyperplanes, search
+  *    only within the query's bucket (plus multiprobe neighbors). At 100 TB
+  *    the bucket join replaces the cross product; recall is tunable via
+  *    planes/probes (measured in SimilaritySpec, not assumed).
+  *
+  * All arithmetic is composed Catalyst expressions (`zip_with` +
+  * `aggregate` left-fold in DOUBLE) — deterministic evaluation order, which
+  * makes exact result parity with the DuckDB oracle possible; no UDFs.
+  *
+  * Hyperplanes are derived from `xxhash64`-style splitmix of fixed seeds —
+  * reproducible across runs, no RNG state on executors.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a double left-fold in array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Exact cosine top-k: for each row of `queries`, the `k` nearest rows of
+    * `corpus` by cosine (descending, id ascending on ties of the ROUNDED
+    * similarity — rounding makes the ordering stable across fp noise).
+    * Output: (query_id, neighbor_id, sim, rank). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------ LSH
+
+  /** Deterministic pseudo-random unit-free hyperplane weights via splitmix64
+    * — plane p, dimension d → a value in [-1, 1). Fixed seed, no RNG state. */
+  private def splitmixDouble(p: Int, d: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Literal hyperplane matrix: numPlanes × dim. */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((p, d) => splitmixDouble(p, d))
+
+  /** Sign-pattern bucket id of a vector under the fixed hyperplanes:
+    * bit p = 1 iff v · plane_p > 0. */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Multiprobe bucket list: the vector's own bucket plus every bucket at
+    * Hamming distance 1 (flip each plane bit) — recovers most neighbors that
+    * fall just across one hyperplane. */
+  def probeBuckets(bucket: Column, numPlanes: Int): Column =
+    array(lit(0) +: (0 until numPlanes).map(p => shiftleft(lit(1L), p)): _*)
+      .cast("array<long>") // masks; bucket XOR mask below
+
+  /** Approximate cosine top-k via sign-LSH with 1-bit multiprobe on the
+    * query side. Same output contract as [[bruteForceTopK]] minus the
+    * exactness guarantee. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 12, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    // query side: explode own bucket + all 1-bit-flip probes
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        signBucket(col(vecCol), planes).as("qb"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(probeBuckets(col("qb"), numPlanes),
+          m => col("qb").bitwiseXOR(m))).as("bucket"))
+      .distinct()
+    val scored = c.join(q, Seq("bucket")) // bucket equi-join, not cross
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim")) // same pair via multiple probes
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-group embedding norm statistics — sanity profile of an embedding
+    * table (mean L2 norm, count) without any shuffle beyond the groupBy. */
+  def normStats(df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), l2Norm(col(vecCol)).as("norm"))
+      .groupBy(col(groupCol))
+      .agg(round(avg(col("norm")), 4).as("avg_norm"),
+        count(lit(1)).as("n"))
+}

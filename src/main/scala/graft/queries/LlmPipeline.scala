@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.operators._
+
+/** LLM-training-data pipeline query battery (BASELINE.json north star) over
+  * the `documents` and `embeddings` test tables: text analysis, exact and
+  * near dedup, similarity search, multimodal columns.
+  *
+  * Oracle parity notes (on top of Relational's conventions):
+  *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *    global-by-default semantics;
+  *  - tokenization is `split(trim(text), '\s+')` with the empty-string
+  *    guard mirrored on both sides;
+  *  - all vector arithmetic folds left in DOUBLE on both sides (Spark
+  *    `aggregate`, DuckDB `list_sum(list_transform(...))`), then rounds;
+  *  - near-dup pair queries return LSH-candidate ∩ exact-Jaccard-confirmed
+  *    pairs; the oracle computes the exhaustive exact answer — they agree
+  *    because banding recall at the observed J >= 0.9 is ~1 (and the spec
+  *    tests measure it rather than assume it).
+  */
+object LlmPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // Shared tokenizer fragment for DuckDB oracles.
+  private val duckToks =
+    "CASE WHEN length(trim(text)) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(text), '\\s+') END"
+  private def duckMarkerScore(words: Seq[String]): String =
+    s"len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
+
+  val queries: Map[String, Q] = Map(
+    // ------------------------------------------------------ text analysis
+    "q_t1_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          round(avg(TextAnalysis.avgWordLen(col("text"))), 4).as("avg_word_len"))
+        .orderBy(col("lang"))),
+    "q_t2_quality" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text"),
+            TextAnalysis.EnglishStopwords), 4).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+    "q_t3_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.langId(col("text")).as("lid"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lid"))),
+    "q_t4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"),
+          min(TextAnalysis.fingerprint(col("text"))).as("min_fp"),
+          max(TextAnalysis.fingerprint(col("text"))).as("max_fp"))),
+
+    // -------------------------------------------------------------- dedup
+    "q_d1_exact_dedup" -> ((s, dir) => {
+      // doubled corpus → exact content dedup must halve it again
+      val docs = t(s, dir, "documents")
+      NearDup.exactByContent(docs.unionAll(docs), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    "q_d2_minhash_neardup" -> ((s, dir) =>
+      NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_d3_simhash_neardup" -> ((s, dir) =>
+      NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, maxHamming = 15, chunks = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // --------------------------------------------------------- similarity
+    "q_v1_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_v2_ann_lsh" -> ((s, dir) => {
+      // approximate variant — no SQL oracle (rows-only check); recall vs
+      // brute force is measured in SimilaritySpec
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_v3_norm_stats" -> ((s, dir) =>
+      Similarity.normStats(t(s, dir, "embeddings"), "label")
+        .orderBy(col("label"))),
+
+    // --------------------------------------------------------- multimodal
+    "q_m1_multimodal_profile" -> ((s, dir) =>
+      Multimodal.metaProfile(
+          Multimodal.packBinary(t(s, dir, "documents"), "doc_id", "text",
+            keep = Seq("source")),
+          "source")
+        .orderBy(col("source"))),
+    "q_m2_decode_stub" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val packed = Multimodal.packBinary(
+        t(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+      Multimodal.extractFeatures(packed.as[MediaRecord])
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------- approx distinct (A2 ext)
+    "q_a2x_approx_distinct" -> ((s, dir) =>
+      // scale-out variant of A2 — sketch-based, so no exact oracle
+      t(s, dir, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("approx_u"))))
+
+  /** Exhaustive exact near-dup oracle (all-pairs is fine at sf0.01: 500
+    * docs → 125k pairs in DuckDB; the Spark side must NOT do this). */
+  private val nearDupOracle: String = {
+    s"""WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len($duckToks) - 2, 0) + 1),
+                   i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
+          FROM documents)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                       nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
+                       6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5
+        ORDER BY id_a, id_b"""
+  }
+
+  private val duckDot =
+    "list_sum(list_transform(range(1, len(qv) + 1), " +
+      "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))"
+  private def duckNormSq(v: String) =
+    s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "q_t1_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(len($duckToks)) AS BIGINT) AS total_tokens,
+            ROUND(AVG(CASE WHEN len($duckToks) = 0 THEN 0.0
+              ELSE list_sum(list_transform($duckToks, t -> length(t))) * 1.0
+                   / len($duckToks) END), 4) AS avg_word_len
+          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_t2_quality" ->
+      s"""SELECT doc_id,
+            CAST(length(text) AS INTEGER) AS n_chars,
+            CAST(len($duckToks) AS INTEGER) AS n_tokens,
+            ROUND(CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+                   / length(text) END, 4) AS punct_ratio,
+            ROUND(CASE WHEN len($duckToks) = 0 THEN 0.0
+              ELSE len(list_filter($duckToks, t -> list_contains(
+                     ['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+                   / len($duckToks) END, 4) AS stopword_ratio,
+            ROUND(
+              (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+              (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+                      / length(text) END) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2 +
+              (CASE WHEN (CASE WHEN len($duckToks) = 0 THEN 0.0
+                 ELSE len(list_filter($duckToks, t -> list_contains(
+                        ['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+                      / len($duckToks) END) > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2 +
+              (CASE WHEN (CASE WHEN len($duckToks) = 0 THEN 0.0
+                 ELSE list_sum(list_transform($duckToks, t -> length(t))) * 1.0
+                      / len($duckToks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+              2) AS quality
+          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "q_t3_langid" -> {
+      val langs = TextAnalysis.LangMarkers
+      val scores = langs.map { case (l, ws) => l -> duckMarkerScore(ws) }
+      val allZero = scores.map { case (_, e) => s"$e = 0" }.mkString(" AND ")
+      val chain = scores.zipWithIndex.map { case ((l, e), i) =>
+        val ge = scores.zipWithIndex.collect { case ((_, o), j) if j != i =>
+          s"$e >= $o" }.mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT lid, COUNT(*) AS n FROM (
+            SELECT CASE WHEN $allZero THEN 'und' $chain ELSE 'und' END AS lid
+            FROM documents)
+          GROUP BY lid ORDER BY lid"""
+    },
+    "q_t4_fingerprint" ->
+      """SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct,
+           MIN(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS min_fp,
+           MAX(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS max_fp
+         FROM documents""",
+    "q_d1_exact_dedup" ->
+      "SELECT doc_id FROM documents ORDER BY doc_id",
+    "q_d2_minhash_neardup" -> nearDupOracle,
+    "q_d3_simhash_neardup" -> nearDupOracle,
+    "q_v1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 5),
+               c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                     FROM embeddings WHERE vec_id >= 5),
+               s AS (SELECT query_id, neighbor_id,
+                       ROUND(CASE WHEN sqrt(${duckNormSq("qv")}) = 0
+                                    OR sqrt(${duckNormSq("cv")}) = 0 THEN 0.0
+                             ELSE $duckDot / (sqrt(${duckNormSq("qv")})
+                                              * sqrt(${duckNormSq("cv")})) END,
+                             6) AS sim
+                     FROM c CROSS JOIN q)
+          SELECT query_id, neighbor_id, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+          FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""",
+    "q_v3_norm_stats" ->
+      s"""SELECT label,
+            ROUND(AVG(sqrt(${duckNormSq("embedding")})), 4) AS avg_norm,
+            COUNT(*) AS n
+          FROM embeddings GROUP BY label ORDER BY label""",
+    "q_m1_multimodal_profile" ->
+      """SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS distinct_blobs
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_m2_decode_stub" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) % 1920 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7919) % 1080 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS n_frames,
+           md5(text) AS feat_checksum
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+    // q_v2_ann_lsh, q_a2x_approx_distinct: no SQL oracle (approximate) —
+    // driver records the weaker rows-only check.
+  )
+}
