@@ -96,8 +96,10 @@ object IdempotentAppend {
     } finally fresh.unpersist()
   }
 
-  /** Probe helper for tests/monitoring: the sink files a batch's probe would
-    * actually read (demonstrates partition pruning). */
+  /** Probe helper for tests/monitoring: the sink files a batch's probe
+    * ACTUALLY reads (demonstrates partition pruning — measured with
+    * `input_file_name()` at execution, because `DataFrame.inputFiles` lists
+    * the relation's files before any partition filter applies). */
   def probeFiles(batch: DataFrame, sinkPath: String, key: String,
       numBuckets: Int = 256): Array[String] = {
     val spark = batch.sparkSession
@@ -105,7 +107,9 @@ object IdempotentAppend {
       .withColumn(BucketCol, pmod(xxhash64(col(key)), lit(numBuckets)))
       .select(BucketCol).distinct().collect().map(_.getLong(0))
     spark.read.parquet(sinkPath)
-      .filter(col(BucketCol).isin(touched: _*)).inputFiles
+      .filter(col(BucketCol).isin(touched: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
   }
 
   /** How the conflict-skipping INSERT is phrased per backend (S5/S6).
@@ -124,11 +128,20 @@ object IdempotentAppend {
         s"(${cols.map(_ => "?").mkString(",")}) ON CONFLICT ($key) DO NOTHING",
         false)
   }
-  /** ANSI-ish fallback (Derby et al.): INSERT … WHERE NOT EXISTS probe. */
+  /** ANSI-ish fallback: INSERT … WHERE NOT EXISTS probe. */
   case object AnsiNotExists extends SqlDialect {
     def insertIgnore(table: String, cols: Seq[String], key: String) =
       (s"INSERT INTO $table (${cols.mkString(",")}) " +
-        s"SELECT ${cols.map(_ => "?").mkString(",")} FROM (VALUES 1) v(x) " +
+        s"SELECT ${cols.map(_ => "?").mkString(",")} FROM (VALUES (1)) v(x) " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE t.$key = ?)",
+        true)
+  }
+  /** Derby (the embedded engine shipped with Spark for the Hive metastore —
+    * what the tests run against): same NOT EXISTS probe over SYSDUMMY1. */
+  case object Derby extends SqlDialect {
+    def insertIgnore(table: String, cols: Seq[String], key: String) =
+      (s"INSERT INTO $table (${cols.mkString(",")}) " +
+        s"SELECT ${cols.map(_ => "?").mkString(",")} FROM SYSIBM.SYSDUMMY1 " +
         s"WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE t.$key = ?)",
         true)
   }

@@ -45,10 +45,13 @@ object MedianImpute {
   }
 
   /** Exact value at 0-based rank k (0 <= k < n) of `vals` sorted ascending.
-    * `vals` must be a single non-null double column named "v". */
-  private[operators] def selectRank(vals: DataFrame, k: Long, n: Long): Double = {
+    * `vals` must be a single non-null double column named "v".
+    * `maxWindowRows` is the tiny-slice cutoff — overridable so tests can
+    * force the bracket/recursion/bisection paths on small data. */
+  private[graft] def selectRank(vals: DataFrame, k: Long, n: Long,
+      maxWindowRows: Long = MaxWindowRows): Double = {
     require(k >= 0 && k < n, s"rank $k out of [0, $n)")
-    if (n <= MaxWindowRows) {
+    if (n <= maxWindowRows) {
       // Tiny remainder: exact rank via window; exactly one row to driver.
       vals.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
         .filter(col("rn") === lit(k + 1))
@@ -75,9 +78,10 @@ object MedianImpute {
           val offset = k - below
           if (offset < 0 || offset >= inSlice) {
             eps = math.min(eps * 8, 0.5) // unreachable per GK guarantee
-          } else if (inSlice < math.max(n / 2, MaxWindowRows)) {
+          } else if (inSlice < math.max(n / 2, maxWindowRows)) {
             result = Some(selectRank(
-              vals.filter(col("v").between(lo, hi)), offset, inSlice))
+              vals.filter(col("v").between(lo, hi)), offset, inSlice,
+              maxWindowRows))
           } else {
             // Slice won't shrink (duplicate-heavy): value-domain bisection.
             // If the midpoint rounds onto lo (adjacent floats), split at hi
@@ -87,8 +91,11 @@ object MedianImpute {
             val mid = if (midRaw > lo) midRaw else hi
             val belowMid = vals.filter(col("v") < mid).count()
             result = Some(
-              if (k < belowMid) selectRank(vals.filter(col("v") < mid), k, belowMid)
-              else selectRank(vals.filter(col("v") >= mid), k - belowMid, n - belowMid))
+              if (k < belowMid)
+                selectRank(vals.filter(col("v") < mid), k, belowMid, maxWindowRows)
+              else
+                selectRank(vals.filter(col("v") >= mid), k - belowMid,
+                  n - belowMid, maxWindowRows))
           }
         }
       }

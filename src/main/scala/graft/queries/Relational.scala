@@ -31,16 +31,18 @@ object Relational {
   val queries: Map[String, Q] = Map(
     // ------------------------------------------------------- projections
     "q_p1_envelope" -> ((s, dir) => {
-      // P1 envelope projection shape (extract_qb_customers_py.py:69-88)
-      t(s, dir, "lineitem")
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-        .limit(100)
-        .select(
-          col("l_orderkey").cast("string").as("id"),
-          concat(col("l_orderkey").cast("string"), lit("-"),
-            col("l_linenumber").cast("string")).as("payload_key"),
-          to_date(lit("2024-01-01")).as("window_start"),
-          lit(1).as("page_number"))
+      // P1 via the REAL operator (round 1 hand-built a look-alike —
+      // VERDICT r1 #5): Envelope.project's deterministic columns are
+      // oracle-checked, including the request_payload JSON serialization.
+      val src = t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)
+      Envelope.project(src,
+          concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+          entityType = "lineitem", lo = "2024-01-01", hi = "2025-12-31")
+        .select(col("id"),
+          col("extract_window_start_utc").cast("date").as("window_start"),
+          col("page_number"), col("page_size"), col("request_payload"))
+        .orderBy(col("id"))
     }),
     "q_p2_project" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -52,14 +54,19 @@ object Relational {
       WindowFilters.dateWindow(t(s, dir, "orders"), col("o_orderdate"),
           "1995-01-01", "1996-12-31")
         .select(col("o_orderkey")).orderBy(col("o_orderkey"))),
-    "q_f2_coalesce_filter" -> ((s, dir) =>
+    "q_f2_coalesce_filter" -> ((s, dir) => {
+      // both branches live (round 1 passed lit(null) as primary, leaving
+      // the primary branch dead in testing — VERDICT r1 #5): even keys
+      // carry an explicit TxnDate-style primary, odd keys fall back to the
+      // ISO day of the timestamp column.
+      val primary = when(col("o_orderkey") % 2 === 0, lit("1995-06-15"))
+        .otherwise(lit(null).cast("string"))
       WindowFilters.coalescingDateWindow(t(s, dir, "orders"),
-          lit(null).cast("string"), col("o_orderdate"),
-          "1995-01-01", "1995-12-31")
+          primary, col("o_orderdate"), "1995-01-01", "1995-12-31")
         .select(col("o_orderkey"),
-          coalesce(lit(null).cast("string"),
-            WindowFilters.isoDay(col("o_orderdate"))).as("fd"))
-        .orderBy(col("o_orderkey"))),
+          coalesce(primary, WindowFilters.isoDay(col("o_orderdate"))).as("fd"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_f3_null_filter" -> ((s, dir) =>
       WindowFilters.dropNullKeys(t(s, dir, "events"), "user_id")
         .agg(count(lit(1)).as("n"))),
@@ -71,8 +78,11 @@ object Relational {
 
     // ------------------------------------------------------ joins / dedup
     "q_j1_dedup_first" -> ((s, dir) =>
-      t(s, dir, "events").groupBy(col("user_id"))
-        .agg(min(col("event_id")).as("first_event"))
+      // J1 via the REAL deterministic keeper (round 1 used a groupBy/min
+      // reformulation that never executed Dedup.firstByKey — VERDICT r1 #5);
+      // with event_id as the tiebreak the kept row IS the MIN(event_id) row.
+      Dedup.firstByKey(t(s, dir, "events"), "user_id", "event_id")
+        .select(col("user_id"), col("event_id").as("first_event"))
         .orderBy(col("user_id"))),
     "q_j2_anti_join" -> ((s, dir) => {
       // customers with no large order — J2 semantics with survivors
@@ -206,15 +216,96 @@ object Relational {
           to_date(lit("1996-01-01")))
         .agg(min(col("o_orderdate")).cast("date").as("min_d"),
           max(col("o_orderdate")).cast("date").as("max_d"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // ------------------------------------------ sources / sinks / pipeline
+    "q_s4_csv" -> ((s, dir) => {
+      // S4: CSV scan (load_titanic.py:13-19) — write the region table as
+      // CSV-with-header, read it back with an explicit schema.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s4_csv_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      t(s, dir, "region").write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("r_regionkey INT, r_name STRING")
+        .csv(tmp)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+    "q_s7_empty_shortcircuit" -> ((s, dir) => {
+      // S7: empty-input short-circuit (save_to_raw_customers_py.py:15-17):
+      // appending an empty batch inserts 0 and never creates the sink.
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_s7_sink_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val empty = t(s, dir, "customer")
+        .select(col("c_custkey").as("id")).filter(lit(false))
+      val inserted = IdempotentAppend.toParquet(empty, sink, "id")
+      val fs = new Path(sink).getFileSystem(s.sparkContext.hadoopConfiguration)
+      s.range(1).select(lit(inserted).as("inserted"),
+        lit(fs.exists(new Path(sink))).as("sink_created"))
+    }),
+    "q_qr_quality_report" -> ((s, dir) =>
+      // the reference's per-run verification epilogue as ONE aggregate
+      QualityReport(t(s, dir, "orders"), "o_custkey", "o_orderdate")
+        .select(col("total"), col("distinct_ids"), col("null_ids"),
+          col("duplicate_ids"),
+          col("first_ingested").cast("date").as("first_d"),
+          col("last_ingested").cast("date").as("last_d"))),
+    "q_x8_explode" -> ((s, dir) => {
+      // X7-full/X8: build invoice-shaped JSON payloads from orders+lineitem,
+      // parse with the declared StructType, explode Line[], re-aggregate.
+      // The oracle is the straight relational answer — the JSON round-trip
+      // (to_json → from_json → explode) must be value-preserving.
+      val o = t(s, dir, "orders").orderBy(col("o_orderkey")).limit(100)
+      val l = t(s, dir, "lineitem")
+      val lineStruct = struct(
+        col("l_linenumber").cast("long").as("LineNum"),
+        col("l_extendedprice").as("Amount"),
+        lit("SalesItemLineDetail").as("DetailType"),
+        struct(col("l_quantity").as("Qty"),
+          col("l_extendedprice").as("UnitPrice"),
+          struct(col("l_partkey").cast("string").as("value"),
+            lit(null).cast("string").as("name")).as("ItemRef")
+        ).as("SalesItemLineDetail"))
+      val payloads = l.join(o.select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .agg(collect_list(lineStruct).as("Line"))
+        .select(to_json(struct(
+          col("o_orderkey").cast("string").as("Id"),
+          WindowFilters.isoDay(col("o_orderdate")).as("TxnDate"),
+          col("o_totalprice").as("TotalAmt"),
+          col("Line"))).as("payload"))
+      Envelope.parsePayload(payloads, graft.plans.Schemas.invoice)
+        .select(col("rec.Id").as("id"),
+          explode(col("rec.Line")).as("line"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("line.Amount")), 2).as("total"))
+        .orderBy(col("id"))
+    }),
+    "q_x11_impute" -> ((s, dir) => {
+      // X11/A8 composed: inject nulls deterministically, impute with the
+      // exact upper median, report the filled aggregate.
+      val base = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("v"))
+      val filled = MedianImpute.impute(base, Seq("v"))
+      filled.agg(count(lit(1)).as("n"),
+        count(when(col("v").isNull, lit(1))).as("nulls_left"),
+        round(sum(col("v")), 2).as("total"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
     "q_p1_envelope" ->
-      """SELECT CAST(l_orderkey AS VARCHAR) AS id,
-         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS payload_key,
-         DATE '2024-01-01' AS window_start, 1 AS page_number
-         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
+         DATE '2024-01-01' AS window_start, 1 AS page_number, 100 AS page_size,
+         to_json(struct_pack(entity_type := 'lineitem',
+           fecha_inicio := '2024-01-01', fecha_fin := '2025-12-31',
+           environment := 'sandbox')) AS request_payload
+         FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100)
+         ORDER BY id""",
     "q_p2_project" ->
       "SELECT c_custkey, c_acctbal, c_nationkey FROM customer ORDER BY c_custkey",
     "q_f1_window_filter" ->
@@ -224,9 +315,11 @@ object Relational {
          ORDER BY o_orderkey""",
     "q_f2_coalesce_filter" ->
       """SELECT o_orderkey,
-           COALESCE(CAST(NULL AS VARCHAR), substr(CAST(o_orderdate AS VARCHAR),1,10)) AS fd
+           COALESCE(CASE WHEN o_orderkey % 2 = 0 THEN '1995-06-15' END,
+                    substr(CAST(o_orderdate AS VARCHAR),1,10)) AS fd
          FROM orders
-         WHERE COALESCE(CAST(NULL AS VARCHAR), substr(CAST(o_orderdate AS VARCHAR),1,10))
+         WHERE COALESCE(CASE WHEN o_orderkey % 2 = 0 THEN '1995-06-15' END,
+                        substr(CAST(o_orderdate AS VARCHAR),1,10))
                BETWEEN '1995-01-01' AND '1995-12-31'
          ORDER BY o_orderkey""",
     "q_f3_null_filter" ->
@@ -314,6 +407,40 @@ object Relational {
     "q_x10_date_funcs" ->
       """SELECT CAST(MIN(o_orderdate) AS DATE) AS min_d,
                 CAST(MAX(o_orderdate) AS DATE) AS max_d, COUNT(*) AS n
-         FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'"""
+         FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'""",
+    "q_s4_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_s7_empty_shortcircuit" ->
+      "SELECT CAST(0 AS BIGINT) AS inserted, false AS sink_created",
+    "q_qr_quality_report" ->
+      """SELECT COUNT(*) AS total,
+                COUNT(DISTINCT o_custkey) AS distinct_ids,
+                COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_ids,
+                COUNT(*) - COUNT(DISTINCT o_custkey) AS duplicate_ids,
+                CAST(MIN(o_orderdate) AS DATE) AS first_d,
+                CAST(MAX(o_orderdate) AS DATE) AS last_d
+         FROM orders""",
+    "q_x8_explode" ->
+      """SELECT CAST(o.o_orderkey AS VARCHAR) AS id,
+                COUNT(*) AS n_lines,
+                ROUND(SUM(l.l_extendedprice), 2) AS total
+         FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100) o
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY id""",
+    "q_x11_impute" ->
+      """WITH base AS (
+           SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                       ELSE c_acctbal END AS v
+           FROM customer),
+         m AS (
+           SELECT v AS mv FROM (
+             SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rn,
+                    COUNT(*) OVER () AS n
+             FROM base WHERE v IS NOT NULL)
+           WHERE rn = n // 2)
+         SELECT COUNT(*) AS n,
+                COUNT(*) FILTER (WHERE COALESCE(base.v, m.mv) IS NULL) AS nulls_left,
+                ROUND(SUM(COALESCE(base.v, m.mv)), 2) AS total
+         FROM base, m"""
   )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The reference's core sink contract (README.md:176-187): re-running the
+  * same window inserts 0 — including the failure scenario that crashed the
+  * reference 4 times (S8 UniqueViolation, BASELINE.md last row). */
+class IdempotentAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(ids: (Int, String)*) = ids.toSeq.toDF("id", "v")
+
+  test("idempotence: write twice == write once (flat parquet)") {
+    val sink = tmpDir("flat")
+    val b = batch(1 -> "a", 2 -> "b", 3 -> "c")
+    assert(IdempotentAppend.toParquet(b, sink, "id") == 3)
+    assert(IdempotentAppend.toParquet(b, sink, "id") == 0) // re-run: 0
+    assert(spark.read.parquet(sink).count() == 3)
+  }
+
+  test("overlapping batch inserts only the fresh keys") {
+    val sink = tmpDir("overlap")
+    IdempotentAppend.toParquet(batch(1 -> "a", 2 -> "b"), sink, "id")
+    val n = IdempotentAppend.toParquet(batch(2 -> "B", 3 -> "c"), sink, "id")
+    assert(n == 1)
+    val rows = spark.read.parquet(sink).orderBy("id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows(1).getString(1) == "b") // first write wins, no overwrite
+  }
+
+  test("null keys filtered, in-batch duplicates deduped (F3+J1 front half)") {
+    val sink = tmpDir("nulldup")
+    val b = Seq((Some(1), "a"), (None, "x"), (Some(1), "a2"), (Some(2), "b"))
+      .toDF("id", "v")
+    assert(IdempotentAppend.toParquet(b, sink, "id") == 2)
+  }
+
+  test("empty input short-circuits without touching the sink (S7)") {
+    val sink = tmpDir("empty")
+    val empty = batch().filter(lit(false))
+    assert(IdempotentAppend.toParquet(empty, sink, "id") == 0)
+    assert(!new java.io.File(sink).exists())
+  }
+
+  test("bucketed sink: idempotent and probe reads only touched buckets") {
+    val sink = tmpDir("bucketed")
+    val big = (1 to 400).map(i => i -> s"v$i").toDF("id", "v")
+    assert(IdempotentAppend.toBucketedParquet(big, sink, "id", numBuckets = 16) == 400)
+    assert(IdempotentAppend.toBucketedParquet(big, sink, "id", numBuckets = 16) == 0)
+    // a one-key batch probes only its own bucket's files
+    val one = batch(7 -> "x")
+    val probed = IdempotentAppend.probeFiles(one, sink, "id", numBuckets = 16)
+    val all = spark.read.parquet(sink)
+      .select(input_file_name()).distinct().count()
+    assert(probed.nonEmpty && probed.length < all,
+      s"probe read ${probed.length}/$all files — pruning not effective")
+    assert(probed.forall(_.contains("__bucket=")),
+      "probed files should come from bucket partition dirs")
+    // and appending it stays idempotent across bucket layout
+    assert(IdempotentAppend.toBucketedParquet(one, sink, "id", numBuckets = 16) == 0)
+  }
+
+  test("JDBC (Derby embedded): conflict-skipping insert is idempotent") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE sink_t (id INT PRIMARY KEY, v VARCHAR(20))")
+    conn.close()
+    val b = batch(1 -> "a", 2 -> "b", 3 -> "c")
+    val n1 = IdempotentAppend.toJdbc(b, url, "sink_t", "id",
+      dialect = IdempotentAppend.Derby)
+    val n2 = IdempotentAppend.toJdbc(b, url, "sink_t", "id",
+      dialect = IdempotentAppend.Derby)
+    assert(n1 == 3, s"first run inserted $n1")
+    assert(n2 == 0, s"re-run inserted $n2")
+    val c2 = DriverManager.getConnection(url)
+    val rs = c2.createStatement().executeQuery("SELECT COUNT(*) FROM sink_t")
+    rs.next()
+    assert(rs.getInt(1) == 3)
+    c2.close()
+  }
+
+  test("S8 divergence: concurrent-duplicate batch does NOT raise, inserts once") {
+    // the reference's observed bug: same batch landing twice (fallback blind
+    // append) crashed on UniqueViolation; ours converges to one copy.
+    val sink = tmpDir("s8")
+    val dup = batch(1 -> "a", 1 -> "a", 2 -> "b", 2 -> "b")
+    assert(IdempotentAppend.toParquet(dup, sink, "id") == 2)
+    assert(IdempotentAppend.toParquet(dup, sink, "id") == 0)
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextAnalysis
+
+class TextNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/tokenCount: whitespace runs, trim, empty-string guard") {
+    val df = Seq("a  b\tc", "  x ", "", "   ").toDF("t")
+    val counts = df.select(TextAnalysis.tokenCount(col("t"))).as[Int].collect()
+    assert(counts.toSeq == Seq(3, 1, 0, 0))
+  }
+
+  test("wordShingles: ordered n-grams, distinct, short-doc guard") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.wordShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.wordShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("jaccard: exact set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextAnalysis.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(TextAnalysis.jaccard(col("x"), col("y")))
+      .as[Double].head() == 0.0)
+  }
+
+  test("langId discriminates crafted multilingual text; ties go alphabetical") {
+    val df = Seq(
+      "the cat sat on the mat and it is that",      // en
+      "el perro que corre y la casa de los gatos",  // es
+      "der hund und die katze ist nicht da",        // de
+      "le chat et les souris est pour des amis",    // fr
+      "nothing matching here xyzzy",                // und
+      "the la"                                      // 1-1 en/es+fr tie → de? no: en=1,es=1,fr=1 → alphabetical first max = en
+    ).toDF("t")
+    val got = df.select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "fr", "und", "en"))
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = Seq(("Hello  World ", "hello world")).toDF("a", "b")
+    val same = df.select(
+      (TextAnalysis.fingerprint(col("a")) === TextAnalysis.fingerprint(col("b")))
+        .as("eq")).as[Boolean].head()
+    assert(same)
+  }
+
+  test("exactByContent: doubled corpus dedups to one row per text, min id kept") {
+    val docs = Seq((10L, "x y z"), (20L, "x y z"), (30L, "p q r")).toDF("doc_id", "text")
+    val kept = NearDup.exactByContent(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 30L))
+  }
+
+  test("minhash LSH finds exactly the exhaustive >=0.5-Jaccard pairs (sf0.001)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // exhaustive ground truth (test-only! the operator must never all-pairs)
+    val sh = docs.select(col("doc_id").as("id"),
+      TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    val got = NearDup.minhashPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == truth)
+  }
+
+  test("simhash pipeline finds the same pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val minhash = NearDup.minhashPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val simhash = NearDup.simhashPairs(docs, "doc_id", "text", 3,
+      maxHamming = 15, chunks = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(simhash == minhash)
+  }
+
+  test("minhash signature is reproducible across partitionings") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    def sig(parts: Int) = docs.repartition(parts)
+      .select(col("doc_id"), NearDup.minhashSignature(
+        TextAnalysis.wordShingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1) == sig(7))
+  }
+}
