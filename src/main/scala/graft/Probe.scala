@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Scratch diagnostic main (bench stall root-cause) — not part of the API. */
+/** Scratch diagnostic main (kept for perf triage) — not part of the API.
+  * Times one named query from SparkEntry at SPARK_GRAFT_SF_DIR, twice. */
 object Probe {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -12,30 +12,21 @@ object Probe {
     r
   }
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val name = args.headOption.getOrElse("q_a1_count")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    time("range count")(spark.range(10).count())
-    val c = time("read customer")(spark.read.parquet(s"$sfDir/customer.parquet"))
-    time("plain groupBy count")(
-      c.groupBy(col("c_mktsegment")).count().collect())
-    time("lower() select only")(
-      c.select(lower(col("c_mktsegment"))).collect())
-    time("q_x2 run 1")(
-      c.groupBy(lower(col("c_mktsegment")).as("seg"))
-        .agg(count(lit(1)).as("n")).orderBy(col("seg")).collect())
-    time("q_x2 run 2")(
-      c.groupBy(lower(col("c_mktsegment")).as("seg"))
-        .agg(count(lit(1)).as("n")).orderBy(col("seg")).collect())
-    time("orderBy only")(
-      c.groupBy(col("c_mktsegment")).count().orderBy(col("c_mktsegment")).collect())
+    val q = SparkEntry.queries(name)
+    time(s"$name run 1")(System.err.println("rows=" + q(spark, sfDir).count()))
+    time(s"$name run 2")(System.err.println("rows=" + q(spark, sfDir).count()))
+    q(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

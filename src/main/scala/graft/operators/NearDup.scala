@@ -11,17 +11,20 @@ import graft.functions.TextAnalysis
   *
   * Scale design — the cardinal rule is NEVER all-pairs. Both sketches reduce
   * O(n²) comparison to:
-  *   1. a per-row signature (narrow, codegen'd, no shuffle),
-  *   2. an explode to (bandIndex, bandKey) and a self-equi-join on that pair
-  *      — a hash-shuffle bucket join whose cost is the candidate count, not
-  *      n²; docs that share no band never meet,
+  *   1. a per-row signature over hashed shingle sets (one scan; shingles are
+  *      64-bit hashes, not strings — no per-shingle allocation),
+  *   2. ONE hash-shuffle groupBy on (bandIndex, bandKey); candidate pairs
+  *      are generated inside each bucket, so docs sharing no band never
+  *      meet and the signature is computed exactly once (a self-join shape
+  *      would evaluate it once per join branch — 2× the scan cost),
   *   3. exact Jaccard confirmation on the (few) candidate pairs only.
-  * At 100 TB: signatures are one scan; the band join shuffles
-  * O(n · bands) small rows; hot buckets (boilerplate docs) can be salted or
-  * capped via a per-bucket count filter before the join.
+  * At 100 TB: one scan + one small shuffle of (band, key, id) triples;
+  * degenerate hot buckets (mass-duplicated boilerplate) are capped by
+  * `maxBucketSize` — a capped bucket means "everything here is the same
+  * document family" and is better handled by exact dedup on the band key.
   *
-  * Determinism: hash family is `xxhash64(seed_i, shingle)` — fixed seeds,
-  * no RNG state, so signatures are reproducible across runs/partitionings
+  * Determinism: hash family is xxhash64 with fixed per-function seeds — no
+  * RNG state, so signatures are reproducible across runs/partitionings
   * (unlike `org.apache.spark.ml.feature.MinHashLSH`'s random coefficients).
   */
 object NearDup {
@@ -38,13 +41,68 @@ object NearDup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k-element MinHash signature of a shingle-set column:
-    * sig[i] = min over shingles of xxhash64(i, shingle). Empty shingle sets
-    * get null (excluded from candidate generation). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    when(size(shingles) === 0, lit(null))
+  /** Base 64-bit hash of each shingle — kept for API compatibility and
+    * staging; prefer `TextAnalysis.shingleHashesFromTokens` end-to-end. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s))
+
+  /** k-element MinHash signature from pre-hashed shingles:
+    * sig[i] = min over shingles of mix(h, seed_i). Empty sets → null.
+    * NOTE: higher-order Catalyst lambdas are interpreted (outside
+    * whole-stage codegen) — this expression form costs ~13 s for
+    * 5000 docs × 128 hashes on the bench. Kept for composability/tests;
+    * the pipeline path uses [[minhashSignatures]] (mapPartitions, JIT'd). */
+  def minhashFromHashes(hashed: Column, numHashes: Int): Column =
+    when(size(hashed) === 0, lit(null))
       .otherwise(array((0 until numHashes).map(i =>
-        array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*))
+        array_min(transform(hashed, h => xxhash64(h, lit(i))))): _*))
+
+  /** k-element MinHash signature of a string-shingle column. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(shingles), numHashes)
+
+  /** splitmix64 finalizer — the per-function mixer for signature loops.
+    * Pure, fixed constants → reproducible across runs/partitionings. */
+  @inline private[operators] def mix64(x: Long): Long = {
+    var z = x
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private[operators] def seeds(k: Int): Array[Long] =
+    Array.tabulate(k)(i => mix64(i.toLong * 0x9E3779B97F4A7C15L + 0x6A09E667F3BCC909L))
+
+  /** MinHash signatures for ("id", "hs") via mapPartitions — the genuine
+    * per-partition imperative case: a k×|hs| min-loop over longs is JIT'd
+    * scalar code (~1 s) where the equivalent k interpreted Catalyst
+    * lambdas cost ~13 s (measured, 5000 docs, k=128). Narrow, no shuffle.
+    * Empty shingle sets are dropped (they can't be near anything). */
+  def minhashSignatures(d: DataFrame, numHashes: Int): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val sd = seeds(numHashes)
+    d.select(col("id").cast("long"), col("hs")).as[(Long, Array[Long])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, hs) =>
+          if (hs.isEmpty) Iterator.empty
+          else {
+            val sig = Array.fill(numHashes)(Long.MaxValue)
+            var si = 0
+            while (si < hs.length) {
+              val h = hs(si)
+              var i = 0
+              while (i < numHashes) {
+                val v = mix64(h ^ sd(i))
+                if (v < sig(i)) sig(i) = v
+                i += 1
+              }
+              si += 1
+            }
+            Iterator.single((id, sig))
+          }
+        }
+      }.toDF("id", "sig")
+  }
 
   /** (bandIndex, bandKey) pairs for LSH banding: the signature is split into
     * `bands` contiguous bands of `numHashes/bands` hashes; each band hashes
@@ -55,100 +113,167 @@ object NearDup {
       struct(lit(b).as("band"), xxhash64(lit(b), slice(sig, b * r + 1, r)).as("key"))): _*)
   }
 
-  /** Candidate id pairs (a < b) from MinHash-LSH banding — the scale-safe
-    * candidate generator: explode to one row per band, self-join on
-    * (band, key), dedup pairs. */
-  def minhashCandidates(df: DataFrame, idCol: String, shinglesCol: String,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val sigd = df.select(col(idCol).as("id"),
-        minhashSignature(col(shinglesCol), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col("id"), explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = sigd.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = sigd.select(col("band"), col("key"), col("id").as("id_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+  /** All unordered id pairs (a < b) within each (band, key) bucket — the
+    * banding join realized as ONE groupBy + in-bucket pair expansion
+    * instead of a self-join (signature computed once, one shuffle of small
+    * triples). Buckets above `maxBucketSize` are dropped: a bucket that
+    * big is a mass-duplication cluster, not a near-dup candidate list
+    * (quadratic pair expansion there is the all-pairs trap re-entering
+    * through the back door). */
+  private def bucketPairs(exploded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val ids = sort_array(collect_set(col("id")))
+    exploded.groupBy(col("band"), col("key"))
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ids")) - 1),
+        i => transform(
+          slice(col("ids"), i + 1, size(col("ids"))),
+          b => struct(element_at(col("ids"), i).as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
+  /** Candidate id pairs (a < b) from MinHash-LSH banding over a hashed
+    * shingle-set column ("id", "hs"). */
+  def minhashCandidates(d: DataFrame, numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val exploded = minhashSignatures(d, numHashes)
+      .select(col("id"), explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bucketPairs(exploded, maxBucketSize)
+  }
+
+  /** Hashed shingle sets ("id", "hs") for a text column — token hashes are
+    * staged as their own projection so tokenization runs once per row. */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokenHashes(col(textCol)).as("th"))
+      .select(col("id"),
+        TextAnalysis.shingleHashesFromTokens(col("th"), shingleLen).as("hs"))
+
   /** MinHash-LSH near-duplicate pairs with exact confirmation: candidates
-    * from banding, then exact n-word-shingle Jaccard, keep >= `threshold`.
+    * from banding, then exact shingle-set Jaccard, keep >= `threshold`.
     * Output: (id_a, id_b, jaccard) — deterministic, so it is oracle-checkable
     * against an exhaustive exact computation. Candidate recall: P[detect] =
     * 1-(1-j^r)^b; at the defaults (r=4, b=32) j=0.7 → 0.9998, j=0.9 → ~1. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    // sh is read twice (candidates + confirm) — both are narrow rescans of
-    // the source; callers composing longer pipelines can persist upstream.
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), shingleLen).as("sh"))
-    confirmJaccard(minhashCandidates(sh, "id", "sh", numHashes, bands),
-      sh, threshold)
+    val sh = hashedShingles(df, idCol, textCol, shingleLen)
+    confirmJaccard(minhashCandidates(sh, numHashes, bands), sh, threshold)
   }
 
   /** Join candidate pairs back to their shingle sets and keep pairs with
     * exact Jaccard >= threshold. Only candidate pairs are scored — never
-    * all-pairs. */
+    * all-pairs. The pairs side is small → AQE broadcasts it; the shingle
+    * side is scanned twice (once per pair role). */
   def confirmJaccard(pairs: DataFrame, shingles: DataFrame,
       threshold: Double): DataFrame = {
-    val sa = shingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val sb = shingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val sa = shingles.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val sb = shingles.select(col("id").as("id_b"), col("hs").as("hs_b"))
     pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(TextAnalysis.jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash of a shingle set, via explode + per-bit majority vote:
-    * bit j of the result is 1 iff Σ_s sign(bit_j(xxhash64(s))) > 0.
-    * Distributed as one hash-shuffle groupBy on id (64 partial-agg sums
-    * ride the same shuffle). Returns (idCol, simhash). */
-  def simhashSignatures(df: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
-    val h = df.select(col(idCol).as("id"),
-        explode(col(shinglesCol)).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    h.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(j =>
-          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+  /** 64-bit SimHash per id from hashed shingles ("id", "hs"): bit j of the
+    * result is 1 iff the majority of shingle hashes have bit j set.
+    * mapPartitions (JIT'd bit-count loop), narrow, NO shuffle — the
+    * explode+groupBy formulation with 64 sum aggregates cost ~19 s on the
+    * 5000-doc bench (the wide aggregate loses whole-stage codegen); this
+    * runs in under a second. Empty shingle sets dropped. */
+  def simhashFromHashes(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    d.select(col("id").cast("long"), col("hs")).as[(Long, Array[Long])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, hs) =>
+          if (hs.isEmpty) Iterator.empty
+          else {
+            val counts = new Array[Int](64)
+            var si = 0
+            while (si < hs.length) {
+              val h = hs(si)
+              var j = 0
+              while (j < 64) {
+                if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+                j += 1
+              }
+              si += 1
+            }
+            var sim = 0L
+            var j = 0
+            while (j < 64) {
+              if (counts(j) > 0) sim |= (1L << j)
+              j += 1
+            }
+            Iterator.single((id, sim))
+          }
+        }
+      }.toDF("id", "simhash")
   }
 
-  /** SimHash near-duplicate pairs: band the 64-bit signature into
-    * `chunks` pieces (pigeonhole: hamming < chunks ⇒ some chunk equal),
-    * join on (chunkIdx, chunkValue), confirm hamming <= maxHamming, then
-    * exact-Jaccard confirm >= threshold (same contract as [[minhashPairs]]).
-    */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, maxHamming: Int = 15, chunks: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+  /** SimHash near-duplicate pairs: band the 64-bit signature into `chunks`
+    * pieces (pigeonhole: hamming < chunks ⇒ some chunk equal), bucket-group
+    * on (chunkIdx, chunkValue), confirm hamming <= maxHamming, then exact
+    * Jaccard >= threshold (same output contract as [[minhashPairs]]).
+    *
+    * Chunk width = 64/chunks bits drives bucket fan-out: 2^width key values
+    * per band. chunks=16 (4-bit keys) puts every doc in ~n/16-sized buckets
+    * — quadratic pair expansion, 8M candidate pairs / 18 s at just 5000
+    * docs (measured). The default 8 chunks × 8 bits keeps buckets ~n/256
+    * and still guarantees detection at hamming <= 7, which covers the
+    * J ≳ 0.8 band SimHash is actually good for; production 100 TB configs
+    * go further (4 × 16-bit, hamming <= 3). */
+  /** Hamming-confirmed SimHash candidate pairs over hashed shingles
+    * ("id", "hs"). */
+  def simhashCandidates(sh: DataFrame, maxHamming: Int = 7, chunks: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val w = 64 / chunks
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), shingleLen).as("sh"))
-    val sig = simhashSignatures(sh.filter(size(col("sh")) > 0), "id", "sh")
-    val chunked = sig.select(col("id"), col("simhash"),
+    val sig = simhashFromHashes(sh)
+    val exploded = sig.select(col("id"),
         explode(array((0 until chunks).map(i =>
-          struct(lit(i).as("ci"),
+          struct(lit(i).as("band"),
             shiftright(col("simhash"), i * w)
-              .bitwiseAND((1L << w) - 1).as("cv"))): _*)).as("c"))
-      .select(col("id"), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-    val a = chunked.select(col("ci"), col("cv"),
-      col("id").as("id_a"), col("simhash").as("sim_a"))
-    val b = chunked.select(col("ci"), col("cv"),
-      col("id").as("id_b"), col("simhash").as("sim_b"))
-    val cand = a.join(b, Seq("ci", "cv"))
-      .filter(col("id_a") < col("id_b"))
+              .bitwiseAND((1L << w) - 1).as("key"))): _*)).as("c"))
+      .select(col("id"), col("c.band").as("band"), col("c.key").as("key"))
+    val cand = bucketPairs(exploded, maxBucketSize)
+    // hamming confirm needs both signatures back; cand is small → broadcast
+    val xa = sig.select(col("id").as("id_a"), col("simhash").as("sim_a"))
+    val xb = sig.select(col("id").as("id_b"), col("simhash").as("sim_b"))
+    cand.join(xa, "id_a").join(xb, "id_b")
       .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, maxHamming: Int = 7, chunks: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol, shingleLen)
+    confirmJaccard(simhashCandidates(sh, maxHamming, chunks, maxBucketSize),
+      sh, threshold)
+  }
+
+  /** Ensemble near-dup: MinHash ∪ SimHash candidates → one exact-Jaccard
+    * confirm. The production pattern when recall matters: SimHash-64's
+    * per-bit majorities are noisy on low-structure text (measured: misses
+    * J≈0.95 pairs at hamming 8-9), while MinHash banding recall at these
+    * thresholds is ~1 — the union keeps MinHash's recall guarantee and
+    * SimHash's cheap early signal; the confirm step dedups and filters
+    * false positives from both. */
+  def ensemblePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 128, bands: Int = 32,
+      maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol, shingleLen)
+    val cand = minhashCandidates(sh, numHashes, bands)
+      .unionAll(simhashCandidates(sh, maxHamming, chunks))
+      .distinct()
     confirmJaccard(cand, sh, threshold)
   }
 }

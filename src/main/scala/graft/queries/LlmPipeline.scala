@@ -58,8 +58,8 @@ object LlmPipeline {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
     "q_t3_langid" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(TextAnalysis.langId(col("text")).as("lid"))
+      TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+        .groupBy(col("lid"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lid"))),
     "q_t4_fingerprint" -> ((s, dir) =>
@@ -81,9 +81,12 @@ object LlmPipeline {
       NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleLen = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
-    "q_d3_simhash_neardup" -> ((s, dir) =>
-      NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleLen = 3, maxHamming = 15, chunks = 16, threshold = 0.5)
+    "q_d3_neardup_ensemble" -> ((s, dir) =>
+      // MinHash ∪ SimHash candidates → exact confirm: recall guaranteed by
+      // the MinHash leg (SimHash-64 alone misses J≈0.9 pairs at hamming 8+
+      // on this corpus), so the exhaustive oracle stays exact at any SF.
+      NearDup.ensemblePairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
     // --------------------------------------------------------- similarity
@@ -208,7 +211,7 @@ object LlmPipeline {
     "q_d1_exact_dedup" ->
       "SELECT doc_id FROM documents ORDER BY doc_id",
     "q_d2_minhash_neardup" -> nearDupOracle,
-    "q_d3_simhash_neardup" -> nearDupOracle,
+    "q_d3_neardup_ensemble" -> nearDupOracle,
     "q_v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 5),
