@@ -155,6 +155,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
+    * — the brute-force BASELINE: the corpus is collected once, broadcast,
+    * and each partition runs a JIT'd dot-product loop against it, so cost
+    * is O(n²) flops but distributed over executors with no shuffle.
+    * Usable while one copy of the corpus fits in executor memory (~1-2 GB
+    * ≈ 5M 64-dim vectors); beyond that, generate candidates with the
+    * sign-LSH buckets of [[lshTopK]] and confirm exactly — same shape as
+    * NearDup's sketch→confirm path. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val corpus = rows.collect().sortBy(_._1)
+    val norms = corpus.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bCorpus = spark.sparkContext.broadcast((corpus, norms))
+    rows.mapPartitions { it =>
+      val (all, ns) = bCorpus.value
+      it.flatMap { case (idA, va) =>
+        var sa = 0.0
+        var i = 0
+        while (i < va.length) { sa += va(i).toDouble * va(i).toDouble; i += 1 }
+        val na = math.sqrt(sa)
+        all.iterator.zip(ns.iterator).collect {
+          case ((idB, vb), nb) if idB > idA && na > 0 && nb > 0 =>
+            var dot = 0.0
+            var j = 0
+            val n = math.min(va.length, vb.length)
+            while (j < n) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
+            (idA, idB, dot / (na * nb))
+        }.filter(_._3 >= threshold - 1e-9) // pre-filter; exact cut below
+      }
+    }.toDF("id_a", "id_b", "raw")
+      // final rounding + threshold via the same expressions as the oracle
+      .select(col("id_a"), col("id_b"), round(col("raw"), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Per-group embedding norm statistics — sanity profile of an embedding
     * table (mean L2 norm, count) without any shuffle beyond the groupBy. */
   def normStats(df: DataFrame, groupCol: String,

@@ -89,6 +89,12 @@ object LlmPipeline {
           shingleLen = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_d4_embedding_neardup" -> ((s, dir) =>
+      // embedding-cosine near-dup, brute-force baseline (scale path: LSH
+      // candidate buckets + exact confirm — Similarity scaladoc)
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // --------------------------------------------------------- similarity
     "q_v1_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -212,6 +218,16 @@ object LlmPipeline {
       "SELECT doc_id FROM documents ORDER BY doc_id",
     "q_d2_minhash_neardup" -> nearDupOracle,
     "q_d3_neardup_ensemble" -> nearDupOracle,
+    "q_d4_embedding_neardup" ->
+      s"""SELECT id_a, id_b, sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(${duckNormSq("a.embedding")})
+                        * sqrt(${duckNormSq("b.embedding")})), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          WHERE sim >= 0.45 ORDER BY id_a, id_b""",
     "q_v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.IdempotentAppend
+
+/** Streaming execution mode of the same batch operators (SURVEY.md §2 G:
+  * the reference is batch-only, but its semantics map 1:1 onto Structured
+  * Streaming — re-runnable windows = batch reprocessing, the idempotent
+  * sink = an exactly-once sink contract, `ingested_at_utc` =
+  * processing time). Everything here reuses the batch operators — the
+  * logical plan is the same; only the source/sink run incrementally.
+  *
+  * Scale notes: the windowed aggregation is the standard
+  * watermark + tumbling-window partial-agg pattern (state store bounded by
+  * the watermark horizon); the dedup state in [[dedupByKeyStateful]] is
+  * per-key and evicted by processing-time timeout, so state size is
+  * O(active keys in the horizon), not O(stream history). */
+object StreamingIngest {
+
+  /** Tumbling-window event counts/sums with a watermark — the streaming
+    * form of A6 (multi-key groupBy agg). `events` needs an event-time
+    * column `ts` (TimestampType) and a `value` column. */
+  def windowedActivity(events: DataFrame, windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Exactly-once-style sink: every micro-batch goes through the SAME
+    * IdempotentAppend protocol as the batch path (J3) via foreachBatch —
+    * a replayed micro-batch inserts 0, which is precisely the reference's
+    * re-run contract (README.md:176-187) applied per trigger. */
+  def idempotentSink(stream: DataFrame, sinkPath: String, key: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val inserted = IdempotentAppend.toParquet(batch, sinkPath, key)
+        batch.sparkSession.sparkContext.setJobDescription(
+          s"micro-batch $batchId inserted $inserted")
+        ()
+      }
+
+  /** Seen-key state for streaming dedup. */
+  final case class SeenState(firstSeenMs: Long, count: Long)
+  /** One output row per key per batch-with-news: first occurrence flag +
+    * running duplicate count. */
+  final case class KeyedEvent(key: String, tsMs: Long)
+  final case class DedupResult(key: String, isFirst: Boolean, dupCount: Long)
+
+  /** Streaming dedup-across-batches (J1 as continuous state):
+    * `mapGroupsWithState` keeps one [[SeenState]] per key; a key's first
+    * event emits isFirst=true, later ones bump dupCount.
+    *
+    * `idleTimeout = Some(d)` (the production default) evicts idle keys by
+    * processing-time timeout so state stays bounded — at 100 TB/day the
+    * horizon, not history, sizes the state store. Pass None for bounded
+    * test corpora: with a processing-time timeout the engine re-triggers
+    * micro-batches forever to check timers, which keeps
+    * `processAllAvailable` from ever observing quiescence. */
+  def dedupByKeyStateful(events: Dataset[KeyedEvent],
+      idleTimeout: Option[String] = Some("10 minutes"))
+      (implicit spark: SparkSession): Dataset[DedupResult] = {
+    import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.key)
+      .mapGroupsWithState[SeenState, DedupResult](timeoutConf) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            DedupResult(key, isFirst = false, s.count)
+          } else {
+            val batch = rows.toSeq
+            val prior = state.getOption
+            val first = prior.isEmpty
+            val s = SeenState(
+              prior.map(_.firstSeenMs).getOrElse(batch.map(_.tsMs).min),
+              prior.map(_.count).getOrElse(0L) + batch.size)
+            state.update(s)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            DedupResult(key, first, s.count)
+          }
+      }
+  }
+
+  /** File-source stream over an events directory — readStream analog of the
+    * batch Tables loader (schema must be explicit for streaming reads). */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(1) == buckets(5))
   }
 
+  test("cosineNearDupPairs matches a hand-built exhaustive computation") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    val got = Similarity.cosineNearDupPairs(e, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // exhaustive truth via the (expression-based) cosine on a cross join
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(truth.nonEmpty && got == truth)
+  }
+
   test("normStats: one row per label, norms positive") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val res = Similarity.normStats(e, "label").collect()

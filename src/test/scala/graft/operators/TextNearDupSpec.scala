@@ -45,6 +45,23 @@ class TextNearDupSpec extends SparkSpec {
     assert(got == Seq("en", "es", "de", "fr", "und", "en"))
   }
 
+  test("bpeishTokenCount splits words, digits and punctuation boundaries") {
+    val df = Seq(("hello world", 2), ("abc123def", 3), ("a,b.c", 5), ("", 0))
+      .toDF("t", "want")
+    val bad = df.filter(TextAnalysis.bpeishTokenCount(col("t")) =!= col("want"))
+    assert(bad.count() == 0)
+  }
+
+  test("withLangId (staged) agrees with the inline langId expression") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val staged = TextAnalysis.withLangId(docs, "text")
+      .select("doc_id", "lid").as[(Long, String)].collect().toMap
+    val inline = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lid"))
+      .as[(Long, String)].collect().toMap
+    assert(staged == inline)
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("Hello  World ", "hello world")).toDF("a", "b")
     val same = df.select(

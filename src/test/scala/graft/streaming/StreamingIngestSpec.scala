@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamingIngest._
+
+/** Streaming mode of the batch operators: windowed agg with watermark,
+  * exactly-once sink via the J3 protocol per micro-batch, stateful dedup. */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed aggregation with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = windowedActivity(events, "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:10"), "click", 1.0),
+        (ts("2024-01-01 10:00:40"), "click", 2.0),
+        (ts("2024-01-01 10:01:10"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select("event_type", "n", "total").as[(String, Long, Double)]
+        .collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch idempotent sink: replayed batch inserts 0 (exactly-once)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = tmpDir("stream_sink")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "v")
+    val q = idempotentSink(stream, sink, "id").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      // same keys again in a later micro-batch — the J3 contract: 0 inserted
+      input.addData((1L, "a2"), (2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(sink).orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState dedup: first occurrence flagged, dups counted") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val input = MemoryStream[KeyedEvent]
+    val q = dedupByKeyStateful(input.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("dedup_state")
+      .outputMode("update").start()
+    try {
+      input.addData(KeyedEvent("a", 1000), KeyedEvent("a", 2000),
+        KeyedEvent("b", 1500))
+      q.processAllAvailable()
+      input.addData(KeyedEvent("a", 3000))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_state")
+        .as[DedupResult].collect()
+      val aRows = rows.filter(_.key == "a").sortBy(_.dupCount)
+      assert(aRows.head.isFirst && aRows.head.dupCount == 2)  // batch 1: 2 events
+      assert(!aRows.last.isFirst && aRows.last.dupCount == 3) // batch 2: +1
+      assert(rows.filter(_.key == "b").forall(r => r.isFirst && r.dupCount == 1))
+    } finally q.stop()
+  }
+
+  test("file-source stream reads the events table incrementally") {
+    val src = tmpDir("stream_src")
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .limit(100).write.parquet(src)
+    val stream = eventsFileStream(spark, src)
+    assert(stream.isStreaming)
+    val q = stream.groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream").agg(sum("count")).head.getLong(0) == 100)
+    } finally q.stop()
+  }
+}
