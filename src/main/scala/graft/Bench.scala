@@ -80,8 +80,13 @@ object Bench {
     val es = jm(errors.map { case (k, v) =>
       k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
     val total = results.map(_._2).sum
+    // Side-effecting queries whose wall-time is dominated by sink I/O (the
+    // J3 protocol writes the sink twice; S4 writes+reads a CSV copy) —
+    // flagged so the analytic per-query numbers aren't read as query cost.
+    val io = Seq("q_j3_idempotent_append", "q_s4_csv", "q_s7_empty_shortcircuit")
+      .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     // The one contract line, on stdout, no decoration:
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"io_bound":$io,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,13 +33,24 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
+  /** Cosine similarity; 0 when either vector has zero norm. Composed
+    * higher-order form — interpreted per row; [[cosineNative]] is the
+    * codegen'd equivalent (bitwise-identical results). */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = l2Norm(a)
     val nb = l2Norm(b)
     when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
   }
+
+  /** Native Catalyst cosine (graft.expressions.CosineSimilarity) — fused
+    * whole-stage-codegen loop, same fold order and zero-norm contract as
+    * [[cosine]]. */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest rows of
     * `corpus` by cosine (descending, id ascending on ties of the ROUNDED
@@ -52,7 +63,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+        round(cosineNative(col("qv"), col("cv")), roundTo).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

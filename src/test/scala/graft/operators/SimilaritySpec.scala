@@ -63,6 +63,42 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(1) == buckets(5))
   }
 
+  test("native CosineSimilarity expression: bitwise-equal to composed form, codegen'd") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib")).limit(5000)
+    val diff = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("c1"),
+        Similarity.cosineNative(col("va"), col("vb")).as("c2"))
+      .filter(col("c1") =!= col("c2")) // bitwise: same folds, same ops
+    assert(diff.count() == 0)
+    // the native expression stays inside whole-stage codegen (assert on a
+    // plain projection — the cross-join test plan above is AQE-wrapped)
+    val proj = e.select(
+      Similarity.cosineNative(col("embedding"), col("embedding")).as("c"))
+    proj.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in the abbreviated tree
+    val planStr = proj.queryExecution.executedPlan.toString
+    assert(planStr.contains("*(1) Project [graft_cosine"),
+      s"native cosine not inside a codegen stage:\n$planStr")
+  }
+
+  test("graft_cosine is SQL-callable via GraftExtensions") {
+    // extensions are applied at session BUILD time via
+    // spark.sql.extensions=graft.GraftExtensions; on an existing session
+    // the function registry is the injection point
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      exprs => graft.expressions.CosineSimilarity(exprs.head, exprs(1)),
+      "built-in")
+    val r = s2.sql(
+      "SELECT graft_cosine(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT)))").head.getDouble(0)
+    assert(math.abs(r - 0.96) < 1e-12)
+  }
+
   test("cosineNearDupPairs matches a hand-built exhaustive computation") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
     val got = Similarity.cosineNearDupPairs(e, threshold = 0.3)
