@@ -22,9 +22,44 @@ object WindowFilters {
   /** X1: ISO day prefix (`s[:10]`) of a timestamp-ish column. */
   def isoDay(c: Column): Column = substring(c.cast("string"), 1, 10)
 
-  /** F1: keep rows whose `ts` ISO day lies in [lo, hi]; null keys dropped. */
+  private val IsoDate = "\\d{4}-\\d{2}-\\d{2}".r
+
+  /** A redundant PUSHABLE range predicate implied by
+    * `isoDay(ts).between(lo, hi)` — the exact predicate wraps the raw
+    * column in substring(cast(...)), which no source can push, so at 100 TB
+    * the scan would read everything. The derived bound references the RAW
+    * column only (parquet row-group skipping + partition pruning apply) and
+    * is provably implied by the exact predicate, so AND-ing it on preserves
+    * semantics exactly:
+    *  - string column: prefix ∈ [lo,hi] ⇒ c >= lo && c <= hi+"￿"
+    *    (lexicographic, ISO days sort correctly — SURVEY §7.3);
+    *  - date/timestamp column (UTC session): day(ts) ∈ [lo,hi] ⇒
+    *    ts >= lo 00:00 && ts < hi+1d 00:00.
+    * Only applied when lo/hi are well-formed ISO dates (else `lit(true)`).
+    */
+  private def pushableBound(df: DataFrame, ts: Column, lo: String,
+      hi: String): Column = {
+    if (!IsoDate.matches(lo) || !IsoDate.matches(hi)) return lit(true)
+    import org.apache.spark.sql.types._
+    df.select(ts).schema.head.dataType match {
+      case StringType =>
+        ts >= lit(lo) && ts <= lit(hi + "￿")
+      case DateType =>
+        ts >= to_date(lit(lo)) && ts <= to_date(lit(hi))
+      case TimestampType | TimestampNTZType =>
+        ts >= to_timestamp(lit(lo)) &&
+          ts < to_timestamp(date_add(to_date(lit(hi)), 1))
+      case _ => lit(true)
+    }
+  }
+
+  /** F1: keep rows whose `ts` ISO day lies in [lo, hi]; null keys dropped.
+    * The exact reference semantics (string compare of the day prefix) plus
+    * an implied raw-column range that reaches the scan as a pushed filter.
+    */
   def dateWindow(df: DataFrame, ts: Column, lo: String, hi: String): DataFrame =
-    df.filter(ts.isNotNull && isoDay(ts).between(lo, hi))
+    df.filter(pushableBound(df, ts, lo, hi) &&
+      ts.isNotNull && isoDay(ts).between(lo, hi))
 
   /** F2: invoice semantics — the filter key is `primary` when present, else
     * the ISO day of `fallback`; rows with neither are dropped. */
