@@ -164,6 +164,30 @@ object TextAnalysis {
         sequence(lit(1), size(th) - (n - 1)),
         i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*))))
 
+  /** TF-IDF over a corpus: per (doc, term) — term frequency, document
+    * frequency, and the smoothed score tf · (ln((N+1)/(df+1)) + 1)
+    * (sklearn-style smoothing, never negative/divide-by-zero).
+    *
+    * Scale shape: one explode + two hash aggregates (terms ride a single
+    * shuffle each) + a 1-row broadcast for the corpus size — no collect, no
+    * all-pairs; at 100 TB the (id, term) aggregate is the only large
+    * shuffle and it partial-aggregates map-side. */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs)) // 1 row — corpus size
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),
+        4))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the exact-dedup key. */
   def fingerprint(c: Column): Column =

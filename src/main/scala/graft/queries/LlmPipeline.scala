@@ -62,6 +62,11 @@ object LlmPipeline {
         .groupBy(col("lid"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lid"))),
+    "q_t5_tfidf" -> ((s, dir) =>
+      // df/idf computed over the WHOLE corpus; output restricted after
+      TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("id") < 20)
+        .orderBy(col("id"), col("term"))),
     "q_t4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .agg(
@@ -208,6 +213,16 @@ object LlmPipeline {
             FROM documents)
           GROUP BY lid ORDER BY lid"""
     },
+    "q_t5_tfidf" ->
+      s"""WITH terms AS (
+            SELECT doc_id AS id, unnest($duckToks) AS term FROM documents),
+          tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+          dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+          SELECT id, term, tf, df,
+                 ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+          FROM tf JOIN dfr USING (term), n
+          WHERE id < 20 ORDER BY id, term""",
     "q_t4_fingerprint" ->
       """SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct,

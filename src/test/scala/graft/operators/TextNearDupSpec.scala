@@ -62,6 +62,20 @@ class TextNearDupSpec extends SparkSpec {
     assert(staged == inline)
   }
 
+  test("tfidf: counts and smoothed idf match a hand computation") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    def score(tf: Long, df: Long) =
+      BigDecimal(tf * (math.log(4.0 / (df + 1.0)) + 1.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, "a")) == ((2L, 2L, score(2, 2)))) // 'a' in docs 1,2
+    assert(got((2L, "c")) == ((1L, 2L, score(1, 2))))
+    assert(got((3L, "d")) == ((1L, 1L, score(1, 1))))
+    assert(got.size == 6) // (1,a),(1,b),(2,a),(2,c),(3,c),(3,d)
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("Hello  World ", "hello world")).toDF("a", "b")
     val same = df.select(
