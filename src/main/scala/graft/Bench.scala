@@ -58,18 +58,24 @@ object Bench {
         row_number().over(Window.orderBy(col("id"))).as("rn")).collect()
     }
 
+    // SPARK_GRAFT_REPEAT>1: report the MIN of N runs per query — steadier
+    // numbers for local perf iteration (driver runs keep the default 1).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     var rows = Map.empty[String, Long]
     var errors = Map.empty[String, String]
     val results = selected.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val n = fn(spark, sfDir).count()
-        rows += name -> n
-      } catch {
-        case e: Throwable =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      val secs = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val n = fn(spark, sfDir).count()
+          rows += name -> n
+        } catch {
+          case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = secs.min
       System.err.println(f"[bench] $name%-28s ${sec}%8.3f s rows=${rows.getOrElse(name, -1L)}")
       name -> sec
     }

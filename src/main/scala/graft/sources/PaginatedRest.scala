@@ -70,6 +70,30 @@ object PaginatedRest {
     def token(): String = value
   }
 
+  /** OAuth2-style refreshing provider: `fetch` performs the token
+    * round-trip (client-credentials grant in production — qb_auth.py:9-26
+    * builds the Basic-auth header from base64(client_id:client_secret));
+    * the token is cached until `expiresInMs` minus a safety margin, then
+    * refreshed on next use. Thread-safe; one instance per executor task
+    * keeps long scans from outliving expiry. `clock` injectable for tests. */
+  final class RefreshingToken(
+      fetch: () => (String, Long),
+      marginMs: Long = 60000L,
+      clock: () => Long = System.currentTimeMillis _) extends TokenProvider {
+    @volatile private var cached: (String, Long) = ("", Long.MinValue)
+    def token(): String = {
+      val (tok, validUntil) = cached
+      if (clock() < validUntil) tok
+      else synchronized {
+        if (clock() >= cached._2) {
+          val (fresh, expiresInMs) = fetch()
+          cached = (fresh, clock() + expiresInMs - marginMs)
+        }
+        cached._1
+      }
+    }
+  }
+
   /** Scan all pages: waves of `wave` pages fetched concurrently by
     * executors; the scan stops after the first wave containing a short or
     * empty page (S1 short-page-stop semantics, one wave's worth of
