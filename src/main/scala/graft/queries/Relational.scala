@@ -287,6 +287,15 @@ object Relational {
           round(sum(col("line.Amount")), 2).as("total"))
         .orderBy(col("id"))
     }),
+    "q_x12_decimal_money" -> ((s, dir) =>
+      // SURVEY §1.2: money as DecimalType — exact 2-dp arithmetic, no float
+      // drift, so the aggregate needs NO rounding convention to match the
+      // oracle (unlike every double-summing query here).
+      t(s, dir, "orders")
+        .select(col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .agg(sum(col("p")).cast("decimal(38,2)").as("total"),
+          max(col("p")).cast("decimal(18,2)").as("mx"),
+          count(lit(1)).as("n"))),
     "q_x11_impute" -> ((s, dir) => {
       // X11/A8 composed: inject nulls deterministically, impute with the
       // exact upper median, report the filled aggregate.
@@ -430,6 +439,11 @@ object Relational {
          FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100) o
          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          GROUP BY 1 ORDER BY id""",
+    "q_x12_decimal_money" ->
+      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS mx,
+                COUNT(*) AS n
+         FROM orders""",
     "q_x11_impute" ->
       """WITH base AS (
            SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL

@@ -84,16 +84,10 @@ class SimilaritySpec extends SparkSpec {
       s"native cosine not inside a codegen stage:\n$planStr")
   }
 
-  test("graft_cosine is SQL-callable via GraftExtensions") {
-    // extensions are applied at session BUILD time via
-    // spark.sql.extensions=graft.GraftExtensions; on an existing session
-    // the function registry is the injection point
-    val s2 = spark.newSession()
-    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      exprs => graft.expressions.CosineSimilarity(exprs.head, exprs(1)),
-      "built-in")
-    val r = s2.sql(
+  test("graft_cosine is SQL-callable via GraftExtensions (session config)") {
+    // the shared test session is built with
+    // spark.sql.extensions=graft.GraftExtensions — the production wiring
+    val r = spark.sql(
       "SELECT graft_cosine(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
         "array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT)))").head.getDouble(0)
     assert(math.abs(r - 0.96) < 1e-12)

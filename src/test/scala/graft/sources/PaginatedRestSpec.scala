@@ -94,6 +94,16 @@ class PaginatedRestSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 5)
   }
 
+  test("Pipeline.run: the composed main replicates the observed 29/29/0 run") {
+    val sink = tmpDir("pipeline")
+    val first = graft.Pipeline.run(spark, graft.sources.MockQboApi(29), sink,
+      "2024-01-01", "2025-12-31")
+    assert(first.filtered == 29 && first.inserted == 29)
+    val second = graft.Pipeline.run(spark, graft.sources.MockQboApi(29), sink,
+      "2024-01-01", "2025-12-31")
+    assert(second.inserted == 0)
+  }
+
   test("e2e: extract → window filter → envelope → idempotent append ×2 → report") {
     val sink = tmpDir("e2e")
     def runOnce(): Long = {
