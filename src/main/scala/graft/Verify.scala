@@ -16,6 +16,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as epoch-nanos longs (ordering-compatible).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -166,14 +166,21 @@ object NearDup {
 
   /** Join candidate pairs back to their shingle sets and keep pairs with
     * exact Jaccard >= threshold. Only candidate pairs are scored — never
-    * all-pairs. The pairs side is small → AQE broadcasts it; the shingle
-    * side is scanned twice (once per pair role). */
+    * all-pairs. Melt-join-regroup shape: the pair list unpivots to one row
+    * per (pair, role), joins the shingle table ONCE (pairs side is small →
+    * AQE broadcasts it; the corpus is scanned once, not once per role),
+    * then regroups the two arrays per pair. */
   def confirmJaccard(pairs: DataFrame, shingles: DataFrame,
       threshold: Double): DataFrame = {
-    val sa = shingles.select(col("id").as("id_a"), col("hs").as("hs_a"))
-    val sb = shingles.select(col("id").as("id_b"), col("hs").as("hs_b"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"),
+    val pairStruct = struct(col("id_a"), col("id_b")).as("pair")
+    val melted = pairs.select(col("id_a").as("id"), pairStruct, lit("a").as("role"))
+      .unionAll(pairs.select(col("id_b").as("id"), pairStruct, lit("b").as("role")))
+    melted.join(shingles, "id")
+      .groupBy(col("pair"))
+      .agg(
+        first(when(col("role") === "a", col("hs")), ignoreNulls = true).as("hs_a"),
+        first(when(col("role") === "b", col("hs")), ignoreNulls = true).as("hs_b"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
         round(TextAnalysis.jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
