@@ -146,6 +146,33 @@ object IdempotentAppend {
         true)
   }
 
+  /** S5 read path: the sink's key column as a DataFrame via
+    * `spark.read.jdbc` — the scale-correct replacement for the reference's
+    * `WHERE id IN ('…10k literals…')` probe (save_to_raw_customers_py.py:
+    * 49-52): Catalyst pushes predicates/column pruning into the dbtable
+    * subquery, and the anti-join happens distributed. `numPartitions` +
+    * bounds split the read when the key space is large. */
+  def jdbcKeys(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, key: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(SELECT $key FROM $table) probe")
+      .load()
+
+  /** JDBC idempotent append via Spark-side anti-join: probe the sink keys
+    * with [[jdbcKeys]], anti-join, then conflict-skipping insert (the
+    * INSERT still guards with the dialect's NOT EXISTS/ON CONFLICT, so a
+    * concurrent writer between probe and append cannot violate the key
+    * constraint — unlike the reference's unguarded fallback). */
+  def toJdbcWithProbe(batch: DataFrame, url: String, table: String,
+      key: String, dialect: SqlDialect = Postgres): Long = {
+    if (batch.isEmpty) return 0L // S7
+    val existing = jdbcKeys(batch.sparkSession, url, table, key)
+      .withColumnRenamed(key.toUpperCase, key) // Derby upper-cases identifiers
+    val fresh = prepare(batch, key).join(existing, Seq(key), "left_anti")
+    toJdbc(fresh, url, table, key, dialect)
+  }
+
   /** JDBC idempotent append: dedup + per-partition batched conflict-skipping
     * INSERTs. Connections are opened per partition on the executors (never
     * serialized from the driver); inserted count aggregated via accumulator.

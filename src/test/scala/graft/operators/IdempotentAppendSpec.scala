@@ -84,6 +84,23 @@ class IdempotentAppendSpec extends SparkSpec {
     c2.close()
   }
 
+  test("JDBC read-probe (S5): spark.read.jdbc keys + anti-join append") {
+    val url = "jdbc:derby:memory:graftprobe;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE probe_t (id INT PRIMARY KEY, v VARCHAR(20))")
+    conn.close()
+    val b1 = batch(1 -> "a", 2 -> "b")
+    assert(IdempotentAppend.toJdbcWithProbe(b1, url, "probe_t", "id",
+      IdempotentAppend.Derby) == 2)
+    // probe sees the existing keys; only key 3 is fresh
+    val keys = IdempotentAppend.jdbcKeys(spark, url, "probe_t", "id")
+    assert(keys.count() == 2)
+    val b2 = batch(2 -> "B", 3 -> "c")
+    assert(IdempotentAppend.toJdbcWithProbe(b2, url, "probe_t", "id",
+      IdempotentAppend.Derby) == 1)
+  }
+
   test("S8 divergence: concurrent-duplicate batch does NOT raise, inserts once") {
     // the reference's observed bug: same batch landing twice (fallback blind
     // append) crashed on UniqueViolation; ours converges to one copy.
