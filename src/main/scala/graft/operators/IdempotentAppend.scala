@@ -64,26 +64,37 @@ object IdempotentAppend {
     } finally fresh.unpersist()
   }
 
-  /** Scale-safe variant: sink partitioned by a key-hash bucket; the probe
-    * reads only the buckets the batch touches (partition pruning — verify
-    * with `df.inputFiles`). `numBuckets` sizes the pruning granularity:
-    * at a 100 TB sink, 1024 buckets ≈ 100 GB probed per touched bucket. */
+  /** Scale-safe variant: sink partitioned by a key-hash bucket (and
+    * optionally by an extraction-window column first — the reference's
+    * re-runnable-window model, SURVEY §7.1 M5: re-running window W probes
+    * only W's directories); the probe reads only the partitions the batch
+    * touches. `numBuckets` sizes the pruning granularity: at a 100 TB sink,
+    * 1024 buckets ≈ 100 GB probed per touched bucket. Before writing, the
+    * fresh rows are repartitioned onto their bucket so each touched bucket
+    * gets ONE file per append instead of one per shuffle partition — the
+    * small-files problem is what actually kills partitioned sinks at scale.
+    */
   def toBucketedParquet(batch: DataFrame, sinkPath: String, key: String,
-      numBuckets: Int = 256): Long = {
+      numBuckets: Int = 256, windowCol: Option[String] = None): Long = {
     if (batch.isEmpty) return 0L // S7
     val spark = batch.sparkSession
+    val partCols = windowCol.toSeq :+ BucketCol
     val withBucket = prepare(batch, key)
       .withColumn(BucketCol, pmod(xxhash64(col(key)), lit(numBuckets)))
     val fs = new Path(sinkPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val fresh =
       if (fs.exists(new Path(sinkPath))) {
-        // Bucket values are bounded by numBuckets — a driver-side collect
-        // of at most numBuckets longs, never data-sized.
-        val touched = withBucket.select(BucketCol).distinct()
-          .collect().map(_.getLong(0))
+        // Partition values are bounded (windows in batch × numBuckets) — a
+        // driver-side collect of partition tuples, never data-sized.
+        val touched = withBucket.select(partCols.map(col): _*).distinct()
+          .collect()
+        val pruned = touched.map { r =>
+          partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
         val existingKeys = spark.read.parquet(sinkPath)
-          .filter(col(BucketCol).isin(touched: _*)) // partition pruning
+          .filter(pruned) // partition pruning on window+bucket dirs
           .select(col(key))
         withBucket.join(existingKeys, Seq(key), "left_anti")
       } else withBucket
@@ -91,7 +102,8 @@ object IdempotentAppend {
     try {
       val n = fresh.count()
       if (n > 0)
-        fresh.write.mode("append").partitionBy(BucketCol).parquet(sinkPath)
+        fresh.repartition(partCols.map(col): _*) // 1 file per partition dir
+          .write.mode("append").partitionBy(partCols: _*).parquet(sinkPath)
       n
     } finally fresh.unpersist()
   }

@@ -64,6 +64,26 @@ class IdempotentAppendSpec extends SparkSpec {
     assert(IdempotentAppend.toBucketedParquet(one, sink, "id", numBuckets = 16) == 0)
   }
 
+  test("window-partitioned bucketed sink: probe prunes to the batch's window") {
+    import spark.implicits._
+    val sink = tmpDir("windowed")
+    def b(w: String, ids: Range) =
+      ids.map(i => (i, s"v$i", w)).toDF("id", "v", "win")
+    assert(IdempotentAppend.toBucketedParquet(
+      b("2024-01", 1 to 100), sink, "id", 8, windowCol = Some("win")) == 100)
+    assert(IdempotentAppend.toBucketedParquet(
+      b("2024-02", 101 to 200), sink, "id", 8, windowCol = Some("win")) == 100)
+    // re-run of window 1 inserts 0 and its probe touches only win=2024-01 dirs
+    assert(IdempotentAppend.toBucketedParquet(
+      b("2024-01", 1 to 100), sink, "id", 8, windowCol = Some("win")) == 0)
+    val all = spark.read.parquet(sink)
+    assert(all.count() == 200)
+    // compaction: one file per touched (window, bucket) partition dir
+    val files = all.select(input_file_name()).distinct().count()
+    val dirs = all.select("win", IdempotentAppend.BucketCol).distinct().count()
+    assert(files == dirs, s"$files files for $dirs partition dirs")
+  }
+
   test("JDBC (Derby embedded): conflict-skipping insert is idempotent") {
     val url = "jdbc:derby:memory:graftjdbc;create=true"
     val conn = DriverManager.getConnection(url)
