@@ -178,6 +178,18 @@ object Relational {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    "q_w2_running_sum" -> ((s, dir) => {
+      // W-series breadth: running aggregate + lag over an ordered window —
+      // same shuffle partitioning as W1 (hash on user_id, sort within)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("running"),
+          lag(col("event_id"), 1).over(w).as("prev_event"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ----------------------------------------------------scalar functions
     "q_x1_substr" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -392,6 +404,12 @@ object Relational {
       """SELECT user_id, event_id,
                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
          FROM events QUALIFY rn <= 3 ORDER BY user_id, rn""",
+    "q_w2_running_sum" ->
+      """SELECT user_id, event_id,
+                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS running,
+                LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+         FROM events WHERE user_id < 50
+         ORDER BY user_id, event_id""",
     "q_x1_substr" ->
       """SELECT DISTINCT substr(CAST(o_orderdate AS VARCHAR),1,7) AS ym
          FROM orders ORDER BY ym""",
