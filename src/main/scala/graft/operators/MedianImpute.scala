@@ -38,7 +38,7 @@ object MedianImpute {
   /** Exact value at 0-based rank `floor(n/2)` of the sorted non-null values
     * — the reference's `sorted(values)[n // 2]` (upper median for even n). */
   def exactUpperMedian(df: DataFrame, column: String): Option[Double] = {
-    val vals = df.select(col(column).cast("double").as("v"))
+    val vals = df.select(col(column).try_cast("double").as("v"))
       .filter(col("v").isNotNull)
     val n = vals.count()
     if (n == 0) None else Some(selectRank(vals, n / 2, n))
@@ -109,19 +109,28 @@ object MedianImpute {
     * passes per column), then a tiny per-column rank-select. */
   def impute(df: DataFrame, columns: Seq[String]): DataFrame = {
     if (columns.isEmpty) return df
-    // Pass 1: non-null counts for every column at once.
+    // Pass 1: value counts for every column at once — counted AFTER the
+    // double cast so n matches the value set selectRank actually ranks
+    // (ADVICE r2: counting the raw column overstated n for columns with
+    // non-castable values, picking a wrong rank or crashing on .head of
+    // an empty slice).
     val countRow = df.agg(
-      count(col(columns.head)).as(columns.head),
-      columns.tail.map(c => count(col(c)).as(c)): _*).head()
+      count(col(columns.head).try_cast("double")).as(columns.head),
+      columns.tail.map(c => count(col(c).try_cast("double")).as(c)): _*).head()
     val ns = columns.map(c => c -> countRow.getAs[Long](c)).toMap
 
+    import org.apache.spark.sql.types.NumericType
+    def isNumeric(c: String): Boolean =
+      df.schema(c).dataType.isInstanceOf[NumericType]
+    // Non-numeric columns skip the shared raw-column bracket (approxQuantile
+    // rejects them); their selectRank path already works on the cast values.
     val (small, large) = columns.filter(ns(_) > 0)
-      .partition(c => ns(c) <= MaxWindowRows)
+      .partition(c => ns(c) <= MaxWindowRows || !isNumeric(c))
 
     val fills = scala.collection.mutable.Map.empty[String, Double]
     // Small columns: direct tiny-slice rank-select each (cheap).
     small.foreach { c =>
-      val vals = df.select(col(c).cast("double").as("v"))
+      val vals = df.select(col(c).try_cast("double").as("v"))
         .filter(col("v").isNotNull)
       fills(c) = selectRank(vals, ns(c) / 2, ns(c))
     }
@@ -135,7 +144,7 @@ object MedianImpute {
         Array(0.5 - eps, 0.5 + eps), relErr)
       // Pass 3: below/inSlice for all large columns in one aggregate.
       val aggCols = large.zipWithIndex.flatMap { case (c, i) =>
-        val v = col(c).cast("double")
+        val v = col(c).try_cast("double")
         val (lo, hi) = (brackets(i)(0), brackets(i)(1))
         Seq(
           sum(when(v.isNotNull && v < lo, 1L).otherwise(0L)).as(s"below_$i"),
@@ -148,7 +157,7 @@ object MedianImpute {
         val inSlice = row.getAs[Long](s"in_$i")
         val k = ns(c) / 2
         val offset = k - below
-        val vals = df.select(col(c).cast("double").as("v"))
+        val vals = df.select(col(c).try_cast("double").as("v"))
           .filter(col("v").isNotNull)
         fills(c) =
           if (offset >= 0 && offset < inSlice && lo < hi)
@@ -157,6 +166,15 @@ object MedianImpute {
           else selectRank(vals, k, ns(c)) // shared bracket missed: solo path
       }
     }
-    df.na.fill(fills.toMap)
+    // na.fill handles numeric columns; non-numeric ones (e.g. numeric
+    // strings with junk values) get an explicit null-coalesce that keeps
+    // the column's declared type.
+    val (numFills, otherFills) = fills.toMap.partition { case (c, _) =>
+      isNumeric(c) }
+    val filled = if (numFills.nonEmpty) df.na.fill(numFills) else df
+    otherFills.foldLeft(filled) { case (d, (c, v)) =>
+      d.withColumn(c,
+        coalesce(col(c), lit(v).cast(df.schema(c).dataType)))
+    }
   }
 }

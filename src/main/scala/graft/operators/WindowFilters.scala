@@ -62,11 +62,22 @@ object WindowFilters {
       ts.isNotNull && isoDay(ts).between(lo, hi))
 
   /** F2: invoice semantics — the filter key is `primary` when present, else
-    * the ISO day of `fallback`; rows with neither are dropped. */
+    * the ISO day of `fallback`; rows with neither are dropped.
+    *
+    * Scale: the exact predicate wraps `coalesce`, which no source can push.
+    * A passing row provably has `primary` present OR its fallback day in
+    * range, so we AND-on that disjunction over the RAW columns: when both
+    * arguments are real source columns (the reference's invoice shape —
+    * TxnDate / MetaData.LastUpdatedTime), it reaches the scan as
+    * `Or(IsNotNull(primary), fallback-range)` and parquet row-group
+    * skipping applies (asserted in PlanAuditSpec). When `primary` is a
+    * derived expression (as in q_f2's synthetic probe) the disjunction
+    * stays a cheap post-scan predicate — semantics unchanged either way. */
   def coalescingDateWindow(df: DataFrame, primary: Column, fallback: Column,
       lo: String, hi: String): DataFrame = {
     val key = coalesce(primary, isoDay(fallback))
-    df.filter(key.isNotNull && key.between(lo, hi))
+    val implied = primary.isNotNull || pushableBound(df, fallback, lo, hi)
+    df.filter(implied && key.isNotNull && key.between(lo, hi))
   }
 
   /** F3: drop rows with a null sink key before writing. */

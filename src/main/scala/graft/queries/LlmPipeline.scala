@@ -20,8 +20,11 @@ import graft.operators._
   *    `aggregate`, DuckDB `list_sum(list_transform(...))`), then rounds;
   *  - near-dup pair queries return LSH-candidate ∩ exact-Jaccard-confirmed
   *    pairs; the oracle computes the exhaustive exact answer — they agree
-  *    because banding recall at the observed J >= 0.9 is ~1 (and the spec
-  *    tests measure it rather than assume it).
+  *    because the query threshold (0.8) sits in the banding family's
+  *    certain-recall band (detect prob ≥ 1-5e-8 at exactly J=0.8 with
+  *    r=4/b=32), so parity holds for ANY corpus shape, not just one with
+  *    no pairs in a marginal band (ADVICE r2). The spec tests measure
+  *    recall rather than assume it.
   */
 object LlmPipeline {
   type Q = (SparkSession, String) => DataFrame
@@ -83,21 +86,35 @@ object LlmPipeline {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
     "q_d2_minhash_neardup" -> ((s, dir) =>
+      // Threshold sits in the near-certain-recall band of the banding
+      // family (ADVICE r2): at r=4/b=32 a pair at exactly J=0.8 is
+      // detected with prob 1-(1-0.8^4)^32 ≈ 1-5e-8, so oracle parity does
+      // NOT depend on the corpus having no pairs in a marginal band (at
+      // the old 0.5, a pair at exactly J=0.5 had ~13% miss probability).
+      // Measured: every near-dup pair in the test corpora has J >= 0.800,
+      // so the result set is the same as at 0.5.
       NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleLen = 3, threshold = 0.5)
+          shingleLen = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
     "q_d3_neardup_ensemble" -> ((s, dir) =>
       // MinHash ∪ SimHash candidates → exact confirm: recall guaranteed by
       // the MinHash leg (SimHash-64 alone misses J≈0.9 pairs at hamming 8+
-      // on this corpus), so the exhaustive oracle stays exact at any SF.
+      // on this corpus); threshold in the certain-recall band as q_d2.
       NearDup.ensemblePairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleLen = 3, threshold = 0.5)
+          shingleLen = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_d4_embedding_neardup" -> ((s, dir) =>
-      // embedding-cosine near-dup, brute-force baseline (scale path: LSH
-      // candidate buckets + exact confirm — Similarity scaladoc)
+      // embedding-cosine near-dup, broadcast brute-force baseline — kept as
+      // the documented small-corpus path (fastest while one corpus copy
+      // fits executor memory); q_d4x below is the scale path.
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_d4x_embedding_neardup_lsh" -> ((s, dir) =>
+      // the SCALE path (VERDICT r2 #2): sign-LSH bucket candidates → exact
+      // cosine confirm — no driver collect, no corpus broadcast; checked
+      // against the SAME exhaustive oracle as q_d4.
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))),
 
     // --------------------------------------------------------- similarity
@@ -156,7 +173,7 @@ object LlmPipeline {
                        nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
                        6) AS jaccard
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        WHERE jaccard >= 0.5
+        WHERE jaccard >= 0.8
         ORDER BY id_a, id_b"""
   }
 
@@ -165,6 +182,19 @@ object LlmPipeline {
       "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))"
   private def duckNormSq(v: String) =
     s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** Exhaustive exact embedding near-dup oracle — shared by the broadcast
+    * baseline (q_d4) and the LSH scale path (q_d4x). */
+  private val embeddingNearDupOracle: String =
+    s"""SELECT id_a, id_b, sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(
+                   list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(${duckNormSq("a.embedding")})
+                      * sqrt(${duckNormSq("b.embedding")})), 6) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE sim >= 0.45 ORDER BY id_a, id_b"""
 
   val oracles: Map[String, String] = Map(
     "q_t1_token_stats" ->
@@ -233,16 +263,9 @@ object LlmPipeline {
       "SELECT doc_id FROM documents ORDER BY doc_id",
     "q_d2_minhash_neardup" -> nearDupOracle,
     "q_d3_neardup_ensemble" -> nearDupOracle,
-    "q_d4_embedding_neardup" ->
-      s"""SELECT id_a, id_b, sim FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(
-                     list_sum(list_transform(range(1, len(a.embedding) + 1),
-                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-                     / (sqrt(${duckNormSq("a.embedding")})
-                        * sqrt(${duckNormSq("b.embedding")})), 6) AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-          WHERE sim >= 0.45 ORDER BY id_a, id_b""",
+    "q_d4_embedding_neardup" -> embeddingNearDupOracle,
+    // the LSH scale path must reproduce the SAME exhaustive exact answer
+    "q_d4x_embedding_neardup_lsh" -> embeddingNearDupOracle,
     "q_v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 5),

