@@ -43,7 +43,7 @@ object NearDup {
     * #1). With the shared frames persisted the corpus is scanned once; the
     * final pair set is tiny, so eager materialization costs nothing at any
     * scale. */
-  private def materialized(body: Cache => DataFrame): DataFrame = {
+  private[operators] def materialized(body: Cache => DataFrame): DataFrame = {
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val cache: Cache = { df => cached += df; df.persist() }
     try body(cache).localCheckpoint()
@@ -141,7 +141,7 @@ object NearDup {
     * big is a mass-duplication cluster, not a near-dup candidate list
     * (quadratic pair expansion there is the all-pairs trap re-entering
     * through the back door). */
-  private[operators] def bucketPairs(exploded: DataFrame,
+  private[graft] def bucketPairs(exploded: DataFrame,
       maxBucketSize: Int): DataFrame = {
     val spark = exploded.sparkSession
     import spark.implicits._
@@ -149,10 +149,18 @@ object NearDup {
     // (nested transform/slice lambdas) is interpreted per element and cost
     // ~10 s at ~10M candidate pairs (dense-bucket regime, measured via
     // Similarity.lshNearDupPairs at sf0.1).
+    //
+    // The repartition before the expansion matters: the bucket table is a
+    // few KB, so AQE coalesces the groupBy output to ~1 partition — and
+    // then the (potentially quadratic) pair expansion runs on ONE task.
+    // Spreading the buckets first keeps expansion + the distinct's partial
+    // aggregation parallel (measured: 5-6 s single-task → ~1 s at 32
+    // threads in the dense-bucket regime).
     exploded.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
       .select(col("ids")).as[Array[Long]]
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .mapPartitions { buckets =>
         buckets.flatMap { ids =>
           for {

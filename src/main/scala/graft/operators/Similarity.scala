@@ -114,17 +114,19 @@ object Similarity {
     * defaults reach ~0.65 recall@5 scanning ~25% of the corpus
     * (SimilaritySpec measures this); on real clustered embeddings the same
     * settings sit well above 0.9. */
-  /** (id, table, bucket) rows via a JIT'd mapPartitions dot-product loop —
-    * the expression form (tables×bits interpreted `aggregate` folds per
-    * row) cost ~6.5 s at 2000×64-dim on the bench; this is sub-second.
-    * With `probe1bit`, each table also emits every 1-bit-flip bucket
-    * (multiprobe). Sign convention matches [[signBucket]] (same
-    * left-to-right double fold, same > 0 test).
+  /** (id, table, bucket, kind) rows via a JIT'd mapPartitions dot-product
+    * loop — the expression form (tables×bits interpreted `aggregate` folds
+    * per row) cost ~6.5 s at 2000×64-dim on the bench; this is
+    * sub-second. With `probe1bit`, each table also emits every 1-bit-flip
+    * bucket (multiprobe); `k` records what the row is (-1 = base bucket,
+    * p ≥ 0 = bucket with bit p flipped) so self-join consumers can emit
+    * each detected pair once per table. Sign convention matches
+    * [[signBucket]] (same left-to-right double fold, same > 0 test).
     *
     * Deliberately narrow: the embedding does NOT ride along (VERDICT r2
     * #3 — carrying vectors through the bucket join made the shuffle width
     * O(dim)); callers join vectors back by id after candidate dedup. */
-  private def bucketRows(d: DataFrame, planes: Array[Array[Double]],
+  private[graft] def bucketRows(d: DataFrame, planes: Array[Array[Double]],
       tables: Int, bits: Int, idCol: String, vecCol: String,
       probe1bit: Boolean): DataFrame = {
     val spark = d.sparkSession
@@ -145,12 +147,12 @@ object Similarity {
               if (dot > 0) base |= (1L << j)
               j += 1
             }
-            if (!probe1bit) Iterator.single((id, t, base))
-            else Iterator.single((id, t, base)) ++
-              (0 until bits).iterator.map(p => (id, t, base ^ (1L << p)))
+            if (!probe1bit) Iterator.single((id, t, base, -1))
+            else Iterator.single((id, t, base, -1)) ++
+              (0 until bits).iterator.map(p => (id, t, base ^ (1L << p), p))
           }
         }
-      }.toDF("id", "t", "b")
+      }.toDF("id", "t", "b", "k")
   }
 
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -160,10 +162,10 @@ object Similarity {
     val allPlanes = hyperplanes(tables * bits, dim)
     val c = bucketRows(corpus, allPlanes, tables, bits, idCol, vecCol,
         probe1bit = false)
-      .withColumnRenamed("id", "neighbor_id")
+      .select(col("id").as("neighbor_id"), col("t"), col("b"))
     val q = bucketRows(queries, allPlanes, tables, bits, idCol, vecCol,
         probe1bit = true)
-      .withColumnRenamed("id", "query_id")
+      .select(col("id").as("query_id"), col("t"), col("b"))
     // bucket equi-join per table on narrow (id, t, b) triples; the pair
     // dedup shuffles ids only, then ONE join per side re-attaches vectors
     // to the (small) deduped candidate set (VERDICT r2 #3).
@@ -217,18 +219,60 @@ object Similarity {
       tables: Int = 16, bits: Int = 8, dim: Int = 64,
       maxBucketSize: Int = 10000, roundTo: Int = 6): DataFrame = {
     val planes = hyperplanes(tables * bits, dim)
-    val exploded = bucketRows(df, planes, tables, bits, idCol, vecCol,
+    NearDup.materialized { cache =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      val exploded = bucketRows(df, planes, tables, bits, idCol, vecCol,
         probe1bit = true)
-      .select(col("id"), col("t").as("band"), col("b").as("key"))
-    val cand = NearDup.bucketPairs(exploded, maxBucketSize)
-    val va = df.select(col(idCol).cast("long").as("id_a"),
-      col(vecCol).as("va"))
-    val vb = df.select(col(idCol).cast("long").as("id_b"),
-      col(vecCol).as("vb"))
-    cand.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(cosineNative(col("va"), col("vb")), roundTo).as("sim"))
-      .filter(col("sim") >= threshold)
+      // In-bucket pair expansion with CANONICAL emission: with both sides
+      // probing, a pair at hamming h in a table co-occurs in several of
+      // that table's buckets (h=0: base-base plus every flip_i-flip_i —
+      // 1+bits buckets). For the id-ordered pair (a < b) with kinds
+      // (ka, kb), exactly one co-occurrence satisfies
+      //   ka < kb  ||  (ka == -1 && kb == -1)
+      // (h=0 → the base-base bucket; h=1 → the bucket where the SMALLER
+      // id is the base; h=2 → the bucket where the smaller id flipped the
+      // lower bit), so each detected pair is emitted once per table —
+      // measured 10.6M → ~4M raw pair rows at sf0.1 before the cross-table
+      // distinct. The repartition spreads the quadratic expansion (AQE
+      // coalesces the tiny bucket table to ~1 partition otherwise).
+      val rawPairs = exploded.groupBy(col("t"), col("b"))
+        .agg(collect_list(struct(col("id").as("_1"), col("k").as("_2")))
+          .as("rows"))
+        .filter(size(col("rows")).between(2, maxBucketSize))
+        .select(col("rows")).as[Array[(Long, Int)]]
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .mapPartitions { buckets =>
+          buckets.flatMap { rows =>
+            val sorted = rows.sortBy(_._1)
+            for {
+              i <- sorted.indices.iterator
+              j <- (i + 1) until sorted.length
+              (ida, ka) = sorted(i)
+              (idb, kb) = sorted(j)
+              if ka < kb || (ka == -1 && kb == -1)
+            } yield (ida, idb)
+          }
+        }.toDF("id_a", "id_b")
+      // The deduped candidate set is persisted and counted BEFORE the
+      // confirm joins so join planning sees its real size: the typed
+      // flatMap's static estimate undershoots by ~1000×, and without this
+      // Spark broadcast the multi-million-row PAIR side while streaming
+      // the small vector table (measured: 6 s of driver-side hash build).
+      // With honest stats the small vector side broadcasts, candidates
+      // stream, and the final result (tiny) is eagerly materialized so
+      // the cache can be released.
+      val cand = cache(rawPairs.distinct())
+      cand.count()
+      val va = df.select(col(idCol).cast("long").as("id_a"),
+        col(vecCol).as("va"))
+      val vb = df.select(col(idCol).cast("long").as("id_b"),
+        col(vecCol).as("vb"))
+      cand.join(va, "id_a").join(vb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(cosineNative(col("va"), col("vb")), roundTo).as("sim"))
+        .filter(col("sim") >= threshold)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)

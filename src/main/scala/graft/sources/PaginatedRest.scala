@@ -74,24 +74,42 @@ object PaginatedRest {
     * round-trip (client-credentials grant in production — qb_auth.py:9-26
     * builds the Basic-auth header from base64(client_id:client_secret));
     * the token is cached until `expiresInMs` minus a safety margin, then
-    * refreshed on next use. Thread-safe; one instance per executor task
-    * keeps long scans from outliving expiry. `clock` injectable for tests. */
+    * refreshed on next use. Thread-safe; `clock` injectable for tests.
+    *
+    * Task closures are deserialized PER TASK, so a per-instance cache
+    * alone means one token round-trip per task — at 1000 executors × 32
+    * tasks that hammers the token endpoint 32000×. Pass `shareKey` (e.g.
+    * the client id) to share the cached token JVM-wide: every task on an
+    * executor reuses one token, refreshed atomically (ConcurrentHashMap
+    * .compute — exactly one fetch per executor per expiry window). */
   final class RefreshingToken(
       fetch: () => (String, Long),
       marginMs: Long = 60000L,
-      clock: () => Long = System.currentTimeMillis _) extends TokenProvider {
+      clock: () => Long = System.currentTimeMillis _,
+      shareKey: Option[String] = None) extends TokenProvider {
     @volatile private var cached: (String, Long) = ("", Long.MinValue)
-    def token(): String = {
-      val (tok, validUntil) = cached
-      if (clock() < validUntil) tok
-      else synchronized {
-        if (clock() >= cached._2) {
-          val (fresh, expiresInMs) = fetch()
-          cached = (fresh, clock() + expiresInMs - marginMs)
-        }
-        cached._1
+    private def refreshed(cur: (String, Long)): (String, Long) =
+      if (cur != null && clock() < cur._2) cur
+      else {
+        val (fresh, expiresInMs) = fetch()
+        (fresh, clock() + expiresInMs - marginMs)
       }
+    def token(): String = shareKey match {
+      case Some(k) =>
+        RefreshingToken.shared.compute(k, (_, cur) => refreshed(cur))._1
+      case None =>
+        val (tok, validUntil) = cached
+        if (clock() < validUntil) tok
+        else synchronized {
+          cached = refreshed(cached)
+          cached._1
+        }
     }
+  }
+  object RefreshingToken {
+    /** JVM-wide (per-executor) token cache, keyed by `shareKey`. */
+    private val shared =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   }
 
   /** Scan all pages: waves of `wave` pages fetched concurrently by
