@@ -319,6 +319,137 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic coarse quantizer for [[ivfTopK]]: seed centroids are
+    * the `nlist` corpus vectors with the smallest xxhash64(id) (data-
+    * dependent but partition-independent), refined by `iters` Lloyd
+    * passes. Assignment is a JIT'd argmin loop; the update collects only
+    * per-partition partial sums — O(partitions × nlist × dim) to the
+    * driver, never data-sized. */
+  private[graft] def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int,
+      idCol: String, vecCol: String): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    var centroids = rows.orderBy(xxhash64(col(idCol)))
+      .limit(nlist).collect().map(_._2)
+    for (_ <- 0 until iters) {
+      val cs = centroids // stable reference for the closure
+      val partials = rows.mapPartitions { it =>
+        val sums = Array.fill(cs.length)(Array.ofDim[Double](cs.head.length))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          val c = nearestCentroid(v, cs)
+          val s = sums(c)
+          var i = 0
+          val n = math.min(v.length, s.length)
+          while (i < n) { s(i) += v(i); i += 1 }
+          counts(c) += 1
+        }
+        (0 until cs.length).iterator
+          .filter(counts(_) > 0)
+          .map(c => (c, sums(c), counts(c)))
+      }.collect()
+      val agg = Array.fill(centroids.length)(
+        Array.ofDim[Double](centroids.head.length))
+      val cnt = new Array[Long](centroids.length)
+      for ((c, s, n) <- partials) {
+        var i = 0
+        while (i < s.length) { agg(c)(i) += s(i); i += 1 }
+        cnt(c) += n
+      }
+      centroids = centroids.indices.map { c =>
+        if (cnt(c) == 0) centroids(c) // empty cluster keeps its seed
+        else agg(c).map(x => (x / cnt(c)).toFloat)
+      }.toArray
+    }
+    centroids
+  }
+
+  @inline private def nearestCentroid(v: Array[Float],
+      cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, cv.length)
+      while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** (id, cluster) assignments — for the probe side, the `nprobe` nearest
+    * clusters per row instead of one. */
+  private def ivfAssign(d: DataFrame, cs: Array[Array[Float]], nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    d.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          if (nprobe <= 1) Iterator.single((id, nearestCentroid(v, cs)))
+          else {
+            val dists = cs.indices.map { c =>
+              val cv = cs(c)
+              var d2 = 0.0
+              var i = 0
+              val n = math.min(v.length, cv.length)
+              while (i < n) { val t = v(i) - cv(i); d2 += t * t; i += 1 }
+              (c, d2)
+            }
+            dists.sortBy(_._2).take(nprobe).iterator.map(p => (id, p._1))
+          }
+        }
+      }.toDF("id", "cluster")
+  }
+
+  /** IVF (inverted-file) approximate cosine top-k — the second scale-path
+    * ANN family next to [[lshTopK]] (BASELINE north star names both): the
+    * corpus is partitioned into `nlist` inverted lists by a deterministic
+    * coarse quantizer; each query scores exactly only the lists of its
+    * `nprobe` nearest centroids. Candidates meet through a cluster
+    * equi-join — never a cross product; scanned fraction ≈ nprobe/nlist
+    * (on clustered real-world embeddings the probed lists hold the true
+    * neighbors with high probability; on the isotropic test data recall ≈
+    * scanned fraction + a margin, measured in SimilaritySpec, same honest
+    * caveat as the LSH paths).
+    *
+    * 100 TB shape: centroid fitting collects partial sums only; lists are
+    * hash-partitioned by cluster id; `nlist` should grow ~sqrt(n) so each
+    * list stays executor-sized; skewed (hot) lists are the
+    * `maxBucketSize`-style concern and can be salted by the caller. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val cs = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val lists = ivfAssign(corpus, cs, 1, idCol, vecCol)
+      .withColumnRenamed("id", "neighbor_id")
+    val probes = ivfAssign(queries, cs, nprobe, idCol, vecCol)
+      .withColumnRenamed("id", "query_id")
+    val candidates = lists.join(probes, "cluster") // inverted-list equi-join
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = candidates.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineNative(col("qv"), col("cv")), roundTo).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-group embedding norm statistics — sanity profile of an embedding
     * table (mean L2 norm, count) without any shuffle beyond the groupBy. */
   def normStats(df: DataFrame, groupCol: String,

@@ -132,6 +132,15 @@ object LlmPipeline {
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_v4_ann_ivf" -> ((s, dir) => {
+      // IVF inverted-list ANN — the second scale-path family next to LSH
+      // (north star: "an IVF or LSH-bucketed variant"); approximate, so
+      // rows-only check; recall measured in SimilaritySpec
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_v3_norm_stats" -> ((s, dir) =>
       Similarity.normStats(t(s, dir, "embeddings"), "label")
         .orderBy(col("label"))),
@@ -299,7 +308,7 @@ object LlmPipeline {
            CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS n_frames,
            md5(text) AS feat_checksum
          FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
-    // q_v2_ann_lsh, q_a2x_approx_distinct: no SQL oracle (approximate) —
-    // driver records the weaker rows-only check.
+    // q_v2_ann_lsh, q_v4_ann_ivf, q_a2x_approx_distinct: no SQL oracle
+    // (approximate) — driver records the weaker rows-only check.
   )
 }

@@ -150,6 +150,41 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("IVF top-k: k per query, no cross product, recall vs brute force") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    val approxDf = Similarity.ivfTopK(q, c, k = 5)
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "IVF plan must not contain a cross product")
+    val rows = approxDf.collect()
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.size == 20 && perQuery.values.forall(_ == 5))
+    val exact = Similarity.bruteForceTopK(q, c, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = approxDf
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // nprobe/nlist = 25% of the corpus scanned; isotropic data is the ANN
+    // worst case (same honest framing as the LSH recall test)
+    assert(recall >= 0.4, f"IVF recall $recall%.3f < 0.4")
+  }
+
+  test("IVF centroids are deterministic across partitionings") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c1 = Similarity.ivfCentroids(e, nlist = 8, iters = 1,
+      "vec_id", "embedding")
+    val c2 = Similarity.ivfCentroids(e.repartition(7), nlist = 8, iters = 1,
+      "vec_id", "embedding")
+    // seeds are hash-selected (partition-independent); one Lloyd pass over
+    // float sums re-associates, so compare within fp tolerance
+    assert(c1.length == 8 && c1.length == c2.length)
+    for ((a, b) <- c1.zip(c2); i <- a.indices)
+      assert(math.abs(a(i) - b(i)) < 1e-4f,
+        s"centroid drift across partitionings at dim $i")
+  }
+
   test("normStats: one row per label, norms positive") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val res = Similarity.normStats(e, "label").collect()
