@@ -213,9 +213,11 @@ object IdempotentAppend {
     * concurrent writer between probe and append cannot violate the key
     * constraint — unlike the reference's unguarded fallback). */
   def toJdbcWithProbe(batch: DataFrame, url: String, table: String,
-      key: String, dialect: SqlDialect = Postgres): Long = {
+      key: String, dialect: SqlDialect = Postgres,
+      probePartitions: Int = 1): Long = {
     if (batch.isEmpty) return 0L // S7
-    val existing = jdbcKeys(batch.sparkSession, url, table, key)
+    val existing = jdbcKeys(batch.sparkSession, url, table, key,
+        numPartitions = probePartitions)
       .withColumnRenamed(key.toUpperCase, key) // Derby upper-cases identifiers
     val fresh = prepare(batch, key).join(existing, Seq(key), "left_anti")
     toJdbc(fresh, url, table, key, dialect)

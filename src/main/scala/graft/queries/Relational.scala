@@ -67,6 +67,29 @@ object Relational {
           coalesce(primary, WindowFilters.isoDay(col("o_orderdate"))).as("fd"))
         .orderBy(col("o_orderkey"))
     }),
+    "q_f2x_coalesce_pushdown" -> ((s, dir) => {
+      // F2 in the reference's ACTUAL invoice shape: primary/fallback are
+      // REAL source columns (TxnDate-style nullable string + timestamp),
+      // staged to parquet the way q_s4 stages CSV — so the derived
+      // Or(IsNotNull(primary), fallback-range) disjunction reaches the
+      // scan as a pushed filter in an ORACLE-CHECKED query (PlanAuditSpec
+      // asserts the same push on a synthetic table; this one is hashed
+      // against DuckDB).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_f2x_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0, lit("1995-06-15")).as("txn_date"),
+          col("o_orderdate"))
+        .write.mode("overwrite").parquet(tmp)
+      val staged = s.read.parquet(tmp)
+      WindowFilters.coalescingDateWindow(staged,
+          col("txn_date"), col("o_orderdate"), "1995-01-01", "1995-12-31")
+        .select(col("o_orderkey"),
+          coalesce(col("txn_date"),
+            WindowFilters.isoDay(col("o_orderdate"))).as("fd"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_f3_null_filter" -> ((s, dir) =>
       WindowFilters.dropNullKeys(t(s, dir, "events"), "user_id")
         .agg(count(lit(1)).as("n"))),
@@ -338,6 +361,15 @@ object Relational {
            AND substr(CAST(o_orderdate AS VARCHAR),1,10) BETWEEN '1995-01-01' AND '1996-12-31'
          ORDER BY o_orderkey""",
     "q_f2_coalesce_filter" ->
+      """SELECT o_orderkey,
+           COALESCE(CASE WHEN o_orderkey % 2 = 0 THEN '1995-06-15' END,
+                    substr(CAST(o_orderdate AS VARCHAR),1,10)) AS fd
+         FROM orders
+         WHERE COALESCE(CASE WHEN o_orderkey % 2 = 0 THEN '1995-06-15' END,
+                        substr(CAST(o_orderdate AS VARCHAR),1,10))
+               BETWEEN '1995-01-01' AND '1995-12-31'
+         ORDER BY o_orderkey""",
+    "q_f2x_coalesce_pushdown" ->
       """SELECT o_orderkey,
            COALESCE(CASE WHEN o_orderkey % 2 = 0 THEN '1995-06-15' END,
                     substr(CAST(o_orderdate AS VARCHAR),1,10)) AS fd

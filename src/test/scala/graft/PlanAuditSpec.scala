@@ -101,6 +101,10 @@ class PlanAuditSpec extends SparkSpec {
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [Or(IsNotNull(txn_date)"),
       s"derived disjunction not pushed:\n${plan.take(2000)}")
+    // and the oracle-checked staged variant pushes the same disjunction
+    val qPlan = executedPlan(q("q_f2x_coalesce_pushdown"))
+    assert(qPlan.contains("Or(IsNotNull(txn_date)"),
+      s"q_f2x lost the pushed disjunction:\n${qPlan.take(2000)}")
   }
 
   test("aggregate battery stays in whole-stage codegen") {

@@ -119,6 +119,10 @@ class IdempotentAppendSpec extends SparkSpec {
     val b2 = batch(2 -> "B", 3 -> "c")
     assert(IdempotentAppend.toJdbcWithProbe(b2, url, "probe_t", "id",
       IdempotentAppend.Derby) == 1)
+    // same protocol with a partitioned probe read
+    val b3 = batch(3 -> "C", 4 -> "d")
+    assert(IdempotentAppend.toJdbcWithProbe(b3, url, "probe_t", "id",
+      IdempotentAppend.Derby, probePartitions = 2) == 1)
   }
 
   test("bucketed sink: batch that empties after the null-key filter inserts 0") {
