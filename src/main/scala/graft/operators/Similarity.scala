@@ -185,6 +185,15 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Canonical-emission rule for both-sides-probing LSH (see
+    * [[lshNearDupPairs]]): for the id-ordered pair (a < b) co-occurring in
+    * a bucket with kinds (ka, kb) — kind -1 = base bucket, p ≥ 0 = bucket
+    * reached by flipping bit p — exactly one of the pair's co-occurrence
+    * buckets within a table satisfies this predicate (property-tested
+    * exhaustively in SimilaritySpec over all hamming ≤ 2 configurations). */
+  @inline private[graft] def canonicalPair(ka: Int, kb: Int): Boolean =
+    ka < kb || (ka == -1 && kb == -1)
+
   /** Embedding near-duplicate pairs at scale: sign-LSH bucket candidates →
     * exact cosine confirm — the same output contract as
     * [[cosineNearDupPairs]] with no driver-side collect and no broadcast
@@ -250,7 +259,7 @@ object Similarity {
               j <- (i + 1) until sorted.length
               (ida, ka) = sorted(i)
               (idb, kb) = sorted(j)
-              if ka < kb || (ka == -1 && kb == -1)
+              if canonicalPair(ka, kb)
             } yield (ida, idb)
           }
         }.toDF("id_a", "id_b")

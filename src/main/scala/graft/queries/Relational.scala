@@ -182,6 +182,16 @@ object Relational {
     }),
 
     // ------------------------------------- set ops / sort / limit / window
+    "q_k1_salted_agg" -> ((s, dir) =>
+      // L18 skew mitigation as an ORACLE-CHECKED query (was spec-only):
+      // the two-stage salted aggregation must reproduce the plain GROUP BY
+      // exactly — count is salt-invariant; the double sum is rounded to
+      // 2 dp per the partial-agg reassociation convention.
+      Skew.saltedAggregate(t(s, dir, "events"), Seq("event_type"), salt = 8,
+          partialAggs = Seq(count(lit(1)).as("c"), sum(col("value")).as("sv")),
+          mergeAggs = Seq(sum(col("c")).as("n"),
+            round(sum(col("sv")), 2).as("total")))
+        .orderBy(col("event_type"))),
     "q_u1_union" -> ((s, dir) => {
       def cnt(name: String, tag: String) =
         t(s, dir, name).agg(count(lit(1)).as("n")).select(lit(tag).as("t"), col("n"))
@@ -426,6 +436,9 @@ object Relational {
                   COUNT(*) OVER () AS n
            FROM customer WHERE c_acctbal IS NOT NULL)
          WHERE rn = n // 2""",
+    "q_k1_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_u1_union" ->
       """SELECT 'c' AS t, COUNT(*) AS n FROM customer
          UNION ALL SELECT 'o', COUNT(*) FROM orders

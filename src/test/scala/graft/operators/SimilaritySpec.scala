@@ -150,6 +150,37 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("property: canonical emission fires exactly once per table for hamming <= 2") {
+    // Simulates the probe-row machinery for every (base, differing-bits)
+    // configuration: both docs emit base + all 1-bit flips; shared buckets
+    // apply canonicalPair to the id-ordered kinds. A pair at hamming <= 2
+    // must be emitted EXACTLY once; hamming > 2 never (no shared bucket).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val bits = 8
+    def rows(base: Long): Seq[(Long, Int)] =
+      (base, -1) +: (0 until bits).map(p => (base ^ (1L << p), p))
+    val gen = for {
+      baseA <- Gen.chooseNum(0L, (1L << bits) - 1)
+      flips <- Gen.chooseNum(0, 3) // hamming distance 0..3
+      which <- Gen.pick(flips, 0 until bits)
+    } yield (baseA, which.toSet)
+    val prop = Prop.forAll(gen) { case (baseA, flipBits) =>
+      val baseB = flipBits.foldLeft(baseA)((b, p) => b ^ (1L << p))
+      val hamming = flipBits.size
+      // doc a (smaller id) emits rows(baseA); doc b emits rows(baseB)
+      val emitted = (for {
+        (bucketA, ka) <- rows(baseA)
+        (bucketB, kb) <- rows(baseB)
+        if bucketA == bucketB
+        if Similarity.canonicalPair(ka, kb)
+      } yield 1).size
+      emitted == (if (hamming <= 2) 1 else 0)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("IVF top-k: k per query, no cross product, recall vs brute force") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)
