@@ -183,26 +183,33 @@ object IdempotentAppend {
       .option("dbtable", s"(SELECT $key FROM $table) probe")
     if (numPartitions <= 1) base.load()
     else {
+      // Bounds ride through as strings: Spark parses them per the
+      // partition column's type, so numeric keys need an integral string
+      // ("5", not the "5.00" a DECIMAL MIN returns) while date/timestamp
+      // keys pass their JDBC toString form ("2023-05-01") unchanged.
+      def bound(v: Any): String = v match {
+        case n: java.lang.Number => n.longValue().toString
+        case other => other.toString
+      }
       val (lo, hi) = (lowerBound, upperBound) match {
-        case (Some(l), Some(h)) => (Option(l), Option(h))
+        case (Some(l), Some(h)) => (Some(l.toString), Some(h.toString))
         case _ =>
           val b = spark.read.format("jdbc").option("url", url)
             .option("dbtable",
               s"(SELECT MIN($key) AS lo, MAX($key) AS hi FROM $table) b")
             .load().head()
           if (b.isNullAt(0)) (None, None)
-          else (Some(b.get(0).toString.toDouble.toLong),
-            Some(math.max(b.get(1).toString.toDouble.toLong,
-              b.get(0).toString.toDouble.toLong + 1)))
+          else (Some(bound(b.get(0))), Some(bound(b.get(1))))
       }
       (lo, hi) match {
-        case (Some(l), Some(h)) =>
+        case (Some(l), Some(h)) if l != h =>
           base.option("partitionColumn", key)
             .option("lowerBound", l)
             .option("upperBound", h)
             .option("numPartitions", numPartitions)
             .load()
-        case _ => base.load() // empty table: nothing to parallelize
+        // empty table or single-valued key: nothing to parallelize
+        case _ => base.load()
       }
     }
   }
@@ -275,16 +282,16 @@ object IdempotentAppend {
           conn.setAutoCommit(false)
           val ps: PreparedStatement = conn.prepareStatement(sql)
           val pendingKeys = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-          // Probe existing keys before each batch until the driver proves
-          // it returns real per-statement counts, then stop paying for it.
-          var needProbe = true
+          // Probe existing keys before EVERY batch: drivers may switch
+          // between real counts and SUCCESS_NO_INFO per batch (rewrite
+          // decisions depend on statement shape), so a one-time latch
+          // could consume a NO_INFO batch with no probe and overcount.
+          // One indexed ≤batchSize-key SELECT per flush is cheap next to
+          // the insert round-trip it precedes.
           def flush(): Unit = if (pendingKeys.nonEmpty) {
             val existingBefore =
-              if (needProbe) countExisting(conn, table, key, pendingKeys.toSeq)
-              else 0L
+              countExisting(conn, table, key, pendingKeys.toSeq)
             val counts = ps.executeBatch()
-            if (!counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
-              needProbe = false
             inserted.add(insertedFromBatch(counts, pendingKeys.size.toLong,
               existingBefore))
             conn.commit()

@@ -33,8 +33,8 @@ object NearDup {
   type Cache = DataFrame => DataFrame
 
   /** Runs `body`, persisting every DataFrame it routes through the supplied
-    * cache hook, eagerly materializes the result (localCheckpoint — also
-    * truncates lineage so the caches can be released), then unpersists.
+    * cache hook, eagerly materializes the (tiny) result into its own
+    * persisted DataFrame, then unpersists the intermediates.
     *
     * Why: a near-dup pipeline references its shingle table, signature table
     * and candidate set from several plan branches; Spark re-executes each
@@ -42,12 +42,21 @@ object NearDup {
     * the corpus 9× (measured round 2: 28 s of a 70.8 s bench, VERDICT r2
     * #1). With the shared frames persisted the corpus is scanned once; the
     * final pair set is tiny, so eager materialization costs nothing at any
-    * scale. */
+    * scale.
+    *
+    * The result is cached via persist (not localCheckpoint): the caller
+    * holds the ONE release handle (`result.unpersist()` — same contract as
+    * PaginatedRest.read), lineage survives eviction (MEMORY_AND_DISK), and
+    * the returned plan still prints the full cached subtree, so plan
+    * audits (cross-product checks etc.) keep seeing the real pipeline. */
   private[operators] def materialized(body: Cache => DataFrame): DataFrame = {
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val cache: Cache = { df => cached += df; df.persist() }
-    try body(cache).localCheckpoint()
-    finally cached.foreach(_.unpersist(blocking = false))
+    try {
+      val result = body(cache).persist()
+      result.count() // fill the result cache while intermediates are live
+      result
+    } finally cached.foreach(_.unpersist(blocking = false))
   }
 
   // ---------------------------------------------------------------- exact

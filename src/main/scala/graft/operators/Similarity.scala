@@ -221,7 +221,12 @@ object Similarity {
     * (threshold ≥0.8 ⇒ p ≥0.93 per bit): `bits` can then grow to 16-24
     * (buckets sparse, candidates ≈ the true-dup clusters) while recall
     * stays certain. `bits` should scale like log2(n) to keep buckets
-    * bounded; `maxBucketSize` caps the degenerate mass-duplicate bucket
+    * bounded. Capping caveat: the canonical rule picks ONE bucket per
+    * (pair, table), so a pair whose canonical bucket is capped is lost
+    * for that table even if a mirror bucket survives; losing it entirely
+    * needs the canonical bucket capped in all `tables` tables — the
+    * mass-duplicate regime better served by exact dedup.
+    * `maxBucketSize` caps the degenerate mass-duplicate bucket
     * exactly as in NearDup. */
   def lshNearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -160,6 +160,24 @@ class IdempotentAppendSpec extends SparkSpec {
     assert(fresh(k1) == Set(21, 22) && fresh(k3) == Set(21, 22))
   }
 
+  test("jdbcKeys partitioned probe works on a DATE key (string bounds)") {
+    val url = "jdbc:derby:memory:graftdate;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE date_t (d DATE PRIMARY KEY, v VARCHAR(10))")
+    val ps = conn.prepareStatement("INSERT INTO date_t VALUES (?, ?)")
+    for (i <- 1 to 12) {
+      ps.setDate(1, java.sql.Date.valueOf(f"2024-$i%02d-01"))
+      ps.setString(2, s"m$i")
+      ps.executeUpdate()
+    }
+    conn.close()
+    val keys = IdempotentAppend.jdbcKeys(spark, url, "date_t", "d",
+      numPartitions = 3)
+    assert(keys.count() == 12)
+    assert(keys.rdd.getNumPartitions > 1)
+  }
+
   test("dialect SQL shape: the statements a production backend would run") {
     // The Postgres path never executes in this image (no driver jar) — pin
     // its statement text and bind order against a recorded expectation so

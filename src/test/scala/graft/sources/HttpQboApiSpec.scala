@@ -106,7 +106,6 @@ class HttpQboApiSpec extends SparkSpec {
 
   test("HTTP 429 maps to ThrottledException honoring Retry-After") {
     withServer(total = 5, throttleFirst = 2) { (base, state) =>
-      val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val retry = RetryPolicy(maxRetries = 3,
         sleeper = HttpSleepRecorder.record)
       HttpSleepRecorder.queue.clear()
