@@ -192,8 +192,8 @@ object NearDup {
 
   /** Hashed shingle sets ("id", "hs") for a text column — token hashes are
     * staged as their own projection so tokenization runs once per row. */
-  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int): DataFrame =
+  private[graft] def hashedShingles(df: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int): DataFrame =
     df.select(col(idCol).as("id"),
         TextAnalysis.tokenHashes(col(textCol)).as("th"))
       .select(col("id"),

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Continuous near-dup filtering: history-aware admission, smallest-id
+  * keeper within a batch, exactly-once history append (replay admits 0). */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 40).map(i => s"w$i")
+  private def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+  // one substituted word in 40 → 3-shingle Jaccard ≈ 35/41 ≈ 0.85
+
+  test("batch kernel: in-batch keeper, history blocking, replay admits 0") {
+    val hist = tmpDir("snd")
+    val b1 = Seq(
+      doc(1, base),                            // A — keeper
+      doc(2, (1 to 40).map(i => s"x$i")),      // B — unrelated
+      doc(3, base.updated(20, "CHANGED"))      // C ≈ A, larger id → dropped
+    ).toDF("doc_id", "text")
+    val s1 = StreamingNearDup.dedupBatch(b1, hist, batchId = 1,
+      threshold = 0.7)
+    assert(s1.in == 3 && s1.dupOfHistory == 0 && s1.dupInBatch == 1
+      && s1.admitted == 2, s1.toString)
+
+    val b2 = Seq(
+      doc(4, base.updated(5, "ALTERED")),      // D ≈ A (history) → dropped
+      doc(5, (1 to 40).map(i => s"z$i"))       // E — new → admitted
+    ).toDF("doc_id", "text")
+    val s2 = StreamingNearDup.dedupBatch(b2, hist, 2, threshold = 0.7)
+    assert(s2.dupOfHistory == 1 && s2.dupInBatch == 0 && s2.admitted == 1,
+      s2.toString)
+
+    // replayed micro-batch: D still blocked by A; E now IS history (J=1
+    // with itself) → everything dedups, nothing inserted — exactly-once
+    val s3 = StreamingNearDup.dedupBatch(b2, hist, 2, threshold = 0.7)
+    assert(s3.dupOfHistory == 2 && s3.admitted == 0, s3.toString)
+
+    val ids = spark.read.parquet(s"$hist/shingles")
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 5L), s"history holds $ids")
+  }
+
+  test("streaming: micro-batches flow through the same kernel with stats") {
+    val hist = tmpDir("snd_stream")
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamingNearDup.BatchStats]()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingNearDup.dedupSink(docs, hist, threshold = 0.7,
+        onBatch = stats.add(_))
+      .start()
+    try {
+      input.addData(doc(1, base), doc(2, base.updated(10, "EDITED")))
+      q.processAllAvailable()
+      input.addData(doc(3, base.updated(30, "TWEAKED")),
+        doc(4, (1 to 40).map(i => s"y$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = stats.toArray(Array.empty[StreamingNearDup.BatchStats])
+      .sortBy(_.batchId)
+    assert(byBatch.length == 2)
+    // batch 0: 1 admitted (keeper), 2 dropped in-batch
+    assert(byBatch(0).in == 2 && byBatch(0).dupInBatch == 1
+      && byBatch(0).admitted == 1, byBatch(0).toString)
+    // batch 1: 3 ≈ history keeper 1 → dropped; 4 admitted
+    assert(byBatch(1).dupOfHistory == 1 && byBatch(1).admitted == 1,
+      byBatch(1).toString)
+  }
+}
