@@ -85,6 +85,30 @@ object Multimodal {
           lit(maxChunks - 1))),
         i => col("content").substr(i * (chunkBytes * stride) + 1, lit(chunkBytes))))
 
+  /** STUB resize — the remaining op of the brief's decode / extract /
+    * resize / frame-sample set. A real pipeline decodes, resamples to the
+    * target dimensions and re-encodes; without codecs in this container
+    * the plumbing is kept exact and codegen'd: the output blob is the
+    * input truncated to the target byte budget (binary `substr` — a
+    * Catalyst expression, no UDF), metadata is refreshed from the NEW
+    * content, and the target dimensions ride along as columns. Byte
+    * budget = targetW × targetH × bytesPerPx (default ⅛ byte/px — a
+    * 1-bit-deep stand-in that keeps test blobs non-trivially truncated). */
+  def resizeStub(df: DataFrame, targetW: Int, targetH: Int,
+      bytesPerPx: Double = 0.125): DataFrame = {
+    val targetBytes = math.max(1, (targetW * targetH * bytesPerPx).toInt)
+    df.withColumn("content",
+        col("content").substr(lit(1),
+          least(length(col("content")), lit(targetBytes))))
+      .withColumn("meta", struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("checksum"),
+        concat(col("meta.media_type"),
+          lit(s";resized=${targetW}x$targetH")).as("media_type")))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+  }
+
   /** Metadata-only profile per group — demonstrates that blob-free queries
     * prune the `content` column out of the scan entirely (check
     * `.explain`'s ReadSchema). */

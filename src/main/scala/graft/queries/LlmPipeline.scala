@@ -161,6 +161,19 @@ object LlmPipeline {
         .toDF().orderBy(col("doc_id"))
     }),
 
+    "q_m3_resize_stub" -> ((s, dir) =>
+      // decode/extract/RESIZE/frame-sample set, the resize leg: binary
+      // substr to the target byte budget + metadata refresh, all codegen'd
+      Multimodal.resizeStub(
+          Multimodal.packBinary(
+            t(s, dir, "documents").filter(col("doc_id") < 50),
+            "doc_id", "text"),
+          targetW = 64, targetH = 48)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("meta.n_bytes").as("out_bytes"),
+          col("meta.checksum").as("out_md5"))
+        .orderBy(col("doc_id"))),
+
     // ------------------------------------------- approx distinct (A2 ext)
     "q_a2x_approx_distinct" -> ((s, dir) =>
       // scale-out variant of A2 — sketch-based, so no exact oracle
@@ -307,6 +320,15 @@ object LlmPipeline {
            CAST((octet_length(encode(text)) * 7919) % 1080 AS INTEGER) AS height,
            CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS n_frames,
            md5(text) AS feat_checksum
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "q_m3_resize_stub" ->
+      // budget = 64*48/8 = 384 bytes; the corpus is pure ASCII (verified),
+      // so byte truncation == char truncation and VARCHAR md5 matches the
+      // Spark-side md5 over the truncated binary
+      """SELECT doc_id, 64 AS width, 48 AS height,
+           CAST(LEAST(octet_length(encode(text)), 384) AS BIGINT) AS out_bytes,
+           md5(substring(text, 1,
+             CAST(LEAST(octet_length(encode(text)), 384) AS INT))) AS out_md5
          FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
     // q_v2_ann_lsh, q_v4_ann_ivf, q_a2x_approx_distinct: no SQL oracle
     // (approximate) — driver records the weaker rows-only check.

@@ -46,6 +46,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeStub truncates to the byte budget and refreshes metadata") {
+    val packed = Multimodal.packBinary(docs.limit(10), "doc_id", "text")
+    val resized = Multimodal.resizeStub(packed, targetW = 64, targetH = 48)
+    val rows = resized.select(col("doc_id"), col("content"),
+        col("meta.n_bytes"), col("meta.checksum"), col("meta.media_type"),
+        col("width"), col("height"))
+      .as[(Long, Array[Byte], Long, String, String, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    val budget = (64 * 48 * 0.125).toInt // 384
+    rows.foreach { case (_, content, nBytes, checksum, mediaType, w, h) =>
+      assert(content.length <= budget && nBytes == content.length)
+      assert(w == 64 && h == 48)
+      assert(mediaType.endsWith(";resized=64x48"))
+      // metadata checksum reflects the NEW content, not the original
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = md.digest(content).map("%02x".format(_)).mkString
+      assert(checksum == want)
+    }
+  }
+
   test("metaProfile prunes the blob column out of the scan") {
     val tmp = tmpDir("mm")
     Multimodal.packBinary(docs, "doc_id", "text", keep = Seq("source"))
