@@ -198,4 +198,40 @@ object TextAnalysis {
     * with high probability; the 1-hash special case of a MinHash signature. */
   def shingleFingerprint(c: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(c, n), s => xxhash64(s)))
+
+  /** POSITIONAL sequence (not set) of n-gram hashes from a pre-staged
+    * token-hash array — winnowing needs positions, so no dedup. Each
+    * position combines n already-hashed tokens: O(1) per position, the
+    * same cost profile a textbook rolling hash achieves, with the
+    * determinism of the fixed xxhash64 family. */
+  def shingleHashSeq(th: Column, n: Int): Column =
+    when(size(th) < n, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(th) - (n - 1)),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*)))
+
+  /** Winnowing document sketch (the MOSS fingerprinting scheme): slide a
+    * window of `w` consecutive k-gram hashes and keep each window's
+    * minimum; the deduped selections are the sketch. GUARANTEE: two
+    * documents sharing any token run of length >= w + k - 1 share at
+    * least one sketch element (every such run contains a full window, and
+    * both docs select that window's minimum) — measured, not assumed, in
+    * TextNearDupSpec. Sketch density ~ 2/(w+1) of positions, so `w` sets
+    * the size/recall trade. Docs shorter than one window contribute their
+    * global minimum. */
+  def winnowingSketch(hseq: Column, w: Int): Column =
+    when(size(hseq) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(hseq) - (w - 1), lit(1))),
+        i => array_min(slice(hseq, i, least(lit(w), size(hseq)))))))
+
+  /** Staged winnowing over a text column: tokens → token hashes → k-gram
+    * hash sequence → sketch, each as its own projection so nothing
+    * re-evaluates inside nested lambdas. */
+  def withWinnowing(df: org.apache.spark.sql.DataFrame, textCol: String,
+      as: String = "sketch", k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn("__wn_th", tokenHashes(col(textCol)))
+      .withColumn("__wn_seq", shingleHashSeq(col("__wn_th"), k))
+      .withColumn(as, winnowingSketch(col("__wn_seq"), w))
+      .drop("__wn_th", "__wn_seq")
 }

@@ -70,6 +70,14 @@ object LlmPipeline {
       TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text")
         .filter(col("id") < 20)
         .orderBy(col("id"), col("term"))),
+    "q_t6_winnowing" -> ((s, dir) =>
+      // winnowing (MOSS rolling-hash) sketches — sketch contents are
+      // hash-family-dependent, so no SQL oracle (rows-only); the
+      // w+k-1-run guarantee is measured in TextNearDupSpec
+      TextAnalysis.withWinnowing(
+          t(s, dir, "documents").filter(col("doc_id") < 50), "text")
+        .select(col("doc_id"), size(col("sketch")).as("sketch_size"))
+        .orderBy(col("doc_id"))),
     "q_t4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .agg(
@@ -330,7 +338,8 @@ object LlmPipeline {
            md5(substring(text, 1,
              CAST(LEAST(octet_length(encode(text)), 384) AS INT))) AS out_md5
          FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
-    // q_v2_ann_lsh, q_v4_ann_ivf, q_a2x_approx_distinct: no SQL oracle
-    // (approximate) — driver records the weaker rows-only check.
+    // q_v2_ann_lsh, q_v4_ann_ivf, q_a2x_approx_distinct, q_t6_winnowing:
+    // no SQL oracle (approximate / hash-family-dependent) — driver records
+    // the weaker rows-only check; invariants measured in specs.
   )
 }

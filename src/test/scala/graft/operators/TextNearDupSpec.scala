@@ -136,4 +136,38 @@ class TextNearDupSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(sig(1) == sig(7))
   }
+
+  test("winnowing: shared runs >= w+k-1 tokens share a sketch element (guarantee)") {
+    val k = 3; val w = 4 // guarantee horizon = w + k - 1 = 6 tokens
+    val shared = (1 to 10).map(i => s"common$i") // 10-token shared run
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int, tag: String) = (1 to n).map(_ => s"$tag${rnd.nextInt(10000)}")
+    val docs = Seq(
+      (1L, (noise(30, "a") ++ shared ++ noise(30, "b")).mkString(" ")),
+      (2L, (noise(25, "c") ++ shared ++ noise(35, "d")).mkString(" ")), // shifted
+      (3L, noise(70, "e").mkString(" "))                                // unrelated
+    ).toDF("doc_id", "text")
+    val sk = TextAnalysis.withWinnowing(docs, "text", k = k, w = w)
+      .select(col("doc_id"), col("sketch")).as[(Long, Seq[Long])]
+      .collect().toMap
+    // 1 and 2 share the run at DIFFERENT positions → sketches intersect
+    assert((sk(1L).toSet & sk(2L).toSet).nonEmpty,
+      "docs sharing a >= w+k-1 run must share a sketch element")
+    // 3 shares nothing → empty intersection (hash collisions aside)
+    assert((sk(1L).toSet & sk(3L).toSet).isEmpty)
+    // sketch density ≈ 2/(w+1) of positions — well below 1
+    val positions = 70 - k + 1
+    assert(sk(3L).size < positions / 2)
+  }
+
+  test("winnowing edge cases: empty doc, doc shorter than one window") {
+    val docs = Seq((1L, ""), (2L, "just three words"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val sk = TextAnalysis.withWinnowing(docs, "text", k = 3, w = 4)
+      .select(col("doc_id"), col("sketch")).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(sk(1L).isEmpty)          // no tokens → no k-grams
+    assert(sk(2L).size == 1)        // one 3-gram → its own minimum
+    assert(sk(3L).size == 1)        // 2 k-gram positions < w → one window
+  }
 }
