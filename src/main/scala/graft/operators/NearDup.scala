@@ -44,19 +44,41 @@ object NearDup {
     * final pair set is tiny, so eager materialization costs nothing at any
     * scale.
     *
-    * The result is cached via persist (not localCheckpoint): the caller
-    * holds the ONE release handle (`result.unpersist()` — same contract as
-    * PaginatedRest.read), lineage survives eviction (MEMORY_AND_DISK), and
-    * the returned plan still prints the full cached subtree, so plan
-    * audits (cross-product checks etc.) keep seeing the real pipeline. */
+    * The result is cached via persist (not localCheckpoint): lineage
+    * survives eviction, and the returned plan still prints the full cached
+    * subtree, so plan audits (cross-product checks etc.) keep seeing the
+    * real pipeline. Because callers routinely wrap and discard the handle
+    * (`.orderBy(...)` on top makes `unpersist` unreachable), the module
+    * keeps an LRU of the last [[MaxLiveResults]] result caches and evicts
+    * the oldest — a session calling near-dup operators in a loop holds a
+    * BOUNDED set of (tiny) pair-set caches instead of leaking one per
+    * call; an evicted result that is re-queried recomputes from lineage.
+    * [[releaseMaterialized]] drops them all. */
   private[operators] def materialized(body: Cache => DataFrame): DataFrame = {
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val cache: Cache = { df => cached += df; df.persist() }
     try {
       val result = body(cache).persist()
       result.count() // fill the result cache while intermediates are live
+      liveResults.synchronized {
+        liveResults.addLast(result)
+        if (liveResults.size > MaxLiveResults)
+          liveResults.removeFirst().unpersist(blocking = false)
+      }
       result
     } finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Cap on concurrently-cached materialized results (each is a small
+    * confirmed-pair set; at 8 the bench's repeat loop stays fully warm). */
+  private val MaxLiveResults = 8
+  private val liveResults = new java.util.ArrayDeque[DataFrame]()
+
+  /** Release every live materialized result cache (long-lived sessions /
+    * tests that want a clean slate). */
+  def releaseMaterialized(): Unit = liveResults.synchronized {
+    while (!liveResults.isEmpty)
+      liveResults.removeFirst().unpersist(blocking = false)
   }
 
   // ---------------------------------------------------------------- exact
@@ -180,15 +202,20 @@ object NearDup {
       }.toDF("id_a", "id_b").distinct()
   }
 
+  /** (id, band, key) rows — the banding representation shared by the batch
+    * candidate generator and the streaming history probe (one definition,
+    * so the two paths cannot drift). */
+  private[graft] def bandKeyRows(d: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    minhashSignatures(d, numHashes)
+      .select(col("id"), explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
   /** Candidate id pairs (a < b) from MinHash-LSH banding over a hashed
     * shingle-set column ("id", "hs"). */
   def minhashCandidates(d: DataFrame, numHashes: Int = 128, bands: Int = 32,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val exploded = minhashSignatures(d, numHashes)
-      .select(col("id"), explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bucketPairs(exploded, maxBucketSize)
-  }
+      maxBucketSize: Int = 10000): DataFrame =
+    bucketPairs(bandKeyRows(d, numHashes, bands), maxBucketSize)
 
   /** Hashed shingle sets ("id", "hs") for a text column — token hashes are
     * staged as their own projection so tokenization runs once per row. */

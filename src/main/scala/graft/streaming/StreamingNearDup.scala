@@ -59,27 +59,43 @@ object StreamingNearDup {
     try {
       val sh = cache(NearDup.hashedShingles(batch, idCol, textCol, shingleLen))
       sh.count() // fill the shared cache before branches race on it
-      val keys = cache(
-        NearDup.minhashSignatures(sh, numHashes)
-          .select(col("id"), explode(
-            NearDup.bandKeys(col("sig"), numHashes, bands)).as("bk"))
-          .select(col("id"), col("bk.band").as("band"),
-            col("bk.key").as("key")))
+      // same banding derivation as the batch operator — shared helper, so
+      // the streaming path cannot drift from NearDup.minhashCandidates
+      val keys = cache(NearDup.bandKeyRows(sh, numHashes, bands))
 
       val fs = new Path(historyDir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val hasHistory = fs.exists(new Path(bandsDir(historyDir)))
+      // Writes go shingles-FIRST, bands second (see below), so the two
+      // existence flags can disagree after a crash between the appends;
+      // each read guards on its own path and every partial state
+      // self-heals on replay (bands-less admitted docs simply re-admit:
+      // shingle re-insert is a 0-row idempotent append, bands catch up).
+      val hasBands = fs.exists(new Path(bandsDir(historyDir)))
+      val hasShingles = fs.exists(new Path(shinglesDir(historyDir)))
 
       // candidate pairs: in-batch (id_a < id_b — smallest id keeps) plus
       // batch-vs-history band collisions (history id on the "a" side so
       // the confirm marks the NEW doc as the duplicate)
       val inBatch = NearDup.bucketPairs(keys, maxBucketSize)
       val vsHistory =
-        if (!hasHistory) inBatch.limit(0)
-        else spark.read.parquet(bandsDir(historyDir))
-          .select(col("id").as("id_a"), col("band"), col("key"))
-          .join(keys.withColumnRenamed("id", "id_b"), Seq("band", "key"))
-          .select(col("id_a"), col("id_b")).distinct()
+        if (!hasBands) inBatch.limit(0)
+        else {
+          // prune history to the batch's keys, then apply the SAME
+          // hot-bucket cap as the in-batch path: a band key that has
+          // accumulated a mass-duplicate family over thousands of batches
+          // must not re-open the quadratic join the cap exists to prevent
+          val relevant = spark.read.parquet(bandsDir(historyDir))
+            .select(col("id").as("id_a"), col("band"), col("key"))
+            .join(keys.select(col("band"), col("key")).distinct(),
+              Seq("band", "key"), "left_semi")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("key"))
+          relevant
+            .withColumn("__n", count(lit(1)).over(w))
+            .filter(col("__n") <= maxBucketSize).drop("__n")
+            .join(keys.withColumnRenamed("id", "id_b"), Seq("band", "key"))
+            .select(col("id_a"), col("id_b")).distinct()
+        }
       val cand = cache(inBatch.unionAll(vsHistory).distinct())
 
       // exact confirm needs both sides' shingle sets: batch ∪ history
@@ -91,7 +107,7 @@ object StreamingNearDup {
       // writes (every admitted doc then "collides" with itself, admitting
       // 0). Checkpointing cuts the path lineage; the pair set is tiny.
       val allSh =
-        if (!hasHistory) sh
+        if (!hasShingles) sh
         else sh.unionAll(spark.read.parquet(shinglesDir(historyDir)))
       val confirmed =
         NearDup.confirmJaccard(cand, allSh, threshold).localCheckpoint()
@@ -119,15 +135,22 @@ object StreamingNearDup {
         .join(dupInBatch, Seq("id"), "left_anti")
 
       // idempotent history append (J3): a replayed batch re-derives the
-      // same ids, which already exist → inserts 0. Band rows are keyed by
-      // (id, band) — unique per admitted doc per band.
+      // same ids, which already exist → inserts 0. SHINGLES are written
+      // BEFORE bands: a crash between the two appends then leaves docs
+      // that are invisible to the band probe but fully re-admittable on
+      // replay (0-row shingle re-insert + bands catch-up). The reverse
+      // order would strand band rows whose shingle sets never arrive —
+      // such a doc self-collides on replay, is classified history-dup,
+      // and its shingles would NEVER be backfilled, silently admitting
+      // every future near-duplicate of it.
+      val admittedSh = sh.join(admittedIds, Seq("id"), "left_semi")
+      val inserted = IdempotentAppend.toParquet(
+        admittedSh, shinglesDir(historyDir), "id")
+      // band rows are keyed by (id, band) — unique per admitted doc per band
       val admittedKeys = keys.join(admittedIds, Seq("id"), "left_semi")
         .select(concat(col("id"), lit(":"), col("band")).as("__k"),
           col("id"), col("band"), col("key"))
       IdempotentAppend.toParquet(admittedKeys, bandsDir(historyDir), "__k")
-      val admittedSh = sh.join(admittedIds, Seq("id"), "left_semi")
-      val inserted = IdempotentAppend.toParquet(
-        admittedSh, shinglesDir(historyDir), "id")
 
       BatchStats(batchId, batchIds.count(), dupVsHistory.count(),
         dupInBatch.count(), inserted)
@@ -140,12 +163,13 @@ object StreamingNearDup {
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, shingleLen: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = 10000,
       onBatch: BatchStats => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onBatch(dedupBatch(batch, historyDir, batchId, idCol, textCol,
-          threshold, shingleLen, numHashes, bands))
+          threshold, shingleLen, numHashes, bands, maxBucketSize))
         ()
       }
 }

@@ -137,6 +137,22 @@ class TextNearDupSpec extends SparkSpec {
     assert(sig(1) == sig(7))
   }
 
+  test("materialized near-dup results hold a BOUNDED cache set (LRU)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(30)
+    NearDup.releaseMaterialized()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (_ <- 1 to 12)
+      NearDup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).count()
+    Thread.sleep(200) // let non-blocking unpersists drain
+    val live = spark.sparkContext.getPersistentRDDs.size - before
+    assert(live <= 10, // 8 LRU results + in-flight slack
+      s"$live cached entries survive 12 near-dup calls — unbounded leak")
+    NearDup.releaseMaterialized()
+    Thread.sleep(200)
+    val after = spark.sparkContext.getPersistentRDDs.size - before
+    assert(after <= 1, s"releaseMaterialized left $after entries")
+  }
+
   test("winnowing: shared runs >= w+k-1 tokens share a sketch element (guarantee)") {
     val k = 3; val w = 4 // guarantee horizon = w + k - 1 = 6 tokens
     val shared = (1 to 10).map(i => s"common$i") // 10-token shared run
