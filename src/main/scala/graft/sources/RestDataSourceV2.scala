@@ -26,6 +26,27 @@ final class MockQboApiFactory extends FetcherFactory {
     MockQboApi(options.getOrElse("total", "29").toInt)
 }
 
+/** Real-HTTP factory: builds [[HttpQboApi.HttpPageFetcher]] from connector
+  * options — `baseUrl` + `entity`, with either a pre-issued static `token`
+  * or the full OAuth2 round-trip (`tokenUrl` + `clientId` +
+  * `clientSecret`, cached JVM-wide per client id so a cluster does one
+  * token fetch per executor per expiry window). This is the production
+  * wiring of the V2 source; HttpQboApiSpec drives it against an
+  * in-process localhost server. */
+final class HttpFetcherFactory extends FetcherFactory {
+  def create(options: Map[String, String]): PageFetcher = {
+    val tokens: PaginatedRest.TokenProvider = options.get("token") match {
+      case Some(t) => PaginatedRest.StaticToken(t)
+      case None => new PaginatedRest.RefreshingToken(
+        HttpQboApi.oauthTokenFetch(options("tokenUrl"),
+          options("clientId"), options("clientSecret")),
+        shareKey = Some(options("clientId")))
+    }
+    HttpQboApi.HttpPageFetcher(options("baseUrl"),
+      options.getOrElse("entity", "Customer"), tokens)
+  }
+}
+
 /** S1 as a real DataSourceV2 `TableProvider` — the declared v1 of the
   * paginated REST source (SURVEY §4.2, §7.1 M3; the `mapPartitions` form in
   * [[PaginatedRest]] is the v0). One `InputPartition` per page; pages fetch
