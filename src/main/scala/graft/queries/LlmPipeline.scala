@@ -290,7 +290,14 @@ object LlmPipeline {
            MAX(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS max_fp
          FROM documents""",
     "q_d1_exact_dedup" ->
-      "SELECT doc_id FROM documents ORDER BY doc_id",
+      // one keeper (min id) per NORMALIZED-text family — NOT "all ids":
+      // the sf0.1 corpus contains exact-duplicate text pairs, so an
+      // all-ids oracle was wrong at that scale (caught by running the
+      // oracle battery at sf0.1, which the driver's sf0.01 gate cannot
+      // see; the engine's 4992 rows were correct)
+      """SELECT MIN(doc_id) AS doc_id FROM documents
+         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+         ORDER BY doc_id""",
     "q_d2_minhash_neardup" -> nearDupOracle,
     "q_d3_neardup_ensemble" -> nearDupOracle,
     "q_d4_embedding_neardup" -> embeddingNearDupOracle,
