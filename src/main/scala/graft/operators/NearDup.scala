@@ -63,22 +63,40 @@ object NearDup {
       liveResults.synchronized {
         liveResults.addLast(result)
         if (liveResults.size > MaxLiveResults)
-          liveResults.removeFirst().unpersist(blocking = false)
+          safeUnpersist(liveResults.removeFirst())
       }
       result
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 
   /** Cap on concurrently-cached materialized results (each is a small
-    * confirmed-pair set; at 8 the bench's repeat loop stays fully warm). */
+    * confirmed-pair set). Every invocation's plan embeds fresh
+    * mapPartitions closures, so entries are plan-DISTINCT (verified: 12
+    * identical calls hold exactly 8 entries) — but [[safeUnpersist]] still
+    * guards the plan-equal case for future closure-free bodies. */
   private val MaxLiveResults = 8
   private val liveResults = new java.util.ArrayDeque[DataFrame]()
+
+  /** Unpersist an evicted result unless a newer live entry shares its
+    * canonical plan (CacheManager dedupes plan-equal persists, so that
+    * unpersist would kill the shared entry); swallow failures from a
+    * DataFrame whose SparkSession has since been stopped — eviction of a
+    * dead session's leftovers must not fail the live session's query. */
+  private def safeUnpersist(df: DataFrame): Unit =
+    try {
+      val it = liveResults.iterator()
+      var shared = false
+      while (it.hasNext && !shared)
+        shared = it.next().queryExecution.logical
+          .sameResult(df.queryExecution.logical)
+      if (!shared) df.unpersist(blocking = false)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Release every live materialized result cache (long-lived sessions /
     * tests that want a clean slate). */
   def releaseMaterialized(): Unit = liveResults.synchronized {
     while (!liveResults.isEmpty)
-      liveResults.removeFirst().unpersist(blocking = false)
+      safeUnpersist(liveResults.removeFirst())
   }
 
   // ---------------------------------------------------------------- exact

@@ -34,16 +34,32 @@ final class MockQboApiFactory extends FetcherFactory {
   * wiring of the V2 source; HttpQboApiSpec drives it against an
   * in-process localhost server. */
 final class HttpFetcherFactory extends FetcherFactory {
+  // DSv2 options are case-insensitive: the merged map holds the user's
+  // original-case keys plus lowercased copies, so fall back to the
+  // lowercase form, and fail with a NAMED error instead of a bare
+  // key-not-found at executor time.
+  private def opt(options: Map[String, String], key: String): Option[String] =
+    options.get(key).orElse(options.get(key.toLowerCase))
+  private def required(options: Map[String, String], key: String): String =
+    opt(options, key).getOrElse(throw new IllegalArgumentException(
+      s"HttpFetcherFactory: missing required option '$key'"))
+
   def create(options: Map[String, String]): PageFetcher = {
-    val tokens: PaginatedRest.TokenProvider = options.get("token") match {
+    val tokens: PaginatedRest.TokenProvider = opt(options, "token") match {
       case Some(t) => PaginatedRest.StaticToken(t)
-      case None => new PaginatedRest.RefreshingToken(
-        HttpQboApi.oauthTokenFetch(options("tokenUrl"),
-          options("clientId"), options("clientSecret")),
-        shareKey = Some(options("clientId")))
+      case None =>
+        val tokenUrl = required(options, "tokenUrl")
+        val clientId = required(options, "clientId")
+        // key the JVM-wide token cache by client AND endpoint — the same
+        // clientId against two token endpoints (sandbox vs production)
+        // must not share a bearer token
+        new PaginatedRest.RefreshingToken(
+          HttpQboApi.oauthTokenFetch(tokenUrl, clientId,
+            required(options, "clientSecret")),
+          shareKey = Some(s"$clientId@$tokenUrl"))
     }
-    HttpQboApi.HttpPageFetcher(options("baseUrl"),
-      options.getOrElse("entity", "Customer"), tokens)
+    HttpQboApi.HttpPageFetcher(required(options, "baseUrl"),
+      opt(options, "entity").getOrElse("Customer"), tokens)
   }
 }
 

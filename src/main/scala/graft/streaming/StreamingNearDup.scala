@@ -80,20 +80,23 @@ object StreamingNearDup {
       val vsHistory =
         if (!hasBands) inBatch.limit(0)
         else {
-          // prune history to the batch's keys, then apply the SAME
-          // hot-bucket cap as the in-batch path: a band key that has
-          // accumulated a mass-duplicate family over thousands of batches
-          // must not re-open the quadratic join the cap exists to prevent
-          val relevant = spark.read.parquet(bandsDir(historyDir))
-            .select(col("id").as("id_a"), col("band"), col("key"))
-            .join(keys.select(col("band"), col("key")).distinct(),
-              Seq("band", "key"), "left_semi")
+          // hot-bucket cap on BOTH sides of the band-key join (the
+          // in-batch path drops over-cap buckets entirely; its analog
+          // here bounds the H×B product): a band key that accumulated a
+          // mass-duplicate family in the history — or arrives as one in
+          // a backfill batch — must not re-open the quadratic join
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("band"), col("key"))
-          relevant
+          def capped(d: DataFrame): DataFrame = d
             .withColumn("__n", count(lit(1)).over(w))
             .filter(col("__n") <= maxBucketSize).drop("__n")
-            .join(keys.withColumnRenamed("id", "id_b"), Seq("band", "key"))
+          val batchKeys = capped(keys).withColumnRenamed("id", "id_b")
+          val relevant = spark.read.parquet(bandsDir(historyDir))
+            .select(col("id").as("id_a"), col("band"), col("key"))
+            .join(batchKeys.select(col("band"), col("key")).distinct(),
+              Seq("band", "key"), "left_semi")
+          capped(relevant)
+            .join(batchKeys, Seq("band", "key"))
             .select(col("id_a"), col("id_b")).distinct()
         }
       val cand = cache(inBatch.unionAll(vsHistory).distinct())

@@ -138,15 +138,19 @@ class TextNearDupSpec extends SparkSpec {
   }
 
   test("materialized near-dup results hold a BOUNDED cache set (LRU)") {
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(30)
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
     NearDup.releaseMaterialized()
     val before = spark.sparkContext.getPersistentRDDs.size
-    for (_ <- 1 to 12)
-      NearDup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).count()
+    // distinct plan per call (different limit) so the bound is exercised
+    // even if a future Spark dedupes plan-equal persists
+    for (i <- 1 to 12)
+      NearDup.minhashPairs(base.limit(18 + i), "doc_id", "text",
+        threshold = 0.8).count()
     Thread.sleep(200) // let non-blocking unpersists drain
     val live = spark.sparkContext.getPersistentRDDs.size - before
     assert(live <= 10, // 8 LRU results + in-flight slack
       s"$live cached entries survive 12 near-dup calls — unbounded leak")
+    assert(live >= 7, s"only $live entries live — recent results not warm")
     NearDup.releaseMaterialized()
     Thread.sleep(200)
     val after = spark.sparkContext.getPersistentRDDs.size - before
