@@ -15,6 +15,10 @@ run / fork := true
 // Bench's single JSON line and sbt's default logger prefixes it with
 // "[info] ", which broke the round-1 parse (BENCH_r01.json "parsed": null).
 outputStrategy := Some(StdoutOutput)
+// ...and keep sbt's own "[success] Total time" epilogue off stdout: the
+// driver keeps only the last 2000 chars, so every byte after Bench's JSON
+// line eats into the window that line must fit in.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

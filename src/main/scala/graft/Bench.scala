@@ -98,7 +98,15 @@ object Bench {
 
     def jm(m: Iterable[(String, String)]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val qs = jm(results.map { case (k, v) => k -> v.toString })
+    // Millisecond precision, locale-independent. Full Double.toString made
+    // the 57-query line ~2.8 KB; the driver keeps only the LAST 2000 chars
+    // of output, so the line's head was cut off and round 3's bench went
+    // unparsed (BENCH_r03.json "parsed": null). 3 decimals keeps the whole
+    // line ~1.7 KB with headroom for more queries.
+    def fmt(v: Double): String =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val qs = jm(results.map { case (k, v) => k -> fmt(v) })
     val es = jm(errors.map { case (k, v) =>
       k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
     val total = results.map(_._2).sum
@@ -114,7 +122,7 @@ object Bench {
     val subLlm = results.collect { case (n, s) if llmNames(n) => s }.sum
     val subRel = total - subLlm
     // The one contract line, on stdout, no decoration:
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"io_bound":$io,"subtotals":{"relational":$subRel,"llm":$subLlm},"repeat":$repeat,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"io_bound":$io,"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -194,12 +194,17 @@ object IdempotentAppend {
       val (lo, hi) = (lowerBound, upperBound) match {
         case (Some(l), Some(h)) => (Some(l.toString), Some(h.toString))
         case _ =>
+          // A singly-provided bound is honored; only the missing side
+          // comes from the MIN/MAX round-trip (ADVICE r3 — previously
+          // (Some(lo), None) silently discarded the caller's bound).
           val b = spark.read.format("jdbc").option("url", url)
             .option("dbtable",
               s"(SELECT MIN($key) AS lo, MAX($key) AS hi FROM $table) b")
             .load().head()
-          if (b.isNullAt(0)) (None, None)
-          else (Some(bound(b.get(0))), Some(bound(b.get(1))))
+          (lowerBound.map(_.toString).orElse(
+             if (b.isNullAt(0)) None else Some(bound(b.get(0)))),
+           upperBound.map(_.toString).orElse(
+             if (b.isNullAt(1)) None else Some(bound(b.get(1)))))
       }
       (lo, hi) match {
         case (Some(l), Some(h)) if l != h =>
@@ -245,21 +250,28 @@ object IdempotentAppend {
       math.max(pending - existingBefore, 0L)
     else counts.map(c => math.max(c, 0).toLong).sum
 
-  /** How many of `keys` already exist in `table.key` — one bounded
-    * IN-probe (≤ batchSize keys, the reference's own probe shape). */
+  /** IN-probe chunk width — fixed independently of `batchSize` so a caller
+    * raising the insert batch past a backend's bind-parameter or IN-list
+    * cap (Oracle: 1000 IN elements; some drivers: 2000 parameters) can't
+    * turn the probe into a hard SQL error (ADVICE r3). */
+  private val ProbeChunk = 500
+
+  /** How many of `keys` already exist in `table.key` — bounded IN-probes
+    * of ≤ [[ProbeChunk]] keys each (the reference's own probe shape,
+    * save_to_raw_customers_py.py:49-52, chunked). */
   private def countExisting(conn: Connection, table: String, key: String,
-      keys: Seq[AnyRef]): Long = {
-    if (keys.isEmpty) return 0L
-    val sql = s"SELECT COUNT(*) FROM $table WHERE $key IN " +
-      keys.map(_ => "?").mkString("(", ",", ")")
-    val ps = conn.prepareStatement(sql)
-    try {
-      keys.zipWithIndex.foreach { case (k, i) => ps.setObject(i + 1, k) }
-      val rs = ps.executeQuery()
-      rs.next()
-      rs.getLong(1)
-    } finally ps.close()
-  }
+      keys: Seq[AnyRef]): Long =
+    keys.grouped(ProbeChunk).map { chunk =>
+      val sql = s"SELECT COUNT(*) FROM $table WHERE $key IN " +
+        chunk.map(_ => "?").mkString("(", ",", ")")
+      val ps = conn.prepareStatement(sql)
+      try {
+        chunk.zipWithIndex.foreach { case (k, i) => ps.setObject(i + 1, k) }
+        val rs = ps.executeQuery()
+        rs.next()
+        rs.getLong(1)
+      } finally ps.close()
+    }.sum
 
   /** JDBC idempotent append: dedup + per-partition batched conflict-skipping
     * INSERTs. Connections are opened per partition on the executors (never

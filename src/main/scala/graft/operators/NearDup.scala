@@ -26,6 +26,12 @@ import graft.functions.TextAnalysis
   * Determinism: hash family is xxhash64 with fixed per-function seeds — no
   * RNG state, so signatures are reproducible across runs/partitionings
   * (unlike `org.apache.spark.ml.feature.MinHashLSH`'s random coefficients).
+  *
+  * Id contract: `idCol` must be upcastable to bigint (the signature and
+  * pair-expansion kernels run on primitive longs — a JIT'd long loop is
+  * the whole reason these paths are fast). String or composite ids: derive
+  * a surrogate (`xxhash64`/`monotonically_increasing_id`) and join the
+  * original back on the pair output.
   */
 object NearDup {
 
@@ -59,7 +65,17 @@ object NearDup {
     val cache: Cache = { df => cached += df; df.persist() }
     try {
       val result = body(cache).persist()
-      result.count() // fill the result cache while intermediates are live
+      // Fill the result cache while intermediates are live. If the action
+      // fails (or the thread is interrupted) the result never made it into
+      // liveResults, so unpersist it here — otherwise its cache entry
+      // leaks with no owner (ADVICE r3).
+      try result.count()
+      catch {
+        case t: Throwable =>
+          try result.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw t
+      }
       liveResults.synchronized {
         liveResults.addLast(result)
         if (liveResults.size > MaxLiveResults)
@@ -205,8 +221,15 @@ object NearDup {
     // Spreading the buckets first keeps expansion + the distinct's partial
     // aggregation parallel (measured: 5-6 s single-task → ~1 s at 32
     // threads in the dense-bucket regime).
+    // The explicit long cast makes the id contract uniform across entry
+    // points: any id upcastable to bigint works (int/short ids arrive here
+    // un-cast when callers build their own band-key rows); genuinely
+    // non-numeric ids are rejected at analysis, same as the signature
+    // kernels (ADVICE r3 — the typed pair-expansion kernel needs a
+    // primitive key, so the old accept-any-orderable-id form is gone by
+    // design; see the entry-point scaladoc).
     exploded.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .agg(sort_array(collect_set(col("id").cast("long"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
       .select(col("ids")).as[Array[Long]]
       .repartition(spark.sessionState.conf.numShufflePartitions)

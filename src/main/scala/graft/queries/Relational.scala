@@ -75,8 +75,12 @@ object Relational {
       // scan as a pushed filter in an ORACLE-CHECKED query (PlanAuditSpec
       // asserts the same push on a synthetic table; this one is hashed
       // against DuckDB).
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_f2x_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      // Fixed path + overwrite: a fresh UUID dir per invocation leaked one
+      // staged copy of orders per bench run (repeat=2 → two copies each)
+      // with nothing ever deleting them (ADVICE r3). Suites run
+      // sequentially and the bench is single-threaded, so one well-known
+      // path per JVM is safe; at most one copy ever persists.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_f2x_staged"
       t(s, dir, "orders").select(
           col("o_orderkey"),
           when(col("o_orderkey") % 2 === 0, lit("1995-06-15")).as("txn_date"),
