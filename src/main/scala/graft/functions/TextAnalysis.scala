@@ -234,4 +234,28 @@ object TextAnalysis {
       .withColumn("__wn_seq", shingleHashSeq(col("__wn_th"), k))
       .withColumn(as, winnowingSketch(col("__wn_seq"), w))
       .drop("__wn_th", "__wn_seq")
+
+  // ------------------------------------------------------------ PII scrub
+
+  /** Email/URL patterns for scrubbing — restricted to syntax both Java's
+    * regex and RE2-family engines (DuckDB, Go, Rust) interpret
+    * identically (no backtracking constructs, no backreferences), so the
+    * scrub is reproducible outside the JVM. Redaction beats deletion for
+    * training text: the token structure around the PII survives. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  /** Replace URLs then emails with redaction tags. URL scrub runs FIRST:
+    * an email-shaped userinfo inside a URL (`https://user@host/...`)
+    * belongs to the URL match, and the reverse order would split it. */
+  def scrubPii(c: Column, emailTag: String = "<EMAIL>",
+      urlTag: String = "<URL>"): Column =
+    regexp_replace(
+      regexp_replace(c, UrlPattern, urlTag),
+      EmailPattern, emailTag)
+
+  /** Number of non-overlapping matches of `pattern` — the scrub's audit
+    * counter (how many emails/URLs a document carried). */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
 }

@@ -182,6 +182,77 @@ object LlmPipeline {
           col("meta.checksum").as("out_md5"))
         .orderBy(col("doc_id"))),
 
+    "q_m4_frame_sample" -> ((s, dir) => {
+      // decode/extract/resize/FRAME-SAMPLE set, the sampling leg: every
+      // stride-th fixed-size slice of the blob (codegen'd binary substr),
+      // one row per sampled chunk via posexplode
+      val packed = Multimodal.packBinary(
+        t(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+      Multimodal.sampleChunks(packed, chunkBytes = 16, stride = 4,
+          maxChunks = 8)
+        .select(col("doc_id"), posexplode(col("chunks")))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          md5(col("col")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ------------------------------------- training-data shaping (events)
+    "q_e1_sessionize" -> ((s, dir) =>
+      // gap-based sessionization of the event stream (12 h idle gap →
+      // 3292 sessions at sf0.01). Time rides as epoch micros: the parquet
+      // timestamps are NANOS (read as nano longs under nanosAsLong), and
+      // DuckDB's timestamp truncates to micros, so both sides compare
+      // `ts DIV 1000`-truncated values — exact parity by construction.
+      Sessions.sessionStats(t(s, dir, "events"), "user_id",
+          expr("ts DIV 1000"), col("event_id"),
+          java.time.Duration.ofHours(12))
+        .orderBy(col("user_id"), col("session_idx"))),
+    "q_e2_hash_split" -> ((s, dir) =>
+      // deterministic md5-bucket train/val/test split — row membership is
+      // a pure function of doc_id (stable across runs/engines/partitionings,
+      // unlike randomSplit's per-partition RNG)
+      Sampling.hashSplit(t(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))),
+    "q_e3_seq_pack" -> ((s, dir) =>
+      // concatenate-and-chunk sequence packing at a 512-token budget,
+      // sharded by source (each shard packs independently — the scale
+      // shape; a global pack order would serialize at 100 TB)
+      Packing.packBySize(
+          t(s, dir, "documents").withColumn("n_toks",
+            TextAnalysis.tokenCount(col("text"))),
+          "source", "doc_id", col("n_toks"), budget = 512)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("pack_tokens"))
+        .orderBy(col("source"), col("pack_id"))),
+    "q_t7_pii_scrub" -> ((s, dir) => {
+      // the corpus carries no emails/URLs (verified), so the query injects
+      // synthetic ones deterministically and scrubs them back out — the
+      // scrub path runs against a non-trivial oracle on every row
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://example.com/d/"),
+            col("doc_id").cast("string"), lit(" next"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .withColumn("scrubbed", TextAnalysis.scrubPii(col("t")))
+        .select(col("doc_id"),
+          TextAnalysis.matchCount(col("t"),
+            TextAnalysis.EmailPattern).as("n_emails"),
+          TextAnalysis.matchCount(col("t"),
+            TextAnalysis.UrlPattern).as("n_urls"),
+          md5(col("scrubbed").cast("binary")).as("scrubbed_md5"),
+          (length(col("t")) - length(col("scrubbed"))).as("chars_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- approx distinct (A2 ext)
     "q_a2x_approx_distinct" -> ((s, dir) =>
       // scale-out variant of A2 — sketch-based, so no exact oracle
@@ -344,7 +415,79 @@ object LlmPipeline {
            CAST(LEAST(octet_length(encode(text)), 384) AS BIGINT) AS out_bytes,
            md5(substring(text, 1,
              CAST(LEAST(octet_length(encode(text)), 384) AS INT))) AS out_md5
-         FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "q_m4_frame_sample" ->
+      // chunk i = bytes [i*64, i*64+16) for i in 0..min(floor(n/64), 7);
+      // ASCII corpus → byte slicing == char slicing (as q_m3)
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+                    FROM documents WHERE doc_id < 50),
+            i AS (SELECT doc_id, text,
+                    unnest(range(0, least(nb // 64, 7) + 1)) AS ci FROM d)
+         SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+                md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 16)) AS chunk_md5
+         FROM i ORDER BY doc_id, chunk_idx""",
+    "q_e1_sessionize" ->
+      // 12 h gap in micros = 43200000000; epoch_us(ts) is the same
+      // micro-truncation the Spark side applies (ts DIV 1000 on nano longs)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+            g AS (SELECT user_id, event_id, us,
+                    CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > 43200000000
+                         THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            s AS (SELECT user_id, us,
+                    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM g)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                COUNT(*) AS n_events,
+                MIN(us) AS session_start_us, MAX(us) AS session_end_us
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    "q_e2_hash_split" ->
+      // boundaries = first 4 md5 hex chars vs floor(cum_frac * 65536) in
+      // hex: 0.8 → 'cccc', 0.9 → 'e666' (same constants the engine derives)
+      """WITH s AS (SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                     THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                     THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents)
+         SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id,
+                MAX(doc_id) AS max_id
+         FROM s GROUP BY split ORDER BY split""",
+    "q_e3_seq_pack" ->
+      s"""WITH d AS (SELECT source, doc_id, len($duckToks) AS n FROM documents),
+             p AS (SELECT source, n,
+                     CAST(FLOOR((SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n) / 512.0)
+                          AS BIGINT) AS pack_id
+                   FROM d)
+          SELECT source, pack_id, COUNT(*) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS pack_tokens
+          FROM p GROUP BY source, pack_id ORDER BY source, pack_id""",
+    "q_t7_pii_scrub" -> {
+      val em = graft.functions.TextAnalysis.EmailPattern
+      val url = graft.functions.TextAnalysis.UrlPattern
+      s"""WITH w AS (SELECT doc_id,
+              text || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                        THEN ' see https://example.com/d/' || CAST(doc_id AS VARCHAR) || ' next'
+                        ELSE '' END AS t
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '$em')) AS INTEGER) AS n_emails,
+                 CAST(len(regexp_extract_all(t, '$url')) AS INTEGER) AS n_urls,
+                 md5(regexp_replace(regexp_replace(t, '$url', '<URL>', 'g'),
+                     '$em', '<EMAIL>', 'g')) AS scrubbed_md5,
+                 CAST(length(t) -
+                      length(regexp_replace(regexp_replace(t, '$url', '<URL>', 'g'),
+                             '$em', '<EMAIL>', 'g')) AS INTEGER) AS chars_removed
+          FROM w ORDER BY doc_id"""
+    }
     // q_v2_ann_lsh, q_v4_ann_ivf, q_a2x_approx_distinct, q_t6_winnowing:
     // no SQL oracle (approximate / hash-family-dependent) — driver records
     // the weaker rows-only check; invariants measured in specs.

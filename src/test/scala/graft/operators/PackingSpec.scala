@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packBySize: documents fall into the pack their start offset lands in") {
+    // starts: 0, 300, 600, 900 → packs (budget 512): 0, 0, 1, 1
+    val docs = Seq(("a", 1L, 300), ("a", 2L, 300), ("a", 3L, 300),
+      ("a", 4L, 300)).toDF("shard", "doc_id", "n")
+    val got = Packing.packBySize(docs, "shard", "doc_id", col("n"), 512)
+      .select(col("doc_id"), col("pack_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("packBySize: shards pack independently and pack ids are contiguous") {
+    val docs = (1 to 200).map(i => (s"s${i % 4}", i.toLong, 40 + i % 7))
+      .toDF("shard", "doc_id", "n")
+    val got = Packing.packBySize(docs, "shard", "doc_id", col("n"), 256)
+      .select(col("shard"), col("pack_id")).as[(String, Long)]
+      .collect().groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).distinct.sorted }
+    got.foreach { case (shard, packs) =>
+      assert(packs.head === 0L && packs === (0L to packs.last),
+        s"shard $shard pack ids not contiguous from 0: $packs")
+    }
+  }
+
+  test("packBySize: a doc larger than the budget gets its own pack start") {
+    // starts: 0, 700, 800 → packs: 0, 1, 1 (oversize doc overhangs; the
+    // NEXT doc still lands by its own start offset)
+    val docs = Seq(("a", 1L, 700), ("a", 2L, 100), ("a", 3L, 100))
+      .toDF("shard", "doc_id", "n")
+    val got = Packing.packBySize(docs, "shard", "doc_id", col("n"), 512)
+      .select(col("doc_id"), col("pack_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("packBySize rejects a non-positive budget") {
+    val df = Seq(("a", 1L, 1)).toDF("shard", "doc_id", "n")
+    intercept[IllegalArgumentException] {
+      Packing.packBySize(df, "shard", "doc_id", col("n"), 0)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gap = java.time.Duration.ofSeconds(100) // 100_000_000 us
+
+  // (user, us, event) — user 1: gaps 50s, 150s, exactly 100s;
+  // user 2: a single event
+  private def events = Seq(
+    (1L, 0L, 10L),
+    (1L, 50_000_000L, 11L),   // +50 s  -> same session
+    (1L, 200_000_000L, 12L),  // +150 s -> NEW session
+    (1L, 300_000_000L, 13L),  // +100 s exactly -> same session (strict >)
+    (2L, 999L, 20L)
+  ).toDF("user_id", "us", "event_id")
+
+  test("sessionize: strict-gap boundaries, per-entity numbering") {
+    val got = Sessions.sessionize(events, "user_id", col("us"),
+        col("event_id"), gap)
+      .select(col("event_id"), col("session_idx"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 2L, 20L -> 1L))
+  }
+
+  test("sessionize: timestamp ties resolved by the tiebreak column") {
+    val tied = Seq((1L, 5L, 2L), (1L, 5L, 1L)).toDF("user_id", "us", "event_id")
+    val got = Sessions.sessionize(tied, "user_id", col("us"),
+        col("event_id"), gap)
+      .select(col("event_id"), col("session_idx"))
+      .as[(Long, Long)].collect().toMap
+    // both in session 1 regardless of input order; the ROWS frame must not
+    // double-count peer rows
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("sessionStats: counts and bounds per session") {
+    val got = Sessions.sessionStats(events, "user_id", col("us"),
+        col("event_id"), gap)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 2L, 0L, 50_000_000L),
+      (1L, 2L, 2L, 200_000_000L, 300_000_000L),
+      (2L, 1L, 1L, 999L, 999L)))
+  }
+
+  test("sessionStats plans ONE shuffle: the groupBy reuses the window's partitioning") {
+    val df = Sessions.sessionStats(events.repartition(4), "user_id",
+      col("us"), col("event_id"), gap)
+    df.collect()
+    // AQE's toString prints the final AND initial plans — count only the
+    // final section or every exchange double-counts
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected 1 hash exchange (window), found $shuffles:\n${plan.take(3000)}")
+  }
+}
