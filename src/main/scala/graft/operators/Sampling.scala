@@ -28,8 +28,14 @@ object Sampling {
   def hexBucket(key: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 4)
 
-  private def hexBoundary(fraction: Double): String =
-    f"${math.min(65536L, math.round(math.floor(fraction * 65536.0)))}%04x"
+  /** Exclusive upper bound for `hexBucket < boundary` at the given keep
+    * fraction. Fraction 1.0 returns "g" — lexicographically above every
+    * 4-hex-char bucket (a 5-char "10000" would compare BELOW "ffff" and
+    * drop rows; string comparison is per-char, not numeric). */
+  private def hexBoundary(fraction: Double): String = {
+    val b = math.round(math.floor(fraction * 65536.0))
+    if (b >= 65536L) "g" else f"$b%04x"
+  }
 
   /** Adds a `split` column assigning each row to exactly one named split.
     * `splits` are (name, fraction) in priority order; fractions must sum
@@ -59,5 +65,23 @@ object Sampling {
     require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
     if (rate >= 1.0) df
     else df.filter(hexBucket(key) < lit(hexBoundary(rate)))
+  }
+
+  /** Dataset mixing: per-group sampling rates in ONE pass — the
+    * source-reweighting step of a pretraining mixture (keep 100% of
+    * high-quality sources, a hash-stable fraction of the rest). A row
+    * survives iff its key bucket clears its group's rate; groups absent
+    * from `rates` get `defaultRate`. Same narrow no-shuffle shape as
+    * [[sampleByHash]] — the rate lookup is a literal CASE chain, so one
+    * scan mixes any number of sources (vs N filtered unions re-scanning
+    * the corpus N times). */
+  def mixture(df: DataFrame, groupCol: String, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate $r outside [0,1]"))
+    val boundary = rates.foldLeft(when(lit(false), "")) {
+      case (acc, (g, r)) => acc.when(col(groupCol) === g, hexBoundary(r))
+    }.otherwise(hexBoundary(defaultRate))
+    df.filter(hexBucket(key) < boundary)
   }
 }

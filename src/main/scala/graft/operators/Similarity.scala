@@ -472,4 +472,47 @@ object Similarity {
       .groupBy(col(groupCol))
       .agg(round(avg(col("norm")), 4).as("avg_norm"),
         count(lit(1)).as("n"))
+
+  /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
+    * `q_i = floor(x_i / scale + 0.5)` (half-up via floor, NOT `round` —
+    * engines disagree on round-half semantics, floor(x+0.5) doesn't).
+    * Adds `qvec` (int8 range in an int array), `qscale` (the dequant
+    * factor), keeps everything else.
+    *
+    * Why it matters at 100 TB: embeddings dominate storage/shuffle width
+    * in an ANN pipeline (256 B/vector at dim 64 fp32); int8 cuts memory
+    * and shuffle bytes 4× with a bounded per-dim error of scale/2 —
+    * standard practice before IVF/LSH bucketing. All narrow codegen-able
+    * expressions, no shuffle; zero vectors quantize to zeros (scale 0
+    * guard). Dequantization is `q_i * qscale`. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val asDouble = df.withColumn("__v",
+      transform(col(vecCol), x => x.cast("double")))
+    asDouble
+      .withColumn("qscale",
+        array_max(transform(col("__v"), x => abs(x))) / 127d)
+      .withColumn("qvec",
+        when(col("qscale") === 0d,
+          transform(col("__v"), _ => lit(0)))
+        .otherwise(transform(col("__v"),
+          x => floor(x / col("qscale") + 0.5d).cast("int"))))
+      .drop("__v")
+  }
+
+  /** Quantization audit per vector: L1 mass of the quantized codes and
+    * the mean squared dequantization error — the check that a chosen
+    * bit-width keeps reconstruction error inside tolerance. */
+  def quantizeProfile(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    quantizeInt8(df, vecCol)
+      .withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+      .select(col(idCol),
+        round(col("qscale"), 6).as("scale6"),
+        aggregate(col("qvec"), lit(0L), (acc, q) => acc + abs(q)).as("q_l1"),
+        round(
+          aggregate(
+            zip_with(col("__v"), col("qvec"),
+              (x, q) => pow(x - q * col("qscale"), 2d)),
+            lit(0.0d), (acc, e) => acc + e) / size(col(vecCol)),
+          9).as("mse"))
 }

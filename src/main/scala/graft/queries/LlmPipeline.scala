@@ -228,6 +228,39 @@ object LlmPipeline {
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("pack_tokens"))
         .orderBy(col("source"), col("pack_id"))),
+    "q_e4_source_mixture" -> ((s, dir) =>
+      // pretraining mixture: keep all of src0-src9, a deterministic 25%
+      // of the rest — ONE scan, rate looked up per row (vs N filtered
+      // unions re-scanning the corpus per source)
+      Sampling.mixture(t(s, dir, "documents"), "source", col("doc_id"),
+          rates = (0 until 10).map(i => s"src$i" -> 1.0).toMap,
+          defaultRate = 0.25)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))),
+    "q_v5_quantize_int8" -> ((s, dir) =>
+      // int8 embedding quantization audit: per-vector scale, code L1
+      // mass, mean squared dequant error (floor(x+0.5) half-up on both
+      // engines — `round` half-even/half-up semantics differ)
+      Similarity.quantizeProfile(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
+    "q_t8_repetition" -> ((s, dir) =>
+      // Gopher-style repetition signals: most-common-word share and the
+      // share of tokens whose word occurs 2+ times — the boilerplate /
+      // keyword-stuffing filters of an LLM quality pipeline
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_toks"),
+          count(lit(1)).as("n_unique"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6)
+            .as("top_word_ratio"),
+          round(sum(when(col("c") >= 2, col("c")).otherwise(0L))
+            .cast("double") / sum(col("c")), 6).as("dup_word_ratio"))
+        .orderBy(col("doc_id"))),
     "q_t7_pii_scrub" -> ((s, dir) => {
       // the corpus carries no emails/URLs (verified), so the query injects
       // synthetic ones deterministically and scrubs them back out — the
@@ -467,6 +500,42 @@ object LlmPipeline {
           SELECT source, pack_id, COUNT(*) AS n_docs,
                  CAST(SUM(n) AS BIGINT) AS pack_tokens
           FROM p GROUP BY source, pack_id ORDER BY source, pack_id""",
+    "q_e4_source_mixture" ->
+      // rate 1.0 keeps everything (no hex bound can drop 'ffff'); 0.25 →
+      // floor(0.25*65536) = 16384 = '4000'
+      """WITH k AS (SELECT source, doc_id FROM documents
+            WHERE CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                         'src5','src6','src7','src8','src9') THEN TRUE
+                       ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+                  END)
+         SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+         FROM k GROUP BY source ORDER BY source""",
+    "q_v5_quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          s AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM v),
+          q AS (SELECT vec_id, v, scale,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                   ELSE list_transform(v,
+                     x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+              END AS qv
+            FROM s)
+         SELECT vec_id, round(scale, 6) AS scale6,
+                CAST(list_sum(list_transform(qv, q -> abs(q))) AS BIGINT) AS q_l1,
+                round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> pow(v[i] - qv[i] * scale, 2))) / len(v), 9) AS mse
+         FROM q ORDER BY vec_id""",
+    "q_t8_repetition" ->
+      s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS w FROM documents),
+             c AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2)
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+                 COUNT(*) AS n_unique,
+                 round(MAX(c) * 1.0 / SUM(c), 6) AS top_word_ratio,
+                 round(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c),
+                       6) AS dup_word_ratio
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_t7_pii_scrub" -> {
       val em = graft.functions.TextAnalysis.EmailPattern
       val url = graft.functions.TextAnalysis.UrlPattern

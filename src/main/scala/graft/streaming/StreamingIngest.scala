@@ -34,6 +34,25 @@ object StreamingIngest {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total"))
 
+  /** Streaming sessionization — the continuous form of the batch
+    * `Sessions` operator (L20): Spark's built-in `session_window` merges
+    * events into gap-separated sessions incrementally, closing a session
+    * once the watermark passes its end + gap. State is O(open sessions
+    * inside the watermark horizon), not O(stream history) — the same
+    * bounded-state discipline as the windowed aggregation above. Batch
+    * and streaming answer the same question; only the session id differs
+    * (batch: per-entity ordinal; streaming: the [start,end) interval). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Exactly-once-style sink: every micro-batch goes through the SAME
     * IdempotentAppend protocol as the batch path (J3) via foreachBatch —
     * a replayed micro-batch inserts 0, which is precisely the reference's

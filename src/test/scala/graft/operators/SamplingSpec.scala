@@ -55,6 +55,21 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s60.size / 5000.0 - 0.6) < 0.03)
   }
 
+  test("mixture: rate-1.0 groups keep every row; sampled groups match sampleByHash") {
+    val df = (0 until 2000).map(i => (if (i % 2 == 0) "full" else "qtr",
+      i.toLong)).toDF("src", "id")
+    val kept = Sampling.mixture(df, "src", col("id"),
+        Map("full" -> 1.0), defaultRate = 0.25)
+      .as[(String, Long)].collect()
+    val (full, qtr) = kept.partition(_._1 == "full")
+    assert(full.length === 1000, "rate 1.0 must keep ALL rows (hex 'ffff' included)")
+    // the sampled group must agree row-for-row with the standalone sampler
+    val expectQtr = Sampling.sampleByHash(df.filter(col("src") === "qtr"),
+      col("id"), 0.25).as[(String, Long)].collect().toSet
+    assert(qtr.toSet === expectQtr)
+    assert(math.abs(qtr.length / 1000.0 - 0.25) < 0.04)
+  }
+
   test("hashSplit rejects bad fraction sets") {
     val df = spark.range(1).toDF("id")
     intercept[IllegalArgumentException] {

@@ -222,4 +222,40 @@ class SimilaritySpec extends SparkSpec {
     assert(res.length == e.select("label").distinct().count())
     assert(res.forall(_.getDouble(1) > 0))
   }
+
+  test("quantizeInt8: codes bounded, per-dim error <= scale/2, zero-vector guard") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .unionAll(Seq((9999L, Seq.fill(4)(0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val q = Similarity.quantizeInt8(e)
+      .select(col("vec_id"), col("embedding"), col("qscale"), col("qvec"))
+      .as[(Long, Seq[Float], Double, Seq[Int])].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (id, v, scale, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id code range")
+      if (id == 9999L) assert(scale == 0.0 && codes.forall(_ == 0))
+      else v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-9,
+          s"vec $id dequant error above half-step")
+      }
+    }
+  }
+
+  test("quantizeProfile: mse consistent with the dequant definition") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val prof = Similarity.quantizeProfile(e)
+      .as[(Long, Double, Long, Double)].collect()
+    val q = Similarity.quantizeInt8(e)
+      .select(col("vec_id"), col("embedding"), col("qscale"), col("qvec"))
+      .as[(Long, Seq[Float], Double, Seq[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    prof.foreach { case (id, _, l1, mse) =>
+      val (_, v, scale, codes) = q(id)
+      assert(l1 == codes.map(c => math.abs(c).toLong).sum)
+      val want = v.zip(codes)
+        .map { case (x, c) => math.pow(x.toDouble - c * scale, 2) }
+        .sum / v.length
+      assert(math.abs(mse - want) < 1e-9, s"vec $id mse mismatch")
+    }
+  }
 }

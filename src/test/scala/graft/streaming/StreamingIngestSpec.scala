@@ -35,6 +35,36 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge gap-separated events incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = sessionWindows(events, gap = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:05:00"), 1L), // +5 min  -> same session
+        (ts("2024-01-01 10:30:00"), 1L), // +25 min -> new session
+        (ts("2024-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(rows == Set(
+        (1L, ts("2024-01-01 10:00:00"), 2L),
+        (1L, ts("2024-01-01 10:30:00"), 1L),
+        (2L, ts("2024-01-01 10:00:00"), 1L)))
+      // session extent = last event + gap (session_window semantics)
+      val end = spark.table("sess_win")
+        .filter(col("user_id") === 1L &&
+          col("session_start") === ts("2024-01-01 10:00:00"))
+        .select("session_end").as[Timestamp].head()
+      assert(end == ts("2024-01-01 10:15:00"))
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: replayed batch inserts 0 (exactly-once)") {
     implicit val sqlCtx = spark.sqlContext
     val sink = tmpDir("stream_sink")
