@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{NearDup, Packing, Sampling}
+
+/** The composed LLM training-data prep pipeline — raw document table in,
+  * packed/split corpus out. This is the extension battery's analog of
+  * [[Pipeline]] (the reference's backfill composition): every stage is one
+  * of the first-class operators, chained the way a production corpus run
+  * chains them:
+  *
+  *   scrub PII → exact dedup → near-dup prune (MinHash-LSH) →
+  *   quality + language enrichment → quality filter →
+  *   deterministic train/val/test split → sequence packing
+  *
+  * Stage order is load-bearing: dedup runs on SCRUBBED text (two docs
+  * differing only in a redacted email are duplicates), the near-dup prune
+  * runs after exact dedup (fingerprint collapse shrinks the LSH input),
+  * the split happens before packing, and packs shard on (source, split)
+  * so no pack spans a train/test boundary.
+  *
+  * Near-dup keeper rule: a document is dropped iff it is the LARGER id of
+  * some confirmed pair — every near-dup cluster keeps exactly its chain
+  * minima; deterministic, so the whole pipeline is reproducible run to
+  * run and engine to engine (the oracle recomputes it exhaustively).
+  *
+  * Scale: inherits each operator's audited shape (SCALE.md) — the only
+  * shuffles are the dedup fingerprint groupBy, the LSH band groupBy +
+  * confirm join, the split-free mixture scan, and ONE window shuffle for
+  * packing. Nothing here collects, broadcasts the corpus, or orders
+  * globally. */
+object LlmPrep {
+
+  /** Returns the prepared corpus: input columns plus `lid`, `quality`,
+    * `split`, `n_toks`, `pack_id` — one row per surviving document. */
+  def run(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shardCol: String = "source",
+      nearDupThreshold: Double = 0.8, minQuality: Double = 0.7,
+      budget: Int = 512,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val scrubbed = docs.withColumn(textCol,
+      TextAnalysis.scrubPii(col(textCol)))
+    val exact = NearDup.exactByContent(scrubbed, textCol, idCol)
+    val losers = NearDup
+      .minhashPairs(exact, idCol, textCol, threshold = nearDupThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val pruned = exact.join(losers, Seq(idCol), "left_anti")
+    val enriched = TextAnalysis.withLangId(
+      pruned.withColumn("quality",
+        TextAnalysis.qualityScore(col(textCol))), textCol)
+    val kept = enriched.filter(col("quality") > minQuality)
+    val split = Sampling.hashSplit(kept, col(idCol), splits)
+    Packing.packBySize(
+      split.withColumn("n_toks", TextAnalysis.tokenCount(col(textCol))),
+      Seq(shardCol, "split"), idCol, col("n_toks"), budget)
+  }
+}

@@ -26,9 +26,16 @@ object Packing {
     * `floor(start_offset / budget)` where start_offset is the running sum
     * of `sizeCol` over all earlier documents in the shard. */
   def packBySize(df: DataFrame, shardCol: String, orderCol: String,
+      sizeCol: Column, budget: Int): DataFrame =
+    packBySize(df, Seq(shardCol), orderCol, sizeCol, budget)
+
+  /** Multi-column shard variant — e.g. `(source, split)` so a pack never
+    * spans a train/test boundary. */
+  def packBySize(df: DataFrame, shardCols: Seq[String], orderCol: String,
       sizeCol: Column, budget: Int): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+    require(shardCols.nonEmpty, "at least one shard column required")
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // start offset = cumulative size minus own size; sizes are token
     // counts (≪ 2^52), so the double division is exact and the long cast

@@ -286,6 +286,21 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // -------------------------------------- composed end-to-end pipeline
+    "q_lp_training_prep" -> ((s, dir) =>
+      // the FULL prep chain (scrub → exact dedup → near-dup prune →
+      // quality filter → split → pack) against an oracle that recomputes
+      // every stage exhaustively — the flagship composition check. LSH
+      // parity holds because the 0.8 threshold sits in the banding
+      // family's certain-recall band (same argument as q_d2).
+      graft.LlmPrep.run(t(s, dir, "documents"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          countDistinct(concat_ws("#", col("source"), col("pack_id")))
+            .as("n_packs"))
+        .orderBy(col("split"))),
+
     // ------------------------------------------- approx distinct (A2 ext)
     "q_a2x_approx_distinct" -> ((s, dir) =>
       // scale-out variant of A2 — sketch-based, so no exact oracle
@@ -556,6 +571,66 @@ object LlmPipeline {
                       length(regexp_replace(regexp_replace(t, '$url', '<URL>', 'g'),
                              '$em', '<EMAIL>', 'g')) AS INTEGER) AS chars_removed
           FROM w ORDER BY doc_id"""
+    },
+    "q_lp_training_prep" -> {
+      val em = graft.functions.TextAnalysis.EmailPattern
+      val url = graft.functions.TextAnalysis.UrlPattern
+      // quality formula == the q_t2 oracle's (rounded to 2); thresholds
+      // chosen off the score's discrete levels {0.4,0.6,0.8,1.0} so the
+      // filter never compares at a rounding boundary
+      val quality =
+        s"""ROUND(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+             (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+                     / length(text) END) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2 +
+             (CASE WHEN (CASE WHEN len($duckToks) = 0 THEN 0.0
+                ELSE len(list_filter($duckToks, t -> list_contains(
+                       ['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+                     / len($duckToks) END) > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2 +
+             (CASE WHEN (CASE WHEN len($duckToks) = 0 THEN 0.0
+                ELSE list_sum(list_transform($duckToks, t -> length(t))) * 1.0
+                     / len($duckToks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+             2)"""
+      s"""WITH scrub AS (
+            SELECT doc_id, source,
+                   regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
+                                  '$em', '<EMAIL>', 'g') AS text
+            FROM documents),
+          keep1 AS (
+            SELECT MIN(doc_id) AS doc_id FROM scrub
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+          e AS (SELECT s.doc_id, s.source, s.text
+                FROM scrub s JOIN keep1 USING (doc_id)),
+          sh AS (SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len($duckToks) - 2, 0) + 1),
+                   i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
+                 FROM e),
+          losers AS (
+            SELECT DISTINCT b.doc_id AS doc_id
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6)
+                  >= 0.8),
+          kept AS (SELECT * FROM e
+                   WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+                     AND $quality > 0.7),
+          sp AS (SELECT doc_id, source,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                          THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                          THEN 'val'
+                        ELSE 'test' END AS split,
+                   len($duckToks) AS n_toks
+                 FROM kept),
+          pk AS (SELECT source, split, n_toks,
+                   CAST(FLOOR((SUM(n_toks) OVER (PARTITION BY source, split
+                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks)
+                        / 512.0) AS BIGINT) AS pack_id
+                 FROM sp)
+          SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                 COUNT(DISTINCT source || '#' || CAST(pack_id AS VARCHAR)) AS n_packs
+          FROM pk GROUP BY split ORDER BY split"""
     }
     // q_v2_ann_lsh, q_v4_ann_ivf, q_a2x_approx_distinct, q_t6_winnowing:
     // no SQL oracle (approximate / hash-family-dependent) — driver records
