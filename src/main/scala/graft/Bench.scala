@@ -87,7 +87,12 @@ object Bench {
           rows += name -> n
         } catch {
           case e: Throwable =>
-            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            // full detail to stderr; the JSON line carries a SHORT form —
+            // at 200 chars per error, two failures would push the line
+            // past the driver's 2000-char tail window and lose the whole
+            // bench (the round-3 failure mode, re-entering via errors)
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(40)}"
         }
         (System.nanoTime() - t0) / 1e9
       }
