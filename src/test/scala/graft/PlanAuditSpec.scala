@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("near-dup and ANN queries never contain a cross product") {
     for (name <- Seq("q_d2_minhash_neardup", "q_d3_neardup_ensemble",
-        "q_v2_ann_lsh", "q_d4x_embedding_neardup_lsh", "q_v4_ann_ivf")) {
+        "q_v2_ann_lsh", "q_d4x_embedding_neardup_lsh", "q_v4_ann_ivf",
+        "q_lp_training_prep")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"),
