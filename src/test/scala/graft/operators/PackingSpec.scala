@@ -41,6 +41,29 @@ class PackingSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("randomized: matches an independent in-memory reference model") {
+    val rnd = new scala.util.Random(7)
+    val docs = for {
+      (s, si) <- Seq("a", "b", "c").zipWithIndex
+      i <- 1 to 500
+    } yield (s, si * 10000L + i, 1 + rnd.nextInt(300))
+    val budget = 777
+    val want = docs.groupBy(_._1).flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (_, id, n) =>
+        val pack = cum / budget
+        cum += n
+        id -> pack
+      }
+    }
+    val got = Packing.packBySize(
+        docs.toDF("shard", "doc_id", "n").repartition(5),
+        "shard", "doc_id", col("n"), budget)
+      .select(col("doc_id"), col("pack_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(got === want)
+  }
+
   test("packBySize rejects a non-positive budget") {
     val df = Seq(("a", 1L, 1)).toDF("shard", "doc_id", "n")
     intercept[IllegalArgumentException] {

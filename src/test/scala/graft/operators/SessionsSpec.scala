@@ -48,6 +48,33 @@ class SessionsSpec extends SparkSpec {
       (2L, 1L, 1L, 999L, 999L)))
   }
 
+  test("randomized: matches an independent in-memory reference model") {
+    val rnd = new scala.util.Random(42)
+    val evs = for {
+      u <- 1L to 5L
+      i <- 1 to 300
+    } yield (u, math.abs(rnd.nextLong() % 10_000_000_000L), u * 10000 + i)
+    val gapUs = 50_000_000L
+    // plain-Scala reference: sort per user, cut at strict-gap violations
+    val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var idx = 0L
+      var prev = Long.MinValue
+      sorted.map { case (_, us, id) =>
+        if (prev == Long.MinValue || us - prev > gapUs) idx += 1
+        prev = us
+        id -> idx
+      }
+    }
+    val got = Sessions.sessionize(
+        evs.toDF("user_id", "us", "event_id").repartition(7),
+        "user_id", col("us"), col("event_id"),
+        java.time.Duration.ofMillis(gapUs / 1000))
+      .select(col("event_id"), col("session_idx"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("sessionStats plans ONE shuffle: the groupBy reuses the window's partitioning") {
     val df = Sessions.sessionStats(events.repartition(4), "user_id",
       col("us"), col("event_id"), gap)
