@@ -27,10 +27,11 @@ import graft.operators.{NearDup, Packing, Sampling}
   * minima; deterministic, so the whole pipeline is reproducible run to
   * run and engine to engine (the oracle recomputes it exhaustively).
   *
-  * Scale: inherits each operator's audited shape (SCALE.md) — the only
+  * Scale: inherits each operator's audited shape (SCALE.md) — the
   * shuffles are the dedup fingerprint groupBy, the LSH band groupBy +
-  * confirm join, the split-free mixture scan, and ONE window shuffle for
-  * packing. Nothing here collects, broadcasts the corpus, or orders
+  * Jaccard-confirm join, the losers anti-join, and ONE window shuffle
+  * for packing; the quality filter and the hash split are shuffle-free
+  * projections. Nothing here collects, broadcasts the corpus, or orders
   * globally. */
 object LlmPrep {
 

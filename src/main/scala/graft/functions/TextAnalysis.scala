@@ -255,7 +255,11 @@ object TextAnalysis {
       EmailPattern, emailTag)
 
   /** Number of non-overlapping matches of `pattern` — the scrub's audit
-    * counter (how many emails/URLs a document carried). */
+    * counter (how many emails/URLs a document carried). To count the
+    * email redactions [[scrubPii]] would actually perform, pass the
+    * URL-scrubbed text, not the raw text: an email-shaped userinfo inside
+    * a URL matches [[EmailPattern]] on raw text but belongs to the URL
+    * replacement (scrubPii's URL-first order). */
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 }

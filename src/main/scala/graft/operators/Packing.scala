@@ -24,7 +24,15 @@ object Packing {
   /** Adds `pack_id` (0-based per shard): documents ordered by `orderCol`
     * within each shard are packed greedily; a document's pack is
     * `floor(start_offset / budget)` where start_offset is the running sum
-    * of `sizeCol` over all earlier documents in the shard. */
+    * of `sizeCol` over all earlier documents in the shard.
+    *
+    * Contract: `orderCol` must be UNIQUE within a shard (it is the only
+    * ordering key; ties would make the running sum — and thus pack
+    * assignment — depend on Spark's arbitrary tie order, breaking
+    * reproducibility the way an un-tiebroken session window would).
+    * Pack ids are contiguous from 0 when every document fits the budget;
+    * a document larger than `budget` overhangs its pack and the next
+    * START offset may skip pack numbers — by design, not a bug. */
   def packBySize(df: DataFrame, shardCol: String, orderCol: String,
       sizeCol: Column, budget: Int): DataFrame =
     packBySize(df, Seq(shardCol), orderCol, sizeCol, budget)

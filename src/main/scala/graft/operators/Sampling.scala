@@ -48,6 +48,12 @@ object Sampling {
     require(splits.forall(_._2 > 0), "split fractions must be positive")
     val sum = splits.map(_._2).sum
     require(sum <= 1.0 + 1e-9, s"split fractions sum to $sum > 1")
+    // Null keys are DROPPED, matching sampleByHash/mixture (their filters
+    // are null-rejecting). Without this, md5(null) = null made every
+    // comparison null and the CASE fell through to the LAST split — every
+    // null-key row landed deterministically in 'test', the worst place to
+    // leak unkeyed rows.
+    val keyed = df.filter(key.isNotNull)
     val bucket = hexBucket(key)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     // boundaries for all but the last split; the last takes the remainder
@@ -55,7 +61,7 @@ object Sampling {
       case (acc, ((name, _), cumFrac)) =>
         acc.when(bucket < lit(hexBoundary(cumFrac)), name)
     }.otherwise(splits.last._1)
-    df.withColumn("split", expr)
+    keyed.withColumn("split", expr)
   }
 
   /** Keep a deterministic `rate` fraction of rows by key hash — the

@@ -33,7 +33,11 @@ object Sessions {
     * collide. */
   def sessionize(df: DataFrame, entityCol: String, tsUs: Column,
       tieBreak: Column, gap: java.time.Duration): DataFrame = {
-    val gapUs = gap.toMillis * 1000L
+    // toNanos/1000, not toMillis*1000: the API contract is microseconds,
+    // and the millisecond route silently floored sub-ms gaps (a 2.5 ms
+    // gap became 2 ms; anything under 1 ms became 0 — every positive gap
+    // then started a new session)
+    val gapUs = gap.toNanos / 1000L
     val order = Window.partitionBy(col(entityCol)).orderBy(tsUs, tieBreak)
     val prev = lag(tsUs, 1).over(order)
     val isNew = when(prev.isNull || tsUs - prev > gapUs, 1).otherwise(0)

@@ -275,9 +275,13 @@ object LlmPipeline {
             col("doc_id").cast("string"), lit(" next"))).otherwise(lit("")))
       t(s, dir, "documents")
         .select(col("doc_id"), injected.as("t"))
+        .withColumn("urls_masked",
+          regexp_replace(col("t"), TextAnalysis.UrlPattern, "<URL>"))
         .withColumn("scrubbed", TextAnalysis.scrubPii(col("t")))
         .select(col("doc_id"),
-          TextAnalysis.matchCount(col("t"),
+          // email audit over the URL-masked text = the redactions scrubPii
+          // actually performs (userinfo emails belong to the URL match)
+          TextAnalysis.matchCount(col("urls_masked"),
             TextAnalysis.EmailPattern).as("n_emails"),
           TextAnalysis.matchCount(col("t"),
             TextAnalysis.UrlPattern).as("n_urls"),
@@ -563,7 +567,9 @@ object LlmPipeline {
                         ELSE '' END AS t
             FROM documents)
           SELECT doc_id,
-                 CAST(len(regexp_extract_all(t, '$em')) AS INTEGER) AS n_emails,
+                 CAST(len(regexp_extract_all(
+                   regexp_replace(t, '$url', '<URL>', 'g'), '$em'))
+                   AS INTEGER) AS n_emails,
                  CAST(len(regexp_extract_all(t, '$url')) AS INTEGER) AS n_urls,
                  md5(regexp_replace(regexp_replace(t, '$url', '<URL>', 'g'),
                      '$em', '<EMAIL>', 'g')) AS scrubbed_md5,

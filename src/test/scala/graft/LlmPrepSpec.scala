@@ -30,6 +30,13 @@ class LlmPrepSpec extends SparkSpec {
   }
 
   test("packs never span a (source, split) boundary and are contiguous") {
+    // contiguity is only an invariant when every doc fits the budget
+    // (an oversize doc legally overhangs and skips a pack number) —
+    // assert the precondition so this test fails loudly, not spuriously,
+    // if the corpus ever grows such a doc
+    val over = prepped.filter(col("n_toks") > 512).count()
+    assert(over === 0, s"$over docs exceed the pack budget; the contiguity " +
+      "assertion below no longer applies — re-derive it")
     val byShard = prepped
       .select(col("source"), col("split"), col("pack_id"))
       .as[(String, String, Long)].collect()

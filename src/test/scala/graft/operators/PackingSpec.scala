@@ -18,6 +18,8 @@ class PackingSpec extends SparkSpec {
   }
 
   test("packBySize: shards pack independently and pack ids are contiguous") {
+    // all sizes (40..46) < budget (256), so contiguity IS an invariant
+    // here — an oversize doc would legally skip a pack number
     val docs = (1 to 200).map(i => (s"s${i % 4}", i.toLong, 40 + i % 7))
       .toDF("shard", "doc_id", "n")
     val got = Packing.packBySize(docs, "shard", "doc_id", col("n"), 256)

@@ -70,6 +70,14 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(qtr.length / 1000.0 - 0.25) < 0.04)
   }
 
+  test("hashSplit drops null keys like its sibling samplers") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("id")
+    val got = Sampling.hashSplit(df, col("id"), splits)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L),
+      "null-key rows must be dropped, not silently assigned to the last split")
+  }
+
   test("hashSplit rejects bad fraction sets") {
     val df = spark.range(1).toDF("id")
     intercept[IllegalArgumentException] {

@@ -34,6 +34,19 @@ class TextScrubSpec extends SparkSpec {
     assert(e === 2 && u === 1)
   }
 
+  test("email audit over URL-masked text equals the scrub's redaction count") {
+    // raw-text email count over-reports on userinfo URLs; the masked form
+    // counts exactly what scrubPii redacts as <EMAIL>
+    val df = Seq("a@b.co visits https://user@host.com/x").toDF("t")
+    val (raw, masked) = df.select(
+        TextAnalysis.matchCount(col("t"), TextAnalysis.EmailPattern),
+        TextAnalysis.matchCount(
+          regexp_replace(col("t"), TextAnalysis.UrlPattern, "<URL>"),
+          TextAnalysis.EmailPattern))
+      .as[(Int, Int)].head()
+    assert(raw === 2 && masked === 1)
+  }
+
   test("patterns avoid engine-specific regex syntax (portability contract)") {
     // no backreferences, lookarounds, or possessive quantifiers — the
     // constructs RE2-family engines (the DuckDB oracle among them) reject
