@@ -7,9 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with identical column names, types and ORDER BY. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed training-data prep pipeline — every extension operator
+    * family in one plan (scrub → dedup → near-dup prune → quality →
+    * split → pack); q_j4_join_agg remains the reference-surface flagship
+    * inside the battery. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_j4_join_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_lp_training_prep")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 + the LLM-data
     * pipeline extension battery (BASELINE.json north star). */
