@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the eval-set hygiene step of a training
+  * pipeline: find (and remove) training documents that share any n-gram
+  * with an evaluation corpus, so benchmark answers don't leak into
+  * training data.
+  *
+  * Exact by design, unlike the near-dup family: contamination is a
+  * membership question (does this doc contain an eval n-gram?), not a
+  * similarity question, so there is no sketch/recall trade — the check is
+  * a set intersection and the oracle can recompute it verbatim.
+  *
+  * Scale shape: the eval corpus is SMALL by definition (benchmarks are
+  * thousands of documents, not billions), so its distinct shingle-hash
+  * set broadcasts; the training corpus is scanned ONCE, its exploded
+  * shingles hash-joined against the broadcast set with no shuffle of the
+  * corpus itself. Shingles ride as 64-bit hashes (xxhash64, fixed seeds —
+  * `TextAnalysis.shingleHashesFromTokens`), so the broadcast is 8 bytes
+  * per eval n-gram and the comparison is a long equality, not a string
+  * match. A 10⁹-shingle eval set would outgrow the broadcast — at that
+  * point drop the hint and let the same plan run as a shuffled semi-join.
+  */
+object Decontaminate {
+
+  /** Per-training-document count of DISTINCT n-gram shingles shared with
+    * the eval corpus — only contaminated docs (overlap > 0) are returned,
+    * as ("id", "n_overlap"). Ids follow the near-dup battery's bigint
+    * contract. */
+  def overlaps(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 8): DataFrame = {
+    val evalGrams = NearDup
+      .hashedShingles(eval, idCol, textCol, shingleLen)
+      .select(explode(col("hs")).as("g")).distinct()
+    NearDup.hashedShingles(train, idCol, textCol, shingleLen)
+      .select(col("id"), explode(col("hs")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      // hs is per-doc distinct, so the plain count IS the distinct-shingle
+      // overlap — no row-wide distinct needed
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Training corpus with every contaminated document removed. */
+  def clean(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 8): DataFrame =
+    train.join(
+      overlaps(train, eval, idCol, textCol, shingleLen)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -290,6 +290,19 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "q_t9_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: eval set = every 50th doc; training
+      // docs sharing any 4-gram are flagged with their exact distinct-
+      // shingle overlap (membership check — exact, no sketch)
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlaps(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleLen = 4)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -------------------------------------- composed end-to-end pipeline
     "q_lp_training_prep" -> ((s, dir) =>
       // the FULL prep chain (scrub → exact dedup → near-dup prune →
@@ -578,6 +591,16 @@ object LlmPipeline {
                              '$em', '<EMAIL>', 'g')) AS INTEGER) AS chars_removed
           FROM w ORDER BY doc_id"""
     },
+    "q_t9_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+              range(1, greatest(len($duckToks) - 3, 0) + 1),
+              i -> array_to_string(($duckToks)[i:i+3], ' '))) AS sh
+            FROM documents),
+          ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+          tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0)
+          SELECT doc_id, COUNT(*) AS n_overlap
+          FROM tr WHERE g IN (SELECT g FROM ev)
+          GROUP BY doc_id ORDER BY doc_id""",
     "q_lp_training_prep" -> {
       val em = graft.functions.TextAnalysis.EmailPattern
       val url = graft.functions.TextAnalysis.UrlPattern
