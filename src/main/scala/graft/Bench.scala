@@ -69,6 +69,18 @@ object Bench {
         array((0 until 4).map(i => (col("id") + i).cast("float")): _*)
           .as("embedding"))
       graft.operators.Similarity.lshNearDupPairs(vecs3, 0.99, dim = 4).count()
+      // r4 additions: typed shingle-explode (decontaminate), the iterative
+      // CC loop (checkpoint machinery), and the boilerplate df join pay
+      // their own one-time classload/codegen (~4-5 s billed to whichever
+      // query ran first otherwise; measured on q_t9).
+      graft.operators.Decontaminate.overlaps(docs3, docs3.limit(1),
+        "doc_id", "text", shingleLen = 2).count()
+      graft.operators.Clusters.connectedComponents(
+        docs3.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))).count()
+      graft.operators.Clusters.releaseResults()
+      graft.operators.Boilerplate.stats(docs3, "doc_id", "text",
+        shingleLen = 2, minDf = 2).count()
+      graft.operators.NearDup.releaseMaterialized()
     }
 
     // Min of N runs per query. Default 2: single-shot numbers showed
@@ -103,14 +115,16 @@ object Bench {
 
     def jm(m: Iterable[(String, String)]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    // Millisecond precision, locale-independent. Full Double.toString made
-    // the 57-query line ~2.8 KB; the driver keeps only the LAST 2000 chars
-    // of output, so the line's head was cut off and round 3's bench went
-    // unparsed (BENCH_r03.json "parsed": null). 3 decimals keeps the whole
-    // line ~1.7 KB with headroom for more queries.
+    // Centisecond precision, locale-independent. The driver keeps only the
+    // LAST 2000 chars of output, and an over-long line loses its HEAD —
+    // round 3's bench went unparsed that way (BENCH_r03.json "parsed":
+    // null: 3-decimal timings + io_bound/repeat keys pushed 67 queries to
+    // 2030 chars). 2 decimals is still 5-50× below run-to-run variance;
+    // io_bound/repeat live on stderr now; the errors map is emitted only
+    // when non-empty (n_err is always present). 69 queries ≈ 1.85 KB.
     def fmt(v: Double): String =
       java.math.BigDecimal.valueOf(v)
-        .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+        .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
     val qs = jm(results.map { case (k, v) => k -> fmt(v) })
     val es = jm(errors.map { case (k, v) =>
       k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
@@ -118,16 +132,17 @@ object Bench {
     // Side-effecting queries whose wall-time is dominated by sink I/O (the
     // J3 protocol writes the sink twice; S4 writes+reads a CSV copy) —
     // flagged so the analytic per-query numbers aren't read as query cost.
-    val io = Seq("q_j3_idempotent_append", "q_s4_csv", "q_s7_empty_shortcircuit")
-      .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
+    System.err.println("[bench] io_bound=q_j3_idempotent_append,q_s4_csv," +
+      s"q_s7_empty_shortcircuit repeat=$repeat")
     // Separate subtotals (VERDICT r2 #8): the reference-surface relational
     // battery vs the LLM-extension battery, so one heavy extension query
     // can't read as "engine slow" in the headline number.
     val llmNames = graft.queries.LlmPipeline.queries.keySet
     val subLlm = results.collect { case (n, s) if llmNames(n) => s }.sum
     val subRel = total - subLlm
+    val errField = if (errors.isEmpty) "" else s""""errors":$es,"""
     // The one contract line, on stdout, no decoration:
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"io_bound":$io,"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"repeat":$repeat,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errField"n_err":${errors.size},"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

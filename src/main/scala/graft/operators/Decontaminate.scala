@@ -31,16 +31,33 @@ object Decontaminate {
     * contract. */
   def overlaps(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 8): DataFrame = {
-    val evalGrams = NearDup
-      .hashedShingles(eval, idCol, textCol, shingleLen)
-      .select(explode(col("hs")).as("g")).distinct()
-    NearDup.hashedShingles(train, idCol, textCol, shingleLen)
-      .select(col("id"), explode(col("hs")).as("g"))
+    val evalGrams = explodedGrams(
+      NearDup.hashedShingles(eval, idCol, textCol, shingleLen))
+      .select(col("g")).distinct()
+    explodedGrams(NearDup.hashedShingles(train, idCol, textCol, shingleLen))
       .join(broadcast(evalGrams), Seq("g"))
       // hs is per-doc distinct, so the plain count IS the distinct-shingle
       // overlap — no row-wide distinct needed
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** ("id", "hs") → one ("id", "g") row per shingle, via a typed
+    * mapPartitions instead of `explode`. The typed boundary is an
+    * optimizer barrier, and here that is the point, not a side effect:
+    * with a Catalyst Generate, the inner join's inferred `IsNotNull(g)`
+    * constraint is pushed below the explode into the SCAN filter, where
+    * alias substitution inlines the whole tokenize→hash→shingle
+    * expression — several times over, via each `element_at` — and the
+    * scan re-shingles every row quadratically (measured: q_t9 19.4 s at
+    * sf0.1; 0.6 s behind the barrier). Same defense the signature
+    * kernels get from mapPartitions, same single narrow pass. */
+  private def explodedGrams(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    d.select(col("id").cast("long"), col("hs")).as[(Long, Array[Long])]
+      .mapPartitions(_.flatMap { case (id, hs) => hs.iterator.map((id, _)) })
+      .toDF("id", "g")
   }
 
   /** Training corpus with every contaminated document removed. */
