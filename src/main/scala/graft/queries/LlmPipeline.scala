@@ -118,6 +118,15 @@ object LlmPipeline {
       // fits executor memory); q_d4x below is the scale path.
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_d5_neardup_clusters" -> ((s, dir) =>
+      // cluster consolidation: connected components over the confirmed
+      // MinHash pair set — (id, component-minimum) per clustered doc; the
+      // oracle recomputes reachability exhaustively (recursive CTE)
+      Clusters.connectedComponents(
+          NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+            shingleLen = 3, threshold = 0.8))
+        .orderBy(col("id"))),
+
     "q_d4x_embedding_neardup_lsh" -> ((s, dir) =>
       // the SCALE path (VERDICT r2 #2): sign-LSH bucket candidates → exact
       // cosine confirm — no driver collect, no corpus broadcast; checked
@@ -303,6 +312,15 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "q_t10_boilerplate" -> ((s, dir) =>
+      // corpus-level boilerplate profile: share of each doc's distinct
+      // 3-gram shingles appearing in >= 5 documents (df threshold chosen
+      // to be non-trivial at BOTH gate scales: 151 boilerplate shingles
+      // at sf0.01, 25829 at sf0.1)
+      Boilerplate.stats(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, minDf = 5)
+        .orderBy(col("id"))),
+
     // -------------------------------------- composed end-to-end pipeline
     "q_lp_training_prep" -> ((s, dir) =>
       // the FULL prep chain (scrub → exact dedup → near-dup prune →
@@ -342,6 +360,55 @@ object LlmPipeline {
         WHERE jaccard >= 0.8
         ORDER BY id_a, id_b"""
   }
+
+  /** Exhaustive cluster oracle: the same exact pair computation as
+    * [[nearDupOracle]], then component minima via recursive reachability —
+    * DuckDB's recursive CTE dedupes with UNION, so the fixpoint
+    * terminates. */
+  private val clusterOracle: String =
+    s"""WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len($duckToks) - 2, 0) + 1),
+                   i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
+          FROM documents),
+        p AS (SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                       nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
+                       6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.8),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+        r(s, d) AS (
+          SELECT s, d FROM e
+          UNION
+          SELECT r.s, e.d FROM r JOIN e ON r.d = e.s WHERE e.d <> r.s)
+        SELECT s AS id, least(s, MIN(d)) AS cluster
+        FROM r GROUP BY s ORDER BY id"""
+
+  /** Boilerplate oracle: document frequency over literal n-gram strings
+    * (the engine rides 64-bit hashes — same collision-freedom assumption
+    * as every hashed query in the battery). */
+  private val boilerplateOracle: String =
+    s"""WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len($duckToks) - 2, 0) + 1),
+                   i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
+          FROM documents),
+        ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        boiler AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) >= 5),
+        nb AS (SELECT doc_id, COUNT(*) AS n_boiler
+               FROM ex JOIN boiler USING (g) GROUP BY doc_id)
+        SELECT s.doc_id AS id,
+               CAST(len(s.sh) AS INTEGER) AS n_shingles,
+               CAST(COALESCE(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+               ROUND(CASE WHEN len(s.sh) = 0 THEN 0.0
+                     ELSE COALESCE(nb.n_boiler, 0) * 1.0 / len(s.sh) END,
+                     4) AS boiler_frac
+        FROM sh s LEFT JOIN nb ON s.doc_id = nb.doc_id ORDER BY id"""
 
   private val duckDot =
     "list_sum(list_transform(range(1, len(qv) + 1), " +
@@ -436,6 +503,8 @@ object LlmPipeline {
          ORDER BY doc_id""",
     "q_d2_minhash_neardup" -> nearDupOracle,
     "q_d3_neardup_ensemble" -> nearDupOracle,
+    "q_d5_neardup_clusters" -> clusterOracle,
+    "q_t10_boilerplate" -> boilerplateOracle,
     "q_d4_embedding_neardup" -> embeddingNearDupOracle,
     // the LSH scale path must reproduce the SAME exhaustive exact answer
     "q_d4x_embedding_neardup_lsh" -> embeddingNearDupOracle,
