@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{NearDup, Packing, Sampling}
+import graft.operators.{Clusters, NearDup, Packing, Sampling}
 
 /** The composed LLM training-data prep pipeline — raw document table in,
   * packed/split corpus out. This is the extension battery's analog of
@@ -22,10 +22,14 @@ import graft.operators.{NearDup, Packing, Sampling}
   * the split happens before packing, and packs shard on (source, split)
   * so no pack spans a train/test boundary.
   *
-  * Near-dup keeper rule: a document is dropped iff it is the LARGER id of
-  * some confirmed pair — every near-dup cluster keeps exactly its chain
-  * minima; deterministic, so the whole pipeline is reproducible run to
-  * run and engine to engine (the oracle recomputes it exhaustively).
+  * Near-dup keeper rule: by default a document is dropped iff it is the
+  * LARGER id of some confirmed pair — every near-dup cluster keeps its
+  * chain minima; deterministic, so the whole pipeline is reproducible run
+  * to run and engine to engine (the oracle recomputes it exhaustively).
+  * With `consolidateClusters = true` the keeper is the CONNECTED-COMPONENT
+  * minimum instead ([[graft.operators.Clusters]]): pairs (1,3) and (2,3)
+  * keep only 1, where the per-pair rule keeps 1 AND 2 — strictly stronger
+  * dedup, still deterministic (`LlmPrepSpec` pins the divergence case).
   *
   * Scale: inherits each operator's audited shape (SCALE.md) — the
   * shuffles are the dedup fingerprint groupBy, the LSH band groupBy +
@@ -42,14 +46,17 @@ object LlmPrep {
       nearDupThreshold: Double = 0.8, minQuality: Double = 0.7,
       budget: Int = 512,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      consolidateClusters: Boolean = false): DataFrame = {
     val scrubbed = docs.withColumn(textCol,
       TextAnalysis.scrubPii(col(textCol)))
     val exact = NearDup.exactByContent(scrubbed, textCol, idCol)
-    val losers = NearDup
+    val pairs = NearDup
       .minhashPairs(exact, idCol, textCol, threshold = nearDupThreshold)
-      .select(col("id_b").as(idCol)).distinct()
-    val pruned = exact.join(losers, Seq(idCol), "left_anti")
+    val pruned =
+      if (consolidateClusters) Clusters.consolidate(exact, pairs, idCol)
+      else exact.join(pairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
     val enriched = TextAnalysis.withLangId(
       pruned.withColumn("quality",
         TextAnalysis.qualityScore(col(textCol))), textCol)

@@ -312,6 +312,15 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "q_t11_shared_passages" -> ((s, dir) =>
+      // passage-level (not whole-doc) duplication: pairs sharing >= 3
+      // rare verbatim 8-gram runs; at sf0.1 this finds ~10x more pairs
+      // than whole-doc near-dup — documents that QUOTE each other without
+      // being near-identical
+      SharedPassages.pairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 8, maxDf = 5, minShared = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_t10_boilerplate" -> ((s, dir) =>
       // corpus-level boilerplate profile: share of each doc's distinct
       // 3-gram shingles appearing in >= 5 documents (df threshold chosen
@@ -505,6 +514,21 @@ object LlmPipeline {
     "q_d3_neardup_ensemble" -> nearDupOracle,
     "q_d5_neardup_clusters" -> clusterOracle,
     "q_t10_boilerplate" -> boilerplateOracle,
+    "q_t11_shared_passages" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len($duckToks) - 7, 0) + 1),
+                     i -> array_to_string(($duckToks)[i:i+7], ' '))) AS sh
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 5),
+          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM ex a JOIN ex b USING (g) JOIN rare USING (g)
+                 WHERE a.doc_id < b.doc_id)
+          SELECT id_a, id_b, COUNT(*) AS n_shared FROM pr
+          GROUP BY id_a, id_b HAVING COUNT(*) >= 3
+          ORDER BY id_a, id_b""",
     "q_d4_embedding_neardup" -> embeddingNearDupOracle,
     // the LSH scale path must reproduce the SAME exhaustive exact answer
     "q_d4x_embedding_neardup_lsh" -> embeddingNearDupOracle,

@@ -48,6 +48,31 @@ class LlmPrepSpec extends SparkSpec {
     }
   }
 
+  test("consolidateClusters keeps only component minima where the per-pair rule keeps more") {
+    // transitive star via doc 3: with 40 base tokens (38 base shingles)
+    // and 6-token distinct tails, J(1,3) = J(2,3) = 38/44 ≈ 0.86 >= 0.8
+    // but J(1,2) = 38/50 = 0.76 < 0.8. Per-pair rule: 3 is the larger id
+    // of both pairs -> keeps {1, 2}. Component rule: cluster {1,2,3} keeps
+    // only its minimum {1}. minQuality = 0 so ONLY the keeper rule is
+    // under test.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val star = Seq(
+      (1L, s"$base a1 a2 a3 a4 a5 a6", "s"),
+      (2L, s"$base b1 b2 b3 b4 b5 b6", "s"),
+      (3L, base, "s"),
+      (9L, (1 to 46).map(i => s"u$i").mkString(" "), "s")
+    ).toDF("doc_id", "text", "source")
+    val perPair = LlmPrep.run(star, minQuality = 0.0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val byCluster = LlmPrep.run(star, minQuality = 0.0,
+        consolidateClusters = true)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(perPair == Set(1L, 2L, 9L))
+    assert(byCluster == Set(1L, 9L))
+    graft.operators.Clusters.releaseResults()
+    NearDup.releaseMaterialized()
+  }
+
   test("pipeline is deterministic: identical assignment on a reshuffled input") {
     val again = LlmPrep.run(docs.repartition(7))
       .select(col("doc_id"), col("split"), col("pack_id"))
