@@ -373,22 +373,29 @@ object LlmPipeline {
   /** Exhaustive cluster oracle: the same exact pair computation as
     * [[nearDupOracle]], then component minima via recursive reachability —
     * DuckDB's recursive CTE dedupes with UNION, so the fixpoint
-    * terminates. */
+    * terminates. The pair CTEs are AS MATERIALIZED: DuckDB inlines plain
+    * CTEs, and inlining `e` into the recursive part re-executes the
+    * all-pairs Jaccard subquery EVERY iteration (observed: the sf0.1
+    * validation pinned a core for 35+ minutes). Measured at the sf0.01
+    * gate: 24 s plain → 11 s materialized, identical 47 rows. The oracle
+    * stays quadratic by design (it is the exhaustive ground truth); at
+    * sf0.1 the one-shot 12.5M-pair intersection itself costs tens of
+    * minutes — validate the cluster oracle at the gate scale only. */
   private val clusterOracle: String =
-    s"""WITH RECURSIVE sh AS (
+    s"""WITH RECURSIVE sh AS MATERIALIZED (
           SELECT doc_id,
                  list_distinct(list_transform(
                    range(1, greatest(len($duckToks) - 2, 0) + 1),
                    i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
           FROM documents),
-        p AS (SELECT id_a, id_b FROM (
+        p AS MATERIALIZED (SELECT id_a, id_b FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
                        nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
                        6) AS jaccard
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.8),
-        e AS (SELECT id_a AS s, id_b AS d FROM p
+        e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p
               UNION SELECT id_b, id_a FROM p),
         r(s, d) AS (
           SELECT s, d FROM e
