@@ -122,10 +122,10 @@ object Bench {
     // 2030 chars). 2 decimals is still 5-50× below run-to-run variance;
     // io_bound/repeat live on stderr now; the errors map is emitted only
     // when non-empty (n_err is always present). 69 queries ≈ 1.85 KB.
-    def fmt(v: Double): String =
+    def fmtAt(scale: Int)(v: Double): String =
       java.math.BigDecimal.valueOf(v)
-        .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
-    val qs = jm(results.map { case (k, v) => k -> fmt(v) })
+        .setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+    def fmt(v: Double): String = fmtAt(2)(v)
     val es = jm(errors.map { case (k, v) =>
       k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
     val total = results.map(_._2).sum
@@ -133,7 +133,7 @@ object Bench {
     // J3 protocol writes the sink twice; S4 writes+reads a CSV copy) —
     // flagged so the analytic per-query numbers aren't read as query cost.
     System.err.println("[bench] io_bound=q_j3_idempotent_append,q_s4_csv," +
-      s"q_s7_empty_shortcircuit repeat=$repeat")
+      s"q_s7_empty_shortcircuit,q_d6_delta_neardup repeat=$repeat")
     // Separate subtotals (VERDICT r2 #8): the reference-surface relational
     // battery vs the LLM-extension battery, so one heavy extension query
     // can't read as "engine slow" in the headline number.
@@ -141,8 +141,19 @@ object Bench {
     val subLlm = results.collect { case (n, s) if llmNames(n) => s }.sum
     val subRel = total - subLlm
     val errField = if (errors.isEmpty) "" else s""""errors":$es,"""
+    def line(scale: Int): String = {
+      val qs = jm(results.map { case (k, v) => k -> fmtAt(scale)(v) })
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errField"n_err":${errors.size},"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfDir"}"""
+    }
+    // The driver keeps only the LAST 2000 chars of stdout; a line past
+    // that loses its HEAD and the whole bench goes unparsed (the r3
+    // failure). If 2-decimal precision doesn't fit — the query count
+    // grows each round — fall back to 1 decimal (still well under
+    // run-to-run variance) rather than lose the round's numbers.
+    val out = Seq(line(2), line(1)).find(_.length <= 1950).getOrElse(line(0))
+    System.err.println(s"[bench] json line length=${out.length}")
     // The one contract line, on stdout, no decoration:
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errField"n_err":${errors.size},"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfDir"}""")
+    println(out)
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling and dataset splitting — the
@@ -90,4 +91,86 @@ object Sampling {
     }.otherwise(hexBoundary(defaultRate))
     df.filter(hexBucket(key) < boundary)
   }
+
+  /** Keep at most `maxPerGroup` rows of each group, chosen by key-hash
+    * order — the host/domain cap of web-corpus curation (no single site
+    * may contribute more than N documents). Hash order (not "first N
+    * seen") makes the kept subset a pure function of row identity: stable
+    * across runs, partitionings and engines, and UNBIASED — insertion
+    * order usually correlates with crawl time, so "first N" would keep
+    * each domain's oldest pages.
+    *
+    * Scale shape: `rank <= k` over a `row_number` window is rewritten by
+    * Spark into a WindowGroupLimit — each map task keeps only its local
+    * top-k per group BEFORE the shuffle, so a group with 10⁹ rows ships
+    * ~k·tasks rows, not 10⁹, and the post-shuffle sort is over capped
+    * input (asserted in SamplingSpec). Null keys are dropped, matching
+    * the other operators in this module. */
+  def capPerGroup(df: DataFrame, groupCol: String, key: Column,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup $maxPerGroup must be positive")
+    val ord = md5(key.cast("string").cast("binary"))
+    // secondary sort on the key itself: md5 ties are cryptographically
+    // implausible but the determinism contract shouldn't rest on that
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord, key)
+    df.filter(key.isNotNull)
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= maxPerGroup)
+      .drop("__graft_rk")
+  }
+
+  /** Deterministic global shuffle for training order, realized as
+    * (`shard`, `shuffle_rank`) WITHOUT a global sort: the training
+    * permutation is "order by md5(seed:key)", the shard is a contiguous
+    * RANGE of that hash space (first 16 bits → `bucket * shards / 65536`),
+    * and `shuffle_rank` is the row's position within its shard. Reading
+    * shard 0..n-1 each in rank order therefore reproduces the exact
+    * global hash order — but no stage ever sorts more than one shard.
+    *
+    * This is the "shuffle the corpus before training" step. Seeding via
+    * the hash input (not an RNG) keeps the permutation a pure function of
+    * (seed, key): re-runs, engine changes and corpus growth never move an
+    * existing row relative to another, and a different seed is a fresh
+    * permutation.
+    *
+    * Scale shape: one narrow md5 projection + one hash shuffle on `shard`
+    * + a per-shard external sort (spills; parallel across shards). Size
+    * `shards` so a shard ≈ one output file (corpus_bytes / target_file_
+    * bytes); 16-bit granularity caps useful shards at 65536 — beyond
+    * that, widen the bucket slice. */
+  def shuffleShard(df: DataFrame, key: Column, shards: Int,
+      seed: Long): DataFrame = {
+    require(shards > 0 && shards <= 65536, s"shards $shards outside [1, 65536]")
+    val h = md5(concat_ws(":", lit(seed.toString), key.cast("string"))
+      .cast("binary"))
+    // conv() parses the 4 hex chars to 0..65535; the double multiply is
+    // exact at these magnitudes (< 2^26) so the floor is a true int div
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("int")
+    val shard = floor(bucket * lit(shards) / lit(65536.0)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__graft_h"), key)
+    df.filter(key.isNotNull)
+      .withColumn("__graft_h", h)
+      .withColumn("shard", shard)
+      .withColumn("shuffle_rank", row_number().over(w))
+      .drop("__graft_h")
+  }
+
+  /** Materialize [[shuffleShard]] as the artifact a training job consumes:
+    * `outDir/shard=K/` holds ONE parquet file whose row order is the
+    * shard's shuffle_rank order, so a loader streaming shard directories
+    * 0..n-1 top-to-bottom replays the exact global permutation without
+    * sorting anything at read time.
+    *
+    * One-file-per-shard is forced by hash-partitioning on `shard` before
+    * the write (every row of a shard lands in one task; `partitionBy`
+    * then splits that task's output by shard value). Hash collisions may
+    * give a task two shards — they write sequentially, still one file
+    * each. Rows inside a task are pre-sorted by (shard, rank), which the
+    * parquet writer preserves. */
+  def writeShuffled(df: DataFrame, key: Column, shards: Int, seed: Long,
+      outDir: String): Unit =
+    shuffleShard(df, key, shards, seed)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_rank"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -133,6 +134,30 @@ object LlmPipeline {
       // against the SAME exhaustive oracle as q_d4.
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_d6_delta_neardup" -> ((s, dir) => {
+      // incremental (delta) near-dup ingestion — the batch-backfill form
+      // of the streaming admit pipeline: docs < 250 build the admitted
+      // history, docs >= 250 arrive as the new batch and are admitted
+      // only if near-dup of neither an admitted history doc nor a
+      // smaller-id batch doc. Result = the final admitted corpus read
+      // back from the history store. The oracle replays BOTH phases
+      // exhaustively (conservative family drop: a smaller-id batch doc
+      // blocks even when itself dropped).
+      val hist = s"${System.getProperty("java.io.tmpdir")}/graft_d6_hist_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val docs = t(s, dir, "documents")
+      graft.streaming.StreamingNearDup.dedupBatch(
+        docs.filter(col("doc_id") < 250), hist, batchId = 0L)
+      graft.streaming.StreamingNearDup.dedupBatch(
+        docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
+      // pin the tiny id set in memory, then drop the staging dir so a
+      // repeat-run bench doesn't accumulate history copies in tmp
+      val admitted = s.read.parquet(s"$hist/shingles")
+        .select(col("id").as("doc_id")).localCheckpoint()
+      val p = new Path(hist)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      admitted.orderBy(col("doc_id"))
+    }),
 
     // --------------------------------------------------------- similarity
     "q_v1_cosine_topk" -> ((s, dir) => {
@@ -246,6 +271,28 @@ object LlmPipeline {
           defaultRate = 0.25)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))),
+    "q_e5_shuffle_shard" -> ((s, dir) =>
+      // deterministic seeded corpus shuffle as (shard, rank): shards are
+      // contiguous ranges of the md5(seed:key) order, so concatenating
+      // shards 0..7 in rank order IS the global permutation — no global
+      // sort. perm_sum = SUM(doc_id * rank) pins the entire permutation,
+      // not just the partition sizes.
+      Sampling.shuffleShard(t(s, dir, "documents"), col("doc_id"),
+          shards = 8, seed = 42)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id") * col("shuffle_rank")).as("perm_sum"))
+        .orderBy(col("shard"))),
+    "q_e6_source_cap" -> ((s, dir) =>
+      // per-source document cap (the host/domain cap of web curation):
+      // keep a deterministic hash-chosen 15 per source. kept_sum pins
+      // WHICH rows survived, not just how many.
+      Sampling.capPerGroup(t(s, dir, "documents"), "source", col("doc_id"),
+          maxPerGroup = 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("source"))),
     "q_v5_quantize_int8" -> ((s, dir) =>
       // int8 embedding quantization audit: per-vector scale, code L1
@@ -520,6 +567,34 @@ object LlmPipeline {
     "q_d2_minhash_neardup" -> nearDupOracle,
     "q_d3_neardup_ensemble" -> nearDupOracle,
     "q_d5_neardup_clusters" -> clusterOracle,
+    "q_d6_delta_neardup" ->
+      // sequential replay of the two-phase admit: a1 = batch-1 docs with
+      // no smaller-id J>=0.8 partner (partners of a <250 doc are all
+      // <250 by id_a < id_b); a2 = batch-2 docs blocked by neither an
+      // ADMITTED history doc nor a smaller-id batch-2 doc (admitted or
+      // not — conservative family drop)
+      s"""WITH sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len($duckToks) - 2, 0) + 1),
+                     i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
+            FROM documents),
+          p AS MATERIALIZED (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0)
+                     AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.8),
+          a1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id < 250
+            AND NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = d.doc_id)),
+          a2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id >= 250
+            AND NOT EXISTS (SELECT 1 FROM p JOIN a1 ON p.id_a = a1.doc_id
+                            WHERE p.id_b = d.doc_id)
+            AND NOT EXISTS (SELECT 1 FROM p
+                            WHERE p.id_b = d.doc_id AND p.id_a >= 250))
+         SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2
+         ORDER BY doc_id""",
     "q_t10_boilerplate" -> boilerplateOracle,
     "q_t11_shared_passages" ->
       s"""WITH sh AS (
@@ -642,6 +717,29 @@ object LlmPipeline {
                   END)
          SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
          FROM k GROUP BY source ORDER BY source""",
+    "q_e5_shuffle_shard" ->
+      // shard = range-bucket of the first 16 hash bits: ('0x'||hex)::INT
+      // here, conv(hex,16,10) engine-side — same integer, same floor
+      """WITH s AS (SELECT doc_id,
+              md5('42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+          b AS (SELECT doc_id, h,
+              CAST(FLOOR(('0x' || substr(h, 1, 4))::INT * 8 / 65536.0)
+                   AS INT) AS shard FROM s),
+          r AS (SELECT shard, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rk
+            FROM b)
+         SELECT shard, COUNT(*) AS n,
+                CAST(SUM(doc_id * rk) AS BIGINT) AS perm_sum
+         FROM r GROUP BY shard ORDER BY shard""",
+    "q_e6_source_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+         SELECT source, COUNT(*) AS n_kept,
+                CAST(SUM(doc_id) AS BIGINT) AS kept_sum,
+                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""",
     "q_v5_quantize_int8" ->
       """WITH v AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

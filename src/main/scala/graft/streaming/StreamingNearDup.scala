@@ -43,6 +43,18 @@ object StreamingNearDup {
   private def bandsDir(h: String) = s"$h/bands"
   private def shinglesDir(h: String) = s"$h/shingles"
 
+  // Stage timing to stderr when SPARK_GRAFT_TRACE is set — dedupBatch is
+  // a multi-action protocol, so wall-time questions need per-stage answers.
+  private val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+  private def timed[T](label: String)(body: => T): T =
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[dedupBatch] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** Run one batch through the history-aware near-dup filter: returns
     * stats and appends the ADMITTED docs' band keys + shingle sets to the
     * history. Also the batch-backfill entry point (a backfill is just a
@@ -58,7 +70,7 @@ object StreamingNearDup {
     def cache(df: DataFrame): DataFrame = { cached += df; df.persist() }
     try {
       val sh = cache(NearDup.hashedShingles(batch, idCol, textCol, shingleLen))
-      sh.count() // fill the shared cache before branches race on it
+      timed("shingle+cache")(sh.count()) // fill the shared cache before branches race on it
       // same banding derivation as the batch operator — shared helper, so
       // the streaming path cannot drift from NearDup.minhashCandidates
       val keys = cache(NearDup.bandKeyRows(sh, numHashes, bands))
@@ -84,12 +96,18 @@ object StreamingNearDup {
           // in-batch path drops over-cap buckets entirely; its analog
           // here bounds the H×B product): a band key that accumulated a
           // mass-duplicate family in the history — or arrives as one in
-          // a backfill batch — must not re-open the quadratic join
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("key"))
-          def capped(d: DataFrame): DataFrame = d
-            .withColumn("__n", count(lit(1)).over(w))
-            .filter(col("__n") <= maxBucketSize).drop("__n")
+          // a backfill batch — must not re-open the quadratic join.
+          // Shape: groupBy-count the bucket sizes (map-side partials; the
+          // over-cap set is near-empty by construction) and anti-join —
+          // the capped table itself is never shuffled, unlike the
+          // count-over-window form this replaced (which shuffled and
+          // sorted every band row just to annotate bucket sizes)
+          def capped(d: DataFrame): DataFrame = {
+            val hot = d.groupBy(col("band"), col("key")).count()
+              .filter(col("count") > maxBucketSize)
+              .select(col("band"), col("key"))
+            d.join(hot, Seq("band", "key"), "left_anti")
+          }
           val batchKeys = capped(keys).withColumnRenamed("id", "id_b")
           val relevant = spark.read.parquet(bandsDir(historyDir))
             .select(col("id").as("id_a"), col("band"), col("key"))
@@ -112,8 +130,8 @@ object StreamingNearDup {
       val allSh =
         if (!hasShingles) sh
         else sh.unionAll(spark.read.parquet(shinglesDir(historyDir)))
-      val confirmed =
-        NearDup.confirmJaccard(cand, allSh, threshold).localCheckpoint()
+      val confirmed = timed("confirm+checkpoint")(
+        NearDup.confirmJaccard(cand, allSh, threshold).localCheckpoint())
 
       val batchIds = sh.select(col("id"))
       val batchIdsA = batchIds.withColumnRenamed("id", "id_a")
@@ -133,9 +151,11 @@ object StreamingNearDup {
           .select(col("id_b").as("id")).distinct()
           .join(dupVsHistory, Seq("id"), "left_anti"))
 
-      val admittedIds = batchIds
+      // cached: both appends below re-derive their input from this set
+      // across several actions each (empty-probe, count, write)
+      val admittedIds = cache(batchIds
         .join(dupVsHistory, Seq("id"), "left_anti")
-        .join(dupInBatch, Seq("id"), "left_anti")
+        .join(dupInBatch, Seq("id"), "left_anti"))
 
       // idempotent history append (J3): a replayed batch re-derives the
       // same ids, which already exist → inserts 0. SHINGLES are written
@@ -147,16 +167,17 @@ object StreamingNearDup {
       // and its shingles would NEVER be backfilled, silently admitting
       // every future near-duplicate of it.
       val admittedSh = sh.join(admittedIds, Seq("id"), "left_semi")
-      val inserted = IdempotentAppend.toParquet(
-        admittedSh, shinglesDir(historyDir), "id")
+      val inserted = timed("append shingles")(IdempotentAppend.toParquet(
+        admittedSh, shinglesDir(historyDir), "id"))
       // band rows are keyed by (id, band) — unique per admitted doc per band
       val admittedKeys = keys.join(admittedIds, Seq("id"), "left_semi")
         .select(concat(col("id"), lit(":"), col("band")).as("__k"),
           col("id"), col("band"), col("key"))
-      IdempotentAppend.toParquet(admittedKeys, bandsDir(historyDir), "__k")
+      timed("append bands")(
+        IdempotentAppend.toParquet(admittedKeys, bandsDir(historyDir), "__k"))
 
-      BatchStats(batchId, batchIds.count(), dupVsHistory.count(),
-        dupInBatch.count(), inserted)
+      timed("stats counts")(BatchStats(batchId, batchIds.count(),
+        dupVsHistory.count(), dupInBatch.count(), inserted))
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 

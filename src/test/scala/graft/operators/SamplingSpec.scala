@@ -99,4 +99,107 @@ class SamplingSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("capPerGroup keeps exactly the hash-smallest N keys of each group") {
+    val rows = (0 until 300).map(i => (s"g${i % 3}", i.toLong))
+    val df = rows.toDF("src", "id")
+    val got = Sampling.capPerGroup(df, "src", col("id"), 7)
+      .as[(String, Long)].collect().toSet
+    // .toSeq first: Map.flatMap over tuple results would rebuild a Map
+    // and collapse each group's picks to one entry
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, members) =>
+      members.sortBy { case (_, id) => (md5hex(id.toString), id) }.take(7)
+    }.toSet
+    assert(got === want)
+    // stability: a different physical layout keeps the SAME rows
+    val again = Sampling.capPerGroup(df.repartition(17), "src", col("id"), 7)
+      .as[(String, Long)].collect().toSet
+    assert(again === got)
+  }
+
+  test("capPerGroup leaves groups under the cap intact and drops null keys") {
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("b", Some(3L))).toDF("src", "id")
+    val got = Sampling.capPerGroup(df, "src", col("id"), 5)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("capPerGroup plans as a WindowGroupLimit (map-side per-group top-k)") {
+    // the rank<=k filter must rewrite to WindowGroupLimit so a hot group
+    // ships ~k rows per map task, not the whole group, through the shuffle
+    val df = Sampling.capPerGroup(
+      spark.range(1000).select((col("id") % 5).cast("string").as("src"),
+        col("id")), "src", col("id"), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("shuffleShard: shards are hash-range buckets and ranks are the within-shard hash order") {
+    val df = spark.range(500).toDF("id")
+    val got = Sampling.shuffleShard(df, col("id"), shards = 8, seed = 42)
+      .select(col("id"), col("shard"), col("shuffle_rank"))
+      .as[(Long, Int, Long)].collect()
+    assert(got.length === 500)
+    val withHash = got.map { case (id, sh, rk) =>
+      (id, sh, rk, md5hex(s"42:$id")) }
+    withHash.foreach { case (id, sh, _, h) =>
+      val bucket = Integer.parseInt(h.take(4), 16)
+      assert(sh === bucket * 8 / 65536, s"id=$id hex4=${h.take(4)}")
+    }
+    // within each shard, rank order == hash order, ranks contiguous from 1
+    withHash.groupBy(_._2).foreach { case (_, members) =>
+      val byRank = members.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1 to members.length).map(_.toLong))
+      assert(byRank.map(_._4).toSeq === members.map(_._4).sorted.toSeq)
+    }
+    // concatenating shards in rank order reproduces the GLOBAL hash order
+    val concat = withHash.sortBy { case (_, sh, rk, _) => (sh, rk) }.map(_._1)
+    val global = withHash.sortBy(_._4).map(_._1)
+    assert(concat.toSeq === global.toSeq,
+      "shard-then-rank order must equal the global hash permutation")
+  }
+
+  test("writeShuffled: one file per shard; in-file row order replays the permutation") {
+    val dir = tmpDir("shuf")
+    val df = spark.range(300).toDF("id")
+    Sampling.writeShuffled(df, col("id"), shards = 4, seed = 9, dir)
+    val want = Sampling.shuffleShard(df, col("id"), shards = 4, seed = 9)
+      .orderBy(col("shard"), col("shuffle_rank"))
+      .select("id").as[Long].collect().toSeq
+    val got = (0 until 4).flatMap { k =>
+      val files = new java.io.File(s"$dir/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $k must be exactly one file")
+      // one small file → one input partition → collect preserves file order
+      val rows = spark.read.parquet(files.head.toString)
+        .select("id", "shuffle_rank").as[(Long, Long)].collect()
+      assert(rows.map(_._2).toSeq === (1 to rows.length).map(_.toLong),
+        s"shard $k file order must be rank order")
+      rows.map(_._1)
+    }
+    assert(got === want, "loader order (shard asc, file order) must equal the permutation")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("shuffleShard: a different seed is a different permutation; same seed is stable") {
+    val df = spark.range(200).toDF("id")
+    def perm(seed: Long, d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShard(d, col("id"), shards = 4, seed = seed)
+        .orderBy(col("shard"), col("shuffle_rank"))
+        .select("id").as[Long].collect().toSeq
+    val p1 = perm(7, df)
+    assert(p1 === perm(7, df.repartition(11)), "layout must not change the order")
+    assert(p1 !== perm(8, df), "a new seed must re-shuffle")
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShard(df, col("id"), shards = 0, seed = 1)
+    }
+  }
 }
