@@ -14,6 +14,7 @@ import graft.operators.{Clusters, NearDup, Packing, Sampling}
   *
   *   scrub PII → exact dedup → near-dup prune (MinHash-LSH) →
   *   quality + language enrichment → quality filter →
+  *   per-source document cap (optional) →
   *   deterministic train/val/test split → sequence packing
   *
   * Stage order is load-bearing: dedup runs on SCRUBBED text (two docs
@@ -47,7 +48,8 @@ object LlmPrep {
       budget: Int = 512,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      consolidateClusters: Boolean = false): DataFrame = {
+      consolidateClusters: Boolean = false,
+      capPerSource: Option[Int] = None): DataFrame = {
     val scrubbed = docs.withColumn(textCol,
       TextAnalysis.scrubPii(col(textCol)))
     val exact = NearDup.exactByContent(scrubbed, textCol, idCol)
@@ -61,7 +63,13 @@ object LlmPrep {
       pruned.withColumn("quality",
         TextAnalysis.qualityScore(col(textCol))), textCol)
     val kept = enriched.filter(col("quality") > minQuality)
-    val split = Sampling.hashSplit(kept, col(idCol), splits)
+    // domain cap runs on the deduped, quality-filtered corpus — the cap
+    // should spend its budget on documents that made the cut
+    val capped = capPerSource match {
+      case Some(n) => Sampling.capPerGroup(kept, shardCol, col(idCol), n)
+      case None => kept
+    }
+    val split = Sampling.hashSplit(capped, col(idCol), splits)
     Packing.packBySize(
       split.withColumn("n_toks", TextAnalysis.tokenCount(col(textCol))),
       Seq(shardCol, "split"), idCol, col("n_toks"), budget)

@@ -143,9 +143,11 @@ object Sampling {
     require(shards > 0 && shards <= 65536, s"shards $shards outside [1, 65536]")
     val h = md5(concat_ws(":", lit(seed.toString), key.cast("string"))
       .cast("binary"))
-    // conv() parses the 4 hex chars to 0..65535; the double multiply is
-    // exact at these magnitudes (< 2^26) so the floor is a true int div
-    val bucket = conv(substring(h, 1, 4), 16, 10).cast("int")
+    // conv() parses the 4 hex chars to 0..65535; long product (int×int
+    // would overflow past shards=32768 — an ANSI runtime error), and the
+    // double division is exact at these magnitudes (< 2^33) so the floor
+    // is a true integer division
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long")
     val shard = floor(bucket * lit(shards) / lit(65536.0)).cast("int")
     val w = Window.partitionBy(col("shard")).orderBy(col("__graft_h"), key)
     df.filter(key.isNotNull)

@@ -380,11 +380,13 @@ object LlmPipeline {
     // -------------------------------------- composed end-to-end pipeline
     "q_lp_training_prep" -> ((s, dir) =>
       // the FULL prep chain (scrub → exact dedup → near-dup prune →
-      // quality filter → split → pack) against an oracle that recomputes
-      // every stage exhaustively — the flagship composition check. LSH
-      // parity holds because the 0.8 threshold sits in the banding
-      // family's certain-recall band (same argument as q_d2).
-      graft.LlmPrep.run(t(s, dir, "documents"))
+      // quality filter → per-source cap → split → pack) against an oracle
+      // that recomputes every stage exhaustively — the flagship
+      // composition check. LSH parity holds because the 0.8 threshold
+      // sits in the banding family's certain-recall band (same argument
+      // as q_d2). The cap (15/source) BITES at the sf0.01 gate, so the
+      // oracle checks the stage, not a no-op.
+      graft.LlmPrep.run(t(s, dir, "documents"), capPerSource = Some(15))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
@@ -842,6 +844,10 @@ object LlmPipeline {
           kept AS (SELECT * FROM e
                    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
                      AND $quality > 0.7),
+          cap AS (SELECT doc_id, source, text FROM (
+                   SELECT kept.*, ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                   FROM kept) WHERE rk <= 15),
           sp AS (SELECT doc_id, source,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
                           THEN 'train'
@@ -849,7 +855,7 @@ object LlmPipeline {
                           THEN 'val'
                         ELSE 'test' END AS split,
                    len($duckToks) AS n_toks
-                 FROM kept),
+                 FROM cap),
           pk AS (SELECT source, split, n_toks,
                    CAST(FLOOR((SUM(n_toks) OVER (PARTITION BY source, split
                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks)

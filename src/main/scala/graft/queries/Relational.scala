@@ -284,6 +284,24 @@ object Relational {
         .select(col("r_regionkey"), col("r_name"))
         .orderBy(col("r_regionkey"))
     }),
+    "q_s9_jsonl" -> ((s, dir) => {
+      // JSONL round-trip — the interchange format LLM corpora actually
+      // ship in. Write the documents table as newline-delimited JSON,
+      // read it back with an explicit schema (schema inference is a
+      // second full scan — never at 100 TB), and prove content fidelity
+      // via per-language md5-distinct counts against the parquet original.
+      // fixed path + overwrite (not UUID-per-run): a repeat-run bench
+      // would otherwise leak one staged corpus copy per invocation
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s9_staged"
+      t(s, dir, "documents").write.mode("overwrite").json(tmp)
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text").cast("binary"))).as("u_texts"))
+        .orderBy(col("lang"))
+    }),
     "q_s7_empty_shortcircuit" -> ((s, dir) => {
       // S7: empty-input short-circuit (save_to_raw_customers_py.py:15-17):
       // appending an empty batch inserts 0 and never creates the sink.
@@ -489,6 +507,10 @@ object Relational {
          FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'""",
     "q_s4_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_s9_jsonl" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                COUNT(DISTINCT md5(text)) AS u_texts
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_s7_empty_shortcircuit" ->
       "SELECT CAST(0 AS BIGINT) AS inserted, false AS sink_created",
     "q_qr_quality_report" ->

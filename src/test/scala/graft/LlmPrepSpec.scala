@@ -73,6 +73,19 @@ class LlmPrepSpec extends SparkSpec {
     NearDup.releaseMaterialized()
   }
 
+  test("capPerSource bounds every source and agrees with the standalone cap") {
+    val capped = LlmPrep.run(docs, capPerSource = Some(3))
+    val counts = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 <= 3))
+    // same survivors as applying the standalone operator to the uncapped
+    // pipeline's corpus (the cap stage sits after the quality filter and
+    // must pick from exactly that set)
+    val manual = graft.operators.Sampling.capPerGroup(
+      prepped.select("doc_id", "source"), "source", col("doc_id"), 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped.select("doc_id").as[Long].collect().toSet === manual)
+  }
+
   test("pipeline is deterministic: identical assignment on a reshuffled input") {
     val again = LlmPrep.run(docs.repartition(7))
       .select(col("doc_id"), col("split"), col("pack_id"))

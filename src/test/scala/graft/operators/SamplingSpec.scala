@@ -201,5 +201,10 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.shuffleShard(df, col("id"), shards = 0, seed = 1)
     }
+    // boundary shard count: bucket*shards must not overflow int (ANSI
+    // would throw); every shard id stays inside [0, shards)
+    val bounds = Sampling.shuffleShard(df, col("id"), shards = 65536, seed = 1)
+      .agg(min(col("shard")), max(col("shard"))).as[(Int, Int)].head()
+    assert(bounds._1 >= 0 && bounds._2 < 65536)
   }
 }
