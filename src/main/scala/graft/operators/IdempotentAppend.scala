@@ -45,8 +45,12 @@ object IdempotentAppend {
     * rows whose `key` is not already present. Returns rows inserted.
     * Probe scans the whole sink key column — fine for small/medium sinks;
     * use [[toBucketedParquet]] when the sink outgrows its batches. */
-  def toParquet(batch: DataFrame, sinkPath: String, key: String): Long = {
-    if (batch.isEmpty) return 0L // S7: cheap limit(1) short-circuit
+  def toParquet(batch: DataFrame, sinkPath: String, key: String,
+      assumeNonEmpty: Boolean = false): Long = {
+    // S7: cheap limit(1) short-circuit. `assumeNonEmpty` skips the probe
+    // JOB when the caller has already counted the batch (a multi-append
+    // protocol otherwise pays one extra full-plan job per sink).
+    if (!assumeNonEmpty && batch.isEmpty) return 0L
     val spark = batch.sparkSession
     val deduped = prepare(batch, key)
     val fs = new Path(sinkPath).getFileSystem(

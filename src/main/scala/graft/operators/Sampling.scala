@@ -109,7 +109,13 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, key: Column,
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup $maxPerGroup must be positive")
-    val ord = md5(key.cast("string").cast("binary"))
+    // Domain-separated hash ("cap:" prefix): the cap must NOT rank by the
+    // same md5(key) that hexBucket buckets by, or the kept subset is
+    // exactly the low-bucket rows and every downstream hash stage is
+    // maximally biased — measured: cap-then-hashSplit yielded a 297/3/0
+    // "80/10/10" split because the cap had already selected the
+    // smallest-hash docs, which are precisely the train bucket.
+    val ord = md5(concat(lit("cap:"), key.cast("string")).cast("binary"))
     // secondary sort on the key itself: md5 ties are cryptographically
     // implausible but the determinism contract shouldn't rest on that
     val w = Window.partitionBy(col(groupCol)).orderBy(ord, key)

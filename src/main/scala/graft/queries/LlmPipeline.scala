@@ -734,9 +734,11 @@ object LlmPipeline {
                 CAST(SUM(doc_id * rk) AS BIGINT) AS perm_sum
          FROM r GROUP BY shard ORDER BY shard""",
     "q_e6_source_cap" ->
+      // 'cap:' domain prefix — decorrelates the cap's ranking hash from
+      // hexBucket's split/sample hash (same constant the engine uses)
       """WITH r AS (SELECT source, doc_id,
               ROW_NUMBER() OVER (PARTITION BY source
-                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
             FROM documents)
          SELECT source, COUNT(*) AS n_kept,
                 CAST(SUM(doc_id) AS BIGINT) AS kept_sum,
@@ -846,7 +848,7 @@ object LlmPipeline {
                      AND $quality > 0.7),
           cap AS (SELECT doc_id, source, text FROM (
                    SELECT kept.*, ROW_NUMBER() OVER (PARTITION BY source
-                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                     ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
                    FROM kept) WHERE rk <= 15),
           sp AS (SELECT doc_id, source,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'

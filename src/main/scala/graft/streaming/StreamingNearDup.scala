@@ -152,10 +152,19 @@ object StreamingNearDup {
           .join(dupVsHistory, Seq("id"), "left_anti"))
 
       // cached: both appends below re-derive their input from this set
-      // across several actions each (empty-probe, count, write)
+      // across several actions each (count, write)
       val admittedIds = cache(batchIds
         .join(dupVsHistory, Seq("id"), "left_anti")
         .join(dupInBatch, Seq("id"), "left_anti"))
+
+      // counts FIRST: |admitted| = in − dupHist − dupBatch (the three
+      // sets partition the batch), so the appends below can skip their
+      // per-sink empty-probe jobs — and be skipped entirely on a replay
+      // that admits nothing. At toy scale this protocol is action-count
+      // bound; every saved job is real wall time.
+      val (nIn, nDupHist, nDupBatch) = timed("stats counts")(
+        (batchIds.count(), dupVsHistory.count(), dupInBatch.count()))
+      val nAdmitted = nIn - nDupHist - nDupBatch
 
       // idempotent history append (J3): a replayed batch re-derives the
       // same ids, which already exist → inserts 0. SHINGLES are written
@@ -166,18 +175,21 @@ object StreamingNearDup {
       // such a doc self-collides on replay, is classified history-dup,
       // and its shingles would NEVER be backfilled, silently admitting
       // every future near-duplicate of it.
-      val admittedSh = sh.join(admittedIds, Seq("id"), "left_semi")
-      val inserted = timed("append shingles")(IdempotentAppend.toParquet(
-        admittedSh, shinglesDir(historyDir), "id"))
-      // band rows are keyed by (id, band) — unique per admitted doc per band
-      val admittedKeys = keys.join(admittedIds, Seq("id"), "left_semi")
-        .select(concat(col("id"), lit(":"), col("band")).as("__k"),
-          col("id"), col("band"), col("key"))
-      timed("append bands")(
-        IdempotentAppend.toParquet(admittedKeys, bandsDir(historyDir), "__k"))
+      val inserted = if (nAdmitted == 0L) 0L else {
+        val admittedSh = sh.join(admittedIds, Seq("id"), "left_semi")
+        val ins = timed("append shingles")(IdempotentAppend.toParquet(
+          admittedSh, shinglesDir(historyDir), "id", assumeNonEmpty = true))
+        // band rows are keyed by (id, band) — unique per admitted doc per band
+        val admittedKeys = keys.join(admittedIds, Seq("id"), "left_semi")
+          .select(concat(col("id"), lit(":"), col("band")).as("__k"),
+            col("id"), col("band"), col("key"))
+        timed("append bands")(IdempotentAppend.toParquet(
+          admittedKeys, bandsDir(historyDir), "__k", assumeNonEmpty = true))
+        ins
+      }
 
-      timed("stats counts")(BatchStats(batchId, batchIds.count(),
-        dupVsHistory.count(), dupInBatch.count(), inserted))
+      confirmed.unpersist(blocking = false) // checkpoint blocks, no reuse
+      BatchStats(batchId, nIn, nDupHist, nDupBatch, inserted)
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 

@@ -113,7 +113,7 @@ class SamplingSpec extends SparkSpec {
     // .toSeq first: Map.flatMap over tuple results would rebuild a Map
     // and collapse each group's picks to one entry
     val want = rows.groupBy(_._1).toSeq.flatMap { case (_, members) =>
-      members.sortBy { case (_, id) => (md5hex(id.toString), id) }.take(7)
+      members.sortBy { case (_, id) => (md5hex(s"cap:$id"), id) }.take(7)
     }.toSet
     assert(got === want)
     // stability: a different physical layout keeps the SAME rows
@@ -128,6 +128,20 @@ class SamplingSpec extends SparkSpec {
     val got = Sampling.capPerGroup(df, "src", col("id"), 5)
       .select("id").as[Long].collect().toSet
     assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("capPerGroup composes with hashSplit without bias (domain-separated hashes)") {
+    // REGRESSION: when the cap ranked by the same md5(key) hexBucket uses,
+    // the kept subset was exactly the low-bucket rows and an 80/10/10
+    // split of the capped set came out ~99/1/0
+    val capped = Sampling.capPerGroup(
+      spark.range(5000).select(lit("g").as("src"), col("id")),
+      "src", col("id"), 1000)
+    val counts = Sampling.hashSplit(capped, col("id"), splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts.getOrElse("train", 0L) / 1000.0 - 0.8) < 0.05)
+    assert(math.abs(counts.getOrElse("val", 0L) / 1000.0 - 0.1) < 0.04)
+    assert(math.abs(counts.getOrElse("test", 0L) / 1000.0 - 0.1) < 0.04)
   }
 
   test("capPerGroup plans as a WindowGroupLimit (map-side per-group top-k)") {
