@@ -133,7 +133,8 @@ object Bench {
     // J3 protocol writes the sink twice; S4 writes+reads a CSV copy) —
     // flagged so the analytic per-query numbers aren't read as query cost.
     System.err.println("[bench] io_bound=q_j3_idempotent_append,q_s4_csv," +
-      s"q_s7_empty_shortcircuit,q_d6_delta_neardup repeat=$repeat")
+      "q_s7_empty_shortcircuit,q_d6_delta_neardup,q_s9_jsonl,q_s10_orc " +
+      s"repeat=$repeat")
     // Separate subtotals (VERDICT r2 #8): the reference-surface relational
     // battery vs the LLM-extension battery, so one heavy extension query
     // can't read as "engine slow" in the headline number.

@@ -25,6 +25,32 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Token-window passage chunks — the chunking step of embedding/RAG
+    * prep: the token stream cut into windows of `chunkTokens`, one window
+    * starting every `stride` tokens (stride < chunkTokens ⇒ overlapping
+    * passages; stride == chunkTokens ⇒ tumbling). Returns an array of
+    * chunk STRINGS (tokens re-joined with single spaces) — empty for an
+    * empty document. Window starts stop once a window has reached the
+    * document's end (upper bound len − chunk + stride), so the final,
+    * possibly short window is the ONLY tail — naive starts-to-the-end
+    * would emit trailing chunks that are strict sub-spans of the previous
+    * one (duplicate passages in the downstream embedding index); every
+    * token is still covered because the last start is ≥ len − chunk + 1.
+    *
+    * Pure Catalyst composition (sequence → transform → slice →
+    * array_join): codegen'd, per-row, no shuffle — chunking 100 TB is a
+    * narrow projection; the downstream explode is where rows multiply. */
+  def tokenChunks(c: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens $chunkTokens and stride $stride must be positive")
+    val toks = tokens(c)
+    val lastStart = greatest(size(toks) - chunkTokens + stride, lit(1))
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), lastStart, lit(stride)),
+        s => array_join(slice(toks, s, lit(chunkTokens)), " ")))
+  }
+
   /** BPE-ish token estimate without a vocab: count word pieces after
     * splitting on whitespace AND between letter/digit/punct boundaries —
     * the usual cheap stand-in for a real tokenizer's token count. */

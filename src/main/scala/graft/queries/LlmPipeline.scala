@@ -300,6 +300,17 @@ object LlmPipeline {
       // engines — `round` half-even/half-up semantics differ)
       Similarity.quantizeProfile(t(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
+    "q_t12_chunking" -> ((s, dir) =>
+      // token-window passage chunking (embedding/RAG prep): 64-token
+      // windows starting every 48 tokens (overlapping); md5 pins each
+      // chunk's exact text, posexplode pins the order
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokenChunks(col("text"), 64, 48)))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          size(TextAnalysis.tokens(col("col"))).as("n_toks"),
+          md5(col("col").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "q_t8_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals: most-common-word share and the
       // share of tokens whose word occurs 2+ times — the boilerplate /
@@ -719,6 +730,21 @@ object LlmPipeline {
                   END)
          SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
          FROM k GROUP BY source ORDER BY source""",
+    "q_t12_chunking" ->
+      // toks[s : s+63] is INCLUSIVE list slicing (64 tokens), clamped at
+      // the tail like Spark's slice; (s-1)//48 = the 0-based chunk index;
+      // starts stop at len-64+48 (same rule as the engine: no start once
+      // a window has reached the end — the final window is the only tail)
+      s"""WITH d AS (SELECT doc_id, $duckToks AS toks
+            FROM documents WHERE doc_id < 50),
+          st AS (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 64 + 48, 1) + 1, 48)) AS s
+                 FROM d WHERE len(toks) > 0),
+          c AS (SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+                  toks[s:s+63] AS ch FROM st)
+         SELECT doc_id, chunk_idx, CAST(len(ch) AS INT) AS n_toks,
+                md5(array_to_string(ch, ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
     "q_e5_shuffle_shard" ->
       // shard = range-bucket of the first 16 hash bits: ('0x'||hex)::INT
       // here, conv(hex,16,10) engine-side — same integer, same floor

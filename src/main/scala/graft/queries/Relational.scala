@@ -28,6 +28,26 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** S4 extension: format round-trip fidelity (q_s9 JSONL / q_s10 ORC) —
+    * stage the documents table in `fmt`, read it back with an EXPLICIT
+    * schema (inference is a second full scan — never at 100 TB), prove
+    * content fidelity via per-language md5-distinct counts against the
+    * parquet original. Fixed staging path + overwrite (not UUID-per-run):
+    * a repeat-run bench would otherwise leak one staged copy per
+    * invocation (ADVICE r3 on q_f2x). */
+  private def formatRoundTrip(s: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_staged"
+    t(s, dir, "documents").write.mode("overwrite").format(fmt).save(tmp)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .format(fmt).load(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text").cast("binary"))).as("u_texts"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ------------------------------------------------------- projections
     "q_p1_envelope" -> ((s, dir) => {
@@ -284,24 +304,8 @@ object Relational {
         .select(col("r_regionkey"), col("r_name"))
         .orderBy(col("r_regionkey"))
     }),
-    "q_s9_jsonl" -> ((s, dir) => {
-      // JSONL round-trip — the interchange format LLM corpora actually
-      // ship in. Write the documents table as newline-delimited JSON,
-      // read it back with an explicit schema (schema inference is a
-      // second full scan — never at 100 TB), and prove content fidelity
-      // via per-language md5-distinct counts against the parquet original.
-      // fixed path + overwrite (not UUID-per-run): a repeat-run bench
-      // would otherwise leak one staged corpus copy per invocation
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s9_staged"
-      t(s, dir, "documents").write.mode("overwrite").json(tmp)
-      s.read
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .json(tmp)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
-          countDistinct(md5(col("text").cast("binary"))).as("u_texts"))
-        .orderBy(col("lang"))
-    }),
+    "q_s9_jsonl" -> ((s, dir) => formatRoundTrip(s, dir, "json")),
+    "q_s10_orc" -> ((s, dir) => formatRoundTrip(s, dir, "orc")),
     "q_s7_empty_shortcircuit" -> ((s, dir) => {
       // S7: empty-input short-circuit (save_to_raw_customers_py.py:15-17):
       // appending an empty batch inserts 0 and never creates the sink.
@@ -375,6 +379,14 @@ object Relational {
         round(sum(col("v")), 2).as("total"))
     })
   )
+
+  /** One fidelity contract for both staged-format round-trips: the
+    * expected values come from the parquet ORIGINAL, so any loss in the
+    * staged copy (encoding, nulls, schema drift) breaks the hash. */
+  private val fidelityOracle =
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              COUNT(DISTINCT md5(text)) AS u_texts
+       FROM documents GROUP BY lang ORDER BY lang"""
 
   val oracles: Map[String, String] = Map(
     "q_p1_envelope" ->
@@ -507,10 +519,8 @@ object Relational {
          FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'""",
     "q_s4_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
-    "q_s9_jsonl" ->
-      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-                COUNT(DISTINCT md5(text)) AS u_texts
-         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_s9_jsonl" -> fidelityOracle,
+    "q_s10_orc" -> fidelityOracle,
     "q_s7_empty_shortcircuit" ->
       "SELECT CAST(0 AS BIGINT) AS inserted, false AS sink_created",
     "q_qr_quality_report" ->

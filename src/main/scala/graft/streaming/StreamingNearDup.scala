@@ -68,6 +68,7 @@ object StreamingNearDup {
     val spark = batch.sparkSession
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { cached += df; df.persist() }
+    var checkpointed: Option[DataFrame] = None
     try {
       val sh = cache(NearDup.hashedShingles(batch, idCol, textCol, shingleLen))
       timed("shingle+cache")(sh.count()) // fill the shared cache before branches race on it
@@ -132,6 +133,7 @@ object StreamingNearDup {
         else sh.unionAll(spark.read.parquet(shinglesDir(historyDir)))
       val confirmed = timed("confirm+checkpoint")(
         NearDup.confirmJaccard(cand, allSh, threshold).localCheckpoint())
+      checkpointed = Some(confirmed)
 
       val batchIds = sh.select(col("id"))
       val batchIdsA = batchIds.withColumnRenamed("id", "id_a")
@@ -161,7 +163,10 @@ object StreamingNearDup {
       // sets partition the batch), so the appends below can skip their
       // per-sink empty-probe jobs — and be skipped entirely on a replay
       // that admits nothing. At toy scale this protocol is action-count
-      // bound; every saved job is real wall time.
+      // bound; every saved job is real wall time. If a batch carries
+      // duplicate ids, nIn over-counts and nAdmitted only OVER-estimates
+      // (nIn ≥ distinct ≥ dupHist + dupBatch + |admitted|), so the skip
+      // stays conservative: nAdmitted == 0 still implies admitted = ∅.
       val (nIn, nDupHist, nDupBatch) = timed("stats counts")(
         (batchIds.count(), dupVsHistory.count(), dupInBatch.count()))
       val nAdmitted = nIn - nDupHist - nDupBatch
@@ -188,9 +193,21 @@ object StreamingNearDup {
         ins
       }
 
-      confirmed.unpersist(blocking = false) // checkpoint blocks, no reuse
       BatchStats(batchId, nIn, nDupHist, nDupBatch, inserted)
-    } finally cached.foreach(_.unpersist(blocking = false))
+    } finally {
+      cached.foreach(_.unpersist(blocking = false))
+      // Dataset.unpersist is a NO-OP for localCheckpoint storage (it goes
+      // through the CacheManager, which never saw the checkpoint RDD) —
+      // release the LogicalRDD's blocks directly, or a long-running
+      // dedupSink stream accumulates one checkpoint per micro-batch
+      // until driver GC happens to collect it.
+      checkpointed.foreach { df =>
+        try df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
   }
 
   /** Streaming writer: every micro-batch flows through [[dedupBatch]];

@@ -14,6 +14,23 @@ class TextNearDupSpec extends SparkSpec {
     assert(counts.toSeq == Seq(3, 1, 0, 0))
   }
 
+  test("tokenChunks: stride windows, short tail, empty-doc guard") {
+    val df = Seq("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "only three words", "")
+      .toDF("t")
+    val got = df.select(TextAnalysis.tokenChunks(col("t"), 4, 3))
+      .as[Seq[String]].collect()
+    // no start past len-chunk+stride: the "w10"-only chunk a naive
+    // starts-to-the-end scheme would emit is a strict sub-span of the
+    // previous window — a duplicate passage downstream
+    assert(got(0) === Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(got(1) === Seq("only three words"))
+    assert(got(2) === Seq.empty)
+    // tumbling (stride == chunk): partition, no overlap, nothing dropped
+    val tumb = df.limit(1).select(TextAnalysis.tokenChunks(col("t"), 4, 4))
+      .as[Seq[String]].head()
+    assert(tumb === Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+  }
+
   test("wordShingles: ordered n-grams, distinct, short-doc guard") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextAnalysis.wordShingles(col("t"), 3)).as[Seq[String]].head()
