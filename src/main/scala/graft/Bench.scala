@@ -120,11 +120,17 @@ object Bench {
     // round 3's bench went unparsed that way (BENCH_r03.json "parsed":
     // null: 3-decimal timings + io_bound/repeat keys pushed 67 queries to
     // 2030 chars). 2 decimals is still 5-50× below run-to-run variance;
-    // io_bound/repeat live on stderr now; the errors map is emitted only
-    // when non-empty (n_err is always present). 69 queries ≈ 1.85 KB.
-    def fmtAt(scale: Int)(v: Double): String =
-      java.math.BigDecimal.valueOf(v)
-        .setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+    // io_bound/repeat live on stderr now; errors/n_err are emitted only
+    // when a query failed. 77 queries ≈ 1.9 KB at 2 decimals; the
+    // line(scale) fallback below degrades precision before overflow.
+    // trailing zeros stripped ("0.50"→"0.5") — worth ~50 bytes across the
+    // battery, which is real headroom against the 2000-char tail window
+    def fmtAt(scale: Int)(v: Double): String = {
+      val d = java.math.BigDecimal.valueOf(v)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros()
+      d.toPlainString
+    }
     def fmt(v: Double): String = fmtAt(2)(v)
     val es = jm(errors.map { case (k, v) =>
       k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
@@ -141,10 +147,13 @@ object Bench {
     val llmNames = graft.queries.LlmPipeline.queries.keySet
     val subLlm = results.collect { case (n, s) if llmNames(n) => s }.sum
     val subRel = total - subLlm
-    val errField = if (errors.isEmpty) "" else s""""errors":$es,"""
+    // n_err appears only when nonzero — absence means a clean run
+    val errField =
+      if (errors.isEmpty) ""
+      else s""""errors":$es,"n_err":${errors.size},"""
     def line(scale: Int): String = {
       val qs = jm(results.map { case (k, v) => k -> fmtAt(scale)(v) })
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errField"n_err":${errors.size},"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errField"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfDir"}"""
     }
     // The driver keeps only the LAST 2000 chars of stdout; a line past
     // that loses its HEAD and the whole bench goes unparsed (the r3

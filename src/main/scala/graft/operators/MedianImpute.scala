@@ -44,6 +44,24 @@ object MedianImpute {
     if (n == 0) None else Some(selectRank(vals, n / 2, n))
   }
 
+  /** Exact p-quantile: the value at 0-based rank `floor(p * (n-1))` of
+    * the sorted non-null values (p=0 → min, p=1 → max, p=0.5 → lower
+    * median). The threshold-selection primitive of a quality pipeline
+    * ("keep the top 10% by score" = filter ≥ exactQuantile(0.9)) — exact
+    * and deterministic where `approxQuantile` is neither, sharing the
+    * same distributed rank-select as the median (no global sort, no
+    * data-sized collect; see the class scaladoc for the bracket/recurse
+    * scheme and its depth bound). */
+  def exactQuantile(df: DataFrame, column: String,
+      p: Double): Option[Double] = {
+    require(p >= 0.0 && p <= 1.0, s"quantile $p outside [0,1]")
+    val vals = df.select(col(column).try_cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val n = vals.count()
+    if (n == 0) None
+    else Some(selectRank(vals, math.floor(p * (n - 1)).toLong, n))
+  }
+
   /** Exact value at 0-based rank k (0 <= k < n) of `vals` sorted ascending.
     * `vals` must be a single non-null double column named "v".
     * `maxWindowRows` is the tiny-slice cutoff — overridable so tests can

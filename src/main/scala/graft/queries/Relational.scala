@@ -205,6 +205,18 @@ object Relational {
         m.map(lit(_)).getOrElse(lit(null).cast("double")).as("median_acctbal"))
     }),
 
+    "q_a9_exact_quantile" -> ((s, dir) => {
+      // exact p50/p90/p99 (rank floor(p*(n-1))) via the distributed
+      // rank-select — the quality-threshold primitive; approx_quantile
+      // could not be oracle-checked
+      val li = t(s, dir, "lineitem")
+      val qs = Seq(0.5, 0.9, 0.99).map(p =>
+        MedianImpute.exactQuantile(li, "l_extendedprice", p)
+          .map(lit(_)).getOrElse(lit(null).cast("double")))
+      s.range(1).select(
+        qs(0).as("p50"), qs(1).as("p90"), qs(2).as("p99"))
+    }),
+
     // ------------------------------------- set ops / sort / limit / window
     "q_k1_salted_agg" -> ((s, dir) =>
       // L18 skew mitigation as an ORACLE-CHECKED query (was spec-only):
@@ -470,6 +482,17 @@ object Relational {
                   COUNT(*) OVER () AS n
            FROM customer WHERE c_acctbal IS NOT NULL)
          WHERE rn = n // 2""",
+    "q_a9_exact_quantile" ->
+      // value at rank floor(p*(n-1)); tie order is irrelevant to the
+      // VALUE at a rank (same sorted multiset either way)
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS rk,
+                  COUNT(*) OVER () AS n FROM v)
+         SELECT MAX(CASE WHEN rk = CAST(FLOOR(0.5  * (n - 1)) AS BIGINT) THEN x END) AS p50,
+                MAX(CASE WHEN rk = CAST(FLOOR(0.9  * (n - 1)) AS BIGINT) THEN x END) AS p90,
+                MAX(CASE WHEN rk = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) THEN x END) AS p99
+         FROM r""",
     "q_k1_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -47,6 +47,22 @@ class MedianImputeSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantile: floor(p*(n-1)) rank on sorted values, endpoints included") {
+    val rnd = new scala.util.Random(7)
+    val xs = List.fill(501)(rnd.nextDouble() * 1e4)
+    val sorted = xs.sorted
+    val df = xs.toDF("x")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+      val want = sorted(math.floor(p * (xs.size - 1)).toInt)
+      assert(MedianImpute.exactQuantile(df, "x", p).contains(want), s"p=$p")
+    }
+    assert(MedianImpute.exactQuantile(
+      Seq.empty[Double].toDF("x"), "x", 0.5).isEmpty)
+    intercept[IllegalArgumentException] {
+      MedianImpute.exactQuantile(df, "x", 1.5)
+    }
+  }
+
   test("distributed rank-select path (forced tiny window cutoff) is exact") {
     // maxWindowRows=10 forces the approxQuantile bracket + recursion path
     // that production only hits beyond 4M rows.
