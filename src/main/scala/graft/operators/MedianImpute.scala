@@ -53,13 +53,33 @@ object MedianImpute {
     * data-sized collect; see the class scaladoc for the bracket/recurse
     * scheme and its depth bound). */
   def exactQuantile(df: DataFrame, column: String,
-      p: Double): Option[Double] = {
-    require(p >= 0.0 && p <= 1.0, s"quantile $p outside [0,1]")
+      p: Double): Option[Double] =
+    exactQuantiles(df, column, Seq(p)).head
+
+  /** Several exact quantiles in one pass: below the window cutoff, ONE
+    * row_number sort serves every requested rank (vs one sort per p);
+    * above it, each rank runs its own bracket/recurse selection (brackets
+    * differ per p, and the recursion touches ≈2·eps·n rows, so sharing
+    * buys little there). */
+  def exactQuantiles(df: DataFrame, column: String,
+      ps: Seq[Double]): Seq[Option[Double]] = {
+    ps.foreach(p =>
+      require(p >= 0.0 && p <= 1.0, s"quantile $p outside [0,1]"))
+    if (ps.isEmpty) return Seq.empty
     val vals = df.select(col(column).try_cast("double").as("v"))
       .filter(col("v").isNotNull)
     val n = vals.count()
-    if (n == 0) None
-    else Some(selectRank(vals, math.floor(p * (n - 1)).toLong, n))
+    if (n == 0) return ps.map(_ => None)
+    val ks = ps.map(p => math.floor(p * (n - 1)).toLong)
+    if (n <= MaxWindowRows) {
+      val wanted = ks.distinct.map(_ + 1)
+      val byRank = vals
+        .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+        .filter(col("rn").isInCollection(wanted))
+        .select(col("rn"), col("v")).collect()
+        .map(r => r.getInt(0).toLong -> r.getDouble(1)).toMap
+      ks.map(k => Some(byRank(k + 1)))
+    } else ks.map(k => Some(selectRank(vals, k, n)))
   }
 
   /** Exact value at 0-based rank k (0 <= k < n) of `vals` sorted ascending.

@@ -210,9 +210,9 @@ object Relational {
       // rank-select — the quality-threshold primitive; approx_quantile
       // could not be oracle-checked
       val li = t(s, dir, "lineitem")
-      val qs = Seq(0.5, 0.9, 0.99).map(p =>
-        MedianImpute.exactQuantile(li, "l_extendedprice", p)
-          .map(lit(_)).getOrElse(lit(null).cast("double")))
+      val qs = MedianImpute
+        .exactQuantiles(li, "l_extendedprice", Seq(0.5, 0.9, 0.99))
+        .map(_.map(lit(_)).getOrElse(lit(null).cast("double")))
       s.range(1).select(
         qs(0).as("p50"), qs(1).as("p90"), qs(2).as("p99"))
     }),

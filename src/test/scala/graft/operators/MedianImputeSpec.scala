@@ -61,6 +61,11 @@ class MedianImputeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MedianImpute.exactQuantile(df, "x", 1.5)
     }
+    // batched = one sort pass; must agree with the singles (dup ps too)
+    val batched = MedianImpute.exactQuantiles(df, "x",
+      Seq(0.5, 0.9, 0.99, 0.5))
+    assert(batched === Seq(0.5, 0.9, 0.99, 0.5).map(p =>
+      Some(sorted(math.floor(p * (xs.size - 1)).toInt))))
   }
 
   test("distributed rank-select path (forced tiny window cutoff) is exact") {
