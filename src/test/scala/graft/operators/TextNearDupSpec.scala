@@ -31,6 +31,28 @@ class TextNearDupSpec extends SparkSpec {
     assert(tumb === Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
   }
 
+  test("property: tokenChunks matches reference windows; full coverage iff stride <= chunk (seeded)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 15) {
+      val n = rnd.nextInt(60) + 1
+      val chunk = rnd.nextInt(10) + 1
+      val stride = rnd.nextInt(10) + 1
+      val words = (1 to n).map(i => s"t$i")
+      val got = Seq(words.mkString(" ")).toDF("t")
+        .select(TextAnalysis.tokenChunks(col("t"), chunk, stride))
+        .as[Seq[String]].head()
+      val starts = 1 to math.max(n - chunk + stride, 1) by stride
+      val want = starts.map(s => words.slice(s - 1, s - 1 + chunk).mkString(" "))
+      assert(got === want, s"trial $trial n=$n chunk=$chunk stride=$stride")
+      // stride <= chunk ⇒ windows tile with overlap: every token appears;
+      // stride > chunk skips tokens BY DESIGN (subsampled windows)
+      if (stride <= chunk) {
+        val covered = starts.flatMap(s => s until math.min(s + chunk, n + 1)).toSet
+        assert(covered === (1 to n).toSet, s"trial $trial coverage")
+      }
+    }
+  }
+
   test("wordShingles: ordered n-grams, distinct, short-doc guard") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextAnalysis.wordShingles(col("t"), 3)).as[Seq[String]].head()
