@@ -155,6 +155,21 @@ object Relational {
       IdempotentAppend.toParquet(batch, sink, "id") // idempotent re-run
       s.read.parquet(sink).select(col("id")).orderBy(col("id"))
     }),
+    "q_j5_asof_join" -> ((s, dir) => {
+      // point-in-time enrichment: each 'view' event sees the latest
+      // prior-or-equal 'purchase' of the same user — the feature-store
+      // join ("no future leakage"); union+window, never a pair blowup
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOf.joinPriorOrEqual(views, purchases, Seq("user_id"), "ts", "ts",
+          tieBreak = "purchase_id")
+        .select(col("event_id"), col("purchase_id"), col("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
     "q_j4_join_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       // dim side: let AQE pick broadcast from runtime stats — a forced
@@ -482,6 +497,21 @@ object Relational {
                   COUNT(*) OVER () AS n
            FROM customer WHERE c_acctbal IS NOT NULL)
          WHERE rn = n // 2""",
+    "q_j5_asof_join" ->
+      // exhaustive formulation: all (view, prior purchase) pairs ranked
+      // newest-first with the same tie rule (largest purchase_id wins);
+      // raw doubles ride through untouched so no rounding is needed
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'view'),
+          p AS (SELECT event_id AS purchase_id, user_id, ts AS pts, value
+            FROM events WHERE event_type = 'purchase'),
+          j AS (SELECT v.event_id, p.purchase_id, p.value,
+                  ROW_NUMBER() OVER (PARTITION BY v.event_id
+                    ORDER BY p.pts DESC, p.purchase_id DESC) AS rn
+                FROM v JOIN p ON v.user_id = p.user_id AND p.pts <= v.ts)
+         SELECT v.event_id, j.purchase_id, j.value AS purchase_value
+         FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+         ORDER BY event_id""",
     "q_a9_exact_quantile" ->
       // value at rank floor(p*(n-1)); tie order is irrelevant to the
       // VALUE at a rank (same sorted multiset either way)

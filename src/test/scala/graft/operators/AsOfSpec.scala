@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, "a"), (1L, 5L, "b"), (1L, 4L, "c"), (2L, 7L, "d"))
+    .toDF("k", "ts", "lid")
+  private def right = Seq(
+    (1L, 5L, 100L, 1.0), (1L, 5L, 101L, 2.0), (1L, 9L, 102L, 3.0),
+    (3L, 1L, 103L, 9.0))
+    .toDF("k", "rts", "rid", "v")
+
+  test("latest prior-or-equal payload; equal-ts ties take the largest tieBreak; no match -> nulls") {
+    val got = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts", "rid")
+      .select("lid", "rid", "v").as[(String, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a", Some(102L), Some(3.0)), // ts=10 sees the ts=9 row
+      ("b", Some(101L), Some(2.0)), // equal ts visible; tie -> larger rid
+      ("c", None, None),            // ts=4 predates every right row
+      ("d", None, None)))           // no right rows for k=2
+  }
+
+  test("result is layout-stable and null timestamps are dropped") {
+    val a = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts", "rid")
+      .select("lid", "rid").as[(String, Option[Long])].collect().toSet
+    val b = AsOf.joinPriorOrEqual(left.repartition(7), right.repartition(3),
+        Seq("k"), "ts", "rts", "rid")
+      .select("lid", "rid").as[(String, Option[Long])].collect().toSet
+    assert(a === b)
+    // a null left timestamp cannot be placed on the timeline -> dropped
+    val withNull = Seq((Some(1L), Option.empty[Long], Some("z"))).toDF("k", "ts", "lid")
+    val got = AsOf.joinPriorOrEqual(withNull, right, Seq("k"), "ts", "rts", "rid")
+    assert(got.count() === 0)
+  }
+
+  test("rejects payload collisions and missing tieBreak") {
+    intercept[IllegalArgumentException] {
+      AsOf.joinPriorOrEqual(left, right.withColumnRenamed("rid", "lid"),
+        Seq("k"), "ts", "rts", "v")
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts", "nope")
+    }
+  }
+
+  test("plan: one hash exchange on the key, no cross product, no broadcast of either side") {
+    val df = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts", "rid")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair-blowup join shape:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected union+window shuffle shape:\n$plan")
+  }
+}
