@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-containment (range) join — match each left POINT to the right
+  * INTERVALS `[lo, hi]` of the same key that contain it: assigning events
+  * to sessions, readings to maintenance windows, examples to curriculum
+  * phases. Spark plans a raw `ON point BETWEEN lo AND hi` as a nested-
+  * loop per key group (no equi-predicate beyond the key) — at corpus
+  * scale the classic fix is BUCKETIZATION: explode each interval into the
+  * fixed-width buckets it covers, compute each point's single bucket, and
+  * equi-join on (key, bucket) with an exact BETWEEN confirm. The join is
+  * then a plain hash join; the only cost knob is the interval-to-bucket
+  * expansion factor, ≈ avg_interval/bucketWidth + 1, so pick
+  * `bucketWidth` near the typical interval length (a point lands in
+  * exactly ONE bucket, so no dedup step is needed — each qualifying
+  * (point, interval) pair is produced exactly once).
+  */
+object RangeJoin {
+
+  /** Inner-join matches: left columns + right's non-key columns for every
+    * (point ∈ [lo, hi]) pair. Point and bound columns must be LONGs in
+    * the same unit (epoch micros, token index, …); intervals with
+    * `hi < lo` or null bounds are dropped; null points never match.
+    * Right's non-key column names must not collide with left's. */
+  def pointInInterval(left: DataFrame, right: DataFrame, keys: Seq[String],
+      point: String, lo: String, hi: String, bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val collisions = left.columns.toSet.intersect(rightPayload.toSet)
+    require(collisions.isEmpty,
+      s"right columns collide with left: ${collisions.mkString(",")}")
+
+    // exact floor division, negative-safe: c - pmod(c, w) is computed in
+    // LONG (exact) and is an exact multiple of w, so the one double
+    // division is exact for |values| < 2^53 — epoch micros stay below
+    // that through year 2100. A naive floor(c/w) divides first and can
+    // land one bucket off at boundaries.
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+
+    val r2 = right
+      .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .withColumn("__b",
+        explode(sequence(bucketOf(col(lo)), bucketOf(col(hi)))))
+    val l2 = left.filter(col(point).isNotNull)
+      .withColumn("__b", bucketOf(col(point)))
+    l2.join(r2, keys :+ "__b")
+      .filter(col(point).between(col(lo), col(hi)))
+      .drop("__b")
+  }
+}

@@ -170,6 +170,26 @@ object Relational {
         .select(col("event_id"), col("purchase_id"), col("purchase_value"))
         .orderBy(col("event_id"))
     }),
+    "q_j6_range_join" -> ((s, dir) => {
+      // interval-containment: map late-arriving 'error' events into the
+      // sessions built from the OTHER events (bucketized equi-join, 1 h
+      // buckets — never a per-key nested loop). Composes two operators:
+      // Sessions provides the intervals, RangeJoin places the points.
+      val ev = t(s, dir, "events")
+      val sessions = Sessions.sessionStats(
+          ev.filter(col("event_type") =!= "error"), "user_id",
+          expr("ts DIV 1000"), col("event_id"),
+          java.time.Duration.ofHours(12))
+        .select(col("user_id"), col("session_idx"),
+          col("session_start_us"), col("session_end_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
+      RangeJoin.pointInInterval(errors, sessions, Seq("user_id"),
+          "us", "session_start_us", "session_end_us",
+          bucketWidth = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+        .orderBy(col("event_id"))
+    }),
     "q_j4_join_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       // dim side: let AQE pick broadcast from runtime stats — a forced
@@ -497,6 +517,29 @@ object Relational {
                   COUNT(*) OVER () AS n
            FROM customer WHERE c_acctbal IS NOT NULL)
          WHERE rn = n // 2""",
+    "q_j6_range_join" ->
+      // sessions derived EXACTLY as the q_e1 oracle but from non-error
+      // events; errors then joined by plain BETWEEN (exhaustive)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+            FROM events WHERE event_type <> 'error'),
+          g AS (SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 43200000000
+                       THEN 1 ELSE 0 END AS ns
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          s AS (SELECT user_id, us,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM g),
+          iv AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   MIN(us) AS lo, MAX(us) AS hi
+                 FROM s GROUP BY user_id, session_idx),
+          err AS (SELECT user_id, event_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'error')
+         SELECT err.event_id, err.user_id, iv.session_idx
+         FROM err JOIN iv ON err.user_id = iv.user_id
+                         AND err.us BETWEEN iv.lo AND iv.hi
+         ORDER BY err.event_id""",
     "q_j5_asof_join" ->
       // exhaustive formulation: all (view, prior purchase) pairs ranked
       // newest-first with the same tie rule (largest purchase_id wins);

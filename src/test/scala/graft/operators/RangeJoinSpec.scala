@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = Seq(
+    (1L, 5L, "p5"), (1L, 10L, "p10"), (1L, 25L, "p25"), (2L, 5L, "q5"))
+    .toDF("k", "t", "pid")
+  private def intervals = Seq(
+    (1L, 0L, 9L, "a"), (1L, 10L, 19L, "b"), (1L, 3L, 12L, "c"),
+    (2L, 50L, 60L, "d"), (1L, 30L, 20L, "bad"))
+    .toDF("k", "lo", "hi", "iid")
+
+  test("every containing interval matches exactly once; inverted intervals dropped") {
+    for (w <- Seq(1L, 3L, 7L, 100L)) { // bucket width must not change results
+      val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+          "t", "lo", "hi", bucketWidth = w)
+        .select("pid", "iid").as[(String, String)].collect().toSet
+      assert(got === Set(
+        ("p5", "a"), ("p5", "c"),   // 5 in [0,9] and [3,12]
+        ("p10", "b"), ("p10", "c")  // 10 in [10,19] (boundary) and [3,12]
+        // p25 in no interval; q5's key-2 interval is [50,60]; "bad" dropped
+      ), s"bucketWidth=$w")
+    }
+  }
+
+  test("boundary containment is inclusive on both ends; exact multiples of width") {
+    val p = Seq((1L, 0L, "lo"), (1L, 9L, "hi"), (1L, 10L, "out"))
+      .toDF("k", "t", "pid")
+    val i = Seq((1L, 0L, 9L, "a")).toDF("k", "lo", "hi", "iid")
+    val got = RangeJoin.pointInInterval(p, i, Seq("k"), "t", "lo", "hi", 5L)
+      .select("pid").as[String].collect().toSet
+    assert(got === Set("lo", "hi"))
+  }
+
+  test("negative domains bucket correctly (floor, not truncate-toward-zero)") {
+    val p = Seq((1L, -7L, "n")).toDF("k", "t", "pid")
+    val i = Seq((1L, -10L, -5L, "neg")).toDF("k", "lo", "hi", "iid")
+    val got = RangeJoin.pointInInterval(p, i, Seq("k"), "t", "lo", "hi", 4L)
+      .select("pid", "iid").as[(String, String)].collect()
+    assert(got.toSeq === Seq(("n", "neg")))
+  }
+
+  test("plans as a hash join on (key, bucket) — no nested loop, no cartesian") {
+    val df = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "t", "lo", "hi", 5L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a pair scan:\n$plan")
+  }
+}
