@@ -151,16 +151,21 @@ object Bench {
     val errField =
       if (errors.isEmpty) ""
       else s""""errors":$es,"n_err":${errors.size},"""
+    // sf as basename ("sf0.1"): the full dir path spent 16 bytes of the
+    // 2000-char budget on a constant prefix
+    val sfName = new java.io.File(sfDir).getName
     def line(scale: Int): String = {
       val qs = jm(results.map { case (k, v) => k -> fmtAt(scale)(v) })
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errField"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errField"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
     }
     // The driver keeps only the LAST 2000 chars of stdout; a line past
     // that loses its HEAD and the whole bench goes unparsed (the r3
     // failure). If 2-decimal precision doesn't fit — the query count
     // grows each round — fall back to 1 decimal (still well under
-    // run-to-run variance) rather than lose the round's numbers.
-    val out = Seq(line(2), line(1)).find(_.length <= 1950).getOrElse(line(0))
+    // run-to-run variance) rather than lose the round's numbers. The
+    // 1975 cutoff leaves 24 bytes of margin; nothing else reaches stdout
+    // (sbt [success] suppressed, Spark logs on stderr).
+    val out = Seq(line(2), line(1)).find(_.length <= 1975).getOrElse(line(0))
     System.err.println(s"[bench] json line length=${out.length}")
     // The one contract line, on stdout, no decoration:
     println(out)
