@@ -40,6 +40,25 @@ object LlmPipeline {
   private def duckMarkerScore(words: Seq[String]): String =
     s"len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
 
+  // Quality formula == the q_t2 oracle's, rounded to 2 (thresholds sit
+  // off the score's discrete levels {0.4,0.6,0.8,1.0}, so downstream
+  // filters never compare at a rounding boundary). Shared by the q_lp
+  // pipeline oracle and the q_qr2 corpus card.
+  private val duckQuality2 =
+    s"""ROUND(
+         (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+         (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+            ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+                 / length(text) END) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         (CASE WHEN (CASE WHEN len($duckToks) = 0 THEN 0.0
+            ELSE len(list_filter($duckToks, t -> list_contains(
+                   ['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+                 / len($duckToks) END) > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         (CASE WHEN (CASE WHEN len($duckToks) = 0 THEN 0.0
+            ELSE list_sum(list_transform($duckToks, t -> length(t))) * 1.0
+                 / len($duckToks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+         2)"""
+
   val queries: Map[String, Q] = Map(
     // ------------------------------------------------------ text analysis
     "q_t1_token_stats" -> ((s, dir) =>
@@ -404,6 +423,28 @@ object LlmPipeline {
           countDistinct(concat_ws("#", col("source"), col("pack_id")))
             .as("n_packs"))
         .orderBy(col("split"))),
+
+    "q_qr2_corpus_card" -> ((s, dir) => {
+      // the data card a curation run ships with: per-source volumetry,
+      // token mass, quality mass, language mix, exact-dup membership —
+      // one scan + one fingerprint aggregation (the dup set is tiny and
+      // broadcasts back). sum_quality, not avg: a 2-dp sum rounds
+      // engine-portably; an average can land on a 4-dp rounding boundary.
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("nt"),
+        round(TextAnalysis.qualityScore(col("text")), 2).as("q"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val dupFps = d.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("fp"), lit(1).as("isdup"))
+      d.join(dupFps, Seq("fp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          round(sum(col("q")), 2).as("sum_quality"),
+          count(when(col("lang") === "en", 1)).as("n_en"),
+          count(col("isdup")).as("n_dup"))
+        .orderBy(col("source"))
+    }),
 
     // ------------------------------------------- approx distinct (A2 ext)
     "q_a2x_approx_distinct" -> ((s, dir) =>
@@ -829,26 +870,23 @@ object LlmPipeline {
           SELECT doc_id, COUNT(*) AS n_overlap
           FROM tr WHERE g IN (SELECT g FROM ev)
           GROUP BY doc_id ORDER BY doc_id""",
+    "q_qr2_corpus_card" ->
+      s"""WITH d AS (SELECT source, lang,
+              len($duckToks) AS nt,
+              $duckQuality2 AS q,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents),
+          f AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) > 1)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                ROUND(SUM(q), 2) AS sum_quality,
+                COUNT(*) FILTER (WHERE lang = 'en') AS n_en,
+                COUNT(*) FILTER (WHERE fp IN (SELECT fp FROM f)) AS n_dup
+         FROM d GROUP BY source ORDER BY source""",
     "q_lp_training_prep" -> {
       val em = graft.functions.TextAnalysis.EmailPattern
       val url = graft.functions.TextAnalysis.UrlPattern
-      // quality formula == the q_t2 oracle's (rounded to 2); thresholds
-      // chosen off the score's discrete levels {0.4,0.6,0.8,1.0} so the
-      // filter never compares at a rounding boundary
-      val quality =
-        s"""ROUND(
-             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
-             (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
-                ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
-                     / length(text) END) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2 +
-             (CASE WHEN (CASE WHEN len($duckToks) = 0 THEN 0.0
-                ELSE len(list_filter($duckToks, t -> list_contains(
-                       ['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
-                     / len($duckToks) END) > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2 +
-             (CASE WHEN (CASE WHEN len($duckToks) = 0 THEN 0.0
-                ELSE list_sum(list_transform($duckToks, t -> length(t))) * 1.0
-                     / len($duckToks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-             2)"""
+      val quality = duckQuality2
       s"""WITH scrub AS (
             SELECT doc_id, source,
                    regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
