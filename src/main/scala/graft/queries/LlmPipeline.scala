@@ -426,23 +426,25 @@ object LlmPipeline {
 
     "q_qr2_corpus_card" -> ((s, dir) => {
       // the data card a curation run ships with: per-source volumetry,
-      // token mass, quality mass, language mix, exact-dup membership —
-      // one scan + one fingerprint aggregation (the dup set is tiny and
-      // broadcasts back). sum_quality, not avg: a 2-dp sum rounds
-      // engine-portably; an average can land on a 4-dp rounding boundary.
-      val d = t(s, dir, "documents").select(col("source"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).as("nt"),
-        round(TextAnalysis.qualityScore(col("text")), 2).as("q"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
-      val dupFps = d.groupBy(col("fp")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).select(col("fp"), lit(1).as("isdup"))
-      d.join(dupFps, Seq("fp"), "left")
+      // token mass, quality mass, language mix, exact-dup membership.
+      // ONE scan: text reduces to a NARROW (source, lang, nt, q, fp)
+      // frame, dup membership is a count-over-fp window on that frame —
+      // an aggregate-and-rejoin would scan the corpus (and run the
+      // regex-normalize+md5 fingerprint) twice, the q_d3 defect class.
+      // sum_quality, not avg: a 2-dp sum rounds engine-portably; an
+      // average can land on a 4-dp rounding boundary.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      t(s, dir, "documents").select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("nt"),
+          round(TextAnalysis.qualityScore(col("text")), 2).as("q"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .withColumn("dup", count(lit(1)).over(w) > 1)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).as("total_tokens"),
           round(sum(col("q")), 2).as("sum_quality"),
           count(when(col("lang") === "en", 1)).as("n_en"),
-          count(col("isdup")).as("n_dup"))
+          count(when(col("dup"), 1)).as("n_dup"))
         .orderBy(col("source"))
     }),
 

@@ -159,13 +159,16 @@ object Relational {
       // point-in-time enrichment: each 'view' event sees the latest
       // prior-or-equal 'purchase' of the same user — the feature-store
       // join ("no future leakage"); union+window, never a pair blowup
+      // micro-truncated timestamps (ts DIV 1000), the repo-wide parity
+      // convention: the oracle's epoch_us compares micros, and raw nano
+      // comparison would diverge on same-micro sub-microsecond residue
       val ev = t(s, dir, "events")
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
+        .select(col("user_id"), expr("ts DIV 1000").as("us"),
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      AsOf.joinPriorOrEqual(views, purchases, Seq("user_id"), "ts", "ts",
+      AsOf.joinPriorOrEqual(views, purchases, Seq("user_id"), "us", "us",
           tieBreak = "purchase_id")
         .select(col("event_id"), col("purchase_id"), col("purchase_value"))
         .orderBy(col("event_id"))
