@@ -49,6 +49,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("as-of and range joins plan as hash joins on the real tables (no nested loop)") {
+    // op-level specs pin this on synthetic frames; these pin the REAL
+    // query plans (parquet scans, AQE on) — the inequality predicates
+    // must ride a window / a bucket equi-join, never a per-key loop
+    for (name <- Seq("q_j5_asof_join", "q_j6_range_join")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a pair scan:\n${plan.take(2000)}")
+    }
+  }
+
   test("q_d3 ensemble reads the documents parquet ~once, not 9x (r2 #1)") {
     // Round 2's plan re-executed the shared shingle/signature subtrees 9×
     // (9 parquet scans, 28 s of the bench). With the shared frames
