@@ -45,6 +45,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq(("n", "neg")))
   }
 
+  test("property: matches a brute-force reference on random data (seeded)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 10) {
+      val ps = List.fill(rnd.nextInt(40) + 10)(
+        (rnd.nextInt(3).toLong, rnd.nextInt(200).toLong - 100))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val is = List.fill(rnd.nextInt(20) + 5) {
+        val a = rnd.nextInt(200).toLong - 100
+        val b = rnd.nextInt(200).toLong - 100
+        (rnd.nextInt(3).toLong, a, b)
+      }.zipWithIndex.map { case ((k, a, b), i) => (k, a, b, i.toLong + 1000) }
+      val w = rnd.nextInt(29).toLong + 1
+      val got = RangeJoin.pointInInterval(
+          ps.toDF("k", "t", "pid"), is.toDF("k", "lo", "hi", "iid"),
+          Seq("k"), "t", "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (pk, t, pid) <- ps
+        (ik, lo, hi, iid) <- is
+        if pk == ik && lo <= hi && t >= lo && t <= hi
+      } yield (pid, iid)).toSet
+      assert(got === want, s"trial $trial w=$w")
+    }
+  }
+
   test("plans as a hash join on (key, bucket) — no nested loop, no cartesian") {
     val df = RangeJoin.pointInInterval(points, intervals, Seq("k"),
       "t", "lo", "hi", 5L)
