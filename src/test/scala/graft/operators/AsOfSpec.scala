@@ -39,6 +39,30 @@ class AsOfSpec extends SparkSpec {
     assert(got.count() === 0)
   }
 
+  test("property: matches a brute-force latest-prior reference on random data (seeded)") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 10) {
+      // small ts domain on purpose: equal-timestamp collisions (left-right
+      // AND right-right) must occur so the tie rules are actually exercised
+      val ls = List.fill(rnd.nextInt(30) + 5)(
+        (rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = List.fill(rnd.nextInt(30) + 5)(
+        (rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+      val got = AsOf.joinPriorOrEqual(
+          ls.toDF("k", "ts", "lid"), rs.toDF("k", "rts", "rid"),
+          Seq("k"), "ts", "rts", "rid")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+      val want = ls.map { case (k, t, lid) =>
+        val cands = rs.filter { case (rk, rt, _) => rk == k && rt <= t }
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) }._3))
+      }.toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("rejects payload collisions and missing tieBreak") {
     intercept[IllegalArgumentException] {
       AsOf.joinPriorOrEqual(left, right.withColumnRenamed("rid", "lid"),
