@@ -147,25 +147,33 @@ object Bench {
     val llmNames = graft.queries.LlmPipeline.queries.keySet
     val subLlm = results.collect { case (n, s) if llmNames(n) => s }.sum
     val subRel = total - subLlm
-    // n_err appears only when nonzero — absence means a clean run
-    val errField =
+    // n_err appears only when nonzero — absence means a clean run.
+    // `withMessages = false` keeps only the count: error texts are
+    // 40-char-bounded at capture, but MANY failures could still push even
+    // the lowest-precision line past the tail window (ADVICE r4) — the
+    // count survives, the messages live on stderr.
+    def errField(withMessages: Boolean): String =
       if (errors.isEmpty) ""
-      else s""""errors":$es,"n_err":${errors.size},"""
+      else if (withMessages) s""""errors":$es,"n_err":${errors.size},"""
+      else s""""n_err":${errors.size},"""
     // sf as basename ("sf0.1"): the full dir path spent 16 bytes of the
     // 2000-char budget on a constant prefix
     val sfName = new java.io.File(sfDir).getName
-    def line(scale: Int): String = {
+    def line(scale: Int, withMessages: Boolean = true): String = {
       val qs = jm(results.map { case (k, v) => k -> fmtAt(scale)(v) })
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errField"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,${errField(withMessages)}"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
     }
     // The driver keeps only the LAST 2000 chars of stdout; a line past
     // that loses its HEAD and the whole bench goes unparsed (the r3
     // failure). If 2-decimal precision doesn't fit — the query count
     // grows each round — fall back to 1 decimal (still well under
-    // run-to-run variance) rather than lose the round's numbers. The
-    // 1975 cutoff leaves 24 bytes of margin; nothing else reaches stdout
-    // (sbt [success] suppressed, Spark logs on stderr).
-    val out = Seq(line(2), line(1)).find(_.length <= 1975).getOrElse(line(0))
+    // run-to-run variance), then shed error messages, rather than lose
+    // the round's numbers. The 1975 cutoff leaves 24 bytes of margin;
+    // nothing else reaches stdout (sbt [success] suppressed, Spark logs
+    // on stderr).
+    val out = Seq(line(2), line(1), line(1, withMessages = false),
+        line(0, withMessages = false))
+      .find(_.length <= 1975).getOrElse(line(0, withMessages = false))
     System.err.println(s"[bench] json line length=${out.length}")
     // The one contract line, on stdout, no decoration:
     println(out)

@@ -44,7 +44,12 @@ object TextAnalysis {
     require(chunkTokens > 0 && stride > 0,
       s"chunkTokens $chunkTokens and stride $stride must be positive")
     val toks = tokens(c)
-    val lastStart = greatest(size(toks) - chunkTokens + stride, lit(1))
+    // Clamped at len: with stride > chunkTokens (gap-sampling) the raw
+    // bound len − chunk + stride can pass the document's end, and a start
+    // past the end slices nothing — an EMPTY-STRING chunk that downstream
+    // explodes turn into empty passages (corpus artifacts, ADVICE r4).
+    val lastStart = greatest(
+      least(size(toks), size(toks) - chunkTokens + stride), lit(1))
     when(size(toks) === 0, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), lastStart, lit(stride)),

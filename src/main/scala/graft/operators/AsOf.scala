@@ -45,6 +45,14 @@ object AsOf {
     val collisions = left.columns.toSet.intersect(payloadCols.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left: ${collisions.mkString(",")}")
+    // The union's internal columns are __-reserved; an input column with
+    // one of these names would silently duplicate-collide in the tagged
+    // union (ADVICE r4 — the payload-vs-left check above was guarded, this
+    // wasn't).
+    val reserved = Set("__ts", "__side", "__tb", "__p", "__l", "__match")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns use reserved names: ${clash.mkString(",")}")
 
     val pStruct = struct(payloadCols.map(col): _*)
     val pType = right.select(pStruct).schema.head.dataType

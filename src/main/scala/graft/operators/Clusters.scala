@@ -131,13 +131,7 @@ object Clusters {
     while (!liveResults.isEmpty) releaseCheckpoint(liveResults.removeFirst())
   }
 
-  /** Unpersist the checkpoint RDD behind a localCheckpoint'ed frame —
-    * swallow failures from frames whose session has since stopped. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
-    catch { case scala.util.control.NonFatal(_) => () }
+  private def releaseCheckpoint(df: DataFrame): Unit = Checkpoints.release(df)
 
   /** Decimal label sum — the fixpoint witness (monotone decreasing). */
   private def checksum(labels: DataFrame): java.math.BigDecimal =

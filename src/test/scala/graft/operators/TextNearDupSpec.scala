@@ -41,9 +41,12 @@ class TextNearDupSpec extends SparkSpec {
       val got = Seq(words.mkString(" ")).toDF("t")
         .select(TextAnalysis.tokenChunks(col("t"), chunk, stride))
         .as[Seq[String]].head()
-      val starts = 1 to math.max(n - chunk + stride, 1) by stride
+      // last start clamped at n: a start past the document's end would
+      // yield an empty-string chunk (ADVICE r4 — corpus artifact)
+      val starts = 1 to math.max(math.min(n, n - chunk + stride), 1) by stride
       val want = starts.map(s => words.slice(s - 1, s - 1 + chunk).mkString(" "))
       assert(got === want, s"trial $trial n=$n chunk=$chunk stride=$stride")
+      assert(!got.contains(""), s"trial $trial empty chunk")
       // stride <= chunk ⇒ windows tile with overlap: every token appears;
       // stride > chunk skips tokens BY DESIGN (subsampled windows)
       if (stride <= chunk) {
