@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Point-in-time (as-of) join — for each left row, the payload of the
   * LATEST right row with the same key and `rightTs <= leftTs`. The
@@ -26,17 +27,36 @@ import org.apache.spark.sql.functions._
   * placed on the timeline). Left rows with no prior right row keep null
   * payload columns.
   *
-  * Scale: the window is a streaming frame (running last, no buffering);
-  * a single hot key serializes its own partition — pre-split with [[Skew]]
-  * if a key profile demands it, same hazard as sessionization. */
+  * Scale: the window is a streaming frame (running last, no buffering),
+  * but a single hot key serializes its own partition — one bot user with
+  * 10⁸ events runs on one task. `chunkWidth` is the wired mitigation
+  * (VERDICT r4 #3): the timeline is cut into fixed-width time chunks and
+  * the window partitions by (key, chunk), so a hot key parallelizes
+  * across its chunks; the cross-chunk carry state is computed on the
+  * per-(key, chunk) SUMMARY table — |keys|·|chunks| rows, never
+  * event-sized — and joined back on (key, chunk), reusing the window's
+  * partitioning. Same results for every width (property-tested); pick
+  * the width so a hot key's densest chunk fits a task, e.g. an hour of
+  * micros for a per-second event firehose. */
 object AsOf {
+
+  private val Reserved =
+    Set("__ts", "__side", "__tb", "__p", "__l", "__match", "__ck", "__carry")
+
+  /** Negative-safe fixed-width time bucket (RangeJoin's formula): exact
+    * floor division via long arithmetic. */
+  private def chunkOf(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / w).cast("long")
 
   /** Left rows enriched with the latest prior-or-equal right payload.
     * Payload = every right column except `keys` and `rightTs`; payload
     * names must not collide with left's columns. `tieBreak` must be a
-    * right payload column. */
+    * right payload column. `chunkWidth` (in the ts column's own unit —
+    * requires an integral ts type) opts into the hot-key-safe chunked
+    * plan described above. */
   def joinPriorOrEqual(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, tieBreak: String): DataFrame = {
+      leftTs: String, rightTs: String, tieBreak: String,
+      chunkWidth: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTs).toSeq
@@ -49,10 +69,17 @@ object AsOf {
     // one of these names would silently duplicate-collide in the tagged
     // union (ADVICE r4 — the payload-vs-left check above was guarded, this
     // wasn't).
-    val reserved = Set("__ts", "__side", "__tb", "__p", "__l", "__match")
-    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    val clash = (left.columns ++ right.columns).toSet.intersect(Reserved)
     require(clash.isEmpty,
       s"input columns use reserved names: ${clash.mkString(",")}")
+    chunkWidth.foreach { w =>
+      require(w > 0, s"chunkWidth $w must be positive")
+      val integral = Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+      require(integral(left.schema(leftTs).dataType) &&
+        integral(right.schema(rightTs).dataType),
+        "chunked as-of needs integral timestamps (chunking is exact long math)")
+    }
 
     val pStruct = struct(payloadCols.map(col): _*)
     val pType = right.select(pStruct).schema.head.dataType
@@ -71,15 +98,52 @@ object AsOf {
         col(rightTs).as("__ts"), lit(0).as("__side"),
         col(tieBreak).as("__tb"),
         pStruct.as("__p"), lit(null).cast(lType).as("__l")): _*)
+    val u = l2.unionAll(r2)
 
-    // right (side 0) sorts before left (side 1) at equal __ts — that is
-    // the "<=" in prior-OR-EQUAL; __tb makes equal-ts right rows
-    // deterministic (running last keeps the largest)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionAll(r2)
-      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+    val matched = chunkWidth match {
+      case None =>
+        // right (side 0) sorts before left (side 1) at equal __ts — that
+        // is the "<=" in prior-OR-EQUAL; __tb makes equal-ts right rows
+        // deterministic (running last keeps the largest)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__ts"), col("__side"), col("__tb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      case Some(width) =>
+        val uc = u.withColumn("__ck", chunkOf(col("__ts"), width))
+        val partCols = keys.map(col) :+ col("__ck")
+        // 1. in-chunk running last — the plain window, parallel per chunk
+        val wLocal = Window.partitionBy(partCols: _*)
+          .orderBy(col("__ts"), col("__side"), col("__tb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = uc.withColumn("__match",
+          last(col("__p"), ignoreNulls = true).over(wLocal))
+        // 2. per-(key, chunk) summary: the chunk's LAST right payload —
+        // max of (ts, tieBreak, payload) over right rows only (max skips
+        // the left rows' nulls); null for chunks holding no right row.
+        // Chunk boundaries are on __ts, so everything in an earlier chunk
+        // is strictly earlier — the carry needs no side/equal-ts logic.
+        val summary = uc.groupBy(partCols: _*)
+          .agg(max(when(col("__side") === 0,
+            struct(col("__ts"), col("__tb"), col("__p")))).as("__last"))
+        // 3. carry-in per chunk = last right payload of any STRICTLY
+        // earlier chunk (running last over the summary, frame ending at
+        // -1). The summary is |keys|·|touched chunks| rows — the per-key
+        // window here is orders of magnitude off the event count.
+        val wSum = Window.partitionBy(keys.map(col): _*).orderBy(col("__ck"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = summary
+          .withColumn("__carry",
+            last(col("__last"), ignoreNulls = true).over(wSum))
+          .select(keys.map(col) ++ Seq(col("__ck"), col("__carry")): _*)
+        // 4. join the carry back on (key, chunk) — local is already
+        // partitioned that way from step 1's window; the carry side is
+        // summary-sized (AQE broadcasts it when small)
+        local.join(carry, keys :+ "__ck")
+          .withColumn("__match",
+            coalesce(col("__match"), col("__carry").getField("__p")))
+    }
+    matched
       .filter(col("__side") === 1)
       .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
         payloadCols.map(c => col("__match").getField(c).as(c)): _*)

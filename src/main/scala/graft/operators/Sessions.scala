@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   * aggregation reuses the same partitioning (hash(entity) co-locates every
   * (entity, session) group), so Catalyst plans it without a second
   * exchange. Skewed entities (one bot user with 10⁸ events) are the one
-  * hazard: cap or pre-split such keys with [[Skew]] before sessionizing.
+  * hazard; `chunkWidth` is the wired mitigation (VERDICT r4 #3): events
+  * chunk into fixed-width time buckets, local session indices are
+  * computed per (entity, chunk) in parallel, and the cross-chunk stitch
+  * (does the chunk's first session continue the previous chunk's last?
+  * how many sessions came before?) runs on the per-(entity, chunk)
+  * SUMMARY table — |entities|·|chunks| rows, never event-sized — then
+  * joins back on (entity, chunk). Identical indices for every width
+  * (property-tested).
   *
   * Time is carried as epoch MICROSECONDS in a long column: the testdata's
   * parquet timestamps are nanosecond-precision (read as nano longs under
@@ -32,20 +39,73 @@ object Sessions {
     * micros (long); `tieBreak` makes ordering total when timestamps
     * collide. */
   def sessionize(df: DataFrame, entityCol: String, tsUs: Column,
-      tieBreak: Column, gap: java.time.Duration): DataFrame = {
+      tieBreak: Column, gap: java.time.Duration,
+      chunkWidth: Option[Long] = None): DataFrame = {
     // toNanos/1000, not toMillis*1000: the API contract is microseconds,
     // and the millisecond route silently floored sub-ms gaps (a 2.5 ms
     // gap became 2 ms; anything under 1 ms became 0 — every positive gap
     // then started a new session)
     val gapUs = gap.toNanos / 1000L
-    val order = Window.partitionBy(col(entityCol)).orderBy(tsUs, tieBreak)
-    val prev = lag(tsUs, 1).over(order)
-    val isNew = when(prev.isNull || tsUs - prev > gapUs, 1).otherwise(0)
-    // running sum over an explicit ROWS frame: the default RANGE frame
-    // would group peer rows, miscounting when timestamps collide
-    df.withColumn("session_idx",
-      sum(isNew).over(order.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)))
+    chunkWidth match {
+      case None =>
+        val order = Window.partitionBy(col(entityCol)).orderBy(tsUs, tieBreak)
+        val prev = lag(tsUs, 1).over(order)
+        val isNew = when(prev.isNull || tsUs - prev > gapUs, 1).otherwise(0)
+        // running sum over an explicit ROWS frame: the default RANGE frame
+        // would group peer rows, miscounting when timestamps collide
+        df.withColumn("session_idx",
+          sum(isNew).over(order.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      case Some(width) =>
+        require(width > 0, s"chunkWidth $width must be positive")
+        val reserved = Seq("__ck", "__lidx", "__off")
+        require(!reserved.exists(df.columns.contains),
+          s"input columns use reserved names: ${reserved.mkString(",")}")
+        // negative-safe fixed-width bucket (RangeJoin's exact-long formula)
+        val ck = ((tsUs - pmod(tsUs, lit(width))) / width).cast("long")
+        // 1. local session indices per (entity, chunk) — the plain window
+        // partitioned one level finer, so a hot entity parallelizes
+        val order = Window.partitionBy(col(entityCol), col("__ck"))
+          .orderBy(tsUs, tieBreak)
+        val prev = lag(tsUs, 1).over(order)
+        val isNew = when(prev.isNull || tsUs - prev > gapUs, 1).otherwise(0)
+        val local = df.withColumn("__ck", ck)
+          .withColumn("__lidx",
+            sum(isNew).over(order.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        // 2. per-(entity, chunk) summary: first/last event ts + local
+        // session count — |entities|·|chunks| rows, never event-sized
+        val summary = local.groupBy(col(entityCol), col("__ck"))
+          .agg(min(tsUs).as("__first"), max(tsUs).as("__last"),
+            max(col("__lidx")).as("__n"))
+        // 3. stitch on the summary: a chunk's first session CONTINUES the
+        // previous (non-empty) chunk's last session iff the boundary gap
+        // is within `gap`; the event's global index is then its local
+        // index plus sessions-before-this-chunk minus one per merged
+        // boundary up to and including this chunk:
+        //   off(c) = Σ_{c'<c} n(c') − Σ_{c''≤c} merge(c'')
+        // (induction: first session of c = 1 + off(c) lands on the last
+        // session of c−1 exactly when merge(c) = 1)
+        val wSum = Window.partitionBy(col(entityCol)).orderBy(col("__ck"))
+        val prevLast = lag(col("__last"), 1).over(wSum)
+        // staged: __merge is itself a window (lag) result, so the running
+        // sums below must see it as a plain column, not a nested window
+        val staged = summary.withColumn("__merge",
+          when(prevLast.isNotNull && col("__first") - prevLast <= gapUs, 1L)
+            .otherwise(0L))
+        val offsets = staged
+          .withColumn("__off",
+            coalesce(sum(col("__n")).over(wSum.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)) -
+              sum(col("__merge")).over(wSum.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)))
+          .select(col(entityCol), col("__ck"), col("__off"))
+        // 4. join back on (entity, chunk) — local is already partitioned
+        // that way; the offsets side is summary-sized
+        local.join(offsets, Seq(entityCol, "__ck"))
+          .withColumn("session_idx", col("__lidx") + col("__off"))
+          .drop("__ck", "__lidx", "__off")
+    }
   }
 
   /** Per-session profile: event count and [start, end] in epoch micros.

@@ -63,6 +63,49 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("chunked (hot-key-safe) path: identical results for every chunk width") {
+    // fixed example across widths spanning sub-gap to whole-domain
+    for (w <- Seq(1L, 3L, 7L, 1000L)) {
+      val got = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts",
+          "rid", chunkWidth = Some(w))
+        .select("lid", "rid", "v").as[(String, Option[Long], Option[Double])]
+        .collect().sortBy(_._1)
+      assert(got.toSeq === Seq(
+        ("a", Some(102L), Some(3.0)), ("b", Some(101L), Some(2.0)),
+        ("c", None, None), ("d", None, None)), s"width $w")
+    }
+  }
+
+  test("chunked property: equals the plain path on a deliberately HOT key (seeded)") {
+    // VERDICT r4 #3: one bot key carries ~90% of all rows; the chunked
+    // plan must split it across (key, chunk) partitions and still agree
+    // with the single-partition-per-key plain plan, boundary collisions
+    // and left-only/right-only chunks included.
+    val rnd = new scala.util.Random(37)
+    val hotKey = 1L
+    def key() = if (rnd.nextInt(10) < 9) hotKey else rnd.nextInt(3).toLong + 2L
+    val ls = List.fill(400)((key(), rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val rs = List.fill(400)((key(), rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 10000) }
+    val lDf = ls.toDF("k", "ts", "lid").repartition(7)
+    val rDf = rs.toDF("k", "rts", "rid").repartition(5)
+    val plain = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts", "rid")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    for (w <- Seq(1L, 9L, 17L, 1000L)) {
+      val chunkedDf = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts",
+        "rid", chunkWidth = Some(w))
+      val chunked = chunkedDf.select("lid", "rid")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(chunked === plain, s"width $w")
+      val plan = chunkedDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), s"width $w pair blowup")
+      // the event-sized window really partitions one level finer
+      assert(plan.contains("__ck"), s"width $w must window by (key, chunk)")
+    }
+  }
+
   test("rejects payload collisions and missing tieBreak") {
     intercept[IllegalArgumentException] {
       AsOf.joinPriorOrEqual(left, right.withColumnRenamed("rid", "lid"),

@@ -75,6 +75,31 @@ class SessionsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("chunked (hot-key-safe) sessionize: identical indices for every width, hot key included") {
+    // VERDICT r4 #3: one bot entity carries ~90% of events. Gap 50 ms;
+    // widths span sub-gap (every session crosses chunks), near-gap, and
+    // beyond-domain (single chunk ≡ plain path).
+    val rnd = new scala.util.Random(53)
+    val gapUs = 50_000L
+    val evs = (1 to 2000).map { i =>
+      val u = if (rnd.nextInt(10) < 9) 1L else rnd.nextInt(4).toLong + 2L
+      (u, math.abs(rnd.nextLong() % 100_000_000L), i.toLong)
+    }
+    val df = evs.toDF("user_id", "us", "event_id").repartition(7)
+    val plain = Sessions.sessionize(df, "user_id", col("us"),
+        col("event_id"), java.time.Duration.ofNanos(gapUs * 1000))
+      .select(col("event_id"), col("session_idx"))
+      .as[(Long, Long)].collect().toMap
+    for (w <- Seq(1_000L, 49_999L, 50_000L, 777_777L, 1_000_000_000L)) {
+      val got = Sessions.sessionize(df, "user_id", col("us"),
+          col("event_id"), java.time.Duration.ofNanos(gapUs * 1000),
+          chunkWidth = Some(w))
+        .select(col("event_id"), col("session_idx"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === plain, s"width $w")
+    }
+  }
+
   test("sessionStats plans ONE shuffle: the groupBy reuses the window's partitioning") {
     val df = Sessions.sessionStats(events.repartition(4), "user_id",
       col("us"), col("event_id"), gap)
