@@ -3,7 +3,7 @@ package graft.operators
 import java.sql.{Connection, DriverManager, PreparedStatement}
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** J2/J3/S5-S7: the idempotent-append protocol — the reference's core sink
@@ -37,16 +37,35 @@ object IdempotentAppend {
 
   val BucketCol = "__bucket"
 
+  // Stage timing to stderr when SPARK_GRAFT_TRACE is set (the same switch
+  // StreamingNearDup honors): the bucketed append is a multi-job protocol
+  // (partition-tuple collect, probe count, partitioned write) and wall-
+  // time questions need per-job answers.
+  private val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+  private def timed[T](label: String)(body: => T): T =
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[append] $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** S7 + F3 + J1: the shared front half of the protocol. */
   private def prepare(batch: DataFrame, key: String): DataFrame =
     Dedup.byKey(WindowFilters.dropNullKeys(batch, key), key)
 
   /** Append `batch` to the flat parquet dataset at `sinkPath`, inserting only
-    * rows whose `key` is not already present. Returns rows inserted.
+    * rows whose `key` is not already present. Returns rows inserted
+    * (−1 with `needCount = false`: the count-then-write pair is replaced
+    * by ONE write job — for multi-append protocols that don't consume the
+    * count, e.g. StreamingNearDup's band append, one whole job of the
+    * anti-join plan is saved; the write may then append an empty part
+    * file when nothing was fresh, which parquet readers ignore).
     * Probe scans the whole sink key column — fine for small/medium sinks;
     * use [[toBucketedParquet]] when the sink outgrows its batches. */
   def toParquet(batch: DataFrame, sinkPath: String, key: String,
-      assumeNonEmpty: Boolean = false): Long = {
+      assumeNonEmpty: Boolean = false, needCount: Boolean = true): Long = {
     // S7: cheap limit(1) short-circuit. `assumeNonEmpty` skips the probe
     // JOB when the caller has already counted the batch (a multi-append
     // protocol otherwise pays one extra full-plan job per sink).
@@ -60,6 +79,10 @@ object IdempotentAppend {
         val existingKeys = spark.read.parquet(sinkPath).select(col(key))
         deduped.join(existingKeys, Seq(key), "left_anti")
       } else deduped
+    if (!needCount) {
+      fresh.write.mode("append").parquet(sinkPath)
+      return -1L
+    }
     fresh.persist()
     try {
       val n = fresh.count()
@@ -67,6 +90,12 @@ object IdempotentAppend {
       n
     } finally fresh.unpersist()
   }
+
+  /** The bucket-assignment expression shared by the bucketed writer and
+    * every probe that prunes against it — ONE definition, so a prober
+    * cannot drift from the layout it prunes (hash of `cols` IN ORDER). */
+  def bucketExpr(cols: Seq[Column], numBuckets: Int): Column =
+    pmod(xxhash64(cols: _*), lit(numBuckets))
 
   /** Scale-safe variant: sink partitioned by a key-hash bucket (and
     * optionally by an extraction-window column first — the reference's
@@ -79,41 +108,65 @@ object IdempotentAppend {
     * small-files problem is what actually kills partitioned sinks at scale.
     */
   def toBucketedParquet(batch: DataFrame, sinkPath: String, key: String,
-      numBuckets: Int = 256, windowCol: Option[String] = None): Long = {
-    if (batch.isEmpty) return 0L // S7
+      numBuckets: Int = 256, windowCol: Option[String] = None,
+      bucketCols: Seq[String] = Nil, assumeNonEmpty: Boolean = false,
+      needCount: Boolean = true): Long = {
+    if (!assumeNonEmpty && batch.isEmpty) return 0L // S7
     val spark = batch.sparkSession
     val partCols = windowCol.toSeq :+ BucketCol
+    // `bucketCols` decouples the PROBE layout from the dedup key: e.g.
+    // StreamingNearDup's band store dedups on __k = "id:band" (append
+    // idempotency) but is probed by (band, key) — bucketing on the probe
+    // columns is what lets a batch's band lookup prune to its own
+    // directories. A replayed row hashes to the same bucket either way,
+    // so the idempotency anti-join below still sees its existing copy.
+    val bucketSrc = (if (bucketCols.isEmpty) Seq(key) else bucketCols).map(col)
     val withBucket = prepare(batch, key)
-      .withColumn(BucketCol, pmod(xxhash64(col(key)), lit(numBuckets)))
+      .withColumn(BucketCol, bucketExpr(bucketSrc, numBuckets))
     val fs = new Path(sinkPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (fs.exists(new Path(sinkPath))) {
-        // Partition values are bounded (windows in batch × numBuckets) — a
-        // driver-side collect of partition tuples, never data-sized.
-        val touched = withBucket.select(partCols.map(col): _*).distinct()
-          .collect()
-        // A non-empty batch can become empty after the null-key filter /
-        // dedup in prepare() — insert 0, don't reduce over an empty
-        // predicate list (ADVICE r2: empty.reduce threw here).
-        if (touched.isEmpty) return 0L
-        val pruned = touched.map { r =>
-          partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
-            .reduce(_ && _)
-        }.reduce(_ || _)
-        val existingKeys = spark.read.parquet(sinkPath)
-          .filter(pruned) // partition pruning on window+bucket dirs
-          .select(col(key))
-        withBucket.join(existingKeys, Seq(key), "left_anti")
-      } else withBucket
-    fresh.persist()
+    val exists = fs.exists(new Path(sinkPath))
+    // The touched-partition collect, probe count, and write all re-derive
+    // the prepared batch — persist it so the dedup window runs once per
+    // append, not once per job.
+    if (exists) withBucket.persist()
     try {
-      val n = fresh.count()
-      if (n > 0)
-        fresh.repartition(partCols.map(col): _*) // 1 file per partition dir
-          .write.mode("append").partitionBy(partCols: _*).parquet(sinkPath)
-      n
-    } finally fresh.unpersist()
+      val fresh =
+        if (exists) {
+          // Partition values are bounded (windows in batch × numBuckets) —
+          // a driver-side collect of partition tuples, never data-sized.
+          val touched = timed("touched partitions")(
+            withBucket.select(partCols.map(col): _*).distinct()
+              .collect())
+          // A non-empty batch can become empty after the null-key filter /
+          // dedup in prepare() — insert 0, don't reduce over an empty
+          // predicate list (ADVICE r2: empty.reduce threw here).
+          if (touched.isEmpty) return 0L
+          val pruned = touched.map { r =>
+            partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+          val existingKeys = spark.read.parquet(sinkPath)
+            .filter(pruned) // partition pruning on window+bucket dirs
+            .select(col(key))
+          withBucket.join(existingKeys, Seq(key), "left_anti")
+        } else withBucket
+      if (!needCount) { // one write job instead of count-then-write (see toParquet)
+        timed("write (no count)")(
+          fresh.repartition(partCols.map(col): _*)
+            .write.mode("append").partitionBy(partCols: _*).parquet(sinkPath))
+        return -1L
+      }
+      fresh.persist()
+      try {
+        val n = timed("probe count")(fresh.count())
+        if (n > 0)
+          timed("write")(
+            fresh.repartition(partCols.map(col): _*) // 1 file per partition dir
+              .write.mode("append").partitionBy(partCols: _*).parquet(sinkPath))
+        n
+      } finally fresh.unpersist()
+    } finally if (exists) withBucket.unpersist()
   }
 
   /** Probe helper for tests/monitoring: the sink files a batch's probe

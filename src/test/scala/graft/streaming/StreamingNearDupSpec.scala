@@ -43,6 +43,50 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 5L), s"history holds $ids")
   }
 
+  test("bucketed history: band probe reads ONLY the batch's bucket dirs (input_file_name)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IdempotentAppend, NearDup}
+    val hist = tmpDir("snd_buckets")
+    // many unrelated docs spread band keys across buckets; few bands per
+    // doc (4) vs many buckets (64) so a 1-doc batch touches ≤4 dirs
+    val corpus = (1 to 30).map(i =>
+      doc(i.toLong, (1 to 40).map(j => s"c${i}w$j"))).toDF("doc_id", "text")
+    val s1 = StreamingNearDup.dedupBatch(corpus, hist, 1, threshold = 0.7,
+      numHashes = 16, bands = 4, historyBuckets = 64)
+    assert(s1.admitted == 30)
+    val bucketDirs = new java.io.File(s"$hist/bands").listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(_.getName).toSet
+    assert(bucketDirs.size > 4, s"need bucket spread, got $bucketDirs")
+
+    // the probe for a 1-doc batch: its 4 band keys hash to ≤4 buckets
+    val batch = Seq(doc(100, (1 to 40).map(j => s"nw$j"))).toDF("doc_id", "text")
+    val keys = NearDup.bandKeyRows(
+      NearDup.hashedShingles(batch, "doc_id", "text", 3), 16, 4)
+    val touched = keys.select(IdempotentAppend.bucketExpr(
+        Seq(col("band"), col("key")), 64).as("b"))
+      .distinct().as[Long].collect().toSet
+    assert(touched.size <= 4)
+    // the same filtered read dedupBatch issues — execution-time file list
+    val readFiles = spark.read.parquet(s"$hist/bands")
+      .filter(col(IdempotentAppend.BucketCol).isin(touched.toSeq: _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(readFiles.nonEmpty)
+    val readDirs = readFiles.map(f =>
+      f.split("/").find(_.startsWith("__bucket=")).get).toSet
+    assert(readDirs.subsetOf(touched.map(b => s"__bucket=$b")),
+      s"probe read outside its buckets: $readDirs vs $touched")
+    assert(readDirs.size < bucketDirs.size,
+      "probe must prune: read every bucket dir of the history")
+
+    // and the pruned kernel still classifies correctly: a history
+    // near-dup is dropped, the new doc admits
+    val b2 = Seq(doc(101, (1 to 40).map(j => s"c5w$j").updated(7, "EDIT")),
+      doc(102, (1 to 40).map(j => s"q$j"))).toDF("doc_id", "text")
+    val s2 = StreamingNearDup.dedupBatch(b2, hist, 2, threshold = 0.7,
+      numHashes = 16, bands = 4, historyBuckets = 64)
+    assert(s2.dupOfHistory == 1 && s2.admitted == 1, s2.toString)
+  }
+
   test("streaming: micro-batches flow through the same kernel with stats") {
     val hist = tmpDir("snd_stream")
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[
