@@ -2,7 +2,13 @@
 """Local mirror of the driver's correctness gate: run graft.Verify output
 against DuckDB oracles on the same parquet tables and diff.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [skip,names]
+
+The optional third argument names queries to skip — used for sf0.1+
+validation runs where a handful of ORACLES are quadratic (exhaustive
+all-pairs / recursive-CTE formulations that DuckDB grinds on for tens of
+minutes while the Spark side stays seconds); the skipped set still gates
+at sf0.01 where the exhaustive oracle is affordable.
 """
 import json, sys, glob, os
 import duckdb
@@ -10,7 +16,7 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -19,6 +25,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP {name}"); continue
         sql = oracle[name]
         spark_glob = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not spark_glob:
@@ -61,4 +69,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    skips = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+    sys.exit(main(sys.argv[1], sys.argv[2], skips))

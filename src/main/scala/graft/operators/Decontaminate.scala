@@ -60,11 +60,26 @@ object Decontaminate {
       .toDF("id", "g")
   }
 
-  /** Training corpus with every contaminated document removed. */
-  def clean(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, shingleLen: Int = 8): DataFrame =
+  /** Removal form symmetric with [[Boilerplate.prune]]: drop training
+    * docs whose distinct-shingle overlap with the eval corpus reaches
+    * `minOverlap`. The default (1) drops on ANY shared n-gram — the
+    * conservative eval-hygiene posture; a higher threshold tolerates
+    * incidental collisions on common long phrases when `shingleLen` had
+    * to be short. */
+  def prune(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 8,
+      minOverlap: Long = 1L): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap $minOverlap must be >= 1")
     train.join(
       overlaps(train, eval, idCol, textCol, shingleLen)
+        .filter(col("n_overlap") >= minOverlap)
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+  }
+
+  /** Training corpus with every contaminated document removed —
+    * [[prune]] at its conservative default. */
+  def clean(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 8): DataFrame =
+    prune(train, eval, idCol, textCol, shingleLen)
 }

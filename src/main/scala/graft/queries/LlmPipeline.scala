@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextAnalysis
+import graft.functions.{Bpe, TextAnalysis}
 import graft.operators._
 
 /** LLM-training-data pipeline query battery (BASELINE.json north star) over
@@ -333,6 +333,13 @@ object LlmPipeline {
           size(TextAnalysis.tokens(col("col"))).as("n_toks"),
           md5(col("col").cast("binary")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    "q_t13_bpe_tokens" -> ((s, dir) =>
+      // REAL byte-pair-encoding token counts under the fixed default
+      // merge table — the oracle replays the identical merges as a
+      // REPLACE chain generated from the same table (Bpe.oracleWordExpr)
+      Bpe.tokenCounts(t(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "q_t8_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals: most-common-word share and the
       // share of tokens whose word occurs 2+ times — the boilerplate /
@@ -791,6 +798,22 @@ object LlmPipeline {
          SELECT doc_id, chunk_idx, CAST(len(ch) AS INT) AS n_toks,
                 md5(array_to_string(ch, ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_idx""",
+    "q_t13_bpe_tokens" ->
+      // same merge table, replayed as boundary-safe REPLACEs over the
+      // "(c) (c) …" wrapped word form (see Bpe scaladoc for why one
+      // global pass per rank-ordered pair is exact BPE); empty docs keep
+      // a 0 via the LEFT JOIN
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+          w AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                FROM d),
+          w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+          m AS (SELECT doc_id, ${Bpe.oracleWordExpr("word")} AS t FROM w2),
+          cnt AS (SELECT doc_id,
+                    CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS n
+                  FROM m GROUP BY doc_id)
+         SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS bpe_tokens
+         FROM d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""",
     "q_e5_shuffle_shard" ->
       // shard = range-bucket of the first 16 hash bits: ('0x'||hex)::INT
       // here, conv(hex,16,10) engine-side — same integer, same floor

@@ -34,6 +34,22 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept === Set(2L))
   }
 
+  test("prune: overlap threshold — minOverlap 2 keeps the 1-gram doc") {
+    // doc 1 shares 1 shingle, doc 3 shares 2 (see the overlaps test):
+    // minOverlap 2 drops only doc 3; default (1) ≡ clean drops both
+    val kept2 = Decontaminate.prune(train, eval_, "doc_id", "text",
+        shingleLen = 3, minOverlap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(1L, 2L))
+    val kept1 = Decontaminate.prune(train, eval_, "doc_id", "text",
+        shingleLen = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 === Set(2L))
+    intercept[IllegalArgumentException] {
+      Decontaminate.prune(train, eval_, "doc_id", "text", minOverlap = 0)
+    }
+  }
+
   test("eval side broadcasts; the training corpus is never shuffled whole") {
     val df = Decontaminate.overlaps(train.repartition(4), eval_,
       "doc_id", "text", shingleLen = 3)
