@@ -109,11 +109,13 @@ object Sessions {
   }
 
   /** Per-session profile: event count and [start, end] in epoch micros.
-    * One shuffle total — the groupBy reuses the window's partitioning. */
+    * One shuffle total — the groupBy reuses the window's partitioning
+    * (plain path; the chunked path adds its summary join). */
   def sessionStats(df: DataFrame, entityCol: String, tsUs: Column,
-      tieBreak: Column, gap: java.time.Duration): DataFrame =
+      tieBreak: Column, gap: java.time.Duration,
+      chunkWidth: Option[Long] = None): DataFrame =
     sessionize(df.withColumn("__us", tsUs), entityCol, col("__us"),
-        tieBreak, gap)
+        tieBreak, gap, chunkWidth)
       .groupBy(col(entityCol), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -263,6 +263,16 @@ object LlmPipeline {
           expr("ts DIV 1000"), col("event_id"),
           java.time.Duration.ofHours(12))
         .orderBy(col("user_id"), col("session_idx"))),
+    "q_e1x_sessionize_chunked" -> ((s, dir) =>
+      // the SAME sessionization through the hot-key-safe chunked plan —
+      // 6 h chunks, deliberately SMALLER than the 12 h gap so sessions
+      // cross chunk boundaries and the summary stitch is load-bearing;
+      // checked against the SAME oracle as q_e1
+      Sessions.sessionStats(t(s, dir, "events"), "user_id",
+          expr("ts DIV 1000"), col("event_id"),
+          java.time.Duration.ofHours(12),
+          chunkWidth = Some(6L * 3600L * 1000000L))
+        .orderBy(col("user_id"), col("session_idx"))),
     "q_e2_hash_split" -> ((s, dir) =>
       // deterministic md5-bucket train/val/test split — row membership is
       // a pure function of doc_id (stable across runs/engines/partitionings,
@@ -558,6 +568,26 @@ object LlmPipeline {
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         WHERE sim >= 0.45 ORDER BY id_a, id_b"""
 
+  /** q_e1 / q_e1x oracle — 12 h gap in micros = 43200000000; epoch_us(ts)
+    * is the same micro-truncation the Spark side applies (ts DIV 1000 on
+    * nano longs). Shared by the plain and chunked sessionize plans. */
+  private val sessionizeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+          g AS (SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 43200000000
+                       THEN 1 ELSE 0 END AS ns
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          s AS (SELECT user_id, us,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM g)
+       SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              COUNT(*) AS n_events,
+              MIN(us) AS session_start_us, MAX(us) AS session_end_us
+       FROM s GROUP BY user_id, session_idx
+       ORDER BY user_id, session_idx"""
+
   val oracles: Map[String, String] = Map(
     "q_t1_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
@@ -732,24 +762,8 @@ object LlmPipeline {
          SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
                 md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 16)) AS chunk_md5
          FROM i ORDER BY doc_id, chunk_idx""",
-    "q_e1_sessionize" ->
-      // 12 h gap in micros = 43200000000; epoch_us(ts) is the same
-      // micro-truncation the Spark side applies (ts DIV 1000 on nano longs)
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-            g AS (SELECT user_id, event_id, us,
-                    CASE WHEN lag(us) OVER w IS NULL
-                           OR us - lag(us) OVER w > 43200000000
-                         THEN 1 ELSE 0 END AS ns
-                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-            s AS (SELECT user_id, us,
-                    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_idx
-                  FROM g)
-         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-                COUNT(*) AS n_events,
-                MIN(us) AS session_start_us, MAX(us) AS session_end_us
-         FROM s GROUP BY user_id, session_idx
-         ORDER BY user_id, session_idx""",
+    "q_e1_sessionize" -> sessionizeOracle,
+    "q_e1x_sessionize_chunked" -> sessionizeOracle, // same semantics, chunked plan
     "q_e2_hash_split" ->
       // boundaries = first 4 md5 hex chars vs floor(cum_frac * 65536) in
       // hex: 0.8 → 'cccc', 0.9 → 'e666' (same constants the engine derives)

@@ -48,6 +48,44 @@ object Relational {
       .orderBy(col("lang"))
   }
 
+  /** q_j5 / q_j5x oracle — exhaustive formulation: all (view, prior
+    * purchase) pairs ranked newest-first with the same tie rule (largest
+    * purchase_id wins); raw doubles ride through untouched so no
+    * rounding is needed. epoch_us on BOTH sides (as q_j6 does): the
+    * Spark side compares micro-truncated timestamps, and a raw-ts
+    * compare would only agree while DuckDB happens to read TIMESTAMP_NS
+    * at micro precision (ADVICE r4 — make the micro contract explicit,
+    * not incidental). */
+  private val asOfOracle: String =
+    """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'view'),
+        p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus,
+            value
+          FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT v.event_id, p.purchase_id, p.value,
+                ROW_NUMBER() OVER (PARTITION BY v.event_id
+                  ORDER BY p.pus DESC, p.purchase_id DESC) AS rn
+              FROM v JOIN p ON v.user_id = p.user_id AND p.pus <= v.us)
+       SELECT v.event_id, j.purchase_id, j.value AS purchase_value
+       FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+       ORDER BY event_id"""
+
+  /** Shared body of q_j5 / q_j5x — identical semantics, plain vs chunked
+    * plan; both hash against [[asOfOracle]]. */
+  private def asOfQuery(s: SparkSession, dir: String,
+      chunkWidth: Option[Long]): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    AsOf.joinPriorOrEqual(views, purchases, Seq("user_id"), "us", "us",
+        tieBreak = "purchase_id", chunkWidth = chunkWidth)
+      .select(col("event_id"), col("purchase_id"), col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ------------------------------------------------------- projections
     "q_p1_envelope" -> ((s, dir) => {
@@ -162,16 +200,13 @@ object Relational {
       // micro-truncated timestamps (ts DIV 1000), the repo-wide parity
       // convention: the oracle's epoch_us compares micros, and raw nano
       // comparison would diverge on same-micro sub-microsecond residue
-      val ev = t(s, dir, "events")
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts DIV 1000").as("us"),
-          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      AsOf.joinPriorOrEqual(views, purchases, Seq("user_id"), "us", "us",
-          tieBreak = "purchase_id")
-        .select(col("event_id"), col("purchase_id"), col("purchase_value"))
-        .orderBy(col("event_id"))
+      asOfQuery(s, dir, chunkWidth = None)
+    }),
+    "q_j5x_asof_chunked" -> ((s, dir) => {
+      // the SAME as-of join through the hot-key-safe chunked plan
+      // (6 h time chunks — smaller than the data's span, so the carry
+      // join is live), checked against the SAME exhaustive oracle
+      asOfQuery(s, dir, chunkWidth = Some(6L * 3600L * 1000000L))
     }),
     "q_j6_range_join" -> ((s, dir) => {
       // interval-containment: map late-arriving 'error' events into the
@@ -543,26 +578,8 @@ object Relational {
          FROM err JOIN iv ON err.user_id = iv.user_id
                          AND err.us BETWEEN iv.lo AND iv.hi
          ORDER BY err.event_id""",
-    "q_j5_asof_join" ->
-      // exhaustive formulation: all (view, prior purchase) pairs ranked
-      // newest-first with the same tie rule (largest purchase_id wins);
-      // raw doubles ride through untouched so no rounding is needed.
-      // epoch_us on BOTH sides (as q_j6 does): the Spark side compares
-      // micro-truncated timestamps, and a raw-ts compare would only agree
-      // while DuckDB happens to read TIMESTAMP_NS at micro precision
-      // (ADVICE r4 — make the micro contract explicit, not incidental)
-      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
-            WHERE event_type = 'view'),
-          p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus,
-              value
-            FROM events WHERE event_type = 'purchase'),
-          j AS (SELECT v.event_id, p.purchase_id, p.value,
-                  ROW_NUMBER() OVER (PARTITION BY v.event_id
-                    ORDER BY p.pus DESC, p.purchase_id DESC) AS rn
-                FROM v JOIN p ON v.user_id = p.user_id AND p.pus <= v.us)
-         SELECT v.event_id, j.purchase_id, j.value AS purchase_value
-         FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
-         ORDER BY event_id""",
+    "q_j5_asof_join" -> asOfOracle,
+    "q_j5x_asof_chunked" -> asOfOracle, // same semantics, chunked plan
     "q_a9_exact_quantile" ->
       // value at rank floor(p*(n-1)); tie order is irrelevant to the
       // VALUE at a rank (same sorted multiset either way)
