@@ -64,6 +64,37 @@ class IdempotentAppendSpec extends SparkSpec {
     assert(IdempotentAppend.toBucketedParquet(one, sink, "id", numBuckets = 16) == 0)
   }
 
+  test("bucketed sink: custom bucketCols layout stays idempotent; needCount=false writes") {
+    import spark.implicits._
+    val sink = tmpDir("bucketcols")
+    // dedup key is the composite __k, but the layout hashes (band, key) —
+    // the StreamingNearDup band-store shape
+    def b(ids: Range) = ids.flatMap(i => (0 until 4).map(bd =>
+      (s"$i:$bd", i.toLong, bd, s"k$i$bd"))).toDF("__k", "id", "band", "key")
+    assert(IdempotentAppend.toBucketedParquet(b(1 to 50), sink, "__k",
+      numBuckets = 8, bucketCols = Seq("band", "key")) == 200)
+    // replay: every row hashes to the same bucket, the probe finds it
+    assert(IdempotentAppend.toBucketedParquet(b(1 to 50), sink, "__k",
+      numBuckets = 8, bucketCols = Seq("band", "key")) == 0)
+    // bucket assignment on disk matches the shared bucketExpr — a prober
+    // using it prunes consistently with the writer
+    val onDisk = spark.read.parquet(sink)
+      .select(col(IdempotentAppend.BucketCol).cast("long").as("d"),
+        IdempotentAppend.bucketExpr(Seq(col("band"), col("key")), 8).as("e"))
+      .filter(col("d") =!= col("e")).count()
+    assert(onDisk == 0, "disk bucket diverges from bucketExpr")
+    // needCount=false: single write job, rows land, count unreported (-1)
+    assert(IdempotentAppend.toBucketedParquet(b(51 to 60), sink, "__k",
+      numBuckets = 8, bucketCols = Seq("band", "key"),
+      needCount = false) == -1L)
+    assert(spark.read.parquet(sink).count() == 240)
+    // and the no-count append was itself probe-guarded: replaying it
+    // appends nothing new
+    IdempotentAppend.toBucketedParquet(b(51 to 60), sink, "__k",
+      numBuckets = 8, bucketCols = Seq("band", "key"), needCount = false)
+    assert(spark.read.parquet(sink).count() == 240)
+  }
+
   test("window-partitioned bucketed sink: probe prunes to the batch's window") {
     import spark.implicits._
     val sink = tmpDir("windowed")

@@ -87,6 +87,39 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(s2.dupOfHistory == 1 && s2.admitted == 1, s2.toString)
   }
 
+  test("crash self-heal: bands lost after shingle append -> replay re-admits, store converges") {
+    // the scaladoc's crash-ordering argument, executed: shingles are
+    // written BEFORE bands, so the worst crash leaves admitted docs with
+    // shingles but no band rows. Simulate it by deleting the bands dir.
+    val hist = tmpDir("snd_crash")
+    val b1 = Seq(doc(1, base), doc(2, (1 to 40).map(i => s"x$i")))
+      .toDF("doc_id", "text")
+    val s1 = StreamingNearDup.dedupBatch(b1, hist, 1, threshold = 0.7)
+    assert(s1.admitted == 2)
+    // crash between the appends: band rows never landed
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$hist/bands")
+    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(bandsPath, true)
+
+    // replay: docs are invisible to the band probe (no self-collision),
+    // re-admit; shingle re-insert is a 0-row idempotent append and the
+    // bands catch up — admitted reports the SHINGLE-insert truth (0)
+    val s2 = StreamingNearDup.dedupBatch(b1, hist, 1, threshold = 0.7)
+    assert(s2.dupOfHistory == 0 && s2.admitted == 0, s2.toString)
+    val ids = spark.read.parquet(s"$hist/shingles")
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"shingle store diverged: $ids")
+
+    // store is fully healed: doc 1 self-collides as a history dup; the
+    // near-dup doc 3 is blocked too (keeper doc 1 sits in THIS batch, so
+    // it classifies as in-batch dup); nothing admits
+    val b2 = Seq(doc(1, base), doc(3, base.updated(3, "EDITED")))
+      .toDF("doc_id", "text")
+    val s3 = StreamingNearDup.dedupBatch(b2, hist, 2, threshold = 0.7)
+    assert(s3.dupOfHistory == 1 && s3.dupInBatch == 1 && s3.admitted == 0,
+      s3.toString)
+  }
+
   test("streaming: micro-batches flow through the same kernel with stats") {
     val hist = tmpDir("snd_stream")
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[
