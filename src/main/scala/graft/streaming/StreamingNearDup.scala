@@ -150,43 +150,46 @@ object StreamingNearDup {
       // exact colliding keys. Cached: the relevant set feeds both the pair
       // expansion and the shingle-store pruning below.
       if (!hasBands) timed("shingle+keys cache")(keys.count())
-      val histRelevant =
-        if (!hasBands) None
-        else Some(cache {
-          val touched = timed("band buckets")(
-            keys.select(bandBucket.as("b")).distinct()
-              .collect().map(_.getLong(0)))
-          spark.read.parquet(bandsDir(historyDir))
-            .filter(col(IdempotentAppend.BucketCol).isin(touched: _*))
-            .select(col("id"), col("band"), col("key"))
-            .join(keys.select(col("band"), col("key")).distinct(),
-              Seq("band", "key"), "left_semi")
-        })
-      val cand = cache(histRelevant
-        .fold(NearDup.bucketPairs(keys, maxBucketSize))(h =>
-          taggedBucketPairs(h, keys, maxBucketSize))
-        .distinct()) // same pair can collide in several bands
+      val cand = cache(
+        (if (!hasBands) NearDup.bucketPairs(keys, maxBucketSize)
+         else {
+           // Bucket-pruned history probe: the batch's band keys hash to a
+           // bounded set of bucket dirs (≤ historyBuckets longs, driver-
+           // side) — only those directories are read, then a semi-join
+           // narrows to the exact colliding keys before pair expansion.
+           val touched = timed("band buckets")(
+             keys.select(bandBucket.as("b")).distinct()
+               .collect().map(_.getLong(0)))
+           val hist = spark.read.parquet(bandsDir(historyDir))
+             .filter(col(IdempotentAppend.BucketCol).isin(touched: _*))
+             .select(col("id"), col("band"), col("key"))
+             .join(keys.select(col("band"), col("key")).distinct(),
+               Seq("band", "key"), "left_semi")
+           taggedBucketPairs(hist, keys, maxBucketSize)
+         }).distinct()) // same pair can collide in several bands
 
       // exact confirm needs both sides' shingle sets: batch ∪ the history
-      // buckets of ids that can possibly collide — the band-colliding
-      // history ids (a superset of confirmed-pair ids, collected from the
-      // CACHED relevant set so cand itself stays lazy and materializes
-      // inside the confirm action, single-pass).
-      val allSh = histRelevant match {
-        case None => sh
-        case Some(h) if hasShingles =>
+      // buckets of ids that actually collided (cross pairs put every
+      // possible history id on the "a" side). The touched-bucket collect
+      // doubles as cand's MATERIALIZING action — the same honest-stats
+      // discipline as lshNearDupPairs: the typed pair-expansion's static
+      // estimate undershoots ~1000×, and letting the confirm join plan
+      // against an unmaterialized cand could statically broadcast a
+      // huge pair side at scale.
+      val allSh =
+        if (!hasShingles) sh
+        else {
           val idBucket =
-            IdempotentAppend.bucketExpr(Seq(col("id")), historyBuckets)
+            IdempotentAppend.bucketExpr(Seq(col("id_a")), historyBuckets)
           val touched = timed("shingle buckets")(
-            h.select(idBucket.as("b")).distinct()
+            cand.select(idBucket.as("b")).distinct()
               .collect().map(_.getLong(0)))
           if (touched.isEmpty) sh
           else sh.unionAll(
             spark.read.parquet(shinglesDir(historyDir))
               .filter(col(IdempotentAppend.BucketCol).isin(touched: _*))
               .select(col("id"), col("hs")))
-        case Some(_) => sh // bands without shingles: mid-crash store state
-      }
+        }
       // The confirmed pair set is localCheckpoint'ed — NOT merely cached —
       // because this batch later APPENDS to the history paths the cand /
       // confirm plans read, and Spark's CacheManager.recacheByPath would
