@@ -106,6 +106,27 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("chunked path: composite keys and null timestamps behave like the plain path") {
+    val rnd = new scala.util.Random(41)
+    val ls = List.fill(200)((rnd.nextInt(3).toLong, rnd.nextInt(2).toLong,
+        rnd.nextInt(40).toLong))
+      .zipWithIndex.map { case ((k1, k2, t), i) =>
+        (k1, k2, if (t == 0) None else Some(t), i.toLong) }
+    val rs = List.fill(200)((rnd.nextInt(3).toLong, rnd.nextInt(2).toLong,
+        rnd.nextInt(40).toLong))
+      .zipWithIndex.map { case ((k1, k2, t), i) =>
+        (k1, k2, if (t == 0) None else Some(t), i.toLong + 5000) }
+    val lDf = ls.toDF("k1", "k2", "ts", "lid")
+    val rDf = rs.toDF("k1", "k2", "rts", "rid")
+    val plain = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k1", "k2"), "ts",
+        "rts", "rid")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    val chunked = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k1", "k2"), "ts",
+        "rts", "rid", chunkWidth = Some(7L))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    assert(chunked === plain)
+  }
+
   test("rejects payload collisions and missing tieBreak") {
     intercept[IllegalArgumentException] {
       AsOf.joinPriorOrEqual(left, right.withColumnRenamed("rid", "lid"),
