@@ -33,7 +33,8 @@ object Bench {
     // per-query JSON inside the driver's 2000-char stdout tail at useful
     // precision (83 queries no longer fit at even 1 decimal).
     // SPARK_GRAFT_ONLY can still name them explicitly.
-    val benchExcluded = Set("q_j5x_asof_chunked", "q_e1x_sessionize_chunked")
+    val benchExcluded = Set("q_j5x_asof_chunked", "q_e1x_sessionize_chunked",
+      "q_j5s_asof_strict", "q_j5t_asof_tolerance")
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=q_a1,q_x2
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

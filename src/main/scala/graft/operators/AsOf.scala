@@ -53,10 +53,21 @@ object AsOf {
     * names must not collide with left's columns. `tieBreak` must be a
     * right payload column. `chunkWidth` (in the ts column's own unit —
     * requires an integral ts type) opts into the hot-key-safe chunked
-    * plan described above. */
+    * plan described above.
+    *
+    * Variant semantics (the two knobs every feature-store as-of offers):
+    *  - `inclusive = false`: STRICTLY-prior visibility — a right row at
+    *    exactly `leftTs` is NOT visible (same-instant leakage guard for
+    *    event streams where "state" lands with the event it describes).
+    *  - `tolerance = Some(t)`: maximum staleness — a match older than
+    *    `leftTs − t` is discarded (null payloads), pandas
+    *    `merge_asof(tolerance=...)` semantics; requires an integral ts.
+    * Both compose with `chunkWidth`; the oracle-paired q_j5s/q_j5t pin
+    * them against `<` / `>= us − t` SQL formulations. */
   def joinPriorOrEqual(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, tieBreak: String,
-      chunkWidth: Option[Long] = None): DataFrame = {
+      chunkWidth: Option[Long] = None, inclusive: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTs).toSeq
@@ -72,20 +83,35 @@ object AsOf {
     val clash = (left.columns ++ right.columns).toSet.intersect(Reserved)
     require(clash.isEmpty,
       s"input columns use reserved names: ${clash.mkString(",")}")
-    chunkWidth.foreach { w =>
-      require(w > 0, s"chunkWidth $w must be positive")
-      val integral = Set[org.apache.spark.sql.types.DataType](
-        ByteType, ShortType, IntegerType, LongType)
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    def requireIntegralTs(what: String): Unit =
       require(integral(left.schema(leftTs).dataType) &&
         integral(right.schema(rightTs).dataType),
-        "chunked as-of needs integral timestamps (chunking is exact long math)")
+        s"$what as-of needs integral timestamps (exact long math)")
+    chunkWidth.foreach { w =>
+      require(w > 0, s"chunkWidth $w must be positive")
+      requireIntegralTs("chunked")
+    }
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance $t must be non-negative")
+      requireIntegralTs("tolerance-bounded")
     }
 
-    val pStruct = struct(payloadCols.map(col): _*)
+    // __p carries the matched right row's OWN timestamp next to its
+    // payload (nested as __mts/__pp) so the tolerance check can compare
+    // the surviving match's age after the running last resolved ties.
+    val pStruct = struct(col(rightTs).as("__mts"),
+      struct(payloadCols.map(col): _*).as("__pp"))
     val pType = right.select(pStruct).schema.head.dataType
     val lStruct = struct(left.columns.map(col): _*)
     val lType = left.select(lStruct).schema.head.dataType
     val tbType = right.schema(tieBreak).dataType
+
+    // Equal-ts ordering realizes the visibility rule: inclusive puts
+    // right (0) before left (1) — a right row AT leftTs is seen;
+    // strict puts right (2) after left — it is not.
+    val rightSide = if (inclusive) 0 else 2
 
     // identical select order on both sides → positional union is safe
     val l2 = left.filter(col(leftTs).isNotNull).select(
@@ -95,16 +121,15 @@ object AsOf {
         lit(null).cast(pType).as("__p"), lStruct.as("__l")): _*)
     val r2 = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__side"),
+        col(rightTs).as("__ts"), lit(rightSide).as("__side"),
         col(tieBreak).as("__tb"),
         pStruct.as("__p"), lit(null).cast(lType).as("__l")): _*)
     val u = l2.unionAll(r2)
 
     val matched = chunkWidth match {
       case None =>
-        // right (side 0) sorts before left (side 1) at equal __ts — that
-        // is the "<=" in prior-OR-EQUAL; __tb makes equal-ts right rows
-        // deterministic (running last keeps the largest)
+        // __tb makes equal-ts right rows deterministic (running last
+        // keeps the largest)
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col("__ts"), col("__side"), col("__tb"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -124,7 +149,7 @@ object AsOf {
         // Chunk boundaries are on __ts, so everything in an earlier chunk
         // is strictly earlier — the carry needs no side/equal-ts logic.
         val summary = uc.groupBy(partCols: _*)
-          .agg(max(when(col("__side") === 0,
+          .agg(max(when(col("__side") =!= 1, // right rows (side 0 or 2)
             struct(col("__ts"), col("__tb"), col("__p")))).as("__last"))
         // 3. carry-in per chunk = last right payload of any STRICTLY
         // earlier chunk (running last over the summary, frame ending at
@@ -143,9 +168,18 @@ object AsOf {
           .withColumn("__match",
             coalesce(col("__match"), col("__carry").getField("__p")))
     }
+    // tolerance: a surviving match older than leftTs − t is discarded
+    // (null payloads) — checked on the match's carried __mts, so it
+    // applies identically under the plain and chunked plans
+    val payloadOf: String => Column = tolerance match {
+      case None => c => col("__match").getField("__pp").getField(c)
+      case Some(t) => c =>
+        when(col("__match").getField("__mts") >= col("__ts") - t,
+          col("__match").getField("__pp").getField(c))
+    }
     matched
       .filter(col("__side") === 1)
       .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
-        payloadCols.map(c => col("__match").getField(c).as(c)): _*)
+        payloadCols.map(c => payloadOf(c).as(c)): _*)
   }
 }

@@ -56,8 +56,8 @@ object Relational {
     * compare would only agree while DuckDB happens to read TIMESTAMP_NS
     * at micro precision (ADVICE r4 — make the micro contract explicit,
     * not incidental). */
-  private val asOfOracle: String =
-    """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  private def asOfOracle(cmp: String = "<=", extra: String = ""): String =
+    s"""WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
           WHERE event_type = 'view'),
         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus,
             value
@@ -65,15 +65,19 @@ object Relational {
         j AS (SELECT v.event_id, p.purchase_id, p.value,
                 ROW_NUMBER() OVER (PARTITION BY v.event_id
                   ORDER BY p.pus DESC, p.purchase_id DESC) AS rn
-              FROM v JOIN p ON v.user_id = p.user_id AND p.pus <= v.us)
+              FROM v JOIN p ON v.user_id = p.user_id AND p.pus $cmp v.us$extra)
        SELECT v.event_id, j.purchase_id, j.value AS purchase_value
        FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
        ORDER BY event_id"""
 
-  /** Shared body of q_j5 / q_j5x — identical semantics, plain vs chunked
-    * plan; both hash against [[asOfOracle]]. */
+  /** 24 h in micros — q_j5t's staleness bound. */
+  private val AsOfTolUs = 86400000000L
+
+  /** Shared body of the q_j5 family — one semantics knob per variant;
+    * every variant hashes against the matching [[asOfOracle]] form. */
   private def asOfQuery(s: SparkSession, dir: String,
-      chunkWidth: Option[Long]): DataFrame = {
+      chunkWidth: Option[Long], inclusive: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
     val ev = t(s, dir, "events")
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
@@ -81,7 +85,8 @@ object Relational {
       .select(col("user_id"), expr("ts DIV 1000").as("us"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
     AsOf.joinPriorOrEqual(views, purchases, Seq("user_id"), "us", "us",
-        tieBreak = "purchase_id", chunkWidth = chunkWidth)
+        tieBreak = "purchase_id", chunkWidth = chunkWidth,
+        inclusive = inclusive, tolerance = tolerance)
       .select(col("event_id"), col("purchase_id"), col("purchase_value"))
       .orderBy(col("event_id"))
   }
@@ -207,6 +212,17 @@ object Relational {
       // (6 h time chunks — smaller than the data's span, so the carry
       // join is live), checked against the SAME exhaustive oracle
       asOfQuery(s, dir, chunkWidth = Some(6L * 3600L * 1000000L))
+    }),
+    "q_j5s_asof_strict" -> ((s, dir) => {
+      // strictly-prior visibility (a purchase AT the view's instant is
+      // not visible) — the same-instant leakage guard; oracle uses <
+      asOfQuery(s, dir, chunkWidth = None, inclusive = false)
+    }),
+    "q_j5t_asof_tolerance" -> ((s, dir) => {
+      // staleness-bounded enrichment: matches older than 24 h null out
+      // (pandas merge_asof tolerance semantics); oracle adds the
+      // >= us − tol bound to the exhaustive pair join
+      asOfQuery(s, dir, chunkWidth = None, tolerance = Some(AsOfTolUs))
     }),
     "q_j6_range_join" -> ((s, dir) => {
       // interval-containment: map late-arriving 'error' events into the
@@ -578,8 +594,11 @@ object Relational {
          FROM err JOIN iv ON err.user_id = iv.user_id
                          AND err.us BETWEEN iv.lo AND iv.hi
          ORDER BY err.event_id""",
-    "q_j5_asof_join" -> asOfOracle,
-    "q_j5x_asof_chunked" -> asOfOracle, // same semantics, chunked plan
+    "q_j5_asof_join" -> asOfOracle(),
+    "q_j5x_asof_chunked" -> asOfOracle(), // same semantics, chunked plan
+    "q_j5s_asof_strict" -> asOfOracle(cmp = "<"),
+    "q_j5t_asof_tolerance" ->
+      asOfOracle(extra = s" AND p.pus >= v.us - $AsOfTolUs"),
     "q_a9_exact_quantile" ->
       // value at rank floor(p*(n-1)); tie order is irrelevant to the
       // VALUE at a rank (same sorted multiset either way)

@@ -106,6 +106,69 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("strict (<) visibility: an equal-ts right row is not seen") {
+    // left 'b' sits at ts=5 where two right rows also sit: inclusive
+    // takes the larger-rid one; strict must fall back to... nothing
+    // earlier exists below 5 for k=1 except nothing -> null
+    val got = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts",
+        "rid", inclusive = false)
+      .select("lid", "rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(got("a") === Some(102L)) // 10 > 9, unaffected
+    assert(got("b") === None)       // equal-ts rows invisible, none before
+    assert(got("c") === None)
+  }
+
+  test("tolerance: matches older than leftTs - t null out (plain and chunked)") {
+    // left 'a' at ts=10 matches rid=102 at rts=9 (age 1); tolerance 0
+    // discards it, tolerance 1 keeps it
+    for (cw <- Seq(None, Some(3L))) {
+      val keep = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts",
+          "rid", chunkWidth = cw, tolerance = Some(1L))
+        .select("lid", "rid").as[(String, Option[Long])].collect().toMap
+      assert(keep("a") === Some(102L), s"cw=$cw")
+      val drop = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts",
+          "rid", chunkWidth = cw, tolerance = Some(0L))
+        .select("lid", "rid").as[(String, Option[Long])].collect().toMap
+      assert(drop("a") === None, s"cw=$cw")
+      // equal-ts match has age 0 — survives tolerance 0
+      assert(drop("b") === Some(101L), s"cw=$cw")
+    }
+  }
+
+  test("property: strict and tolerance match a brute-force reference (seeded, both plans)") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 6) {
+      val ls = List.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = List.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+      val lDf = ls.toDF("k", "ts", "lid")
+      val rDf = rs.toDF("k", "rts", "rid")
+      val tol = rnd.nextInt(6).toLong
+      def want(strict: Boolean, tolOpt: Option[Long]) = ls.map {
+        case (k, t, lid) =>
+          val cands = rs.filter { case (rk, rt, _) =>
+            rk == k && (if (strict) rt < t else rt <= t) &&
+              tolOpt.forall(tl => rt >= t - tl)
+          }
+          lid -> (if (cands.isEmpty) None
+                  else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) }._3))
+      }.toSet
+      for (cw <- Seq(None, Some(rnd.nextInt(9) + 1L))) {
+        val strictGot = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts",
+            "rts", "rid", chunkWidth = cw, inclusive = false)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+        assert(strictGot === want(strict = true, None), s"trial $trial cw=$cw strict")
+        val tolGot = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts",
+            "rts", "rid", chunkWidth = cw, tolerance = Some(tol))
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+        assert(tolGot === want(strict = false, Some(tol)),
+          s"trial $trial cw=$cw tol=$tol")
+      }
+    }
+  }
+
   test("chunked path: composite keys and null timestamps behave like the plain path") {
     val rnd = new scala.util.Random(41)
     val ls = List.fill(200)((rnd.nextInt(3).toLong, rnd.nextInt(2).toLong,
