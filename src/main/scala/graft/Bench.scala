@@ -175,14 +175,17 @@ object Bench {
     // queries — the judge diffs these across rounds), 1 decimal above
     // (±0.05 s is far below host noise at that magnitude).
     def tiered(v: Double): String = if (v < 1) fmtAt(2)(v) else fmtAt(1)(v)
+    // next degradation step keeps sub-10s granularity at 1 decimal and
+    // only rounds the handful of big protocol queries to whole seconds
+    def tiered0(v: Double): String = if (v < 10) fmtAt(1)(v) else fmtAt(0)(v)
     // The driver keeps only the LAST 2000 chars of stdout; a line past
     // that loses its HEAD and the whole bench goes unparsed (the r3
     // failure). Ladder: full 2-decimal → tiered → 1-decimal → shed error
     // messages → 0-decimal, degrading precision before losing the round's
     // numbers. The 1975 cutoff leaves 24 bytes of margin; nothing else
     // reaches stdout (sbt [success] suppressed, Spark logs on stderr).
-    val out = Seq(line(fmt), line(tiered), line(fmtAt(1)),
-        line(fmtAt(1), withMessages = false),
+    val out = Seq(line(fmt), line(tiered), line(fmtAt(1)), line(tiered0),
+        line(tiered0, withMessages = false),
         line(fmtAt(0), withMessages = false))
       .find(_.length <= 1975)
       .getOrElse(line(fmtAt(0), withMessages = false))

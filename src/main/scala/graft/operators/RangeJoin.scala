@@ -54,4 +54,51 @@ object RangeJoin {
       .filter(col(point).between(col(lo), col(hi)))
       .drop("__b")
   }
+
+  /** Interval×interval OVERLAP join — match each left interval
+    * `[leftLo, leftHi]` to the right intervals `[rightLo, rightHi]` of
+    * the same key that intersect it (inclusive bounds:
+    * `leftLo <= rightHi && rightLo <= leftHi`): span conflation,
+    * sessions vs maintenance/incident windows, curriculum-phase overlap.
+    *
+    * Same bucketization as [[pointInInterval]], on BOTH sides — the join
+    * is a plain hash join on (key, bucket) with an exact confirm. A pair
+    * whose intervals span several common buckets would match repeatedly;
+    * the CANONICAL-BUCKET rule dedups without a distinct: the overlap's
+    * first instant `max(leftLo, rightLo)` lies inside both intervals, so
+    * both sides cover its bucket, and the pair is kept ONLY in that
+    * bucket — exactly-once by construction, no shuffle beyond the join.
+    *
+    * Both sides' non-key columns ride through; names must not collide.
+    * Null bounds and inverted (`hi < lo`) intervals drop on either side.
+    * Expansion factor ≈ avg_interval/bucketWidth + 1 per side — pick
+    * `bucketWidth` near the typical interval length. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftLo: String, leftHi: String, rightLo: String, rightHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val collisions = left.columns.toSet.intersect(rightPayload.toSet)
+    require(collisions.isEmpty,
+      s"right columns collide with left: ${collisions.mkString(",")}")
+    require(!(left.columns ++ right.columns).contains("__b"),
+      "input columns use the reserved name __b")
+
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    def valid(lo: String, hi: String) =
+      col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi)
+
+    val l2 = left.filter(valid(leftLo, leftHi))
+      .withColumn("__b",
+        explode(sequence(bucketOf(col(leftLo)), bucketOf(col(leftHi)))))
+    val r2 = right.filter(valid(rightLo, rightHi))
+      .withColumn("__b",
+        explode(sequence(bucketOf(col(rightLo)), bucketOf(col(rightHi)))))
+    l2.join(r2, keys :+ "__b")
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .filter(col("__b") === bucketOf(greatest(col(leftLo), col(rightLo))))
+      .drop("__b")
+  }
 }

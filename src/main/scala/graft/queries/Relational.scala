@@ -244,6 +244,33 @@ object Relational {
         .select(col("event_id"), col("user_id"), col("session_idx"))
         .orderBy(col("event_id"))
     }),
+    "q_j7_interval_overlap" -> ((s, dir) => {
+      // interval×interval overlap: user sessions (12 h gap over non-error
+      // events) vs error-BURST windows (1 h gap over error events) of the
+      // same user — "which sessions were touched by an incident window".
+      // Bucketized on both sides; the canonical-bucket rule emits each
+      // overlapping pair exactly once (no distinct).
+      val ev = t(s, dir, "events")
+      val sessions = Sessions.sessionStats(
+          ev.filter(col("event_type") =!= "error"), "user_id",
+          expr("ts DIV 1000"), col("event_id"),
+          java.time.Duration.ofHours(12))
+        .select(col("user_id"), col("session_idx"),
+          col("session_start_us"), col("session_end_us"))
+      val bursts = Sessions.sessionStats(
+          ev.filter(col("event_type") === "error"), "user_id",
+          expr("ts DIV 1000"), col("event_id"),
+          java.time.Duration.ofHours(1))
+        .select(col("user_id"), col("session_idx").as("burst_idx"),
+          col("session_start_us").as("burst_start_us"),
+          col("session_end_us").as("burst_end_us"))
+      RangeJoin.intervalOverlap(sessions, bursts, Seq("user_id"),
+          "session_start_us", "session_end_us",
+          "burst_start_us", "burst_end_us",
+          bucketWidth = 3600L * 1000000L)
+        .select(col("user_id"), col("session_idx"), col("burst_idx"))
+        .orderBy(col("user_id"), col("session_idx"), col("burst_idx"))
+    }),
     "q_j4_join_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       // dim side: let AQE pick broadcast from runtime stats — a forced
@@ -594,6 +621,41 @@ object Relational {
          FROM err JOIN iv ON err.user_id = iv.user_id
                          AND err.us BETWEEN iv.lo AND iv.hi
          ORDER BY err.event_id""",
+    "q_j7_interval_overlap" ->
+      // both interval sets derived exactly as their session oracles
+      // (12 h / 1 h gaps), then joined by the exhaustive overlap theta
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+            FROM events WHERE event_type <> 'error'),
+          g AS (SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 43200000000
+                       THEN 1 ELSE 0 END AS ns
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          s AS (SELECT user_id, us,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM g),
+          iv AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   MIN(us) AS lo, MAX(us) AS hi
+                 FROM s GROUP BY user_id, session_idx),
+          e2 AS (SELECT user_id, event_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'error'),
+          g2 AS (SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w2 IS NULL
+                         OR us - lag(us) OVER w2 > 3600000000
+                       THEN 1 ELSE 0 END AS ns
+                FROM e2 WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)),
+          s2 AS (SELECT user_id, us,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM g2),
+          iv2 AS (SELECT user_id, CAST(session_idx AS BIGINT) AS burst_idx,
+                    MIN(us) AS blo, MAX(us) AS bhi
+                  FROM s2 GROUP BY user_id, session_idx)
+         SELECT iv.user_id AS user_id, iv.session_idx, iv2.burst_idx
+         FROM iv JOIN iv2 ON iv.user_id = iv2.user_id
+                         AND iv.lo <= iv2.bhi AND iv2.blo <= iv.hi
+         ORDER BY iv.user_id, iv.session_idx, iv2.burst_idx""",
     "q_j5_asof_join" -> asOfOracle(),
     "q_j5x_asof_chunked" -> asOfOracle(), // same semantics, chunked plan
     "q_j5s_asof_strict" -> asOfOracle(cmp = "<"),

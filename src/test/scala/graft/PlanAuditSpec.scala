@@ -54,7 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     // query plans (parquet scans, AQE on) — the inequality predicates
     // must ride a window / a bucket equi-join, never a per-key loop
     for (name <- Seq("q_j5_asof_join", "q_j5x_asof_chunked",
-        "q_j6_range_join")) {
+        "q_j6_range_join", "q_j7_interval_overlap")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"),

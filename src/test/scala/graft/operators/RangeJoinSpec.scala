@@ -70,6 +70,47 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap: overlapping pairs exactly once, width-invariant") {
+    val a = Seq((1L, 0L, 10L, "a1"), (1L, 20L, 30L, "a2"), (2L, 0L, 5L, "a3"))
+      .toDF("k", "alo", "ahi", "aid")
+    val b = Seq((1L, 5L, 25L, "b1"), (1L, 10L, 12L, "b2"),
+      (1L, 31L, 40L, "b3"), (2L, 6L, 9L, "b4"), (1L, 9L, 2L, "bad"))
+      .toDF("k", "blo", "bhi", "bid")
+    for (w <- Seq(1L, 4L, 13L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(a, b, Seq("k"),
+          "alo", "ahi", "blo", "bhi", bucketWidth = w)
+        .select("aid", "bid").as[(String, String)].collect().toList
+      // a1∩b1 ([5,10]), a1∩b2 (at 10, boundary), a2∩b1 ([20,25]);
+      // b3 starts past a2; key-2 intervals touch nothing; "bad" inverted
+      assert(got.sorted === List("a1" -> "b1", "a1" -> "b2", "a2" -> "b1"),
+        s"bucketWidth=$w (duplicates would show here)")
+    }
+  }
+
+  test("intervalOverlap property: brute-force reference, exactly-once (seeded)") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 10) {
+      def ivs(n: Int, base: Long) = List.fill(n) {
+        val a = rnd.nextInt(200).toLong - 100
+        (rnd.nextInt(3).toLong, a, a + rnd.nextInt(40) - 5)
+      }.zipWithIndex.map { case ((k, lo, hi), i) => (k, lo, hi, base + i) }
+      val as = ivs(rnd.nextInt(25) + 5, 0)
+      val bs = ivs(rnd.nextInt(25) + 5, 1000)
+      val w = rnd.nextInt(29).toLong + 1
+      val got = RangeJoin.intervalOverlap(
+          as.toDF("k", "alo", "ahi", "aid"), bs.toDF("k", "blo", "bhi", "bid"),
+          Seq("k"), "alo", "ahi", "blo", "bhi", w)
+        .select("aid", "bid").as[(Long, Long)].collect().toList
+      val want = for {
+        (ak, alo, ahi, aid) <- as
+        (bk, blo, bhi, bid) <- bs
+        if ak == bk && alo <= ahi && blo <= bhi && alo <= bhi && blo <= ahi
+      } yield (aid, bid)
+      // list-vs-list: equal as SETS and free of duplicate emissions
+      assert(got.sorted === want.sorted, s"trial $trial w=$w")
+    }
+  }
+
   test("plans as a hash join on (key, bucket) — no nested loop, no cartesian") {
     val df = RangeJoin.pointInInterval(points, intervals, Seq("k"),
       "t", "lo", "hi", 5L)
