@@ -125,6 +125,78 @@ object Sampling {
       .drop("__graft_rk")
   }
 
+  /** Keep each group's rows — in domain-separated hash order, the same
+    * stability contract as [[capPerGroup]] — until the group's running
+    * token total reaches `maxTokensPerGroup`: the "fill each source to
+    * its token budget" step of mixture construction, where budgets are
+    * set in tokens (what the training run actually consumes), not
+    * document counts. The budget-crossing row is KEPT (kept iff the
+    * tokens BEFORE it are under budget), so every non-empty group with a
+    * positive budget contributes at least one row and the kept total may
+    * overshoot by at most one document. Rows with null keys or null
+    * token counts drop.
+    *
+    * Scale shape: one hash shuffle on the group, a per-group sort, and a
+    * RUNNING-sum frame (streaming, no buffering) — same shape as
+    * sequence packing; no WindowGroupLimit rewrite exists for cumulative
+    * predicates, so a 10⁹-row group does sort (spilling, parallel across
+    * groups) — cap row counts first via [[capPerGroup]] if a group's raw
+    * volume is itself the problem. */
+  def capTokensPerGroup(df: DataFrame, groupCol: String, key: Column,
+      tokens: Column, maxTokensPerGroup: Long): DataFrame = {
+    require(maxTokensPerGroup > 0,
+      s"maxTokensPerGroup $maxTokensPerGroup must be positive")
+    // "budget:" domain separation for the same reason as capPerGroup's
+    // "cap:" — ranking by the raw split/sample hash would bias every
+    // downstream hash stage onto the kept subset
+    val ord = md5(concat(lit("budget:"), key.cast("string")).cast("binary"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord, key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(key.isNotNull && tokens.isNotNull)
+      .withColumn("__graft_cum", sum(tokens).over(w))
+      .filter(col("__graft_cum") - tokens < maxTokensPerGroup)
+      .drop("__graft_cum")
+  }
+
+  /** EXACT per-group split proportions — [[hashSplit]] holds fractions
+    * only in expectation, which drifts badly on small strata (a 30-doc
+    * source can land 40/60 under a 80/20 split); here each group is
+    * ranked by a domain-separated hash and the first
+    * `floor(n·bits/65536)` rows of each cumulative boundary take the
+    * split name, so every stratum honors the fractions to ±1 row.
+    * Fractions resolve at [[hashSplit]]'s 1/65536 granularity; the
+    * per-group keep count is `(n · bits) / 65536.0` floored — an exact
+    * integer divided by a power of two, so the double math is EXACT and
+    * engine-portable (no decimal-vs-binary 0.7·10 = 6.999… hazards).
+    * Stability: within a group, membership moves only at the boundary
+    * when the group grows (rank-based assignment cannot be pure-function
+    * stable; when cross-run stability matters more than exactness, use
+    * [[hashSplit]]).
+    *
+    * One hash shuffle on the group; rank and group count ride the same
+    * window sort. */
+  def stratifiedSplit(df: DataFrame, groupCol: String, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    val cumBits = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.min(math.round(math.floor(f * 65536.0)), 65536L))
+    val ord = md5(concat(lit("strat:"), key.cast("string")).cast("binary"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord, key)
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df.filter(key.isNotNull)
+      .withColumn("__graft_rk", row_number().over(w))
+      .withColumn("__graft_n", count(lit(1)).over(wAll))
+    val expr = splits.init.zip(cumBits.init)
+      .foldLeft(when(lit(false), "")) { case (acc, ((name, _), bits)) =>
+        acc.when(col("__graft_rk") <=
+          floor(col("__graft_n") * bits / 65536.0), name)
+      }.otherwise(splits.last._1) // last split absorbs the remainder
+    ranked.withColumn("split", expr).drop("__graft_rk", "__graft_n")
+  }
+
   /** Deterministic global shuffle for training order, realized as
     * (`shard`, `shuffle_rank`) WITHOUT a global sort: the training
     * permutation is "order by md5(seed:key)", the shard is a contiguous

@@ -263,6 +263,28 @@ object LlmPipeline {
           expr("ts DIV 1000"), col("event_id"),
           java.time.Duration.ofHours(12))
         .orderBy(col("user_id"), col("session_idx"))),
+    "q_e7_token_budget" -> ((s, dir) =>
+      // fill each source to a 2000-token budget in budget-hash order —
+      // mixtures are set in tokens, not document counts; the crossing
+      // doc is kept (soft budget). kept_sum pins exact membership.
+      Sampling.capTokensPerGroup(
+          t(s, dir, "documents").withColumn("n_toks",
+            TextAnalysis.tokenCount(col("text")).cast("long")),
+          "source", col("doc_id"), col("n_toks"), 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_toks")).as("kept_tokens"),
+          sum(col("doc_id")).as("kept_sum"))
+        .orderBy(col("source"))),
+    "q_e8_stratified_split" -> ((s, dir) =>
+      // EXACT per-stratum 80/10/10 (hashSplit holds fractions only in
+      // expectation — small strata drift); member_sum pins membership
+      Sampling.stratifiedSplit(t(s, dir, "documents"), "source",
+          col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("member_sum"))
+        .orderBy(col("source"), col("split"))),
     "q_e1x_sessionize_chunked" -> ((s, dir) =>
       // the SAME sessionization through the hot-key-safe chunked plan —
       // 6 h chunks, deliberately SMALLER than the 12 h gap so sessions
@@ -764,6 +786,38 @@ object LlmPipeline {
          FROM i ORDER BY doc_id, chunk_idx""",
     "q_e1_sessionize" -> sessionizeOracle,
     "q_e1x_sessionize_chunked" -> sessionizeOracle, // same semantics, chunked plan
+    "q_e7_token_budget" ->
+      // same "budget:" domain-separated md5 order; keep iff the tokens
+      // BEFORE the row are under budget (cum − n < 2000)
+      s"""WITH d AS (SELECT source, doc_id, len($duckToks) AS n
+            FROM documents),
+          o AS (SELECT source, doc_id, n,
+                  SUM(n) OVER (PARTITION BY source
+                    ORDER BY md5('budget:' || CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d)
+         SELECT source, COUNT(*) AS n_kept,
+                CAST(SUM(n) AS BIGINT) AS kept_tokens,
+                CAST(SUM(doc_id) AS BIGINT) AS kept_sum
+         FROM o WHERE cum - n < 2000 GROUP BY source ORDER BY source""",
+    "q_e8_stratified_split" ->
+      // rank by the "strat:" md5; cumulative keep counts are exact
+      // integer·2⁻¹⁶ math on both engines: bits 52428 = floor(0.8·65536),
+      // 58982 = floor(0.9·65536) (the engine derives the same constants)
+      """WITH r AS (SELECT source, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS rk,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+                FROM documents),
+          a AS (SELECT source, doc_id,
+                  CASE WHEN rk <= FLOOR(n * 52428 / 65536.0) THEN 'train'
+                       WHEN rk <= FLOOR(n * 58982 / 65536.0) THEN 'val'
+                       ELSE 'test' END AS split
+                FROM r)
+         SELECT source, split, COUNT(*) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS member_sum
+         FROM a GROUP BY source, split ORDER BY source, split""",
     "q_e2_hash_split" ->
       // boundaries = first 4 md5 hex chars vs floor(cum_frac * 65536) in
       // hex: 0.8 → 'cccc', 0.9 → 'e666' (same constants the engine derives)

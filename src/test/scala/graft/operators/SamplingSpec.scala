@@ -156,6 +156,63 @@ class SamplingSpec extends SparkSpec {
       s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("capTokensPerGroup: fills each group in budget-hash order, crossing row kept") {
+    val df = (1 to 20).map(i => (if (i <= 10) "a" else "b", i.toLong, 100L))
+      .toDF("g", "id", "toks")
+    val got = Sampling.capTokensPerGroup(df, "g", col("id"), col("toks"), 350L)
+      .select(col("g"), col("id")).as[(String, Long)].collect()
+    // budget 350 over 100-token docs: 3 full + the crossing 4th per group
+    assert(got.count(_._1 == "a") === 4 && got.count(_._1 == "b") === 4)
+    // membership is exactly the 4 hash-smallest ids of each group under
+    // the "budget:" domain — reference recomputation
+    for ((g, ids) <- got.groupBy(_._1)) {
+      val pool = if (g == "a") (1L to 10L) else (11L to 20L)
+      val want = pool.sortBy(i => (md5hex(s"budget:$i"), i)).take(4).toSet
+      assert(ids.map(_._2).toSet === want, s"group $g")
+    }
+    // budget larger than the group keeps everything; null tokens drop
+    val all = Sampling.capTokensPerGroup(df, "g", col("id"), col("toks"), 100000L)
+    assert(all.count() === 20)
+    val withNull = df.withColumn("toks",
+      when(col("id") === 1L, lit(null)).otherwise(col("toks")))
+    assert(Sampling.capTokensPerGroup(withNull, "g", col("id"), col("toks"),
+      100000L).count() === 19)
+  }
+
+  test("capTokensPerGroup: kept set is prefix-stable as the budget grows") {
+    val rnd = new scala.util.Random(61)
+    val df = (1 to 200).map(i =>
+      (s"s${i % 3}", i.toLong, rnd.nextInt(50) + 1L)).toDF("g", "id", "toks")
+    val small = Sampling.capTokensPerGroup(df, "g", col("id"), col("toks"), 300L)
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.capTokensPerGroup(df, "g", col("id"), col("toks"), 900L)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "raising the budget must only ADD rows")
+  }
+
+  test("stratifiedSplit: every stratum honors the fractions to ±1 row") {
+    // deliberately small, imbalanced strata — the case hashSplit drifts on
+    val df = ((1 to 30).map(i => ("small", i.toLong)) ++
+      (31 to 530).map(i => ("big", i.toLong))).toDF("g", "id")
+    val got = Sampling.stratifiedSplit(df, "g", col("id"), splits)
+    val counts = got.groupBy(col("g"), col("split")).count()
+      .as[(String, String, Long)].collect()
+      .map { case (g, s, n) => (g, s) -> n }.toMap
+    // floor(30*0.8*65536/65536)=floor(30*52428/65536)=23 (52428/65536 =
+    // 0.79999…); cumulative val boundary floor(30*58981/65536)=26
+    assert(counts(("small", "train")) === 23)
+    assert(counts(("small", "val")) === 3)
+    assert(counts(("small", "test")) === 4)
+    assert(counts(("big", "train")) === 399) // floor(500*52428/65536)
+    assert(counts(("big", "val")) === 50)
+    assert(counts(("big", "test")) === 51)
+    // assignment is rank-based on the "strat:" hash — reference check
+    val smallTrain = got.filter(col("g") === "small" && col("split") === "train")
+      .select("id").as[Long].collect().toSet
+    val want = (1L to 30L).sortBy(i => (md5hex(s"strat:$i"), i)).take(23).toSet
+    assert(smallTrain === want)
+  }
+
   test("shuffleShard: shards are hash-range buckets and ranks are the within-shard hash order") {
     val df = spark.range(500).toDF("id")
     val got = Sampling.shuffleShard(df, col("id"), shards = 8, seed = 42)
