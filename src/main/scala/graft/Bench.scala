@@ -167,10 +167,19 @@ object Bench {
     // sf as basename ("sf0.1"): the full dir path spent 16 bytes of the
     // 2000-char budget on a constant prefix
     val sfName = new java.io.File(sfDir).getName
-    def line(perQuery: Double => String, withMessages: Boolean = true): String = {
+    def lineWith(qKey: String, perQuery: Double => String,
+        withMessages: Boolean = true): String = {
       val qs = jm(results.map { case (k, v) => k -> perQuery(v) })
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,${errField(withMessages)}"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","$qKey":$qs,${errField(withMessages)}"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
     }
+    def line(perQuery: Double => String, withMessages: Boolean = true): String =
+      lineWith("queries", perQuery, withMessages)
+    // Centisecond integers under a SELF-DESCRIBING key ("queries_cs", so
+    // a cross-round diff can never silently misread the unit): 10 ms
+    // resolution everywhere at ~1 char per sub-second query over the
+    // integer-seconds floor — the densest format that still carries
+    // sub-second granularity for the whole battery.
+    val lineCs = lineWith("queries_cs", v => Math.round(v * 100).toString)
     // Tiered precision: 2 decimals where granularity matters (sub-second
     // queries — the judge diffs these across rounds), 1 decimal above
     // (±0.05 s is far below host noise at that magnitude).
@@ -184,10 +193,12 @@ object Bench {
     // messages → 0-decimal, degrading precision before losing the round's
     // numbers. The 1975 cutoff leaves 24 bytes of margin; nothing else
     // reaches stdout (sbt [success] suppressed, Spark logs on stderr).
-    val out = Seq(line(fmt), line(tiered), line(fmtAt(1)), line(tiered0),
-        line(tiered0, withMessages = false),
-        line(fmtAt(0), withMessages = false))
-      .find(_.length <= 1975)
+    val ladder = Seq(line(fmt), line(tiered), lineCs, line(fmtAt(1)),
+      line(tiered0), line(tiered0, withMessages = false),
+      line(fmtAt(0), withMessages = false))
+    System.err.println(
+      s"[bench] ladder lengths=${ladder.map(_.length).mkString(",")}")
+    val out = ladder.find(_.length <= 1975)
       .getOrElse(line(fmtAt(0), withMessages = false))
     System.err.println(s"[bench] json line length=${out.length}")
     // The one contract line, on stdout, no decoration:
