@@ -219,6 +219,35 @@ object TextAnalysis {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Per-document character-distribution Shannon entropy (bits/char) —
+    * the encoding-junk / gibberish signal of CCNet-style quality
+    * filtering: natural-language text sits in a narrow entropy band
+    * (~3.5–4.5 bits for English), while base64 blobs, binary spills and
+    * single-char spam land far outside it. Returns ("<idCol>",
+    * "char_entropy"), 0.0 for empty docs.
+    *
+    * Declarative TF-IDF shape (explode + two hash aggregates, both
+    * partial-aggregating map-side): the per-(doc, char) counts collapse
+    * to ≤ alphabet-size rows per doc before the second shuffle, so 100 TB
+    * of text shuffles O(docs × alphabet), not O(chars). Entropy via the
+    * exact algebra H = log2(n) − (Σ c·log2 c)/n — one pass over the
+    * per-char counts, no per-row probability vector. */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    val ent = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol)).agg(sum(col("__cnt")).as("__n"),
+        sum(col("__cnt") * log2(col("__cnt"))).as("__sl"))
+      .select(col(idCol),
+        round(log2(col("__n")) - col("__sl") / col("__n"), roundTo)
+          .as("char_entropy"))
+    df.select(col(idCol))
+      .join(ent, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+  }
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the exact-dedup key. */
   def fingerprint(c: Column): Column =

@@ -372,6 +372,13 @@ object LlmPipeline {
       Bpe.tokenCounts(t(s, dir, "documents").filter(col("doc_id") < 50),
           "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t14_char_entropy" -> ((s, dir) =>
+      // character-distribution entropy (encoding-junk/gibberish signal);
+      // the oracle uses DuckDB's native entropy() aggregate — same log2
+      // Shannon definition, met at 6 decimals
+      TextAnalysis.charEntropy(
+          t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "q_t8_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals: most-common-word share and the
       // share of tokens whose word occurs 2+ times — the boilerplate /
@@ -866,6 +873,14 @@ object LlmPipeline {
          SELECT doc_id, chunk_idx, CAST(len(ch) AS INT) AS n_toks,
                 md5(array_to_string(ch, ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_idx""",
+    "q_t14_char_entropy" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+          ch AS (SELECT doc_id, ROUND(entropy(c), 6) AS char_entropy
+                 FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                       FROM d)
+                 GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(ch.char_entropy, 0.0) AS char_entropy
+         FROM d LEFT JOIN ch USING (doc_id) ORDER BY doc_id""",
     "q_t13_bpe_tokens" ->
       // same merge table, replayed as boundary-safe REPLACEs over the
       // "(c) (c) …" wrapped word form (see Bpe scaladoc for why one

@@ -56,6 +56,20 @@ class TextNearDupSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: hand values, empty-doc zero, spaces count as chars") {
+    val df = Seq((1L, "aabb"), (2L, "abcd"), (3L, ""), (4L, "aaaa"),
+      (5L, "ab ab")).toDF("doc_id", "t")
+    val got = TextAnalysis.charEntropy(df, "doc_id", "t")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 1.0)  // two symbols, uniform
+    assert(got(2L) === 2.0)  // four symbols, uniform
+    assert(got(3L) === 0.0)  // empty
+    assert(got(4L) === 0.0)  // single symbol
+    // "ab ab": counts a=2 b=2 space=1, n=5 →
+    // log2(5) − (2·1 + 2·1 + 0)/5 = 2.321928… − 0.8
+    assert(math.abs(got(5L) - (math.log(5) / math.log(2) - 0.8)) < 1e-6)
+  }
+
   test("wordShingles: ordered n-grams, distinct, short-doc guard") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextAnalysis.wordShingles(col("t"), 3)).as[Seq[String]].head()
