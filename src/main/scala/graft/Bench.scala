@@ -170,7 +170,7 @@ object Bench {
     def lineWith(qKey: String, perQuery: Double => String,
         withMessages: Boolean = true): String = {
       val qs = jm(results.map { case (k, v) => k -> perQuery(v) })
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","$qKey":$qs,${errField(withMessages)}"subtotals":{"relational":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","$qKey":$qs,${errField(withMessages)}"sub":{"rel":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
     }
     def line(perQuery: Double => String, withMessages: Boolean = true): String =
       lineWith("queries", perQuery, withMessages)
