@@ -124,7 +124,14 @@ object StreamingNearDup {
     def cache(df: DataFrame): DataFrame = { cached += df; df.persist() }
     var checkpointed: Option[DataFrame] = None
     try {
-      val sh = cache(NearDup.hashedShingles(batch, idCol, textCol, shingleLen))
+      // id is normalized to LONG here, before anything derives from it:
+      // the shingle store is hash-bucketed on id at WRITE time and pruned
+      // at PROBE time via bucketExpr over the pair table's id_a (always
+      // long) — xxhash64 hashes IntegerType and LongType differently, so
+      // an int-id batch would otherwise write buckets the prober never
+      // reads and history near-dups would be silently admitted.
+      val sh = cache(NearDup.hashedShingles(batch, idCol, textCol, shingleLen)
+        .withColumn("id", col("id").cast("long")))
       // same banding derivation as the batch operator — shared helper, so
       // the streaming path cannot drift from NearDup.minhashCandidates.
       // BOTH caches (sh and keys) fill during the first single-threaded

@@ -43,6 +43,36 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 5L), s"history holds $ids")
   }
 
+  test("int doc ids: history probe hashes the same type the store was written with") {
+    // regression: xxhash64(IntegerType) != xxhash64(LongType). The shingle
+    // store is bucketed on id at write time but pruned via the pair
+    // table's id_a (always long) — without the long normalization an
+    // int-id batch writes buckets the prober never reads, allSh misses the
+    // history shingles, and history near-dups are silently ADMITTED.
+    import org.apache.spark.sql.functions.col
+    val hist = tmpDir("snd_int_ids")
+    val b1 = Seq((1, base.mkString(" ")), (2, (1 to 40).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text") // IntegerType ids
+    assert(b1.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val s1 = StreamingNearDup.dedupBatch(b1, hist, 1, threshold = 0.7)
+    assert(s1.admitted == 2, s1.toString)
+
+    val b2 = Seq((3, base.updated(5, "ALTERED").mkString(" "))) // ≈ doc 1
+      .toDF("doc_id", "text")
+    val s2 = StreamingNearDup.dedupBatch(b2, hist, 2, threshold = 0.7)
+    assert(s2.dupOfHistory == 1 && s2.admitted == 0,
+      s"history near-dup with int ids must be blocked: $s2")
+    // the store itself holds long ids regardless of the batch's dtype
+    assert(spark.read.parquet(s"$hist/shingles").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.read.parquet(s"$hist/bands").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val ids = spark.read.parquet(s"$hist/shingles")
+      .select(col("id")).as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"history holds $ids")
+  }
+
   test("bucketed history: band probe reads ONLY the batch's bucket dirs (input_file_name)") {
     import org.apache.spark.sql.functions._
     import graft.operators.{IdempotentAppend, NearDup}
