@@ -44,9 +44,12 @@ object AsOf {
     Set("__ts", "__side", "__tb", "__p", "__l", "__match", "__ck", "__carry")
 
   /** Negative-safe fixed-width time bucket (RangeJoin's formula): exact
-    * floor division via long arithmetic. */
+    * floor division via long arithmetic. `div` (IntegralDivide) keeps the
+    * whole computation in longs — `/` would route through DOUBLE and lose
+    * exactness above 2^53, silently mis-chunking raw nanosecond
+    * timestamps (~1.7e18) near chunk boundaries. */
   private def chunkOf(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   /** Left rows enriched with the latest prior-or-equal right payload.
     * Payload = every right column except `keys` and `rightTs`; payload
@@ -67,7 +70,7 @@ object AsOf {
   def joinPriorOrEqual(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, tieBreak: String,
       chunkWidth: Option[Long] = None, inclusive: Boolean = true,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None, autoChunk: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTs).toSeq
@@ -126,7 +129,36 @@ object AsOf {
         pStruct.as("__p"), lit(null).cast(lType).as("__l")): _*)
     val u = l2.unionAll(r2)
 
-    val matched = chunkWidth match {
+    // Auto-chunking (VERDICT r5 #4): a caller who does not know their key
+    // skew should not get the serialized-partition hazard by default. If
+    // no explicit width was given, a CHEAP probe (first rows of each
+    // partition, Skew.hotKeyShare) estimates the hottest key's share of
+    // the unioned timeline; above the threshold — and only then — one
+    // min/max pass sizes a width that splits the domain into ~8 chunks
+    // per shuffle partition, and the chunked plan engages. Uniform data
+    // pays only the tiny probe and keeps the plain single-window plan.
+    // Explicit `chunkWidth` always wins; non-integral timestamps cannot
+    // chunk and keep the plain plan.
+    val effectiveWidth: Option[Long] = chunkWidth.orElse {
+      val integralTs = integral(left.schema(leftTs).dataType) &&
+        integral(right.schema(rightTs).dataType)
+      if (!autoChunk || !integralTs) None
+      else if (Skew.hotKeyShare(u.select(keys.map(col): _*)) <
+        Skew.AutoChunkHotShare) None
+      else {
+        val b = u.agg(min(col("__ts").cast("long")),
+          max(col("__ts").cast("long"))).head()
+        if (b.isNullAt(0)) None // empty input — nothing to chunk
+        else {
+          val span = b.getLong(1) - b.getLong(0) + 1
+          val target = left.sparkSession.sessionState.conf
+            .numShufflePartitions * 8L
+          Some(math.max(1L, span / target))
+        }
+      }
+    }
+
+    val matched = effectiveWidth match {
       case None =>
         // __tb makes equal-ts right rows deterministic (running last
         // keeps the largest)
@@ -163,8 +195,23 @@ object AsOf {
           .select(keys.map(col) ++ Seq(col("__ck"), col("__carry")): _*)
         // 4. join the carry back on (key, chunk) — local is already
         // partitioned that way from step 1's window; the carry side is
-        // summary-sized (AQE broadcasts it when small)
-        local.join(carry, keys :+ "__ck")
+        // summary-sized (AQE broadcasts it when small). Key equality is
+        // NULL-SAFE (<=>): the window path groups null keys into their
+        // own partition, so the carry join must match them too — a plain
+        // inner equi-join would silently drop every null-keyed left row,
+        // breaking the same-results-for-every-width contract. The carry
+        // side is renamed so the shared-lineage self-join stays
+        // unambiguous; __ck is derived from the non-null __ts, so plain
+        // equality is fine there.
+        val carryR = carry.select(
+          (keys :+ "__ck").map(k => col(k).as(s"__r_$k")) :+
+            col("__carry"): _*)
+        require(!(keys :+ "__ck").exists(k =>
+            local.columns.contains(s"__r_$k")),
+          "input columns collide with the carry join's __r_ renames")
+        val cond = keys.map(k => col(k) <=> col(s"__r_$k"))
+          .reduce(_ && _) && (col("__ck") === col("__r___ck"))
+        local.join(carryR, cond)
           .withColumn("__match",
             coalesce(col("__match"), col("__carry").getField("__p")))
     }

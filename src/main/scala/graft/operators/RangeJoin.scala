@@ -36,13 +36,14 @@ object RangeJoin {
     require(!(left.columns ++ right.columns).contains("__b"),
       "input columns use the reserved name __b")
 
-    // exact floor division, negative-safe: c - pmod(c, w) is computed in
-    // LONG (exact) and is an exact multiple of w, so the one double
-    // division is exact for |values| < 2^53 — epoch micros stay below
-    // that through year 2100. A naive floor(c/w) divides first and can
+    // exact floor division, negative-safe: c - pmod(c, w) is an exact
+    // multiple of w, and `div` (IntegralDivide) divides it in LONG — the
+    // formula is exact for the FULL long range, so raw nanosecond
+    // timestamps (~1.7e18, above double's 2^53 exact window) bucket
+    // correctly too. A naive floor(c/w) divides in double first and can
     // land one bucket off at boundaries.
     def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+      call_function("div", c - pmod(c, lit(bucketWidth)), lit(bucketWidth))
 
     val r2 = right
       .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
@@ -85,8 +86,9 @@ object RangeJoin {
     require(!(left.columns ++ right.columns).contains("__b"),
       "input columns use the reserved name __b")
 
+    // same exact-long bucket formula as rangeJoin's (see comment there)
     def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+      call_function("div", c - pmod(c, lit(bucketWidth)), lit(bucketWidth))
     def valid(lo: String, hi: String) =
       col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi)
 

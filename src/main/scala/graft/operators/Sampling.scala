@@ -163,7 +163,10 @@ object Sampling {
     * source can land 40/60 under a 80/20 split); here each group is
     * ranked by a domain-separated hash and the first
     * `floor(n·bits/65536)` rows of each cumulative boundary take the
-    * split name, so every stratum honors the fractions to ±1 row.
+    * split name, so every stratum honors the fractions to ±1 row. The
+    * fractions must sum to 1 (the splits partition each stratum; the
+    * last split is assigned by remainder, which only equals its nominal
+    * fraction when the sum is 1).
     * Fractions resolve at [[hashSplit]]'s 1/65536 granularity; the
     * per-group keep count is `(n · bits) / 65536.0` floored — an exact
     * integer divided by a power of two, so the double math is EXACT and
@@ -179,8 +182,16 @@ object Sampling {
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "at least one split required")
     require(splits.forall(_._2 > 0), "split fractions must be positive")
+    // the splits must PARTITION each stratum: the last split takes
+    // whatever the cumulative boundaries left over, so a sum below 1
+    // would silently hand it the remainder (0.5/0.2 → "test" gets 50%)
+    // instead of its nominal fraction — reject rather than surprise
+    // (ADVICE r5). To keep only part of a stratum, add an explicit
+    // discard split and filter it out.
     val total = splits.map(_._2).sum
-    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    require(math.abs(total - 1.0) <= 1e-9,
+      s"split fractions must sum to 1 (the last split receives the " +
+        s"remainder), got $total")
     val cumBits = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(f => math.min(math.round(math.floor(f * 65536.0)), 65536L))
     val ord = md5(concat(lit("strat:"), key.cast("string")).cast("binary"))

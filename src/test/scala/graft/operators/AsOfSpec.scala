@@ -90,7 +90,10 @@ class AsOfSpec extends SparkSpec {
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 10000) }
     val lDf = ls.toDF("k", "ts", "lid").repartition(7)
     val rDf = rs.toDF("k", "rts", "rid").repartition(5)
-    val plain = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts", "rid")
+    // autoChunk OFF: this test wants the genuinely-plain single-window
+    // plan as the reference (the fixture is 90%-hot, so auto would engage)
+    val plain = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts", "rid",
+        autoChunk = false)
       .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
     for (w <- Seq(1L, 9L, 17L, 1000L)) {
       val chunkedDf = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts",
@@ -190,6 +193,93 @@ class AsOfSpec extends SparkSpec {
     assert(chunked === plain)
   }
 
+  test("autoChunk: engages on a 90%-hot key, stays off on uniform keys (VERDICT r5 #4)") {
+    val rnd = new scala.util.Random(71)
+    // hot fixture: one key carries ~90% of both sides
+    def hotKey() = if (rnd.nextInt(10) < 9) 1L else rnd.nextInt(3).toLong + 2L
+    val hl = List.fill(300)((hotKey(), rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val hr = List.fill(300)((hotKey(), rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 9000) }
+    val hlDf = hl.toDF("k", "ts", "lid").repartition(7)
+    val hrDf = hr.toDF("k", "rts", "rid").repartition(5)
+    val auto = AsOf.joinPriorOrEqual(hlDf, hrDf, Seq("k"), "ts", "rts", "rid")
+    assert(auto.queryExecution.executedPlan.toString.contains("__ck"),
+      "auto mode must pick the chunked plan on a 90%-hot key")
+    val plain = AsOf.joinPriorOrEqual(hlDf, hrDf, Seq("k"), "ts", "rts",
+        "rid", autoChunk = false)
+    assert(!plain.queryExecution.executedPlan.toString.contains("__ck"))
+    assert(auto.select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+      === plain.select("lid", "rid").as[(Long, Option[Long])].collect().toSet,
+      "auto-chunked results must equal the plain plan's")
+
+    // uniform fixture: hottest share ~1/6 — far under the 0.4 threshold
+    val ul = List.fill(300)((rnd.nextInt(6).toLong, rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val ur = List.fill(300)((rnd.nextInt(6).toLong, rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 9000) }
+    val uAuto = AsOf.joinPriorOrEqual(ul.toDF("k", "ts", "lid").repartition(7),
+      ur.toDF("k", "rts", "rid").repartition(5), Seq("k"), "ts", "rts", "rid")
+    assert(!uAuto.queryExecution.executedPlan.toString.contains("__ck"),
+      "auto mode must keep the plain single-window plan on uniform keys")
+    // explicit width still wins over the probe
+    val forced = AsOf.joinPriorOrEqual(
+      ul.toDF("k", "ts", "lid"), ur.toDF("k", "rts", "rid"),
+      Seq("k"), "ts", "rts", "rid", chunkWidth = Some(13L))
+    assert(forced.queryExecution.executedPlan.toString.contains("__ck"))
+  }
+
+  test("chunked path: NULL keys match like the plain path (null-safe carry join)") {
+    // ADVICE r5: the window's partitionBy groups null keys into their own
+    // partition (null left rows match null right rows), so the chunked
+    // carry join must be null-safe — a plain inner equi-join silently
+    // dropped every null-keyed left row.
+    val rnd = new scala.util.Random(53)
+    val ls = List.fill(150)((rnd.nextInt(4), rnd.nextInt(40).toLong))
+      .zipWithIndex.map { case ((k, t), i) =>
+        (if (k == 0) None else Some(k.toLong), t, i.toLong) }
+    val rs = List.fill(150)((rnd.nextInt(4), rnd.nextInt(40).toLong))
+      .zipWithIndex.map { case ((k, t), i) =>
+        (if (k == 0) None else Some(k.toLong), t, i.toLong + 5000) }
+    val lDf = ls.toDF("k", "ts", "lid")
+    val rDf = rs.toDF("k", "rts", "rid")
+    val plain = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts", "rid")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    assert(plain.size == 150, "every left row survives the plain path")
+    // null-keyed left rows really do match null-keyed right rows
+    assert(plain.exists { case (lid, rid) =>
+      ls.exists(l => l._3 == lid && l._1.isEmpty) && rid.nonEmpty })
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val chunked = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts",
+          "rid", chunkWidth = Some(w))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+      assert(chunked === plain, s"width $w")
+    }
+  }
+
+  test("chunked path: exact for raw NANOSECOND-scale timestamps (above 2^53)") {
+    // ADVICE r5: chunkOf must divide in long — the old double division is
+    // only exact below 2^53, and the repo reads parquet timestamps as
+    // nano longs (~1.7e18). Timeline clustered near 1.7e18 with 1-unit
+    // gaps; every width must agree with the plain plan.
+    val base = 1700000000000000000L // well above 2^53
+    val rnd = new scala.util.Random(59)
+    val ls = List.fill(120)((rnd.nextInt(3).toLong, base + rnd.nextInt(50)))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val rs = List.fill(120)((rnd.nextInt(3).toLong, base + rnd.nextInt(50)))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 5000) }
+    val lDf = ls.toDF("k", "ts", "lid")
+    val rDf = rs.toDF("k", "rts", "rid")
+    val plain = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts", "rid")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    for (w <- Seq(1L, 3L, 13L)) {
+      val chunked = AsOf.joinPriorOrEqual(lDf, rDf, Seq("k"), "ts", "rts",
+          "rid", chunkWidth = Some(w))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+      assert(chunked === plain, s"width $w")
+    }
+  }
+
   test("rejects payload collisions and missing tieBreak") {
     intercept[IllegalArgumentException] {
       AsOf.joinPriorOrEqual(left, right.withColumnRenamed("rid", "lid"),
@@ -201,7 +291,10 @@ class AsOfSpec extends SparkSpec {
   }
 
   test("plan: one hash exchange on the key, no cross product, no broadcast of either side") {
-    val df = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts", "rid")
+    // autoChunk off: this pins the PLAIN plan shape (the tiny fixture has
+    // few distinct keys, so the share-based auto probe would engage)
+    val df = AsOf.joinPriorOrEqual(left, right, Seq("k"), "ts", "rts", "rid",
+      autoChunk = false)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

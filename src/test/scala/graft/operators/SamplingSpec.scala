@@ -211,6 +211,12 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     val want = (1L to 30L).sortBy(i => (md5hex(s"strat:$i"), i)).take(23).toSet
     assert(smallTrain === want)
+    // fractions must PARTITION the stratum — a sum below 1 would silently
+    // hand the last split the remainder instead of its nominal fraction
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(df, "g", col("id"),
+        Seq("train" -> 0.5, "test" -> 0.2))
+    }
   }
 
   test("shuffleShard: shards are hash-range buckets and ranks are the within-shard hash order") {
