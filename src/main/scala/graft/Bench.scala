@@ -3,9 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: print ONE unadorned JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
-  * (build.sbt sets `outputStrategy := StdoutOutput` so sbt does not wrap
-  * the line in `[info]` — BENCH_r01.json had `"parsed": null` for that).
+  * `{"metric":"total","value":N,"unit":"sec","cal_cs":C,"queries":{...},
+  * "sf":...}` (build.sbt sets `outputStrategy := StdoutOutput` so sbt
+  * does not wrap the line in `[info]` — BENCH_r01.json had
+  * `"parsed": null` for that).
+  *
+  * `cal_cs` is a same-run calibration constant: a fixed synthetic
+  * sort+hash-agg (no parquet) timed on this host in this JVM, in
+  * centiseconds. The sandbox host swings ±40% across rounds, so raw
+  * cross-round query deltas are unreadable; `query_time / cal` is the
+  * host-normalized form (SURVEY §6). Per-query keys are the short SURVEY
+  * §2 ids ("d4x"), mapped from SparkEntry.queries names by stripping
+  * "q_" and keeping the first underscore segment.
   *
   * Vs round 1: a warmup pass primes codegen/classloading (first-query
   * warmup was ~3.6 s of q_x9's recorded time), failures are recorded
@@ -91,6 +100,33 @@ object Bench {
       graft.operators.NearDup.releaseMaterialized()
     }
 
+    // Calibration constant (VERDICT r5 #1): a fixed-seed synthetic
+    // sort + hash-agg over GENERATED data (no parquet, no disk) timed on
+    // this very run and emitted as "cal" (centiseconds) in the JSON line.
+    // The sandbox host swings ±40% between rounds (measured via same-code
+    // git-stash A/B, r4/r5), which made official cross-round per-query
+    // deltas unreadable; dividing any query's time by the SAME line's cal
+    // normalizes out host speed. The workload is deterministic by
+    // construction (id-derived keys, no RNG), wide enough to exercise
+    // shuffle + codegen + sort, and sized ~1 s so its own measurement
+    // noise stays small; min of 3 runs drops GC/scheduler outliers.
+    val calSec = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 8_000_000L, 1, 32)
+          .select(col("id"), pmod(xxhash64(col("id")), lit(4096)).as("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+          .sort(col("s").desc)
+          .limit(5).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = (1 to 3).map(_ => once()).min
+      System.err.println(f"[bench] calibration $s%6.3f s")
+      s
+    }
+
     // Min of N runs per query. Default 2: single-shot numbers showed
     // occasional 3-4× outliers deep into a 50-query session (context
     // cleaner/GC pauses landing on one query), and the min of two runs
@@ -140,8 +176,6 @@ object Bench {
       d.toPlainString
     }
     def fmt(v: Double): String = fmtAt(2)(v)
-    val es = jm(errors.map { case (k, v) =>
-      k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
     val total = results.map(_._2).sum
     // Side-effecting queries whose wall-time is dominated by sink I/O (the
     // J3 protocol writes the sink twice; S4 writes+reads a CSV copy) —
@@ -155,6 +189,25 @@ object Bench {
     val llmNames = graft.queries.LlmPipeline.queries.keySet
     val subLlm = results.collect { case (n, s) if llmNames(n) => s }.sum
     val subRel = total - subLlm
+    // sf as basename ("sf0.1"): the full dir path spent 16 bytes of the
+    // 2000-char budget on a constant prefix
+    val sfName = new java.io.File(sfDir).getName
+    // Short per-query keys (VERDICT r5 #3): the SURVEY §2 id alone ("d4x",
+    // not "q_d4x_embedding_neardup_lsh") — the full-name mapping is static
+    // in SparkEntry.queries (strip "q_", keep the first "_"-segment). The
+    // r5 line sat 37 chars under the driver's 2000-char tail window; the
+    // ids reclaim ~15 bytes per query (~1.3 KB of headroom at 89 queries).
+    // Falls back to the full name on the (currently impossible) collision
+    // so two queries can never silently merge.
+    val shortKeys: Map[String, String] = {
+      val ids = results.map { case (n, _) =>
+        n -> n.stripPrefix("q_").split("_").head }.toMap
+      val counts = ids.values.groupBy(identity).map { case (k, v) => k -> v.size }
+      ids.map { case (n, id) => n -> (if (counts(id) > 1) n else id) }
+    }
+    val es = jm(errors.map { case (k, v) =>
+      shortKeys.getOrElse(k, k) ->
+        ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
     // n_err appears only when nonzero — absence means a clean run.
     // `withMessages = false` keeps only the count: error texts are
     // 40-char-bounded at capture, but MANY failures could still push even
@@ -164,13 +217,11 @@ object Bench {
       if (errors.isEmpty) ""
       else if (withMessages) s""""errors":$es,"n_err":${errors.size},"""
       else s""""n_err":${errors.size},"""
-    // sf as basename ("sf0.1"): the full dir path spent 16 bytes of the
-    // 2000-char budget on a constant prefix
-    val sfName = new java.io.File(sfDir).getName
     def lineWith(qKey: String, perQuery: Double => String,
         withMessages: Boolean = true): String = {
-      val qs = jm(results.map { case (k, v) => k -> perQuery(v) })
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","$qKey":$qs,${errField(withMessages)}"sub":{"rel":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
+      val qs = jm(results.map { case (k, v) => shortKeys(k) -> perQuery(v) })
+      val cal = Math.round(calSec * 100)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal_cs":$cal,"$qKey":$qs,${errField(withMessages)}"sub":{"rel":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
     }
     def line(perQuery: Double => String, withMessages: Boolean = true): String =
       lineWith("queries", perQuery, withMessages)
