@@ -44,6 +44,25 @@ object Bpe {
     "a" -> "l", "e" -> "d", "in" -> "g", "t" -> "o", "i" -> "t",
     "c" -> "h", "s" -> "h", "w" -> "h", "th" -> "at", "o" -> "f")
 
+  /** A 1000-merge table learned offline (scripts/learn_bpe.py, the
+    * standard BPE training loop) from the checked-in original-prose
+    * corpus scripts/bpe_train_corpus.txt, stored as a TSV resource —
+    * vocabulary-realistic merge ranks ("th", "in", "the", …) for
+    * realistic token budgets. Sides are [a-z]+ by construction (so the
+    * oracle's quoted REPLACE literals never need escaping) and the table
+    * is well-formed by the training loop's construction — still
+    * validated at use. ~9 KB in the closure; a full 50k-merge vocabulary
+    * is ~1 MB — closure/broadcast territory, never a join (measured in
+    * BpeSpec). */
+  lazy val Merges1k: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges_1k.tsv")
+    require(in != null, "bpe_merges_1k.tsv missing from resources")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
+      val t = l.split("\t", 2); (t(0), t(1))
+    }.toVector
+    finally in.close()
+  }
+
   /** Each merge side must be one code point or an earlier merge's
     * output — the invariant the one-pass-per-pair application and the
     * oracle's REPLACE chain both rest on. */
@@ -115,7 +134,9 @@ object Bpe {
 
   /** The DuckDB oracle's per-word expression for the same merge table: a
     * chain of boundary-safe REPLACEs over the "(c) (c) …" wrapped form.
-    * Generated from the table so Spark and oracle cannot drift. */
+    * Generated from the table so Spark and oracle cannot drift. Only for
+    * SMALL tables: DuckDB's binder caps expression nesting at 128 —
+    * bigger tables go through [[oracleCtes]]. */
   private[graft] def oracleWordExpr(wordCol: String,
       merges: Seq[(String, String)] = DefaultMerges): String = {
     val spaced = "array_to_string(list_transform(string_split(" + wordCol +
@@ -123,5 +144,29 @@ object Bpe {
     merges.foldLeft(spaced) { case (acc, (a, b)) =>
       s"REPLACE($acc, '($a) ($b)', '($a$b)')"
     }
+  }
+
+  /** Staged form of the oracle REPLACE chain for merge tables past
+    * DuckDB's 128-deep expression-nesting cap: the chain is cut into
+    * CTE stages of `batch` REPLACEs each (m1..mN over a running `t`
+    * column), so nesting depth stays ~`batch` regardless of table size
+    * — 1000 merges = 10 stages, measured ~0.5 s to run (BpeSpec pins
+    * generation cost and depth). Returns (cteList, finalCteName); the
+    * caller splices them after its own word-producing CTE `src`, which
+    * must expose `doc_id` and `wordCol`. */
+  private[graft] def oracleCtes(src: String, wordCol: String,
+      merges: Seq[(String, String)], batch: Int = 100): (String, String) = {
+    val spaced = "array_to_string(list_transform(string_split(" + wordCol +
+      ", ''), x -> '(' || x || ')'), ' ')"
+    val groups = merges.grouped(batch).toVector
+    val sb = new StringBuilder(
+      s"m0 AS (SELECT doc_id, $spaced AS t FROM $src)")
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      val expr = g.foldLeft("t") { case (acc, (a, b)) =>
+        s"REPLACE($acc, '($a) ($b)', '($a$b)')"
+      }
+      sb.append(s",\n          m${gi + 1} AS (SELECT doc_id, $expr AS t FROM m$gi)")
+    }
+    (sb.toString, s"m${groups.length}")
   }
 }

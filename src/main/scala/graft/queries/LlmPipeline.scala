@@ -366,11 +366,14 @@ object LlmPipeline {
           md5(col("col").cast("binary")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
     "q_t13_bpe_tokens" -> ((s, dir) =>
-      // REAL byte-pair-encoding token counts under the fixed default
-      // merge table — the oracle replays the identical merges as a
-      // REPLACE chain generated from the same table (Bpe.oracleWordExpr)
+      // REAL byte-pair-encoding token counts under the 1000-merge table
+      // learned offline (scripts/learn_bpe.py → bpe_merges_1k.tsv) — the
+      // oracle replays the identical merges as a STAGED REPLACE chain
+      // generated from the same table (Bpe.oracleCtes; DuckDB's binder
+      // caps expression nesting at 128, so the chain is cut into
+      // 100-merge CTE stages)
       Bpe.tokenCounts(t(s, dir, "documents").filter(col("doc_id") < 50),
-          "doc_id", "text")
+          "doc_id", "text", merges = Bpe.Merges1k)
         .orderBy(col("doc_id"))),
     "q_t14_char_entropy" -> ((s, dir) =>
       // character-distribution entropy (encoding-junk/gibberish signal);
@@ -882,21 +885,25 @@ object LlmPipeline {
          SELECT d.doc_id, COALESCE(ch.char_entropy, 0.0) AS char_entropy
          FROM d LEFT JOIN ch USING (doc_id) ORDER BY doc_id""",
     "q_t13_bpe_tokens" ->
-      // same merge table, replayed as boundary-safe REPLACEs over the
-      // "(c) (c) …" wrapped word form (see Bpe scaladoc for why one
-      // global pass per rank-ordered pair is exact BPE); empty docs keep
-      // a 0 via the LEFT JOIN
-      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      // same 1000-merge table, replayed as boundary-safe REPLACEs over
+      // the "(c) (c) …" wrapped word form (see Bpe scaladoc for why one
+      // global pass per rank-ordered pair is exact BPE) — STAGED into
+      // 100-merge CTEs (Bpe.oracleCtes) to stay under DuckDB's 128-deep
+      // expression-nesting cap; empty docs keep a 0 via the LEFT JOIN
+      {
+        val (ctes, last) = Bpe.oracleCtes("w2", "word", Bpe.Merges1k)
+        s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
           w AS (SELECT doc_id,
                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
                 FROM d),
           w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
-          m AS (SELECT doc_id, ${Bpe.oracleWordExpr("word")} AS t FROM w2),
+          $ctes,
           cnt AS (SELECT doc_id,
                     CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS n
-                  FROM m GROUP BY doc_id)
+                  FROM $last GROUP BY doc_id)
          SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS bpe_tokens
-         FROM d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""",
+         FROM d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"""
+      },
     "q_e5_shuffle_shard" ->
       // shard = range-bucket of the first 16 hash bits: ('0x'||hex)::INT
       // here, conv(hex,16,10) engine-side — same integer, same floor
