@@ -150,6 +150,85 @@ class StreamingNearDupSpec extends SparkSpec {
       s3.toString)
   }
 
+  test("e2e restart: file stream + real checkpoint, crash between appends, converges to the batch path") {
+    // VERDICT r5 #6: the exactly-once/self-heal claims driven end to end
+    // — a REAL file-source stream with a durable checkpoint dir, stopped
+    // and restarted between micro-batches, with the worst-case crash
+    // (shingles appended, bands lost) injected at the restart boundary.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val hist = tmpDir("snd_e2e_hist")
+    val input = tmpDir("snd_e2e_in")
+    val ckpt = tmpDir("snd_e2e_ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamingNearDup.BatchStats]()
+    def startStream() = StreamingNearDup.dedupSink(
+        spark.readStream.schema(schema).parquet(input), hist,
+        threshold = 0.7, onBatch = stats.add(_))
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // batch 0: two unrelated docs admit
+    Seq(doc(1, base), doc(2, (1 to 40).map(i => s"x$i")))
+      .toDF("doc_id", "text").write.mode("append").parquet(input)
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // crash MID-foreachBatch: the shingle append landed, the bands append
+    // and the checkpoint commit did not — delete the bands dir AND batch
+    // 0's commit marker, exactly the on-disk state a kill between
+    // StreamingNearDup's two appends leaves behind (foreachBatch commits
+    // the marker only after the function returns)
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$hist/bands")
+    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(bandsPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false)
+
+    // restart from the same checkpoint: Spark REPLAYS batch 0 (docs 1, 2
+    // self-heal their band rows via 0-row shingle re-inserts), then runs
+    // batch 1 — a near-dup of doc 1 (blocked by the healed history) and
+    // a genuinely new doc
+    Seq(doc(3, base.updated(4, "EDITED")),
+        doc(4, (1 to 40).map(i => s"z$i")))
+      .toDF("doc_id", "text").write.mode("append").parquet(input)
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val byBatch = stats.toArray(Array.empty[StreamingNearDup.BatchStats])
+      .sortBy(s => (s.batchId, s.in))
+    assert(byBatch.map(_.batchId).toSeq == Seq(0L, 0L, 1L),
+      s"uncommitted batch must replay once, committed never: $byBatch")
+    assert(byBatch(0).admitted == 2, byBatch(0).toString)
+    // the replay: same 2 docs, 0 NEW inserts (exactly-once), bands healed
+    assert(byBatch(1).in == 2 && byBatch(1).admitted == 0,
+      byBatch(1).toString)
+    // batch 1: doc 3 blocked by the HEALED history, doc 4 admitted
+    assert(byBatch(2).dupOfHistory == 1 && byBatch(2).admitted == 1,
+      byBatch(2).toString)
+
+    // the healed store equals a fresh BATCH-path run over the same docs
+    val histRef = tmpDir("snd_e2e_ref")
+    StreamingNearDup.dedupBatch(Seq(doc(1, base),
+        doc(2, (1 to 40).map(i => s"x$i"))).toDF("doc_id", "text"),
+      histRef, 0, threshold = 0.7)
+    StreamingNearDup.dedupBatch(Seq(doc(3, base.updated(4, "EDITED")),
+        doc(4, (1 to 40).map(i => s"z$i"))).toDF("doc_id", "text"),
+      histRef, 1, threshold = 0.7)
+    def ids(h: String, sub: String) = spark.read.parquet(s"$h/$sub")
+      .select(col("id")).distinct().as[Long].collect().toSet
+    assert(ids(hist, "shingles") === ids(histRef, "shingles"))
+    assert(ids(hist, "bands") === ids(histRef, "bands"),
+      "band store must heal to the batch-path state after the crash")
+
+    // and the healed history blocks future near-dups of the crashed docs
+    val s3 = StreamingNearDup.dedupBatch(
+      Seq(doc(5, base.updated(9, "TWEAKED"))).toDF("doc_id", "text"),
+      hist, 2, threshold = 0.7)
+    assert(s3.dupOfHistory == 1 && s3.admitted == 0, s3.toString)
+  }
+
   test("streaming: micro-batches flow through the same kernel with stats") {
     val hist = tmpDir("snd_stream")
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[
