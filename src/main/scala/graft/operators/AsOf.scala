@@ -51,6 +51,18 @@ object AsOf {
   private def chunkOf(c: Column, w: Long): Column =
     call_function("div", c - pmod(c, lit(w)), lit(w))
 
+  /** The direction-resolving running pick over an ordered window spec:
+    * backward = running `last` over (-inf, current] (latest prior),
+    * forward = running `first` over [current, +inf) (earliest next). */
+  private def runningPick(forward: Boolean,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (forward)
+      first(col("__p"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    else
+      last(col("__p"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
   /** Left rows enriched with the latest prior-or-equal right payload.
     * Payload = every right column except `keys` and `rightTs`; payload
     * names must not collide with left's columns. `tieBreak` must be a
@@ -70,7 +82,32 @@ object AsOf {
   def joinPriorOrEqual(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, tieBreak: String,
       chunkWidth: Option[Long] = None, inclusive: Boolean = true,
-      tolerance: Option[Long] = None, autoChunk: Boolean = true): DataFrame = {
+      tolerance: Option[Long] = None, autoChunk: Boolean = true): DataFrame =
+    joinDirectional(left, right, keys, leftTs, rightTs, tieBreak,
+      chunkWidth, inclusive, tolerance, autoChunk, forward = false)
+
+  /** Mirror of [[joinPriorOrEqual]]: for each left row, the payload of
+    * the EARLIEST right row with the same key and `rightTs >= leftTs`
+    * (the "next-after" temporal join — next state change, next
+    * heartbeat, next fill after an order). Exact mirror semantics:
+    * equal-(key, ts) right rows resolve to the SMALLEST `tieBreak`;
+    * `inclusive = false` makes a right row at exactly `leftTs`
+    * invisible; `tolerance = Some(t)` discards matches farther than
+    * `leftTs + t` in the future. Same UNION+WINDOW plan with the frame
+    * direction flipped (running `first` over [current, +inf)), same
+    * auto/manual hot-key chunking with the carry read from LATER
+    * chunks. */
+  def joinFollowing(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tieBreak: String,
+      chunkWidth: Option[Long] = None, inclusive: Boolean = true,
+      tolerance: Option[Long] = None, autoChunk: Boolean = true): DataFrame =
+    joinDirectional(left, right, keys, leftTs, rightTs, tieBreak,
+      chunkWidth, inclusive, tolerance, autoChunk, forward = true)
+
+  private def joinDirectional(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String, tieBreak: String,
+      chunkWidth: Option[Long], inclusive: Boolean, tolerance: Option[Long],
+      autoChunk: Boolean, forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTs).toSeq
@@ -111,10 +148,13 @@ object AsOf {
     val lType = left.select(lStruct).schema.head.dataType
     val tbType = right.schema(tieBreak).dataType
 
-    // Equal-ts ordering realizes the visibility rule: inclusive puts
-    // right (0) before left (1) — a right row AT leftTs is seen;
-    // strict puts right (2) after left — it is not.
-    val rightSide = if (inclusive) 0 else 2
+    // Equal-ts ordering realizes the visibility rule relative to the
+    // frame direction. Backward (prior) frame ends AT the left row:
+    // inclusive puts right (0) before left (1) — seen; strict puts right
+    // (2) after — not. Forward (following) frame starts AT the left row,
+    // so the placements flip.
+    val rightSide =
+      if (inclusive == !forward) 0 else 2
 
     // identical select order on both sides → positional union is safe
     val l2 = left.filter(col(leftTs).isNotNull).select(
@@ -160,38 +200,43 @@ object AsOf {
 
     val matched = effectiveWidth match {
       case None =>
-        // __tb makes equal-ts right rows deterministic (running last
-        // keeps the largest)
+        // __tb makes equal-ts right rows deterministic: the backward
+        // running last keeps the LARGEST tieBreak, the forward running
+        // first keeps the SMALLEST — mirrored conventions.
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col("__ts"), col("__side"), col("__tb"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        u.withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+        u.withColumn("__match", runningPick(forward, w))
       case Some(width) =>
         val uc = u.withColumn("__ck", chunkOf(col("__ts"), width))
         val partCols = keys.map(col) :+ col("__ck")
-        // 1. in-chunk running last — the plain window, parallel per chunk
+        // 1. in-chunk running pick — the plain window, parallel per chunk
         val wLocal = Window.partitionBy(partCols: _*)
           .orderBy(col("__ts"), col("__side"), col("__tb"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val local = uc.withColumn("__match",
-          last(col("__p"), ignoreNulls = true).over(wLocal))
-        // 2. per-(key, chunk) summary: the chunk's LAST right payload —
-        // max of (ts, tieBreak, payload) over right rows only (max skips
-        // the left rows' nulls); null for chunks holding no right row.
-        // Chunk boundaries are on __ts, so everything in an earlier chunk
-        // is strictly earlier — the carry needs no side/equal-ts logic.
+        val local = uc.withColumn("__match", runningPick(forward, wLocal))
+        // 2. per-(key, chunk) summary: the chunk's boundary right payload
+        // — backward takes the chunk's LAST right row (max of (ts,
+        // tieBreak, payload); max skips the left rows' nulls), forward
+        // its FIRST (min); null for chunks holding no right row. Chunk
+        // boundaries are on __ts, so everything in an earlier chunk is
+        // strictly earlier — the carry needs no side/equal-ts logic.
+        val edgeStruct = when(col("__side") =!= 1, // right rows (0 or 2)
+          struct(col("__ts"), col("__tb"), col("__p")))
         val summary = uc.groupBy(partCols: _*)
-          .agg(max(when(col("__side") =!= 1, // right rows (side 0 or 2)
-            struct(col("__ts"), col("__tb"), col("__p")))).as("__last"))
-        // 3. carry-in per chunk = last right payload of any STRICTLY
-        // earlier chunk (running last over the summary, frame ending at
-        // -1). The summary is |keys|·|touched chunks| rows — the per-key
+          .agg((if (forward) min(edgeStruct) else max(edgeStruct))
+            .as("__edge"))
+        // 3. carry-in per chunk = the boundary payload of any STRICTLY
+        // earlier (backward) / later (forward) chunk — a running pick
+        // over the summary with the frame excluding the current chunk.
+        // The summary is |keys|·|touched chunks| rows — the per-key
         // window here is orders of magnitude off the event count.
-        val wSum = Window.partitionBy(keys.map(col): _*).orderBy(col("__ck"))
-          .rowsBetween(Window.unboundedPreceding, -1)
+        val wSum0 = Window.partitionBy(keys.map(col): _*).orderBy(col("__ck"))
+        val carryPick =
+          if (forward) first(col("__edge"), ignoreNulls = true)
+            .over(wSum0.rowsBetween(1, Window.unboundedFollowing))
+          else last(col("__edge"), ignoreNulls = true)
+            .over(wSum0.rowsBetween(Window.unboundedPreceding, -1))
         val carry = summary
-          .withColumn("__carry",
-            last(col("__last"), ignoreNulls = true).over(wSum))
+          .withColumn("__carry", carryPick)
           .select(keys.map(col) ++ Seq(col("__ck"), col("__carry")): _*)
         // 4. join the carry back on (key, chunk) — local is already
         // partitioned that way from step 1's window; the carry side is
@@ -215,14 +260,17 @@ object AsOf {
           .withColumn("__match",
             coalesce(col("__match"), col("__carry").getField("__p")))
     }
-    // tolerance: a surviving match older than leftTs − t is discarded
-    // (null payloads) — checked on the match's carried __mts, so it
-    // applies identically under the plain and chunked plans
+    // tolerance: a surviving match farther than t behind (backward) or
+    // ahead of (forward) leftTs is discarded (null payloads) — checked on
+    // the match's carried __mts, so it applies identically under the
+    // plain and chunked plans
     val payloadOf: String => Column = tolerance match {
       case None => c => col("__match").getField("__pp").getField(c)
       case Some(t) => c =>
-        when(col("__match").getField("__mts") >= col("__ts") - t,
-          col("__match").getField("__pp").getField(c))
+        val within =
+          if (forward) col("__match").getField("__mts") <= col("__ts") + t
+          else col("__match").getField("__mts") >= col("__ts") - t
+        when(within, col("__match").getField("__pp").getField(c))
     }
     matched
       .filter(col("__side") === 1)

@@ -113,7 +113,23 @@ object Similarity {
     * is ISOTROPIC random — the theoretical worst case for ANN — where the
     * defaults reach ~0.65 recall@5 scanning ~25% of the corpus
     * (SimilaritySpec measures this); on real clustered embeddings the same
-    * settings sit well above 0.9. */
+    * settings sit well above 0.9.
+    *
+    * Measured presets (recall@10, sf0.1 embeddings 2000×64-dim isotropic,
+    * 200 queries vs brute-force truth — [[AnnRecallProbe]] in test scope
+    * reproduces the table; treat as LOWER bounds for clustered data):
+    * {{{
+    *   tables=8  bits=6   recall 0.92   // fat buckets: highest recall,
+    *                                    // most candidates scored
+    *   tables=16 bits=8   recall 0.89   // balanced default for quality
+    *   tables=8  bits=8   recall 0.70   // the constructor default
+    *   tables=4  bits=8   recall 0.46   // cheap screen / pre-filter
+    *   tables=16 bits=10  recall 0.63   // finer buckets need MORE tables
+    * }}}
+    * Rule of thumb: to tighten buckets (+2 bits ≈ 4× fewer collisions per
+    * table) without losing recall, roughly double `tables`; to chase
+    * recall on unknown data, widen buckets (lower `bits`) first — it
+    * degrades gracefully into more exact scoring, never into misses. */
   /** (id, table, bucket, kind) rows via a JIT'd mapPartitions dot-product
     * loop — the expression form (tables×bits interpreted `aggregate` folds
     * per row) cost ~6.5 s at 2000×64-dim on the bench; this is
@@ -483,6 +499,18 @@ object Similarity {
     * neighbors with high probability; on the isotropic test data recall ≈
     * scanned fraction + a margin, measured in SimilaritySpec, same honest
     * caveat as the LSH paths).
+    *
+    * Measured presets (recall@10, sf0.1 embeddings, isotropic — see
+    * [[AnnRecallProbe]]; scanned fraction ≈ nprobe/nlist):
+    * {{{
+    *   nlist=16 nprobe=8    recall 0.81   // scan ~50%
+    *   nlist=64 nprobe=16   recall 0.70   // scan ~25%, parallelism 64
+    *   nlist=16 nprobe=4    recall 0.58   // the constructor default
+    *   nlist=64 nprobe=8    recall 0.52   // scan ~12%
+    *   nlist=16 nprobe=1    recall 0.29   // ≈ scanned fraction: isotropic
+    *                                      // floor, clustered data sits
+    *                                      // far above
+    * }}}
     *
     * 100 TB shape: centroid fitting collects partial sums only; lists are
     * hash-partitioned by cluster id; `nlist` should grow ~sqrt(n) so each

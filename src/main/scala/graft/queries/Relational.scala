@@ -56,7 +56,8 @@ object Relational {
     * compare would only agree while DuckDB happens to read TIMESTAMP_NS
     * at micro precision (ADVICE r4 — make the micro contract explicit,
     * not incidental). */
-  private def asOfOracle(cmp: String = "<=", extra: String = ""): String =
+  private def asOfOracle(cmp: String = "<=", extra: String = "",
+      ord: String = "DESC"): String =
     s"""WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
           WHERE event_type = 'view'),
         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus,
@@ -64,7 +65,7 @@ object Relational {
           FROM events WHERE event_type = 'purchase'),
         j AS (SELECT v.event_id, p.purchase_id, p.value,
                 ROW_NUMBER() OVER (PARTITION BY v.event_id
-                  ORDER BY p.pus DESC, p.purchase_id DESC) AS rn
+                  ORDER BY p.pus $ord, p.purchase_id $ord) AS rn
               FROM v JOIN p ON v.user_id = p.user_id AND p.pus $cmp v.us$extra)
        SELECT v.event_id, j.purchase_id, j.value AS purchase_value
        FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
@@ -77,16 +78,17 @@ object Relational {
     * every variant hashes against the matching [[asOfOracle]] form. */
   private def asOfQuery(s: SparkSession, dir: String,
       chunkWidth: Option[Long], inclusive: Boolean = true,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      following: Boolean = false): DataFrame = {
     val ev = t(s, dir, "events")
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts DIV 1000").as("us"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-    AsOf.joinPriorOrEqual(views, purchases, Seq("user_id"), "us", "us",
-        tieBreak = "purchase_id", chunkWidth = chunkWidth,
-        inclusive = inclusive, tolerance = tolerance)
+    val join = if (following) AsOf.joinFollowing _ else AsOf.joinPriorOrEqual _
+    join(views, purchases, Seq("user_id"), "us", "us",
+        "purchase_id", chunkWidth, inclusive, tolerance, true)
       .select(col("event_id"), col("purchase_id"), col("purchase_value"))
       .orderBy(col("event_id"))
   }
@@ -223,6 +225,13 @@ object Relational {
       // (pandas merge_asof tolerance semantics); oracle adds the
       // >= us − tol bound to the exhaustive pair join
       asOfQuery(s, dir, chunkWidth = None, tolerance = Some(AsOfTolUs))
+    }),
+    "q_j5f_asof_following" -> ((s, dir) => {
+      // the NEXT-AFTER mirror: each view sees the EARLIEST at-or-after
+      // purchase (next conversion after exposure); equal-ts ties take
+      // the SMALLEST purchase_id — the oracle ranks ASC where q_j5
+      // ranks DESC
+      asOfQuery(s, dir, chunkWidth = None, following = true)
     }),
     "q_j6_range_join" -> ((s, dir) => {
       // interval-containment: map late-arriving 'error' events into the
@@ -658,6 +667,7 @@ object Relational {
          ORDER BY iv.user_id, iv.session_idx, iv2.burst_idx""",
     "q_j5_asof_join" -> asOfOracle(),
     "q_j5x_asof_chunked" -> asOfOracle(), // same semantics, chunked plan
+    "q_j5f_asof_following" -> asOfOracle(cmp = ">=", ord = "ASC"),
     "q_j5s_asof_strict" -> asOfOracle(cmp = "<"),
     "q_j5t_asof_tolerance" ->
       asOfOracle(extra = s" AND p.pus >= v.us - $AsOfTolUs"),

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement utility (not a test): recall@k of the two ANN scale paths
+  * vs brute-force ground truth on the driver testdata, across the knob
+  * presets documented in [[Similarity]]'s scaladoc. Run with
+  * `sbt "Test/runMain graft.operators.AnnRecallProbe [sfDir]"`.
+  * The numbers in the Similarity preset table were produced by this
+  * main at sf0.1 — re-run after any hashing/quantizer change. */
+object AnnRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") % 10 === 0).limit(200)
+    val k = 10
+
+    val truth = Similarity.bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+
+    def recall(got: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = got.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, a) => q -> a.map(_._2).toSet }
+      val hits = truth.toSeq.map { case (q, t) =>
+        byQ.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      hits.sum / hits.size
+    }
+
+    println(f"${"preset"}%-28s recall@$k")
+    for ((tables, bits) <- Seq((4, 8), (8, 8), (16, 8), (8, 6), (16, 10))) {
+      val r = recall(Similarity.lshTopK(queries, corpus, k, tables, bits))
+      println(f"lsh tables=$tables%-3d bits=$bits%-3d       $r%.3f")
+    }
+    for ((nlist, nprobe) <- Seq((16, 1), (16, 4), (16, 8), (64, 8), (64, 16))) {
+      val r = recall(Similarity.ivfTopK(queries, corpus, k, nlist, nprobe))
+      println(f"ivf nlist=$nlist%-3d nprobe=$nprobe%-3d      $r%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -280,6 +280,47 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("joinFollowing: next-after mirror matches a brute-force reference (all variants, both plans)") {
+    // mirror conventions: EARLIEST right row at-or-after leftTs; equal-ts
+    // ties take the SMALLEST tieBreak; strict makes the same-instant row
+    // invisible; tolerance bounds how far AHEAD the match may be.
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 6) {
+      val ls = List.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = List.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+      val lDf = ls.toDF("k", "ts", "lid")
+      val rDf = rs.toDF("k", "rts", "rid")
+      val tol = rnd.nextInt(6).toLong
+      def want(strict: Boolean, tolOpt: Option[Long]) = ls.map {
+        case (k, t, lid) =>
+          val cands = rs.filter { case (rk, rt, _) =>
+            rk == k && (if (strict) rt > t else rt >= t) &&
+              tolOpt.forall(tl => rt <= t + tl)
+          }
+          lid -> (if (cands.isEmpty) None
+                  else Some(cands.minBy { case (_, rt, rid) => (rt, rid) }._3))
+      }.toSet
+      for (cw <- Seq(None, Some(rnd.nextInt(9) + 1L))) {
+        val incl = AsOf.joinFollowing(lDf, rDf, Seq("k"), "ts", "rts",
+            "rid", chunkWidth = cw)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+        assert(incl === want(strict = false, None), s"trial $trial cw=$cw")
+        val strictGot = AsOf.joinFollowing(lDf, rDf, Seq("k"), "ts", "rts",
+            "rid", chunkWidth = cw, inclusive = false)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+        assert(strictGot === want(strict = true, None),
+          s"trial $trial cw=$cw strict")
+        val tolGot = AsOf.joinFollowing(lDf, rDf, Seq("k"), "ts", "rts",
+            "rid", chunkWidth = cw, tolerance = Some(tol))
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+        assert(tolGot === want(strict = false, Some(tol)),
+          s"trial $trial cw=$cw tol=$tol")
+      }
+    }
+  }
+
   test("rejects payload collisions and missing tieBreak") {
     intercept[IllegalArgumentException] {
       AsOf.joinPriorOrEqual(left, right.withColumnRenamed("rid", "lid"),
