@@ -41,7 +41,8 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 object AsOf {
 
   private val Reserved =
-    Set("__ts", "__side", "__tb", "__p", "__l", "__match", "__ck", "__carry")
+    Set("__ts", "__side", "__tb", "__p", "__l", "__match", "__ck", "__carry",
+      "__mb", "__mf")
 
   /** Negative-safe fixed-width time bucket (RangeJoin's formula): exact
     * floor division via long arithmetic. `div` (IntegralDivide) keeps the
@@ -104,10 +105,31 @@ object AsOf {
     joinDirectional(left, right, keys, leftTs, rightTs, tieBreak,
       chunkWidth, inclusive, tolerance, autoChunk, forward = true)
 
+  /** The third member of the family (pandas `merge_asof
+    * direction='nearest'`): for each left row, whichever of the latest
+    * prior-or-equal and the earliest following right row is CLOSER in
+    * time; a prior match wins distance ties (an equal-ts right row is a
+    * distance-0 prior match). Within each direction the usual tie rules
+    * hold (prior: largest `tieBreak`; following: smallest).
+    * `tolerance = Some(t)` bounds the distance on BOTH sides. Requires
+    * integral timestamps (the distance compare is exact long math).
+    * Both running picks ride ONE Window operator (same partitioning and
+    * ordering, two frames), so nearest costs the same single shuffle as
+    * either direction alone; auto/manual hot-key chunking carries both
+    * boundary payloads through the same summary table. */
+  def joinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tieBreak: String,
+      chunkWidth: Option[Long] = None,
+      tolerance: Option[Long] = None, autoChunk: Boolean = true): DataFrame =
+    joinDirectional(left, right, keys, leftTs, rightTs, tieBreak,
+      chunkWidth, inclusive = true, tolerance, autoChunk, forward = false,
+      nearest = true)
+
   private def joinDirectional(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String, tieBreak: String,
       chunkWidth: Option[Long], inclusive: Boolean, tolerance: Option[Long],
-      autoChunk: Boolean, forward: Boolean): DataFrame = {
+      autoChunk: Boolean, forward: Boolean,
+      nearest: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTs).toSeq
@@ -137,6 +159,7 @@ object AsOf {
       require(t >= 0, s"tolerance $t must be non-negative")
       requireIntegralTs("tolerance-bounded")
     }
+    if (nearest) requireIntegralTs("nearest")
 
     // __p carries the matched right row's OWN timestamp next to its
     // payload (nested as __mts/__pp) so the tolerance check can compare
@@ -154,7 +177,7 @@ object AsOf {
     // (2) after — not. Forward (following) frame starts AT the left row,
     // so the placements flip.
     val rightSide =
-      if (inclusive == !forward) 0 else 2
+      if (nearest || inclusive == !forward) 0 else 2
 
     // identical select order on both sides → positional union is safe
     val l2 = left.filter(col(leftTs).isNotNull).select(
@@ -198,46 +221,64 @@ object AsOf {
       }
     }
 
-    val matched = effectiveWidth match {
+    val matched0 = effectiveWidth match {
       case None =>
         // __tb makes equal-ts right rows deterministic: the backward
         // running last keeps the LARGEST tieBreak, the forward running
-        // first keeps the SMALLEST — mirrored conventions.
+        // first keeps the SMALLEST — mirrored conventions. For nearest,
+        // BOTH picks ride this one window (same partitioning/ordering,
+        // two frames — a single Window exec, no second shuffle).
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col("__ts"), col("__side"), col("__tb"))
-        u.withColumn("__match", runningPick(forward, w))
+        if (nearest)
+          u.withColumn("__mb", runningPick(forward = false, w))
+            .withColumn("__mf", runningPick(forward = true, w))
+        else u.withColumn("__match", runningPick(forward, w))
       case Some(width) =>
         val uc = u.withColumn("__ck", chunkOf(col("__ts"), width))
         val partCols = keys.map(col) :+ col("__ck")
         // 1. in-chunk running pick — the plain window, parallel per chunk
         val wLocal = Window.partitionBy(partCols: _*)
           .orderBy(col("__ts"), col("__side"), col("__tb"))
-        val local = uc.withColumn("__match", runningPick(forward, wLocal))
+        val local =
+          if (nearest)
+            uc.withColumn("__mb", runningPick(forward = false, wLocal))
+              .withColumn("__mf", runningPick(forward = true, wLocal))
+          else uc.withColumn("__match", runningPick(forward, wLocal))
         // 2. per-(key, chunk) summary: the chunk's boundary right payload
         // — backward takes the chunk's LAST right row (max of (ts,
         // tieBreak, payload); max skips the left rows' nulls), forward
         // its FIRST (min); null for chunks holding no right row. Chunk
         // boundaries are on __ts, so everything in an earlier chunk is
         // strictly earlier — the carry needs no side/equal-ts logic.
+        // Nearest carries BOTH boundary payloads through the same
+        // summary rows.
         val edgeStruct = when(col("__side") =!= 1, // right rows (0 or 2)
           struct(col("__ts"), col("__tb"), col("__p")))
-        val summary = uc.groupBy(partCols: _*)
-          .agg((if (forward) min(edgeStruct) else max(edgeStruct))
+        val edgeAggs =
+          if (nearest) Seq(max(edgeStruct).as("__edgeB"),
+            min(edgeStruct).as("__edgeF"))
+          else Seq((if (forward) min(edgeStruct) else max(edgeStruct))
             .as("__edge"))
+        val summary = uc.groupBy(partCols: _*)
+          .agg(edgeAggs.head, edgeAggs.tail: _*)
         // 3. carry-in per chunk = the boundary payload of any STRICTLY
         // earlier (backward) / later (forward) chunk — a running pick
         // over the summary with the frame excluding the current chunk.
         // The summary is |keys|·|touched chunks| rows — the per-key
         // window here is orders of magnitude off the event count.
         val wSum0 = Window.partitionBy(keys.map(col): _*).orderBy(col("__ck"))
-        val carryPick =
-          if (forward) first(col("__edge"), ignoreNulls = true)
-            .over(wSum0.rowsBetween(1, Window.unboundedFollowing))
-          else last(col("__edge"), ignoreNulls = true)
-            .over(wSum0.rowsBetween(Window.unboundedPreceding, -1))
+        def carryB(c: String) = last(col(c), ignoreNulls = true)
+          .over(wSum0.rowsBetween(Window.unboundedPreceding, -1))
+        def carryF(c: String) = first(col(c), ignoreNulls = true)
+          .over(wSum0.rowsBetween(1, Window.unboundedFollowing))
+        val carryCols =
+          if (nearest) Seq(carryB("__edgeB").as("__carryB"),
+            carryF("__edgeF").as("__carryF"))
+          else Seq((if (forward) carryF("__edge") else carryB("__edge"))
+            .as("__carry"))
         val carry = summary
-          .withColumn("__carry", carryPick)
-          .select(keys.map(col) ++ Seq(col("__ck"), col("__carry")): _*)
+          .select(keys.map(col) ++ (col("__ck") +: carryCols): _*)
         // 4. join the carry back on (key, chunk) — local is already
         // partitioned that way from step 1's window; the carry side is
         // summary-sized (AQE broadcasts it when small). Key equality is
@@ -248,30 +289,61 @@ object AsOf {
         // side is renamed so the shared-lineage self-join stays
         // unambiguous; __ck is derived from the non-null __ts, so plain
         // equality is fine there.
+        val keep = if (nearest) Seq("__carryB", "__carryF") else Seq("__carry")
         val carryR = carry.select(
-          (keys :+ "__ck").map(k => col(k).as(s"__r_$k")) :+
-            col("__carry"): _*)
+          (keys :+ "__ck").map(k => col(k).as(s"__r_$k")) ++
+            keep.map(col): _*)
         require(!(keys :+ "__ck").exists(k =>
             local.columns.contains(s"__r_$k")),
           "input columns collide with the carry join's __r_ renames")
         val cond = keys.map(k => col(k) <=> col(s"__r_$k"))
           .reduce(_ && _) && (col("__ck") === col("__r___ck"))
-        local.join(carryR, cond)
+        val joined = local.join(carryR, cond)
+        if (nearest)
+          joined
+            .withColumn("__mb",
+              coalesce(col("__mb"), col("__carryB").getField("__p")))
+            .withColumn("__mf",
+              coalesce(col("__mf"), col("__carryF").getField("__p")))
+        else joined
           .withColumn("__match",
             coalesce(col("__match"), col("__carry").getField("__p")))
     }
+    // nearest resolution: tolerance masks each direction first, then the
+    // closer match wins, prior winning exact-distance ties. Distances in
+    // exact long math (integral ts required above).
+    val matched =
+      if (!nearest) matched0
+      else {
+        val db = col("__ts").cast("long") -
+          col("__mb").getField("__mts").cast("long")
+        val df = col("__mf").getField("__mts").cast("long") -
+          col("__ts").cast("long")
+        val mbOk = tolerance.map(t => when(db <= t, col("__mb")))
+          .getOrElse(col("__mb"))
+        val mfOk = tolerance.map(t => when(df <= t, col("__mf")))
+          .getOrElse(col("__mf"))
+        matched0.withColumn("__match",
+          when(mbOk.isNull, mfOk)
+            .when(mfOk.isNull, mbOk)
+            .when(df < db, mfOk)
+            .otherwise(mbOk))
+      }
     // tolerance: a surviving match farther than t behind (backward) or
     // ahead of (forward) leftTs is discarded (null payloads) — checked on
     // the match's carried __mts, so it applies identically under the
     // plain and chunked plans
-    val payloadOf: String => Column = tolerance match {
-      case None => c => col("__match").getField("__pp").getField(c)
-      case Some(t) => c =>
-        val within =
-          if (forward) col("__match").getField("__mts") <= col("__ts") + t
-          else col("__match").getField("__mts") >= col("__ts") - t
-        when(within, col("__match").getField("__pp").getField(c))
-    }
+    val payloadOf: String => Column =
+      if (nearest) // tolerance already applied per direction above
+        c => col("__match").getField("__pp").getField(c)
+      else tolerance match {
+        case None => c => col("__match").getField("__pp").getField(c)
+        case Some(t) => c =>
+          val within =
+            if (forward) col("__match").getField("__mts") <= col("__ts") + t
+            else col("__match").getField("__mts") >= col("__ts") - t
+          when(within, col("__match").getField("__pp").getField(c))
+      }
     matched
       .filter(col("__side") === 1)
       .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++

@@ -93,6 +93,21 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q_j5n — the nearest-in-time variant over the same view/purchase
+    * shape; oracle ranks by absolute distance with prior-wins-ties. */
+  private def asOfNearestQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    AsOf.joinNearest(views, purchases, Seq("user_id"), "us", "us",
+        "purchase_id")
+      .select(col("event_id"), col("purchase_id"), col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ------------------------------------------------------- projections
     "q_p1_envelope" -> ((s, dir) => {
@@ -233,6 +248,11 @@ object Relational {
       // ranks DESC
       asOfQuery(s, dir, chunkWidth = None, following = true)
     }),
+    "q_j5n_asof_nearest" -> ((s, dir) =>
+      // nearest-in-time enrichment (pandas merge_asof direction='nearest'):
+      // each view takes whichever purchase is closest in time, prior
+      // winning exact-distance ties; per-direction tie rules as q_j5/q_j5f
+      asOfNearestQuery(s, dir)),
     "q_j6_range_join" -> ((s, dir) => {
       // interval-containment: map late-arriving 'error' events into the
       // sessions built from the OTHER events (bucketized equi-join, 1 h
@@ -668,6 +688,25 @@ object Relational {
     "q_j5_asof_join" -> asOfOracle(),
     "q_j5x_asof_chunked" -> asOfOracle(), // same semantics, chunked plan
     "q_j5f_asof_following" -> asOfOracle(cmp = ">=", ord = "ASC"),
+    "q_j5n_asof_nearest" ->
+      // nearest by absolute distance; a prior match wins distance ties;
+      // within a direction the q_j5/q_j5f tie rules hold (prior: largest
+      // purchase_id -> -id ASC; following: smallest -> id ASC)
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'view'),
+        p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus,
+            value
+          FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT v.event_id, p.purchase_id, p.value,
+                ROW_NUMBER() OVER (PARTITION BY v.event_id
+                  ORDER BY abs(p.pus - v.us),
+                    CASE WHEN p.pus <= v.us THEN 0 ELSE 1 END,
+                    CASE WHEN p.pus <= v.us THEN -p.purchase_id
+                         ELSE p.purchase_id END) AS rn
+              FROM v JOIN p ON v.user_id = p.user_id)
+       SELECT v.event_id, j.purchase_id, j.value AS purchase_value
+       FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+       ORDER BY event_id""",
     "q_j5s_asof_strict" -> asOfOracle(cmp = "<"),
     "q_j5t_asof_tolerance" ->
       asOfOracle(extra = s" AND p.pus >= v.us - $AsOfTolUs"),

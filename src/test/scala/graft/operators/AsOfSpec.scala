@@ -321,6 +321,56 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("joinNearest: closest-in-time match, prior wins ties, tolerance bounds both sides (both plans)") {
+    val rnd = new scala.util.Random(89)
+    for (trial <- 1 to 6) {
+      val ls = List.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = List.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+      val lDf = ls.toDF("k", "ts", "lid")
+      val rDf = rs.toDF("k", "rts", "rid")
+      val tol = rnd.nextInt(6).toLong
+      // reference: per direction resolve the usual tie rules, then the
+      // smaller distance wins, prior winning exact-distance ties
+      def want(tolOpt: Option[Long]) = ls.map { case (k, t, lid) =>
+        val prior = rs.filter { case (rk, rt, _) =>
+          rk == k && rt <= t && tolOpt.forall(tl => t - rt <= tl) }
+          .sortBy { case (_, rt, rid) => (rt, rid) }.lastOption
+        val next = rs.filter { case (rk, rt, _) =>
+          rk == k && rt >= t && tolOpt.forall(tl => rt - t <= tl) }
+          .sortBy { case (_, rt, rid) => (rt, rid) }
+          .headOption.filter(_ => true)
+        val pick = (prior, next) match {
+          case (None, n) => n
+          case (p, None) => p
+          case (Some(p), Some(n)) =>
+            if (n._2 - t < t - p._2) Some(n) else Some(p)
+        }
+        lid -> pick.map(_._3)
+      }.toSet
+      for (cw <- Seq(None, Some(rnd.nextInt(9) + 1L))) {
+        val got = AsOf.joinNearest(lDf, rDf, Seq("k"), "ts", "rts", "rid",
+            chunkWidth = cw)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+        assert(got === want(None), s"trial $trial cw=$cw")
+        val tolGot = AsOf.joinNearest(lDf, rDf, Seq("k"), "ts", "rts",
+            "rid", chunkWidth = cw, tolerance = Some(tol))
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+        assert(tolGot === want(Some(tol)), s"trial $trial cw=$cw tol=$tol")
+      }
+    }
+    // one Window operator serves both directional picks in the plain plan
+    val lDf = Seq((1L, 5L, 1L)).toDF("k", "ts", "lid")
+    val rDf = Seq((1L, 3L, 10L), (1L, 6L, 11L)).toDF("k", "rts", "rid")
+    val plan = AsOf.joinNearest(lDf, rDf, Seq("k"), "ts", "rts", "rid",
+        autoChunk = false)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(
+        plan.split("== Initial Plan ==").head).size <= 1,
+      s"nearest must not add a second shuffle:\n$plan")
+  }
+
   test("rejects payload collisions and missing tieBreak") {
     intercept[IllegalArgumentException] {
       AsOf.joinPriorOrEqual(left, right.withColumnRenamed("rid", "lid"),
