@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the batch as-of join (`operators/AsOf`) — the
+  * event-time temporal enrichment Flink calls a temporal join: a stream
+  * of left events is matched, per key, against the LATEST prior-or-equal
+  * right event, with correctness under out-of-order arrival bought by
+  * the watermark instead of a sort.
+  *
+  * Why not a stream-stream interval join: Spark's built-in one emits
+  * EVERY right row in the interval (then needs a per-left top-1, which
+  * Append-mode streaming cannot express), and its state retention is
+  * interval-sized. Here `flatMapGroupsWithState` holds exactly what the
+  * as-of semantics need and nothing more:
+  *
+  *  - a left event is held until the watermark passes its timestamp —
+  *    only then can no earlier right event still arrive, so the match
+  *    (largest `(rightTs, rightId)` at or before `leftTs`) is final;
+  *  - right events are held while `rightTs > watermark`, plus ONE
+  *    resolved right at or below it (the newest — any future left must
+  *    see it as its prior state). Everything older is provably
+  *    unmatchable and dropped, so per-key state is O(events inside the
+  *    watermark horizon) + O(1), not O(history) — the horizon, not the
+  *    stream's age, sizes the state store at 100 TB/day.
+  *
+  * Emission is Append-mode and final (no retractions): each left event
+  * is emitted exactly once, on the first trigger whose watermark has
+  * passed it — via the group's new-data invocation or, for keys with no
+  * new traffic, the EventTimeTimeout set to the oldest pending left.
+  * Events arriving later than the watermark allows are dropped by the
+  * engine before reaching the state function (the standard streaming
+  * lateness contract; size `watermarkDelay` to the source's real
+  * disorder). Determinism: ties at equal `rightTs` resolve to the
+  * largest `rightId` — the batch operator's rule, letting the spec pin
+  * stream output against `AsOf.joinPriorOrEqual` on identical data. */
+object StreamingAsOf {
+
+  final case class LeftEvent(key: String, tsUs: Long, leftId: Long)
+  final case class RightEvent(key: String, tsUs: Long, rightId: Long,
+    value: Double)
+  /** One row per resolved left event; unmatched lefts keep None. */
+  final case class AsOfMatch(key: String, tsUs: Long, leftId: Long,
+    rightId: Option[Long], rightTsUs: Option[Long], value: Option[Double])
+
+  private[graft] final case class Tagged(key: String, tsUs: Long, side: Int,
+    leftId: Long, rightId: Long, value: Double,
+    eventTime: java.sql.Timestamp) // the watermark column must survive
+                                   // into the grouped Dataset
+  private[graft] final case class BufferState(lefts: List[(Long, Long)], // (ts, id)
+    rights: List[(Long, Long, Double)]) // (ts, id, value)
+
+  /** Enrich `left` with the latest prior-or-equal `right` per key.
+    * Both inputs must be streaming Datasets; `watermarkDelay` (e.g.
+    * "10 seconds") bounds tolerated disorder in EVENT time and therefore
+    * both result latency and state size. */
+  def joinPriorOrEqual(left: Dataset[LeftEvent], right: Dataset[RightEvent],
+      watermarkDelay: String)(implicit spark: SparkSession): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    // one tagged union stream → one grouped state machine per key; the
+    // watermark column must be a TimestampType — micros map exactly
+    val tagged = left
+      .select(col("key"), col("tsUs"), lit(0).as("side"),
+        col("leftId"), lit(0L).as("rightId"), lit(0.0).as("value"))
+      .unionAll(right.select(col("key"), col("tsUs"), lit(1).as("side"),
+        lit(0L).as("leftId"), col("rightId"), col("value")))
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[Tagged]
+
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[BufferState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[Tagged], state: GroupState[BufferState]) =>
+          val prior = state.getOption.getOrElse(BufferState(Nil, Nil))
+          val batch = rows.toList
+          val lefts = prior.lefts ++ batch.collect {
+            case t if t.side == 0 => (t.tsUs, t.leftId) }
+          val rights = prior.rights ++ batch.collect {
+            case t if t.side == 1 => (t.tsUs, t.rightId, t.value) }
+          // the engine's watermark is milliseconds; anything at or below
+          // it in event time is FINAL (sub-ms residue rounds down, which
+          // only delays finality, never breaks it)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, pending) = lefts.partition(_._1 <= wmUs)
+          val out = ripe.sorted.map { case (lts, lid) =>
+            val m = rights.filter(_._1 <= lts) match {
+              case Nil => None
+              case ms => Some(ms.maxBy { case (ts, id, _) => (ts, id) })
+            }
+            AsOfMatch(key, lts, lid, m.map(_._2), m.map(_._1), m.map(_._3))
+          }
+          // prune: unresolved rights (> wm) stay; of the resolved ones
+          // only the NEWEST can still match a future left — future lefts
+          // have ts > wm >= every other resolved right's ts
+          val (open, resolved) = rights.partition(_._1 > wmUs)
+          val keepRights = open ++ (resolved match {
+            case Nil => Nil
+            case rs => List(rs.maxBy { case (ts, id, _) => (ts, id) })
+          })
+          if (pending.isEmpty && keepRights.isEmpty) state.remove()
+          else {
+            state.update(BufferState(pending, keepRights))
+            // wake this key when the watermark passes its oldest pending
+            // left even if no new traffic arrives for it (must be set
+            // strictly above the current watermark)
+            pending.map(_._1).minOption.foreach { ts =>
+              state.setTimeoutTimestamp(
+                math.max(ts / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
+}
