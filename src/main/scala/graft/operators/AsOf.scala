@@ -42,7 +42,7 @@ object AsOf {
 
   private val Reserved =
     Set("__ts", "__side", "__tb", "__p", "__l", "__match", "__ck", "__carry",
-      "__mb", "__mf")
+      "__mb", "__mf", "__edge", "__edgeB", "__edgeF", "__carryB", "__carryF")
 
   /** Negative-safe fixed-width time bucket (RangeJoin's formula): exact
     * floor division via long arithmetic. `div` (IntegralDivide) keeps the
@@ -52,17 +52,30 @@ object AsOf {
   private def chunkOf(c: Column, w: Long): Column =
     call_function("div", c - pmod(c, lit(w)), lit(w))
 
-  /** The direction-resolving running pick over an ordered window spec:
-    * backward = running `last` over (-inf, current] (latest prior),
-    * forward = running `first` over [current, +inf) (earliest next). */
+  /** The direction-resolving running pick: backward = running `last`
+    * over (-inf, current] in ASCENDING (ts, side, tb) order; forward =
+    * the SAME running-last frame in DESCENDING order — scanning the
+    * timeline backwards, the last non-null seen at a row is the earliest
+    * following right row. Both are streaming frames, updated once per
+    * row. The naive forward form — `first` over [current, +inf) in
+    * ascending order — is NOT: Spark executes an unbounded-FOLLOWING
+    * lower bound as UnboundedFollowingWindowFunctionFrame, which
+    * re-scans from the moving bound to the partition end for every row —
+    * O(n²) per key, a scale-killer on exactly the hot keys this module
+    * guards against. The side encodings are chosen so the same values
+    * work under both orderings (see `rightSide` below); among equal-ts
+    * rights the descending scan's last-seen is the SMALLEST tieBreak —
+    * the forward convention — for free. */
   private def runningPick(forward: Boolean,
-      w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    if (forward)
-      first(col("__p"), ignoreNulls = true)
-        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    else
-      last(col("__p"), ignoreNulls = true)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      partCols: Seq[Column]): Column = {
+    val w =
+      if (forward) Window.partitionBy(partCols: _*)
+        .orderBy(col("__ts").desc, col("__side").desc, col("__tb").desc)
+      else Window.partitionBy(partCols: _*)
+        .orderBy(col("__ts"), col("__side"), col("__tb"))
+    last(col("__p"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
 
   /** Left rows enriched with the latest prior-or-equal right payload.
     * Payload = every right column except `keys` and `rightTs`; payload
@@ -206,45 +219,31 @@ object AsOf {
       val integralTs = integral(left.schema(leftTs).dataType) &&
         integral(right.schema(rightTs).dataType)
       if (!autoChunk || !integralTs) None
-      else if (Skew.hotKeyShare(u.select(keys.map(col): _*)) <
-        Skew.AutoChunkHotShare) None
-      else {
-        val b = u.agg(min(col("__ts").cast("long")),
-          max(col("__ts").cast("long"))).head()
-        if (b.isNullAt(0)) None // empty input — nothing to chunk
-        else {
-          val span = b.getLong(1) - b.getLong(0) + 1
-          val target = left.sparkSession.sessionState.conf
-            .numShufflePartitions * 8L
-          Some(math.max(1L, span / target))
-        }
-      }
+      else Skew.autoChunkWidth(u, keys.map(col), col("__ts"))
     }
 
     val matched0 = effectiveWidth match {
       case None =>
         // __tb makes equal-ts right rows deterministic: the backward
-        // running last keeps the LARGEST tieBreak, the forward running
-        // first keeps the SMALLEST — mirrored conventions. For nearest,
-        // BOTH picks ride this one window (same partitioning/ordering,
-        // two frames — a single Window exec, no second shuffle).
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col("__ts"), col("__side"), col("__tb"))
+        // running last keeps the LARGEST tieBreak, the forward
+        // (descending-scan) one the SMALLEST — mirrored conventions.
+        // For nearest, both picks share the ONE hash exchange; the
+        // opposite orderings cost a second sort, never a second shuffle
+        // (spec-pinned).
+        val pk = keys.map(col)
         if (nearest)
-          u.withColumn("__mb", runningPick(forward = false, w))
-            .withColumn("__mf", runningPick(forward = true, w))
-        else u.withColumn("__match", runningPick(forward, w))
+          u.withColumn("__mb", runningPick(forward = false, pk))
+            .withColumn("__mf", runningPick(forward = true, pk))
+        else u.withColumn("__match", runningPick(forward, pk))
       case Some(width) =>
         val uc = u.withColumn("__ck", chunkOf(col("__ts"), width))
         val partCols = keys.map(col) :+ col("__ck")
         // 1. in-chunk running pick — the plain window, parallel per chunk
-        val wLocal = Window.partitionBy(partCols: _*)
-          .orderBy(col("__ts"), col("__side"), col("__tb"))
         val local =
           if (nearest)
-            uc.withColumn("__mb", runningPick(forward = false, wLocal))
-              .withColumn("__mf", runningPick(forward = true, wLocal))
-          else uc.withColumn("__match", runningPick(forward, wLocal))
+            uc.withColumn("__mb", runningPick(forward = false, partCols))
+              .withColumn("__mf", runningPick(forward = true, partCols))
+          else uc.withColumn("__match", runningPick(forward, partCols))
         // 2. per-(key, chunk) summary: the chunk's boundary right payload
         // — backward takes the chunk's LAST right row (max of (ts,
         // tieBreak, payload); max skips the left rows' nulls), forward
@@ -267,11 +266,16 @@ object AsOf {
         // over the summary with the frame excluding the current chunk.
         // The summary is |keys|·|touched chunks| rows — the per-key
         // window here is orders of magnitude off the event count.
-        val wSum0 = Window.partitionBy(keys.map(col): _*).orderBy(col("__ck"))
+        // both carries are running-last streaming frames too (the
+        // forward one in descending __ck order) — same O(n²) trap as
+        // runningPick if written with an unbounded-following bound
         def carryB(c: String) = last(col(c), ignoreNulls = true)
-          .over(wSum0.rowsBetween(Window.unboundedPreceding, -1))
-        def carryF(c: String) = first(col(c), ignoreNulls = true)
-          .over(wSum0.rowsBetween(1, Window.unboundedFollowing))
+          .over(Window.partitionBy(keys.map(col): _*).orderBy(col("__ck"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+        def carryF(c: String) = last(col(c), ignoreNulls = true)
+          .over(Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("__ck").desc)
+            .rowsBetween(Window.unboundedPreceding, -1))
         val carryCols =
           if (nearest) Seq(carryB("__edgeB").as("__carryB"),
             carryF("__edgeF").as("__carryF"))

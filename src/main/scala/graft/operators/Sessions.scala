@@ -59,18 +59,7 @@ object Sessions {
     }
     val effectiveWidth: Option[Long] = chunkWidth.orElse {
       if (!autoChunk || !integralTs) None
-      else if (Skew.hotKeyShare(df.select(col(entityCol))) <
-        Skew.AutoChunkHotShare) None
-      else {
-        val b = df.agg(min(tsUs.cast("long")), max(tsUs.cast("long"))).head()
-        if (b.isNullAt(0)) None
-        else {
-          val span = b.getLong(1) - b.getLong(0) + 1
-          val target = df.sparkSession.sessionState.conf
-            .numShufflePartitions * 8L
-          Some(math.max(1L, span / target))
-        }
-      }
+      else Skew.autoChunkWidth(df, Seq(col(entityCol)), tsUs)
     }
     effectiveWidth match {
       case None =>

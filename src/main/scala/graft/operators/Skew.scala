@@ -39,21 +39,37 @@ object Skew {
   }
 
   /** Cheap hot-key probe for auto-mitigation decisions (VERDICT r5 #4):
-    * estimates the hottest key's row share from the FIRST `perPartition`
-    * rows of every partition — `mapPartitions(_.take(k))` stops pulling
-    * the iterator after k rows, so each task reads at most one row-group's
-    * worth and the whole probe moves ≤ partitions×k tiny rows through one
-    * reduce. A key with a macroscopic share (the serialized-window hazard:
-    * one bot entity with 10⁸ events) occupies that share of almost every
-    * partition's head, so the estimate is reliable exactly in the regime
-    * that matters; sub-percent shares are noise and read as "no skew".
-    * RDD on purpose: per-partition early-exit take is genuine imperative
-    * per-partition logic the DataFrame API cannot express without a full
-    * scan. Returns 0 for an empty input. */
+    * estimates the hottest key's row share from a `perPartition`-row
+    * RESERVOIR sample of every partition (algorithm R, seeded by
+    * partition id — deterministic for a fixed input layout). Heads alone
+    * would bias both ways: a hot key CLUSTERED in input order (the
+    * bot-burst shape) fills few partition heads and reads far below its
+    * true share, while key-sorted partitions put the same lowest key at
+    * every head and read ~1.0 on uniform data. The reservoir weights
+    * every row of a partition equally, so a clustered 45%-of-rows key
+    * reads ≈ the fraction of partitions it fills — the quantity that
+    * actually predicts a serialized window task. Cost: each task scans
+    * its partition's key column once (narrow, no shuffle of data; one
+    * tiny reduce of ≤ partitions×k rows). Uneven partition sizes skew
+    * the estimate toward small partitions — acceptable for a 0/1
+    * mitigation decision. Returns 0 for an empty input. */
   private[graft] def hotKeyShare(keyed: DataFrame,
       perPartition: Int = 100): Double = {
-    val counts = keyed.rdd.mapPartitions(_.take(perPartition))
-      .map(r => r -> 1L).reduceByKey(_ + _).values
+    val counts = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new scala.util.Random(0x5eed + pid)
+      val res = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](perPartition)
+      var n = 0L
+      it.foreach { r =>
+        n += 1
+        if (res.length < perPartition) res += r
+        else {
+          val j = (rnd.nextDouble() * n).toLong
+          if (j < perPartition) res(j.toInt) = r
+        }
+      }
+      res.iterator
+    }.map(r => r -> 1L).reduceByKey(_ + _).values
     val (total, hottest) = counts.aggregate((0L, 0L))(
       { case ((t, m), c) => (t + c, math.max(m, c)) },
       { case ((t1, m1), (t2, m2)) => (t1 + t2, math.max(m1, m2)) })
@@ -65,6 +81,32 @@ object Skew {
     * key yet catches the single-dominant-entity shape well before it
     * serializes a partition. */
   private[graft] val AutoChunkHotShare = 0.4
+
+  /** The shared auto-chunk policy (AsOf + Sessions — ONE definition, so
+    * the threshold/width tuning cannot drift between operators): probe
+    * the hottest key's share; above [[AutoChunkHotShare]] — and only
+    * then — one min/max pass over `ts` sizes a width that splits the
+    * time domain into ~8 chunks per shuffle partition. Returns None on
+    * uniform or empty data. EAGER by design: calling it launches the
+    * probe job (and, only when skew trips, the min/max scan) at
+    * plan-BUILD time — the price of a default-safe API; callers looping
+    * over many plan constructions should pass an explicit width or
+    * `autoChunk = false`. `full` supplies the min/max span; `keyCols`
+    * project the probe's keys out of it. */
+  private[graft] def autoChunkWidth(full: DataFrame, keyCols: Seq[Column],
+      ts: Column): Option[Long] = {
+    if (hotKeyShare(full.select(keyCols: _*)) < AutoChunkHotShare) None
+    else {
+      val b = full.agg(min(ts.cast("long")), max(ts.cast("long"))).head()
+      if (b.isNullAt(0)) None
+      else {
+        val span = b.getLong(1) - b.getLong(0) + 1
+        val target =
+          full.sparkSession.sessionState.conf.numShufflePartitions * 8L
+        Some(math.max(1L, span / target))
+      }
+    }
+  }
 
   /** Salted equi-join for a skewed big side against a small (but not
     * broadcast-tiny) side: big rows get a random salt in [0, salt), the

@@ -21,7 +21,10 @@ object AnnRecallProbe {
     import spark.implicits._
 
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val queries = corpus.filter(col("vec_id") % 10 === 0).limit(200)
+    // deterministic query set: an unordered limit() is partition-order
+    // dependent once the filter yields more than 200 rows
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+      .orderBy(col("vec_id")).limit(200)
     val k = 10
 
     val truth = Similarity.bruteForceTopK(queries, corpus, k)

@@ -360,7 +360,7 @@ class AsOfSpec extends SparkSpec {
         assert(tolGot === want(Some(tol)), s"trial $trial cw=$cw tol=$tol")
       }
     }
-    // one Window operator serves both directional picks in the plain plan
+    // both directional picks share ONE hash exchange in the plain plan
     val lDf = Seq((1L, 5L, 1L)).toDF("k", "ts", "lid")
     val rDf = Seq((1L, 3L, 10L), (1L, 6L, 11L)).toDF("k", "rts", "rid")
     val plan = AsOf.joinNearest(lDf, rDf, Seq("k"), "ts", "rts", "rid",
@@ -369,6 +369,29 @@ class AsOfSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(
         plan.split("== Initial Plan ==").head).size <= 1,
       s"nearest must not add a second shuffle:\n$plan")
+  }
+
+  test("no window frame ends at unboundedfollowing: every pick is a streaming frame") {
+    // Spark executes an unbounded-FOLLOWING bound as
+    // UnboundedFollowingWindowFunctionFrame — re-scanned per row, O(n²)
+    // per key. The forward picks must instead be descending running
+    // lasts; pin it for every variant and both plans.
+    val lDf = Seq((1L, 5L, 1L)).toDF("k", "ts", "lid")
+    val rDf = Seq((1L, 3L, 10L), (1L, 6L, 11L)).toDF("k", "rts", "rid")
+    val plans = Seq(
+      AsOf.joinFollowing(lDf, rDf, Seq("k"), "ts", "rts", "rid",
+        autoChunk = false),
+      AsOf.joinFollowing(lDf, rDf, Seq("k"), "ts", "rts", "rid",
+        chunkWidth = Some(2L)),
+      AsOf.joinNearest(lDf, rDf, Seq("k"), "ts", "rts", "rid",
+        autoChunk = false),
+      AsOf.joinNearest(lDf, rDf, Seq("k"), "ts", "rts", "rid",
+        chunkWidth = Some(2L)))
+    plans.foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("unboundedfollowing"),
+        s"quadratic window frame in plan:\n$p")
+    }
   }
 
   test("rejects payload collisions and missing tieBreak") {

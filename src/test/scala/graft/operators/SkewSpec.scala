@@ -37,6 +37,24 @@ class SkewSpec extends SparkSpec {
       .filter(col("d") =!= "dim_hot").count() == 0)
   }
 
+  test("hotKeyShare: reservoir sees a hot key CLUSTERED AWAY from partition heads") {
+    // the shape a head-only probe misses: every partition starts with
+    // uniform keys and carries the bot's burst later in its iterator —
+    // the reservoir weights all rows, so the ~89% hot share is seen
+    val rows = (0 until 10).flatMap { p =>
+      (0 until 110).map(i => s"u${p * 110 + i}") ++ // uniform heads
+        Seq.fill(890)("hot")
+    }
+    val df = spark.sparkContext.parallelize(rows, 10).toDF("k")
+    val share = Skew.hotKeyShare(df)
+    assert(share > Skew.AutoChunkHotShare,
+      f"clustered hot key must be detected, probe read $share%.3f")
+    // and near-zero on genuinely uniform keys, whatever the layout
+    val uni = spark.sparkContext.parallelize(
+      (0 until 10000).map(i => s"k${i % 500}"), 10).toDF("k")
+    assert(Skew.hotKeyShare(uni) < 0.1)
+  }
+
   test("RefreshingToken: caches until expiry, refreshes after (S3)") {
     var now = 0L
     var fetches = 0
