@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Refresh the bench's stall-detection prior (VERDICT r6 #1).
+
+Writes src/main/resources/graft/bench_prior.json — the per-query times and
+calibration constant of a reference bench run — from either a driver-side
+BENCH_r{N}.json (reads its "parsed" field) or a file holding a raw bench
+JSON line. graft.Bench divides each stored time by the stored cal to get
+host-normalized priors; a first-pass measurement over ~3x its prior
+triggers one tail re-run (min taken), so a mid-run host stall can no
+longer publish phantom regressions.
+
+Usage: python3 scripts/make_bench_prior.py BENCH_r06.json
+Run each round after the official bench line lands.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "BENCH_latest.json"
+    with open(src) as f:
+        d = json.load(f)
+    line = d.get("parsed") or d  # driver wrapper or raw line
+    if not isinstance(line, dict) or "cal_cs" not in line:
+        sys.exit(f"{src}: no parsed bench line with cal_cs")
+    qs = line.get("queries")
+    if qs is None:  # the centisecond ladder rung
+        qs = {k: v / 100.0 for k, v in line["queries_cs"].items()}
+    out = {"cal_cs": line["cal_cs"], "queries": qs}
+    path = "src/main/resources/graft/bench_prior.json"
+    with open(path, "w") as f:
+        json.dump(out, f, separators=(",", ":"))
+    print(f"wrote {path}: {len(qs)} queries, cal_cs={out['cal_cs']}")
+
+
+if __name__ == "__main__":
+    main()

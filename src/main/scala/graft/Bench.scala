@@ -20,8 +20,88 @@ import org.apache.spark.sql.SparkSession
   * warmup was ~3.6 s of q_x9's recorded time), failures are recorded
   * per-query in an `"errors"` map instead of being swallowed as plausible
   * timings, and row counts are kept so a query that regresses to 0 rows is
-  * visible. Timings go to stderr as they happen for stall diagnosis. */
+  * visible. Timings go to stderr as they happen for stall diagnosis.
+  *
+  * Vs round 6: the line can carry a `"reran":[...]` key — the adaptive
+  * stall correction (VERDICT r6 #1). A mid-run host stall spans both
+  * back-to-back repeats of a query, so r6 published 3-5× phantom
+  * regressions on 14 queries; now any non-io_bound query measuring over
+  * [[RerunFactor]]× its previous-round cal-normalized time (shipped in
+  * `resources/graft/bench_prior.json`, refreshed per round by
+  * `scripts/make_bench_prior.py`) re-runs once AFTER the full battery —
+  * when a transient stall has moved on — and the min is kept. */
 object Bench {
+
+  /** Side-effecting queries whose wall-time is dominated by sink I/O (the
+    * J3 protocol writes the sink twice; S4 writes+reads a CSV copy) —
+    * flagged on stderr so the analytic per-query numbers aren't read as
+    * query cost, and EXEMPT from the adaptive stall re-run (their times
+    * are legitimately variable and min-of-`repeat` already covers them). */
+  private[graft] val IoBound = Set("q_j3_idempotent_append", "q_s4_csv",
+    "q_s7_empty_shortcircuit", "q_d6_delta_neardup", "q_s9_jsonl",
+    "q_s10_orc")
+
+  /** Re-run factor: a first-pass measurement over `factor` × the
+    * previous round's cal-normalized time is a stall suspect. 3× sits
+    * far above the ±40% host swing and the 3-5× phantom band r6
+    * published — real regressions that large re-measure the same and
+    * keep their number; stalls re-measure small and get corrected. */
+  private[graft] val RerunFactor = 3.0
+
+  /** Is this first-pass time a stall suspect? `priorNormSec` is the
+    * previous round's `sec / cal` for the same query (None ⇒ new query,
+    * never a suspect). The 0.05 floor on the prior keeps sub-15 ms
+    * queries — where scheduler jitter alone spans 3× — from
+    * hair-triggering re-runs. */
+  private[graft] def stallSuspect(sec: Double, calSec: Double,
+      priorNormSec: Option[Double]): Boolean =
+    priorNormSec.exists(p => sec / calSec > RerunFactor * math.max(p, 0.05))
+
+  /** The adaptive re-measure pass (VERDICT r6 #1), separated from main
+    * so the stall path is unit-testable with an injected runner: for
+    * each non-skipped first-pass result flagged by [[stallSuspect]],
+    * run `rerunSec` once more and keep the MIN; returns the corrected
+    * results plus the short keys that re-ran (for the JSON "reran"
+    * field). Runs AFTER the full first pass on purpose — a transient
+    * host stall spans back-to-back repeats of one query but not the
+    * whole battery plus the tail re-runs. */
+  private[graft] def adaptivePass(firstPass: Seq[(String, Double)],
+      calSec: Double, priorNorm: Map[String, Double],
+      shortKeys: Map[String, String], skip: String => Boolean,
+      rerunSec: String => Double): (Seq[(String, Double)], List[String]) = {
+    var reran = List.empty[String]
+    val corrected = firstPass.map { case (name, sec) =>
+      val sk = shortKeys.getOrElse(name, name)
+      if (skip(name) || !stallSuspect(sec, calSec, priorNorm.get(sk)))
+        name -> sec
+      else {
+        val sec2 = rerunSec(name)
+        System.err.println(
+          f"[bench] $name RERUN stall-suspect: $sec%.3f -> $sec2%.3f s")
+        reran ::= sk
+        name -> math.min(sec, sec2)
+      }
+    }
+    (corrected, reran)
+  }
+
+  /** Previous round's cal-normalized per-query times, from the
+    * classpath resource `graft/bench_prior.json` (written by
+    * `scripts/make_bench_prior.py` from the round's BENCH line).
+    * Missing/malformed resource ⇒ empty map ⇒ no re-runs — the bench
+    * must never fail on its own calibration data. */
+  private[graft] def loadPriorNorm(): Map[String, Double] = try {
+    val in = getClass.getResourceAsStream("/graft/bench_prior.json")
+    if (in == null) Map.empty
+    else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      val cal = node.get("cal_cs").asDouble() / 100.0
+      val qs = node.get("queries")
+      import scala.jdk.CollectionConverters._
+      qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble() / cal).toMap
+    } finally in.close()
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,6 +115,14 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // MedianImpute's tiny-slice path uses a deliberately global window,
+    // hard-capped at MedianImpute.MaxWindowRows (≤4M rows — above that
+    // the bracket/recurse path avoids the global window entirely), so
+    // WindowExec's blanket "No Partition Defined" WARN is expected and
+    // was flooding the bench tail (VERDICT r6 nit). Silence that one
+    // package's logger; every other WARN still reaches stderr.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
 
     // Plan-variant queries measure the SAME computation as their plain
     // twins (chunked vs plain window) and are fully covered by the
@@ -133,29 +221,54 @@ object Bench {
     // reports the query's actual steady-state cost; the JSON records the
     // repeat count. SPARK_GRAFT_REPEAT overrides.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // Short per-query keys (VERDICT r5 #3): the SURVEY §2 id alone ("d4x",
+    // not "q_d4x_embedding_neardup_lsh") — the full-name mapping is static
+    // in SparkEntry.queries (strip "q_", keep the first "_"-segment).
+    // Falls back to the full name on the (currently impossible) collision
+    // so two queries can never silently merge.
+    val shortKeys: Map[String, String] = {
+      val ids = selected.keysIterator.map(n =>
+        n -> n.stripPrefix("q_").split("_").head).toMap
+      val counts = ids.values.groupBy(identity).map { case (k, v) => k -> v.size }
+      ids.map { case (n, id) => n -> (if (counts(id) > 1) n else id) }
+    }
     var rows = Map.empty[String, Long]
     var errors = Map.empty[String, String]
-    val results = selected.toSeq.map { case (name, fn) =>
-      val secs = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val n = fn(spark, sfDir).count()
-          rows += name -> n
-        } catch {
-          case e: Throwable =>
-            // full detail to stderr; the JSON line carries a SHORT form —
-            // at 200 chars per error, two failures would push the line
-            // past the driver's 2000-char tail window and lose the whole
-            // bench (the round-3 failure mode, re-entering via errors)
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(40)}"
-        }
-        (System.nanoTime() - t0) / 1e9
+    def measureOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val n = fn(spark, sfDir).count()
+        rows += name -> n
+      } catch {
+        case e: Throwable =>
+          // full detail to stderr; the JSON line carries a SHORT form —
+          // at 200 chars per error, two failures would push the line
+          // past the driver's 2000-char tail window and lose the whole
+          // bench (the round-3 failure mode, re-entering via errors)
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(40)}"
       }
-      val sec = secs.min
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = selected.toSeq.map { case (name, fn) =>
+      val sec = (1 to repeat).map(_ => measureOnce(name, fn)).min
       System.err.println(f"[bench] $name%-28s ${sec}%8.3f s rows=${rows.getOrElse(name, -1L)}")
       name -> sec
     }
+
+    // Adaptive re-measure (VERDICT r6 #1): a mid-run host stall spans
+    // BOTH back-to-back repeats of a query, so min-of-2 alone recorded
+    // 3-5× phantom regressions on 14 queries in r6. After the full pass
+    // — by which time a transient stall has moved on — any non-io_bound
+    // query whose cal-normalized time exceeds ~3× its stored
+    // previous-round value (resources/graft/bench_prior.json, refreshed
+    // each round by scripts/make_bench_prior.py) is re-run once and the
+    // min taken; the JSON line records which under "reran" so a
+    // cross-round reader can see the correction happened.
+    val priorNorm = loadPriorNorm()
+    val (results, reran) = adaptivePass(firstPass, calSec, priorNorm,
+      shortKeys, skip = n => IoBound(n) || errors.contains(n),
+      rerunSec = n => measureOnce(n, selected(n)))
 
     def jm(m: Iterable[(String, String)]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -177,12 +290,8 @@ object Bench {
     }
     def fmt(v: Double): String = fmtAt(2)(v)
     val total = results.map(_._2).sum
-    // Side-effecting queries whose wall-time is dominated by sink I/O (the
-    // J3 protocol writes the sink twice; S4 writes+reads a CSV copy) —
-    // flagged so the analytic per-query numbers aren't read as query cost.
-    System.err.println("[bench] io_bound=q_j3_idempotent_append,q_s4_csv," +
-      "q_s7_empty_shortcircuit,q_d6_delta_neardup,q_s9_jsonl,q_s10_orc " +
-      s"repeat=$repeat")
+    System.err.println(
+      s"[bench] io_bound=${IoBound.toSeq.sorted.mkString(",")} repeat=$repeat")
     // Separate subtotals (VERDICT r2 #8): the reference-surface relational
     // battery vs the LLM-extension battery, so one heavy extension query
     // can't read as "engine slow" in the headline number.
@@ -192,19 +301,6 @@ object Bench {
     // sf as basename ("sf0.1"): the full dir path spent 16 bytes of the
     // 2000-char budget on a constant prefix
     val sfName = new java.io.File(sfDir).getName
-    // Short per-query keys (VERDICT r5 #3): the SURVEY §2 id alone ("d4x",
-    // not "q_d4x_embedding_neardup_lsh") — the full-name mapping is static
-    // in SparkEntry.queries (strip "q_", keep the first "_"-segment). The
-    // r5 line sat 37 chars under the driver's 2000-char tail window; the
-    // ids reclaim ~15 bytes per query (~1.3 KB of headroom at 89 queries).
-    // Falls back to the full name on the (currently impossible) collision
-    // so two queries can never silently merge.
-    val shortKeys: Map[String, String] = {
-      val ids = results.map { case (n, _) =>
-        n -> n.stripPrefix("q_").split("_").head }.toMap
-      val counts = ids.values.groupBy(identity).map { case (k, v) => k -> v.size }
-      ids.map { case (n, id) => n -> (if (counts(id) > 1) n else id) }
-    }
     val es = jm(errors.map { case (k, v) =>
       shortKeys.getOrElse(k, k) ->
         ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })
@@ -217,11 +313,16 @@ object Bench {
       if (errors.isEmpty) ""
       else if (withMessages) s""""errors":$es,"n_err":${errors.size},"""
       else s""""n_err":${errors.size},"""
+    // "reran" names the stall-suspect queries the adaptive pass
+    // re-measured (empty ⇒ key absent): the cross-round reader's signal
+    // that a published number was already corrected for a mid-run stall
+    val rr = if (reran.isEmpty) ""
+      else reran.sorted.map("\"" + _ + "\"").mkString(""""reran":[""", ",", "],")
     def lineWith(qKey: String, perQuery: Double => String,
         withMessages: Boolean = true): String = {
       val qs = jm(results.map { case (k, v) => shortKeys(k) -> perQuery(v) })
       val cal = Math.round(calSec * 100)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal_cs":$cal,"$qKey":$qs,${errField(withMessages)}"sub":{"rel":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal_cs":$cal,"$qKey":$qs,$rr${errField(withMessages)}"sub":{"rel":${fmt(subRel)},"llm":${fmt(subLlm)}},"sf":"$sfName"}"""
     }
     def line(perQuery: Double => String, withMessages: Boolean = true): String =
       lineWith("queries", perQuery, withMessages)

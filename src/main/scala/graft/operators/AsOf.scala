@@ -207,12 +207,14 @@ object AsOf {
 
     // Auto-chunking (VERDICT r5 #4): a caller who does not know their key
     // skew should not get the serialized-partition hazard by default. If
-    // no explicit width was given, a CHEAP probe (first rows of each
-    // partition, Skew.hotKeyShare) estimates the hottest key's share of
-    // the unioned timeline; above the threshold — and only then — one
-    // min/max pass sizes a width that splits the domain into ~8 chunks
-    // per shuffle partition, and the chunked plan engages. Uniform data
-    // pays only the tiny probe and keeps the plain single-window plan.
+    // no explicit width was given, a probe (per-partition reservoir
+    // sample over ≤64 evenly-strided partitions, escalating to all
+    // partitions only on a borderline estimate — Skew.hotKeyShare)
+    // estimates the hottest key's share of the unioned timeline; above
+    // the threshold — and only then — one min/max pass sizes a width
+    // that splits the domain into ~8 chunks per shuffle partition, and
+    // the chunked plan engages. Uniform data pays only the bounded probe
+    // and keeps the plain single-window plan.
     // Explicit `chunkWidth` always wins; non-integral timestamps cannot
     // chunk and keep the plain plan.
     val effectiveWidth: Option[Long] = chunkWidth.orElse {

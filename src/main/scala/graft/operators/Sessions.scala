@@ -47,10 +47,12 @@ object Sessions {
     // then started a new session)
     val gapUs = gap.toNanos / 1000L
     // Auto-chunking (VERDICT r5 #4, same scheme as AsOf): with no explicit
-    // width, a cheap first-rows-per-partition probe estimates the hottest
-    // entity's share; above the threshold one min/max pass sizes a width
-    // (~8 chunks per shuffle partition) and the chunked plan engages.
-    // Uniform data pays only the probe; explicit `chunkWidth` always wins;
+    // width, a per-partition reservoir probe (≤64 evenly-strided
+    // partitions, escalating to all only on a borderline estimate —
+    // Skew.hotKeyShare) estimates the hottest entity's share; above the
+    // threshold one min/max pass sizes a width (~8 chunks per shuffle
+    // partition) and the chunked plan engages. Uniform data pays only the
+    // bounded probe; explicit `chunkWidth` always wins;
     // a non-integral ts expression cannot chunk (div needs exact longs).
     val integralTs = {
       import org.apache.spark.sql.types._
@@ -73,6 +75,11 @@ object Sessions {
             Window.currentRow)))
       case Some(width) =>
         require(width > 0, s"chunkWidth $width must be positive")
+        // same contract AsOf enforces via requireIntegralTs: the exact
+        // `div` below fails analysis with a cryptic type mismatch on a
+        // non-integral ts expression (ADVICE r6) — say it up front
+        require(integralTs,
+          "chunked sessionize needs an integral (exact long) ts expression")
         val reserved = Seq("__ck", "__lidx", "__off", "__r_ent", "__r_ck")
         require(!reserved.exists(df.columns.contains),
           s"input columns use reserved names: ${reserved.mkString(",")}")

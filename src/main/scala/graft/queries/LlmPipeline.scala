@@ -259,9 +259,12 @@ object LlmPipeline {
       // timestamps are NANOS (read as nano longs under nanosAsLong), and
       // DuckDB's timestamp truncates to micros, so both sides compare
       // `ts DIV 1000`-truncated values — exact parity by construction.
+      // autoChunk OFF (ADVICE r6): measure the sessionize, not the
+      // plan-build skew probe — q_e1x covers the chunked plan, the auto
+      // path is spec-covered and measured in SCALE.md
       Sessions.sessionStats(t(s, dir, "events"), "user_id",
           expr("ts DIV 1000"), col("event_id"),
-          java.time.Duration.ofHours(12))
+          java.time.Duration.ofHours(12), autoChunk = false)
         .orderBy(col("user_id"), col("session_idx"))),
     "q_e7_token_budget" -> ((s, dir) =>
       // fill each source to a 2000-token budget in budget-hash order —

@@ -87,8 +87,12 @@ object Relational {
       .select(col("user_id"), expr("ts DIV 1000").as("us"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
     val join = if (following) AsOf.joinFollowing _ else AsOf.joinPriorOrEqual _
+    // autoChunk OFF (ADVICE r6): the benchmark-timed q_j5 family should
+    // measure the JOIN, not the plan-build skew probe; the auto path is
+    // covered by AsOfSpec/SkewSpec and measured in SCALE.md, and q_j5x
+    // exercises the chunked plan explicitly
     join(views, purchases, Seq("user_id"), "us", "us",
-        "purchase_id", chunkWidth, inclusive, tolerance, true)
+        "purchase_id", chunkWidth, inclusive, tolerance, false)
       .select(col("event_id"), col("purchase_id"), col("purchase_value"))
       .orderBy(col("event_id"))
   }
@@ -103,7 +107,7 @@ object Relational {
       .select(col("user_id"), expr("ts DIV 1000").as("us"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
     AsOf.joinNearest(views, purchases, Seq("user_id"), "us", "us",
-        "purchase_id")
+        "purchase_id", autoChunk = false) // measure the join, not the probe
       .select(col("event_id"), col("purchase_id"), col("purchase_value"))
       .orderBy(col("event_id"))
   }
@@ -262,7 +266,7 @@ object Relational {
       val sessions = Sessions.sessionStats(
           ev.filter(col("event_type") =!= "error"), "user_id",
           expr("ts DIV 1000"), col("event_id"),
-          java.time.Duration.ofHours(12))
+          java.time.Duration.ofHours(12), autoChunk = false)
         .select(col("user_id"), col("session_idx"),
           col("session_start_us"), col("session_end_us"))
       val errors = ev.filter(col("event_type") === "error")
@@ -283,13 +287,13 @@ object Relational {
       val sessions = Sessions.sessionStats(
           ev.filter(col("event_type") =!= "error"), "user_id",
           expr("ts DIV 1000"), col("event_id"),
-          java.time.Duration.ofHours(12))
+          java.time.Duration.ofHours(12), autoChunk = false)
         .select(col("user_id"), col("session_idx"),
           col("session_start_us"), col("session_end_us"))
       val bursts = Sessions.sessionStats(
           ev.filter(col("event_type") === "error"), "user_id",
           expr("ts DIV 1000"), col("event_id"),
-          java.time.Duration.ofHours(1))
+          java.time.Duration.ofHours(1), autoChunk = false)
         .select(col("user_id"), col("session_idx").as("burst_idx"),
           col("session_start_us").as("burst_start_us"),
           col("session_end_us").as("burst_end_us"))

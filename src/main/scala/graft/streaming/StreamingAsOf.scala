@@ -35,7 +35,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * lateness contract; size `watermarkDelay` to the source's real
   * disorder). Determinism: ties at equal `rightTs` resolve to the
   * largest `rightId` — the batch operator's rule, letting the spec pin
-  * stream output against `AsOf.joinPriorOrEqual` on identical data. */
+  * stream output against `AsOf.joinPriorOrEqual` on identical data.
+  *
+  * Event-time domain: `tsUs > 0`, STRICTLY epoch-positive (ADVICE r6).
+  * The engine's initial watermark is 0 ms and its late-row filter
+  * admits only event times strictly above the watermark, so rows at or
+  * before the epoch are dropped by the ENGINE before any user code
+  * runs (measured: a ts=0 row shows up in
+  * `numRowsDroppedByWatermark` on the first micro-batch, spec-pinned).
+  * Timelines carrying epoch/pre-epoch timestamps need re-basing, not a
+  * bigger delay. As defense-in-depth the state function also treats a
+  * reported 0 watermark as "none yet" instead of a real horizon, so it
+  * can never finalize anything off the engine's pre-first-update
+  * placeholder. */
 object StreamingAsOf {
 
   final case class LeftEvent(key: String, tsUs: Long, leftId: Long)
@@ -82,9 +94,17 @@ object StreamingAsOf {
             case t if t.side == 1 => (t.tsUs, t.rightId, t.value) }
           // the engine's watermark is milliseconds; anything at or below
           // it in event time is FINAL (sub-ms residue rounds down, which
-          // only delays finality, never breaks it)
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ripe, pending) = lefts.partition(_._1 <= wmUs)
+          // only delays finality, never breaks it). The engine REPORTS
+          // 0 ms until the first trigger's watermark update — under the
+          // tsUs > 0 contract (scaladoc) no row sits at or below that
+          // placeholder, and as defense-in-depth we refuse to treat it
+          // as a real horizon anyway (ADVICE r6): with no genuine
+          // watermark, nothing finalizes and nothing prunes.
+          val wmMs = state.getCurrentWatermarkMs()
+          val hasWm = wmMs > 0L
+          val wmUs = wmMs * 1000L
+          val (ripe, pending) =
+            if (hasWm) lefts.partition(_._1 <= wmUs) else (Nil, lefts)
           val out = ripe.sorted.map { case (lts, lid) =>
             val m = rights.filter(_._1 <= lts) match {
               case Nil => None
@@ -94,8 +114,10 @@ object StreamingAsOf {
           }
           // prune: unresolved rights (> wm) stay; of the resolved ones
           // only the NEWEST can still match a future left — future lefts
-          // have ts > wm >= every other resolved right's ts
-          val (open, resolved) = rights.partition(_._1 > wmUs)
+          // have ts > wm >= every other resolved right's ts. No real
+          // watermark yet ⇒ nothing is provably resolved; keep all.
+          val (open, resolved) =
+            if (hasWm) rights.partition(_._1 > wmUs) else (rights, Nil)
           val keepRights = open ++ (resolved match {
             case Nil => Nil
             case rs => List(rs.maxBy { case (ts, id, _) => (ts, id) })

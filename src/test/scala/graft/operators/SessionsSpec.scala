@@ -48,6 +48,18 @@ class SessionsSpec extends SparkSpec {
       (2L, 1L, 1L, 999L, 999L)))
   }
 
+  test("chunked sessionize rejects a non-integral ts up front (ADVICE r6)") {
+    // the exact-long `div` in the chunk formula would otherwise fail
+    // analysis with a cryptic type mismatch — same contract AsOf
+    // enforces via requireIntegralTs
+    val dbl = Seq((1L, 1.5, 10L)).toDF("user_id", "us", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      Sessions.sessionize(dbl, "user_id", col("us"), col("event_id"),
+        gap, chunkWidth = Some(10L))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("randomized: matches an independent in-memory reference model") {
     val rnd = new scala.util.Random(42)
     val evs = for {

@@ -55,6 +55,54 @@ class SkewSpec extends SparkSpec {
     assert(Skew.hotKeyShare(uni) < 0.1)
   }
 
+  test("hotKeyShare: wide inputs probe a bounded partition subset (VERDICT r6 #3)") {
+    // 200 partitions — over 3× the 64-partition budget; the strided
+    // sample must still see a hot key clustered AWAY from partition 0
+    val hotWide = (0 until 200).flatMap { p =>
+      if (p >= 50) Seq.fill(100)("hot")
+      else (0 until 100).map(i => s"u${p * 100 + i}")
+    }
+    val share = Skew.hotKeyShare(
+      spark.sparkContext.parallelize(hotWide, 200).toDF("k"))
+    assert(share > Skew.AutoChunkHotShare,
+      f"hot key over 150/200 partitions must be detected, read $share%.3f")
+    // and a uniform wide input stays cold through the sampled path
+    val uniWide = spark.sparkContext.parallelize(
+      (0 until 20000).map(i => s"k${i % 1000}"), 200).toDF("k")
+    assert(Skew.hotKeyShare(uniWide) < 0.1)
+  }
+
+  test("hotKeyShare: a borderline sample escalates to the full scan") {
+    // 10 partitions, budget 5 → strides pick {0,2,4,6,8}. The hot key
+    // fills partitions {0,2,5,7,9}: the sample reads exactly 2/5 = 0.40
+    // — dead on the threshold, inside the escalation band — so the full
+    // scan must run and report the true 5/10 = 0.50
+    val hot = Set(0, 2, 5, 7, 9)
+    val rows = (0 until 10).flatMap { p =>
+      if (hot(p)) Seq.fill(100)("hot")
+      else (0 until 100).map(i => s"u${p * 100 + i}")
+    }
+    val df = spark.sparkContext.parallelize(rows, 10).toDF("k")
+    val share = Skew.hotKeyShare(df, maxParts = 5)
+    assert(math.abs(share - 0.5) < 0.02,
+      f"escalated probe must read the full-scan 0.50, got $share%.3f")
+  }
+
+  test("autoChunkWidth: sentinel timestamps overflow the span → plain plan (ADVICE r6)") {
+    import org.apache.spark.sql.functions.col
+    // all-hot key guarantees the probe trips; the Long.MinValue/MaxValue
+    // sentinels overflow max−min+1 — the old code clamped width to 1
+    // (one chunk per distinct timestamp); now the chunk plan must bow out
+    val sentinels = ((0 until 1000).map(i => ("hot", i.toLong)) ++
+      Seq(("hot", Long.MinValue), ("hot", Long.MaxValue)))
+      .toDF("k", "ts").repartition(4)
+    assert(Skew.autoChunkWidth(sentinels, Seq(col("k")), col("ts")).isEmpty)
+    // positive control: the same data without sentinels sizes a width
+    val plain = (0 until 1000).map(i => ("hot", i.toLong))
+      .toDF("k", "ts").repartition(4)
+    assert(Skew.autoChunkWidth(plain, Seq(col("k")), col("ts")).nonEmpty)
+  }
+
   test("RefreshingToken: caches until expiry, refreshes after (S3)") {
     var now = 0L
     var fetches = 0

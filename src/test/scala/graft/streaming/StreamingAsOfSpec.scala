@@ -102,6 +102,20 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(got.toSet === batchReference(b2l, b1r))
   }
 
+  test("epoch boundary: tsUs > 0 contract holds; 1 µs events resolve, ts=0 is engine-dropped (ADVICE r6)") {
+    // The engine admits only event times STRICTLY above the watermark,
+    // and its pre-first-update watermark is 0 — so a ts=0 row never
+    // reaches the state function (the scaladoc's tsUs > 0 contract),
+    // while a 1 µs row must survive the placeholder watermark, wait for
+    // its equal-ts right one batch later, and resolve exactly once.
+    val b1l = Seq(LeftEvent("a", 1L, 1), LeftEvent("z", 0L, 99))
+    val b2r = Seq(RightEvent("a", 1L, 100, 7.0))
+    val got = runStream(Seq((b1l, Nil), (Nil, b2r)))
+    assert(got.map(m => (m.leftId, m.rightId)) === Seq((1L, Some(100L))),
+      s"1 µs left resolves with its right; epoch-zero left is dropped: $got")
+    assert(got.toSet === batchReference(b1l.take(1), b2r))
+  }
+
   test("randomized: stream == batch on a seeded multi-key, multi-batch timeline") {
     val rnd = new scala.util.Random(97)
     val keys = Seq("k1", "k2", "k3")
