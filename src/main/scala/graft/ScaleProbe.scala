@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Sessions, Skew}
+
+/** Measurement harness behind SCALE.md's hot-key numbers (VERDICT r6 #2
+  * and #3): generates a synthetic ~10M-event corpus at several skew
+  * levels, then measures wall-clock for
+  *
+  *  - plain vs chunked `Sessions.sessionize`,
+  *  - plain vs chunked `AsOf.joinPriorOrEqual`,
+  *  - the bounded (≤64-partition) vs full-scan `Skew.hotKeyShare` probe,
+  *
+  * and records which plan the auto-probe picks on each fixture. The
+  * chunked widths are the ones `Skew.autoChunkWidth`'s policy would
+  * size (~8 chunks per shuffle partition), so the numbers measure the
+  * SHIPPED policy, not a hand-tuned width. Results print as a markdown
+  * table (pasted into SCALE.md with the host's cal constant noted).
+  *
+  * Fixture shape: `hotPct`% of rows belong to ONE entity, clustered in
+  * id/time order (the bot-burst shape — worst case for both the
+  * serialized window task and a partition-head probe); the rest spread
+  * uniformly over 100k entities. Timestamps tick 1 ms per row, so the
+  * hot entity's burst is also dense in time. The fixture is written to
+  * parquet and read back with a small maxPartitionBytes so the 10M-row
+  * table scans as a few hundred partitions — the partition-count regime
+  * a real multi-TB table lives in, which is what makes the bounded
+  * probe's O(sample) vs O(data) gap visible. */
+object ScaleProbe {
+
+  private def timeIt(reps: Int)(f: => Unit): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  private def genEvents(spark: SparkSession, n: Long, hotPct: Int,
+      path: String): Unit =
+    spark.range(0, n, 1, 256).select(
+        when(col("id") < n * hotPct / 100, 0L)
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("user_id"),
+        (col("id") * 1000L).as("us"), // 1 ms cadence
+        col("id").as("event_id"))
+      .write.mode("overwrite").parquet(path)
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "10000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // scan the ~10M-row fixture as ~256 partitions — the partition
+      // count a multi-TB table has with 128 MB splits; this is what the
+      // probe's partition bound is FOR
+      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val gap = java.time.Duration.ofHours(1)
+    println(s"| fixture | op | plain s | chunked s | speedup | auto picks |")
+    println(s"|---|---|---|---|---|---|")
+
+    for (hotPct <- Seq(0, 50, 90)) {
+      val path = s"$base/events_hot$hotPct"
+      genEvents(spark, n, hotPct, path)
+      val ev = spark.read.parquet(path)
+      val nParts = ev.rdd.getNumPartitions
+
+      // --- probe cost + decision (the auto path, measured end-to-end)
+      val keyed = ev.select(col("user_id"))
+      val tProbe = timeIt(2)(Skew.hotKeyShare(keyed))
+      val tProbeFull = timeIt(2)(Skew.hotKeyShare(keyed, maxParts = Int.MaxValue))
+      val width = Skew.autoChunkWidth(ev, Seq(col("user_id")), col("us"))
+      System.err.println(f"[scale] hot$hotPct%-3d parts=$nParts " +
+        f"probe=${tProbe}%.2fs full=${tProbeFull}%.2fs width=$width")
+
+      // --- sessionize: plain vs the policy-sized chunk width
+      val wSess = width.getOrElse( // uniform fixture: size as the policy would
+        (n * 1000L) / (cpus.toLong * 8L))
+      def consumeSess(cw: Option[Long]): Unit =
+        Sessions.sessionize(ev, "user_id", col("us"), col("event_id"), gap,
+            chunkWidth = cw, autoChunk = false)
+          .agg(sum(col("session_idx"))).collect()
+      val sPlain = timeIt(2)(consumeSess(None))
+      val sChunk = timeIt(2)(consumeSess(Some(wSess)))
+      println(f"| hot$hotPct ($nParts parts) | sessionize | $sPlain%.1f | " +
+        f"$sChunk%.1f | ${sPlain / sChunk}%.1fx | " +
+        (if (width.isDefined) "chunked |" else "plain |"))
+
+      // --- as-of: every event enriched with the latest prior purchase
+      val views = ev.select(col("user_id"), col("us"), col("event_id"))
+      val purchases = ev.filter(pmod(col("event_id"), lit(100)) === 0)
+        .select(col("user_id"), col("us"), col("event_id").as("purchase_id"))
+      def consumeAsOf(cw: Option[Long]): Unit =
+        AsOf.joinPriorOrEqual(views, purchases, Seq("user_id"), "us", "us",
+            "purchase_id", chunkWidth = cw, autoChunk = false)
+          .agg(count(col("purchase_id"))).collect()
+      val aPlain = timeIt(2)(consumeAsOf(None))
+      val aChunk = timeIt(2)(consumeAsOf(Some(wSess)))
+      println(f"| hot$hotPct | as-of join | $aPlain%.1f | $aChunk%.1f | " +
+        f"${aPlain / aChunk}%.1fx | " +
+        (if (width.isDefined) "chunked |" else "plain |"))
+
+      println(f"| hot$hotPct | skew probe (bounded vs full scan) | " +
+        f"$tProbeFull%.2f | $tProbe%.2f | ${tProbeFull / tProbe}%.1fx | — |")
+    }
+    spark.stop()
+  }
+}

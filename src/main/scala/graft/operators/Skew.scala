@@ -73,12 +73,13 @@ object Skew {
     * threshold (a clearly-uniform or clearly-hot input decides from the
     * sample alone). Each scanned task reads its partition's key column
     * once (narrow, no shuffle of data; one tiny reduce of
-    * ≤ partitions×k rows). Uneven partition sizes skew the estimate
-    * toward small partitions, and a hot key confined to exactly the
-    * unsampled partitions reads low — both acceptable for a 0/1
-    * mitigation decision whose wrong branch still returns correct
-    * results (the chunked and plain plans are property-tested equal).
-    * Returns 0 for an empty input. */
+    * ≤ partitions×k rows). Samples are weighted by their partition's
+    * row count, so uneven partition sizes don't bias the estimate
+    * (spec-pinned on a hot-key-in-big-partitions layout); a hot key
+    * confined to exactly the unsampled partitions still reads low —
+    * acceptable for a 0/1 mitigation decision whose wrong branch
+    * returns correct results anyway (the chunked and plain plans are
+    * property-tested equal). Returns 0 for an empty input. */
   private[graft] def hotKeyShare(keyed: DataFrame,
       perPartition: Int = 100, maxParts: Int = MaxProbeParts): Double = {
     def scan(rdd: RDD[Row]): Double = {
@@ -94,12 +95,23 @@ object Skew {
             if (j < perPartition) res(j.toInt) = r
           }
         }
-        res.iterator
-      }.map(r => r -> 1L).reduceByKey(_ + _).values
-      val (total, hottest) = counts.aggregate((0L, 0L))(
+        // each sampled row stands for n/|sample| real rows, so a large
+        // partition's keys count proportionally to its SIZE. Unweighted,
+        // the estimate degrades to "fraction of partitions the key
+        // fills", which under-reads clustered hot keys whose constant
+        // values compress into fewer, bigger partitions — measured on
+        // the ScaleProbe hot50 fixture: 0.31 unweighted vs 0.50 true
+        // (the probe then wrongly kept the plain plan).
+        if (res.isEmpty) Iterator.empty
+        else {
+          val w = n.toDouble / res.length
+          res.iterator.map(r => (r, w))
+        }
+      }.reduceByKey(_ + _).values
+      val (total, hottest) = counts.aggregate((0.0, 0.0))(
         { case ((t, m), c) => (t + c, math.max(m, c)) },
         { case ((t1, m1), (t2, m2)) => (t1 + t2, math.max(m1, m2)) })
-      if (total == 0L) 0.0 else hottest.toDouble / total
+      if (total == 0.0) 0.0 else hottest / total
     }
     val base = keyed.rdd
     val nParts = base.getNumPartitions

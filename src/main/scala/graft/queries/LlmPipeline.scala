@@ -205,6 +205,18 @@ object LlmPipeline {
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_v6_ann_ivf_quantized" -> ((s, dir) => {
+      // IVF over int8-coded inverted lists with float re-rank of the
+      // top candidates (VERDICT r6 #5) — the volume path moves 1-byte
+      // codes, fp32 touched only for rerank×|queries| rows. Approximate
+      // → rows-only check; quantized-vs-float recall measured in
+      // AnnRecallProbe, rerank-covers-corpus equality pinned in
+      // SimilaritySpec
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKQuantized(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_v3_norm_stats" -> ((s, dir) =>
       Similarity.normStats(t(s, dir, "embeddings"), "label")
         .orderBy(col("label"))),
@@ -1052,8 +1064,9 @@ object LlmPipeline {
                  COUNT(DISTINCT source || '#' || CAST(pack_id AS VARCHAR)) AS n_packs
           FROM pk GROUP BY split ORDER BY split"""
     }
-    // q_v2_ann_lsh, q_v4_ann_ivf, q_a2x_approx_distinct, q_t6_winnowing:
-    // no SQL oracle (approximate / hash-family-dependent) — driver records
-    // the weaker rows-only check; invariants measured in specs.
+    // q_v2_ann_lsh, q_v4_ann_ivf, q_v6_ann_ivf_quantized,
+    // q_a2x_approx_distinct, q_t6_winnowing: no SQL oracle (approximate /
+    // hash-family-dependent) — driver records the weaker rows-only check;
+    // invariants measured in specs.
   )
 }

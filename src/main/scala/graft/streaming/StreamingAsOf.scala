@@ -64,16 +64,12 @@ object StreamingAsOf {
   private[graft] final case class BufferState(lefts: List[(Long, Long)], // (ts, id)
     rights: List[(Long, Long, Double)]) // (ts, id, value)
 
-  /** Enrich `left` with the latest prior-or-equal `right` per key.
-    * Both inputs must be streaming Datasets; `watermarkDelay` (e.g.
-    * "10 seconds") bounds tolerated disorder in EVENT time and therefore
-    * both result latency and state size. */
-  def joinPriorOrEqual(left: Dataset[LeftEvent], right: Dataset[RightEvent],
-      watermarkDelay: String)(implicit spark: SparkSession): Dataset[AsOfMatch] = {
+  private def taggedUnion(left: Dataset[LeftEvent], right: Dataset[RightEvent],
+      watermarkDelay: String)(implicit spark: SparkSession): Dataset[Tagged] = {
     import spark.implicits._
     // one tagged union stream → one grouped state machine per key; the
     // watermark column must be a TimestampType — micros map exactly
-    val tagged = left
+    left
       .select(col("key"), col("tsUs"), lit(0).as("side"),
         col("leftId"), lit(0L).as("rightId"), lit(0.0).as("value"))
       .unionAll(right.select(col("key"), col("tsUs"), lit(1).as("side"),
@@ -81,8 +77,16 @@ object StreamingAsOf {
       .withColumn("eventTime", timestamp_micros(col("tsUs")))
       .withWatermark("eventTime", watermarkDelay)
       .as[Tagged]
+  }
 
-    tagged.groupByKey(_.key)
+  /** Enrich `left` with the latest prior-or-equal `right` per key.
+    * Both inputs must be streaming Datasets; `watermarkDelay` (e.g.
+    * "10 seconds") bounds tolerated disorder in EVENT time and therefore
+    * both result latency and state size. */
+  def joinPriorOrEqual(left: Dataset[LeftEvent], right: Dataset[RightEvent],
+      watermarkDelay: String)(implicit spark: SparkSession): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    taggedUnion(left, right, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState[BufferState, AsOfMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[Tagged], state: GroupState[BufferState]) =>
@@ -131,6 +135,98 @@ object StreamingAsOf {
             pending.map(_._1).minOption.foreach { ts =>
               state.setTimeoutTimestamp(
                 math.max(ts / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of `AsOf.joinFollowing` (VERDICT r6 #4): each left
+    * event takes the EARLIEST right with `rightTs >= leftTs` within
+    * `toleranceUs`; equal-`rightTs` ties resolve to the smallest
+    * `rightId` — the batch operator's forward conventions, so the spec
+    * pins stream output against `AsOf.joinFollowing(tolerance = ...)`.
+    *
+    * The tolerance is REQUIRED here where the batch operator makes it
+    * optional: an unbounded forward join can never finalize a left that
+    * has no following right — "none arrived yet" is indistinguishable
+    * from "none ever will" at every finite watermark. The bound makes
+    * the forward direction watermark-friendly:
+    *
+    *  - a left finalizes EARLY once its earliest in-window candidate is
+    *    itself final (`candidateTs <= watermark` — no earlier right can
+    *    still arrive into `[leftTs, candidateTs)`), and at the LATEST
+    *    once the watermark passes `leftTs + toleranceUs` (every
+    *    possible match is then final; none found ⇒ null payload);
+    *  - rights prune to `ts > watermark` (could match a future left,
+    *    which must arrive with `ts > watermark <= its match`) plus
+    *    those at or after the oldest pending left — per-key state is
+    *    O(events inside watermark horizon + tolerance window), sized by
+    *    disorder and staleness bound, never by stream age.
+    *
+    * `joinNearest` has no streaming twin yet — DEFERRED, not implied:
+    * nearest must hold BOTH direction candidates and its prior side
+    * re-opens whenever a closer following right could still arrive, so
+    * a left finalizes only at `watermark > leftTs + tolerance` (never
+    * early), and the prior candidate set needs the backward variant's
+    * newest-resolved tracking on top of this function's forward window
+    * — double state machinery for a semantics the batch operator
+    * (`AsOf.joinNearest`) already provides at rest. Revisit if a
+    * latency-bound streaming nearest is actually needed. */
+  def joinFollowing(left: Dataset[LeftEvent], right: Dataset[RightEvent],
+      watermarkDelay: String, toleranceUs: Long)(
+      implicit spark: SparkSession): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    require(toleranceUs >= 0, s"toleranceUs $toleranceUs must be non-negative")
+    // saturating: a left near Long.MaxValue must not wrap its deadline
+    def deadline(lts: Long): Long =
+      try Math.addExact(lts, toleranceUs)
+      catch { case _: ArithmeticException => Long.MaxValue }
+
+    taggedUnion(left, right, watermarkDelay).groupByKey(_.key)
+      .flatMapGroupsWithState[BufferState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[Tagged], state: GroupState[BufferState]) =>
+          val prior = state.getOption.getOrElse(BufferState(Nil, Nil))
+          val batch = rows.toList
+          val lefts = prior.lefts ++ batch.collect {
+            case t if t.side == 0 => (t.tsUs, t.leftId) }
+          val rights = prior.rights ++ batch.collect {
+            case t if t.side == 1 => (t.tsUs, t.rightId, t.value) }
+          val wmMs = state.getCurrentWatermarkMs()
+          val hasWm = wmMs > 0L // placeholder-0 guard, as prior-or-equal
+          val wmUs = wmMs * 1000L
+          // the earliest in-window candidate and the instant this left
+          // becomes decidable: min(candidateTs, leftTs + tolerance)
+          def best(lts: Long): Option[(Long, Long, Double)] =
+            rights.filter(r => r._1 >= lts && r._1 <= deadline(lts))
+              .minByOption(r => (r._1, r._2))
+          def decidableAt(lts: Long): Long =
+            best(lts).map(b => math.min(b._1, deadline(lts)))
+              .getOrElse(deadline(lts))
+          val (ripe, pending) =
+            if (hasWm) lefts.partition(l => decidableAt(l._1) <= wmUs)
+            else (Nil, lefts)
+          val out = ripe.sorted.map { case (lts, lid) =>
+            // decidableAt <= wm and candidateTs <= deadline together
+            // imply the candidate (when present) is itself final
+            val m = best(lts)
+            AsOfMatch(key, lts, lid, m.map(_._2), m.map(_._1), m.map(_._3))
+          }
+          // prune: keep unresolved rights and anything a pending left's
+          // window could still need (at or after the oldest pending)
+          val minPending = pending.map(_._1).minOption
+          val keepRights =
+            if (!hasWm) rights
+            else rights.filter(r =>
+              r._1 > wmUs || minPending.exists(_ <= r._1))
+          if (pending.isEmpty && keepRights.isEmpty) state.remove()
+          else {
+            state.update(BufferState(pending, keepRights))
+            // wake at the earliest instant any pending left decides
+            pending.map(l => decidableAt(l._1)).minOption.foreach { at =>
+              state.setTimeoutTimestamp(
+                math.max(at / 1000L + 1L, wmMs + 1L))
             }
           }
           out.iterator

@@ -50,6 +50,14 @@ object AnnRecallProbe {
       val r = recall(Similarity.ivfTopK(queries, corpus, k, nlist, nprobe))
       println(f"ivf nlist=$nlist%-3d nprobe=$nprobe%-3d      $r%.3f")
     }
+    // quantized IVF (VERDICT r6 #5): same candidate sets, int8-scored
+    // with float re-rank of the top 3k — the recall delta vs the float
+    // column above is the cost of storing 1-byte codes in the lists
+    for ((nlist, nprobe) <- Seq((16, 4), (16, 8), (64, 8), (64, 16))) {
+      val r = recall(Similarity.ivfTopKQuantized(queries, corpus, k,
+        nlist, nprobe, rerank = 3 * k))
+      println(f"ivfq nlist=$nlist%-3d nprobe=$nprobe%-3d     $r%.3f")
+    }
     spark.stop()
   }
 }

@@ -72,6 +72,24 @@ class SkewSpec extends SparkSpec {
     assert(Skew.hotKeyShare(uniWide) < 0.1)
   }
 
+  test("hotKeyShare: partition-size weighting sees a hot key packed into few big partitions") {
+    // 2 huge all-hot partitions (5000 rows each) among 8 small uniform
+    // ones (100 rows) — true hot share 10000/10800 ≈ 0.93. An
+    // UNWEIGHTED per-partition sample would read 2/10 = 0.2 and miss
+    // it; the size-weighted estimator must not (this is the parquet
+    // reality: a constant hot key compresses into fewer, bigger splits)
+    // one seed element per partition, expanded in place — parallelize
+    // on the flat row list would re-slice it evenly and erase the
+    // unequal layout this test is about
+    val df = spark.sparkContext.parallelize(0 until 10, 10).flatMap { p =>
+      if (p == 3 || p == 7) Seq.fill(5000)("hot")
+      else (0 until 100).map(i => s"u${p * 100 + i}")
+    }.toDF("k")
+    val share = Skew.hotKeyShare(df)
+    assert(share > Skew.AutoChunkHotShare,
+      f"size-weighted probe must see the packed hot key, read $share%.3f")
+  }
+
   test("hotKeyShare: a borderline sample escalates to the full scan") {
     // 10 partitions, budget 5 → strides pick {0,2,4,6,8}. The hot key
     // fills partitions {0,2,5,7,9}: the sample reads exactly 2/5 = 0.40
