@@ -465,6 +465,18 @@ object LlmPipeline {
           shingleLen = 8, maxDf = 5, minShared = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_t15_max_shared_run" -> ((s, dir) =>
+      // contamination LENGTH (VERDICT r6 #6): for pairs sharing any rare
+      // verbatim 8-gram, the longest shared token run — "how much is
+      // copied", where q_t11 counts "how many places" and whole-doc
+      // near-dup can't see a single long quote at all. Exact: positional
+      // shingle chains == LCS-on-tokens for runs >= 8 (guaranteed by
+      // candidacy); the oracle computes the token-level LCS via
+      // diagonal-islands SQL over the same bounded candidate pairs
+      SharedPassages.maxSharedRun(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 8, maxDf = 5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_t10_boilerplate" -> ((s, dir) =>
       // corpus-level boilerplate profile: share of each doc's distinct
       // 3-gram shingles appearing in >= 5 documents (df threshold chosen
@@ -754,6 +766,43 @@ object LlmPipeline {
           SELECT id_a, id_b, COUNT(*) AS n_shared FROM pr
           GROUP BY id_a, id_b HAVING COUNT(*) >= 3
           ORDER BY id_a, id_b""",
+    // q_t15: same rare-gram candidate generation as q_t11 (minShared=1),
+    // then the longest common TOKEN run per pair via the diagonal-islands
+    // trick: token matches (i, j) grouped by diagonal i-j; within a
+    // diagonal, consecutive i values share i - row_number() — the island
+    // — and the largest island size IS the LCS length in tokens (>= 8 by
+    // candidacy, where the Spark side's shingle-chain formula is exact).
+    "q_t15_max_shared_run" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len($duckToks) - 7, 0) + 1),
+                     i -> array_to_string(($duckToks)[i:i+7], ' '))) AS sh
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 5),
+          prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM ex a JOIN ex b USING (g) JOIN rare USING (g)
+                  WHERE a.doc_id < b.doc_id),
+          tok AS (SELECT doc_id, struct_extract(s, 'p') AS pos,
+                         struct_extract(s, 'tk') AS tk
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(
+                                 range(1, len($duckToks) + 1),
+                                 i -> {'p': i, 'tk': ($duckToks)[i]})) AS s
+                        FROM documents)),
+          m AS (SELECT p.id_a, p.id_b, ta.pos AS i, tb.pos AS j
+                FROM prs p
+                JOIN tok ta ON ta.doc_id = p.id_a
+                JOIN tok tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk),
+          runs AS (SELECT id_a, id_b, i - j AS diag,
+                          i - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, i - j
+                                                 ORDER BY i) AS grp
+                   FROM m)
+          SELECT id_a, id_b, CAST(MAX(cnt) AS BIGINT) AS max_run
+          FROM (SELECT id_a, id_b, diag, grp, COUNT(*) AS cnt
+                FROM runs GROUP BY id_a, id_b, diag, grp)
+          GROUP BY id_a, id_b ORDER BY id_a, id_b""",
     "q_d4_embedding_neardup" -> embeddingNearDupOracle,
     // the LSH scale path must reproduce the SAME exhaustive exact answer
     "q_d4x_embedding_neardup_lsh" -> embeddingNearDupOracle,
