@@ -96,9 +96,15 @@ object SharedPassages {
     import spark.implicits._
     val cand = pairs(df, idCol, textCol, shingleLen, maxDf, minShared = 1)
       .select(col("id_a"), col("id_b"))
-    val posSh = df.select(col(idCol).cast("long").as("id"),
-      graft.functions.TextAnalysis
-        .positionalShingleHashes(col(textCol), shingleLen).as("ps"))
+    // token hashes staged as their OWN projection (the sibling pattern
+    // in NearDup.hashedShingles): CollapseProject keeps the non-cheap
+    // transform staged, so the ~8n `th` references in the shingle lambda
+    // read a materialized array instead of re-tokenizing per reference
+    val posSh = df
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.TextAnalysis.tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), graft.functions.TextAnalysis
+        .positionalShingleHashesFromTokens(col("th"), shingleLen).as("ps"))
     cand
       .join(posSh.select(col("id").as("id_a"), col("ps").as("psa")), "id_a")
       .join(posSh.select(col("id").as("id_b"), col("ps").as("psb")), "id_b")
