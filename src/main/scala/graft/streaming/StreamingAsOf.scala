@@ -162,17 +162,7 @@ object StreamingAsOf {
     *    which must arrive with `ts > watermark <= its match`) plus
     *    those at or after the oldest pending left — per-key state is
     *    O(events inside watermark horizon + tolerance window), sized by
-    *    disorder and staleness bound, never by stream age.
-    *
-    * `joinNearest` has no streaming twin yet — DEFERRED, not implied:
-    * nearest must hold BOTH direction candidates and its prior side
-    * re-opens whenever a closer following right could still arrive, so
-    * a left finalizes only at `watermark > leftTs + tolerance` (never
-    * early), and the prior candidate set needs the backward variant's
-    * newest-resolved tracking on top of this function's forward window
-    * — double state machinery for a semantics the batch operator
-    * (`AsOf.joinNearest`) already provides at rest. Revisit if a
-    * latency-bound streaming nearest is actually needed. */
+    *    disorder and staleness bound, never by stream age. */
   def joinFollowing(left: Dataset[LeftEvent], right: Dataset[RightEvent],
       watermarkDelay: String, toleranceUs: Long)(
       implicit spark: SparkSession): Dataset[AsOfMatch] = {
@@ -224,6 +214,105 @@ object StreamingAsOf {
           else {
             state.update(BufferState(pending, keepRights))
             // wake at the earliest instant any pending left decides
+            pending.map(l => decidableAt(l._1)).minOption.foreach { at =>
+              state.setTimeoutTimestamp(
+                math.max(at / 1000L + 1L, wmMs + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of `AsOf.joinNearest`, completing the family: each
+    * left event takes whichever of the latest prior-or-equal and the
+    * earliest following right is CLOSER in event time, with the batch
+    * operator's exact resolution — a prior match wins distance ties (an
+    * equal-ts right is a distance-0 prior match), equal-ts rights
+    * resolve to the largest `rightId` on the prior side and the
+    * smallest on the following side, and `toleranceUs` bounds the
+    * distance on BOTH sides.
+    *
+    * The tolerance is REQUIRED for the same reason as [[joinFollowing]]:
+    * the following half of the candidate window can otherwise never
+    * close for a left with no following right. Finality generalizes the
+    * forward rule: with a provisional winner at distance `d`, any right
+    * that could still BEAT it (strictly closer: `ts ∈ (leftTs−d,
+    * leftTs+d)`) or TIE-AFFECT it (equal distance at `leftTs ± d`) has
+    * `ts <= leftTs + d` — so a left is decidable once the watermark
+    * passes `min(leftTs + d, leftTs + toleranceUs)`: EARLY when a close
+    * candidate exists, at its deadline otherwise (no candidate by then
+    * ⇒ null payload, also final). Rights prune to
+    * `ts > watermark − toleranceUs` (a future left arrives with
+    * `ts > watermark` and its prior window reaches back `toleranceUs`)
+    * plus those inside the oldest pending left's window — per-key state
+    * is O(horizon + tolerance window), as the forward variant. */
+  def joinNearest(left: Dataset[LeftEvent], right: Dataset[RightEvent],
+      watermarkDelay: String, toleranceUs: Long)(
+      implicit spark: SparkSession): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    require(toleranceUs >= 0, s"toleranceUs $toleranceUs must be non-negative")
+    def deadline(lts: Long): Long =
+      try Math.addExact(lts, toleranceUs)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    def floorSub(x: Long, t: Long): Long =
+      try Math.subtractExact(x, t)
+      catch { case _: ArithmeticException => Long.MinValue }
+
+    taggedUnion(left, right, watermarkDelay).groupByKey(_.key)
+      .flatMapGroupsWithState[BufferState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[Tagged], state: GroupState[BufferState]) =>
+          val prior = state.getOption.getOrElse(BufferState(Nil, Nil))
+          val batch = rows.toList
+          val lefts = prior.lefts ++ batch.collect {
+            case t if t.side == 0 => (t.tsUs, t.leftId) }
+          val rights = prior.rights ++ batch.collect {
+            case t if t.side == 1 => (t.tsUs, t.rightId, t.value) }
+          val wmMs = state.getCurrentWatermarkMs()
+          val hasWm = wmMs > 0L // placeholder-0 guard, as prior-or-equal
+          val wmUs = wmMs * 1000L
+          // both direction candidates under their own tie rules; prior
+          // wins distance ties (which also makes an equal-ts right a
+          // distance-0 prior match, exactly the batch rule)
+          def pick(lts: Long): Option[(Long, Long, Double)] = {
+            val back = rights.filter(r =>
+                r._1 <= lts && r._1 >= floorSub(lts, toleranceUs))
+              .maxByOption(r => (r._1, r._2))
+            val fwd = rights.filter(r =>
+                r._1 >= lts && r._1 <= deadline(lts))
+              .minByOption(r => (r._1, r._2))
+            (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (lts - b._1 <= f._1 - lts) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          def decidableAt(lts: Long): Long =
+            pick(lts).map { w =>
+              val d = math.abs(w._1 - lts)
+              math.min(deadline(lts),
+                try Math.addExact(lts, d)
+                catch { case _: ArithmeticException => Long.MaxValue })
+            }.getOrElse(deadline(lts))
+          val (ripe, pending) =
+            if (hasWm) lefts.partition(l => decidableAt(l._1) <= wmUs)
+            else (Nil, lefts)
+          val out = ripe.sorted.map { case (lts, lid) =>
+            val m = pick(lts)
+            AsOfMatch(key, lts, lid, m.map(_._2), m.map(_._1), m.map(_._3))
+          }
+          // prune: a right at or below wm − tolerance can never enter a
+          // future left's window (future lefts have ts > wm); keep it
+          // only while a pending left's window still reaches it
+          val minPending = pending.map(_._1).minOption
+          val keepRights =
+            if (!hasWm) rights
+            else rights.filter(r =>
+              r._1 > floorSub(wmUs, toleranceUs) ||
+                minPending.exists(p => r._1 >= floorSub(p, toleranceUs)))
+          if (pending.isEmpty && keepRights.isEmpty) state.remove()
+          else {
+            state.update(BufferState(pending, keepRights))
             pending.map(l => decidableAt(l._1)).minOption.foreach { at =>
               state.setTimeoutTimestamp(
                 math.max(at / 1000L + 1L, wmMs + 1L))

@@ -163,6 +163,112 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(got.toSet === batchReferenceF(allL, allR, tol))
   }
 
+  /** Nearest harness: same flush-by-rights shape as [[runStreamF]] (a
+    * nearest left with no in-window right finalizes at its deadline,
+    * which the advancing watermark reaches). */
+  private def runStreamN(
+      batches: Seq[(Seq[LeftEvent], Seq[RightEvent])], tolUs: Long,
+      delay: String = "2 seconds", flush: Boolean = true): Seq[AsOfMatch] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lIn = MemoryStream[LeftEvent]
+    val rIn = MemoryStream[RightEvent]
+    val out = StreamingAsOf.joinNearest(lIn.toDS(), rIn.toDS(), delay, tolUs)
+    val q = out.writeStream.format("memory").queryName("asof_near_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { case (ls, rs) =>
+        if (ls.nonEmpty) lIn.addData(ls: _*)
+        if (rs.nonEmpty) rIn.addData(rs: _*)
+        q.processAllAvailable()
+      }
+      if (flush) {
+        rIn.addData(RightEvent("__flush", 2000000L * S, -1L, 0.0))
+        q.processAllAvailable()
+        rIn.addData(RightEvent("__flush", 2000001L * S, -2L, 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("asof_near_out").as[AsOfMatch].collect().toSeq
+      .filterNot(_.key == "__flush")
+  }
+
+  private def batchReferenceN(ls: Seq[LeftEvent], rs: Seq[RightEvent],
+      tolUs: Long): Set[AsOfMatch] = {
+    val lDf = ls.toDF()
+    val rDf = rs.toDS()
+      .select(col("key"), col("tsUs").as("rts"), col("rightId"),
+        col("tsUs").as("rightTsUs"), col("value"))
+    AsOf.joinNearest(lDf, rDf, Seq("key"), "tsUs", "rts",
+        tieBreak = "rightId", tolerance = Some(tolUs), autoChunk = false)
+      .select(col("key"), col("tsUs"), col("leftId"), col("rightId"),
+        col("rightTsUs"), col("value"))
+      .as[AsOfMatch].collect().toSet
+  }
+
+  test("nearest: stream equals the batch nearest as-of; prior wins distance ties; tolerance nulls") {
+    val tol = 8 * S
+    val b1l = Seq(
+      LeftEvent("a", 10 * S, 1), // prior at 7s (d=3) vs following at 13s
+                                 // (d=3): distance TIE → prior wins
+      LeftEvent("a", 20 * S, 2), // prior at 13s (d=7) vs following at
+                                 // 22s (d=2): following wins
+      LeftEvent("b", 6 * S, 3))  // nearest right is 20s away → null
+    val b1r = Seq(RightEvent("a", 7 * S, 100, 1.5),
+      RightEvent("a", 13 * S, 101, 2.5))
+    val b2l = Seq(LeftEvent("a", 13 * S, 4)) // equal-ts right: d=0 prior
+    val b2r = Seq(RightEvent("a", 22 * S, 102, 3.5),
+      RightEvent("b", 26 * S, 200, 9.0))
+    val got = runStreamN(Seq((b1l, b1r), (b2l, b2r)), tol, delay = "30 seconds")
+    assert(got.size === got.map(_.leftId).distinct.size, "exactly-once per left")
+    val byId = got.map(m => m.leftId -> m).toMap
+    assert(byId(1).rightId === Some(100L), s"distance tie → prior side: $got")
+    assert(byId(2).rightId === Some(102L), s"closer following wins: $got")
+    assert(byId(3).rightId === None, s"outside tolerance → null: $got")
+    assert(byId(4).rightId === Some(101L), s"equal-ts = distance-0 prior: $got")
+    assert(got.toSet === batchReferenceN(b1l ++ b2l, b1r ++ b2r, tol))
+  }
+
+  test("nearest: a left finalizes EARLY at wm >= leftTs + distance, not at its deadline") {
+    // tolerance 1000s — waiting for the deadline could never emit here
+    // (the watermark stops at 26s); the left must resolve once the
+    // watermark passes leftTs + d = 12s, the min(leftTs+d, deadline) rule
+    val tol = 1000 * S
+    val batches = Seq(
+      (Seq(LeftEvent("a", 10 * S, 1)), Seq(RightEvent("a", 12 * S, 100, 7.0))),
+      (Nil, Seq(RightEvent("z", 30 * S, 900, 0.0))), // advance wm to 25s
+      (Nil, Seq(RightEvent("z", 31 * S, 901, 0.0)))) // trigger a's timeout
+    val got = runStreamN(batches, tol, delay = "5 seconds", flush = false)
+      .filterNot(_.key == "z")
+    assert(got.map(m => (m.leftId, m.rightId)) === Seq((1L, Some(100L))),
+      s"close-candidate left must emit before its deadline: $got")
+  }
+
+  test("nearest: randomized stream == batch on a seeded multi-key timeline") {
+    val rnd = new scala.util.Random(211)
+    val keys = Seq("k1", "k2", "k3")
+    var lid = 0L
+    var rid = 1000L
+    val batches = (1 to 5).map { b =>
+      val ls = Seq.fill(rnd.nextInt(5)) {
+        lid += 1
+        LeftEvent(keys(rnd.nextInt(3)), (b * 10 + rnd.nextInt(10)) * S, lid)
+      }
+      val rs = Seq.fill(rnd.nextInt(5)) {
+        rid += 1
+        RightEvent(keys(rnd.nextInt(3)), (b * 10 + rnd.nextInt(10) - 3) * S,
+          rid, rnd.nextDouble())
+      }
+      (ls, rs)
+    }
+    val tol = 7 * S // mixes prior wins, following wins, and nulls
+    val got = runStreamN(batches, tol, delay = "15 seconds")
+    val allL = batches.flatMap(_._1)
+    val allR = batches.flatMap(_._2)
+    assert(got.size === allL.size, s"every left resolves exactly once: $got")
+    assert(got.toSet === batchReferenceN(allL, allR, tol))
+  }
+
   test("stream equals the batch as-of: in-order, cross-batch, unmatched lefts") {
     // delay covers the whole timeline: nothing is late, the flush
     // finalizes everything — stream must equal the batch join exactly
