@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** N-gram language-model quality scoring — the CCNet-style perplexity
+  * filter (Wenzek et al. 2019, "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data", arXiv:1911.00359): score
+  * every document by its perplexity under a word-bigram model and let
+  * the pipeline keep the low-perplexity (fluent) head. Complements the
+  * surface-statistics quality score ([[graft.functions.TextAnalysis]]):
+  * that one sees length/punctuation/stopword shape, this one sees
+  * whether the WORD SEQUENCE is likely — gibberish with good surface
+  * stats scores badly here and nowhere else.
+  *
+  * Model: add-one (Laplace) smoothed bigrams over the reference corpus,
+  * `P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V)` with `c1` the context
+  * count (occurrences of `w1` as a bigram left side), `V` the reference
+  * vocabulary size, and unseen contexts scoring the uniform `1/V`. The
+  * reference defaults to the scored corpus itself (self-perplexity, the
+  * deterministic oracle-checkable form); pass a curated `reference` for
+  * the CCNet shape proper (score web text under a clean-corpus model).
+  *
+  * Oracle parity (the float discipline): each position's negative log
+  * prob is quantized ONCE to integer 1e-4 nats —
+  * `floor(ln((c1+V)/(c2+1)) * 1e4 + 0.5)` — and everything downstream
+  * (per-doc sum, perplexity) is exact BIGINT arithmetic or derived from
+  * those identical integers, so per-doc totals are order-independent
+  * and DuckDB reproduces them bit-for-bit; the only cross-engine float
+  * surface is one libm `ln`/`exp` per value, inside a half-up floor
+  * with ~1e-11 boundary mass. Output per doc: `n_bigrams`, `nll_e4`
+  * (total NLL in 1e-4 nats), `ppl_milli`
+  * (`floor(exp(nll/n) * 1000 + 0.5)`, NULL when the doc has no
+  * bigram).
+  *
+  * Scale shape: model fit is two hash aggregations on narrow string
+  * keys; V is a 1-row broadcast (the TF-IDF pattern); scoring is one
+  * equi-join of per-doc bigrams against the model — hash-partitioned,
+  * AQE-broadcast when the reference (CCNet's is bounded by design) fits.
+  * Token hashes are NOT used: the model keys stay raw token strings so
+  * the oracle joins on identical values; at 100 TB the join keys would
+  * move to xxhash64 pairs with the same plan shape. Head/middle/tail
+  * binning composes downstream via the exact-quantile operator
+  * ([[MedianImpute]]) rather than a global sort here. */
+object LmScore {
+
+  /** (doc_id, n_bigrams, nll_e4, ppl_milli) per input row, ordered by
+    * the caller. `reference` trains the model (defaults to `df`). */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      reference: Option[DataFrame] = None): DataFrame = {
+    val ref = reference.getOrElse(df)
+
+    // per-doc bigram rows with the token-hash staging discipline: tk is
+    // its own projection so the position lambda reads a materialized
+    // array (TextAnalysis.positionalShingleHashesFromTokens's lesson)
+    def bigrams(d: DataFrame, id: String, text: String): DataFrame =
+      d.select(col(id).as("__id"), TextAnalysis.tokens(col(text)).as("tk"))
+        .select(col("__id"), explode(when(size(col("tk")) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"),
+              element_at(col("tk"), i + 1).as("w2"))))).as("bg"))
+        .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val refBg = bigrams(ref, idCol, textCol)
+    val c2 = refBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = ref
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+
+    val scored = bigrams(df, idCol, textCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab)) // 1 row — reference vocabulary size
+      .select(col("__id"),
+        // quantize HERE, once per position; everything after is integer
+        floor(log((coalesce(col("c1"), lit(0L)) + col("v")) /
+            (coalesce(col("c2"), lit(0L)) + lit(1.0))) *
+          lit(10000.0) + lit(0.5)).as("nll"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_e4"))
+
+    df.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_e4"), lit(0L)).as("nll_e4"),
+        when(col("n_bigrams") > 0,
+          floor(exp(col("nll_e4").cast("double") / lit(10000.0) /
+            col("n_bigrams")) * lit(1000.0) + lit(0.5)))
+          .as("ppl_milli"))
+  }
+}

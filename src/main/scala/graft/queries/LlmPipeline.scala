@@ -397,6 +397,16 @@ object LlmPipeline {
       TextAnalysis.charEntropy(
           t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t16_lm_perplexity" -> ((s, dir) =>
+      // CCNet-style LM quality score (r7): self-trained add-one bigram
+      // perplexity per document — the fluency signal surface statistics
+      // can't see. Per-position NLL quantized once to integer 1e-4 nats
+      // (floor half-up), per-doc totals exact BIGINT, perplexity derived
+      // from those identical integers — the oracle replays the same
+      // counts/ln/floor pipeline and must match bit-for-bit
+      LmScore.bigramPerplexity(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "q_t8_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals: most-common-word share and the
       // share of tokens whose word occurs 2+ times — the boilerplate /
@@ -940,6 +950,46 @@ object LlmPipeline {
          SELECT doc_id, chunk_idx, CAST(len(ch) AS INT) AS n_toks,
                 md5(array_to_string(ch, ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_idx""",
+    // q_t16: the oracle retrains the identical add-one bigram model and
+    // replays the same quantization — counts are exact integers, the one
+    // float step per position is ln((c1+V)/(c2+1)) inside a half-up
+    // floor to 1e-4 nats, and per-doc totals/perplexity derive from
+    // those identical BIGINTs (division order matches the Spark side:
+    // nll::DOUBLE / 1e4 / n)
+    "q_t16_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+          bge AS (SELECT doc_id,
+                         struct_extract(s, 'w1') AS w1,
+                         struct_extract(s, 'w2') AS w2
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, len(tk)),
+                                 i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
+                        FROM toks WHERE len(tk) >= 2)),
+          c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                 FROM bge GROUP BY w1, w2),
+          c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+                 FROM bge GROUP BY w1),
+          v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+                FROM (SELECT unnest(tk) AS t FROM toks)),
+          sc AS (SELECT b.doc_id,
+                        CAST(floor(ln((c1.c1 + v.v) / (c2.c2 + 1.0))
+                          * 10000.0 + 0.5) AS BIGINT) AS nll
+                 FROM bge b
+                 JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+                 JOIN c1 ON b.w1 = c1.w1
+                 CROSS JOIN v),
+          agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                         CAST(SUM(nll) AS BIGINT) AS nll_e4
+                  FROM sc GROUP BY doc_id)
+          SELECT d.doc_id,
+                 COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+                 COALESCE(agg.nll_e4, 0) AS nll_e4,
+                 CASE WHEN agg.n_bigrams > 0 THEN
+                   CAST(floor(exp(agg.nll_e4::DOUBLE / 10000.0
+                     / agg.n_bigrams) * 1000.0 + 0.5) AS BIGINT)
+                 END AS ppl_milli
+          FROM documents d LEFT JOIN agg USING (doc_id)
+          ORDER BY doc_id""",
     "q_t14_char_entropy" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
           ch AS (SELECT doc_id, ROUND(entropy(c), 6) AS char_entropy
