@@ -40,6 +40,47 @@ object LlmPipeline {
   private def duckMarkerScore(words: Seq[String]): String =
     s"len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
 
+  // Shared CTE chain replaying LmScore.bigramPerplexity (L43) for the
+  // q_t16/q_t17 oracles: retrains the identical add-one bigram model —
+  // counts are exact integers, the one float step per position is
+  // ln((c1+V)/(c2+1)) inside a half-up floor to 1e-4 nats, per-doc
+  // totals/perplexity derive from those identical BIGINTs (division
+  // order matches the Spark side: nll::DOUBLE / 1e4 / n). Yields `ppl`
+  // (doc_id, n_bigrams, nll_e4, ppl_milli); embed as `WITH $duckLmPerplexity`.
+  private val duckLmPerplexity =
+    s"""toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+          bge AS (SELECT doc_id,
+                         struct_extract(s, 'w1') AS w1,
+                         struct_extract(s, 'w2') AS w2
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, len(tk)),
+                                 i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
+                        FROM toks WHERE len(tk) >= 2)),
+          c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                 FROM bge GROUP BY w1, w2),
+          c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+                 FROM bge GROUP BY w1),
+          v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+                FROM (SELECT unnest(tk) AS t FROM toks)),
+          sc AS (SELECT b.doc_id,
+                        CAST(floor(ln((c1.c1 + v.v) / (c2.c2 + 1.0))
+                          * 10000.0 + 0.5) AS BIGINT) AS nll
+                 FROM bge b
+                 JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+                 JOIN c1 ON b.w1 = c1.w1
+                 CROSS JOIN v),
+          agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                         CAST(SUM(nll) AS BIGINT) AS nll_e4
+                  FROM sc GROUP BY doc_id),
+          ppl AS (SELECT d.doc_id,
+                 COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+                 COALESCE(agg.nll_e4, 0) AS nll_e4,
+                 CASE WHEN agg.n_bigrams > 0 THEN
+                   CAST(floor(exp(agg.nll_e4::DOUBLE / 10000.0
+                     / agg.n_bigrams) * 1000.0 + 0.5) AS BIGINT)
+                 END AS ppl_milli
+          FROM documents d LEFT JOIN agg USING (doc_id))"""
+
   // Quality formula == the q_t2 oracle's, rounded to 2 (thresholds sit
   // off the score's discrete levels {0.4,0.6,0.8,1.0}, so downstream
   // filters never compare at a rounding boundary). Shared by the q_lp
@@ -156,6 +197,18 @@ object LlmPipeline {
       // against the SAME exhaustive oracle as q_d4.
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_d7_semantic_prune" -> ((s, dir) =>
+      // SemDeDup-style semantic dedup (r7, L44): embedding near-dup
+      // clusters collapsed to one keeper each — the per-doc label table
+      // (cluster = component min, keep flag) with the oracle-exact min-id
+      // keeper; the paper's centroid-distinctiveness keeper is the
+      // spec-tested `distinctive = true` variant (its per-dim float mean
+      // is not bit-portable across engines). Same 0.45 threshold as
+      // q_d4/q_d4x, so the pair set is the proven-parity one.
+      SemDedup.label(t(s, dir, "embeddings"), threshold = 0.45)
+        .select(col("vec_id"), col("cluster"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("vec_id"))),
     "q_d6_delta_neardup" -> ((s, dir) => {
       // incremental (delta) near-dup ingestion — the batch-backfill form
       // of the streaming admit pipeline: docs < 250 build the admitted
@@ -407,6 +460,27 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t17_ccnet_buckets" -> ((s, dir) => {
+      // CCNet's head/middle/tail corpus split (r7): bin every document by
+      // which perplexity TERCILE it lands in. Boundaries are the exact
+      // rank-select quantiles (MedianImpute.exactQuantiles — distributed
+      // bracket/recurse, no global sort), then labeling is a broadcast
+      // scalar comparison: the scale-correct shape for "split 100 TB by
+      // a corpus-wide threshold". ppl_milli is integer (L43's quantized
+      // perplexity), so the tercile comparisons are exact on both engines.
+      val scored = LmScore.bigramPerplexity(
+        t(s, dir, "documents"), "doc_id", "text")
+      val Seq(b1, b2) = MedianImpute
+        .exactQuantiles(scored.filter(col("ppl_milli").isNotNull),
+          "ppl_milli", Seq(1.0 / 3, 2.0 / 3))
+        .map(_.map(lit(_)).getOrElse(lit(null).cast("double")))
+      scored.select(col("doc_id"), col("ppl_milli"),
+        when(col("ppl_milli").isNull, lit("unscored"))
+          .when(col("ppl_milli") <= b1, lit("head"))
+          .when(col("ppl_milli") <= b2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     "q_t8_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals: most-common-word share and the
       // share of tokens whose word occurs 2+ times — the boilerplate /
@@ -637,6 +711,35 @@ object LlmPipeline {
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         WHERE sim >= 0.45 ORDER BY id_a, id_b"""
 
+  /** q_d7 oracle: exhaustive embedding pairs (same sim calc + 0.45
+    * threshold as [[embeddingNearDupOracle]]) → recursive-CTE reachability
+    * (the [[clusterOracle]] pattern) → min-id keeper per component;
+    * unclustered docs keep with NULL cluster. */
+  private val semanticPruneOracle: String =
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+          SELECT id_a, id_b FROM (
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+                   CAST(b.vec_id AS BIGINT) AS id_b,
+                   ROUND(
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(${duckNormSq("a.embedding")})
+                        * sqrt(${duckNormSq("b.embedding")})), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          WHERE sim >= 0.45),
+        e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+        r(s, d) AS (
+          SELECT s, d FROM e
+          UNION
+          SELECT r.s, e.d FROM r JOIN e ON r.d = e.s WHERE e.d <> r.s),
+        comp AS (SELECT s AS id, least(s, MIN(d)) AS cluster
+                 FROM r GROUP BY s)
+        SELECT CAST(emb.vec_id AS BIGINT) AS vec_id, comp.cluster,
+               CAST(COALESCE(emb.vec_id = comp.cluster, TRUE) AS INT) AS keep
+        FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.id
+        ORDER BY vec_id"""
+
   /** q_e1 / q_e1x oracle — 12 h gap in micros = 43200000000; epoch_us(ts)
     * is the same micro-truncation the Spark side applies (ts DIV 1000 on
     * nano longs). Shared by the plain and chunked sessionize plans. */
@@ -816,6 +919,7 @@ object LlmPipeline {
     "q_d4_embedding_neardup" -> embeddingNearDupOracle,
     // the LSH scale path must reproduce the SAME exhaustive exact answer
     "q_d4x_embedding_neardup_lsh" -> embeddingNearDupOracle,
+    "q_d7_semantic_prune" -> semanticPruneOracle,
     "q_v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 5),
@@ -957,39 +1061,31 @@ object LlmPipeline {
     // those identical BIGINTs (division order matches the Spark side:
     // nll::DOUBLE / 1e4 / n)
     "q_t16_lm_perplexity" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
-          bge AS (SELECT doc_id,
-                         struct_extract(s, 'w1') AS w1,
-                         struct_extract(s, 'w2') AS w2
-                  FROM (SELECT doc_id,
-                               unnest(list_transform(range(1, len(tk)),
-                                 i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
-                        FROM toks WHERE len(tk) >= 2)),
-          c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
-                 FROM bge GROUP BY w1, w2),
-          c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-                 FROM bge GROUP BY w1),
-          v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
-                FROM (SELECT unnest(tk) AS t FROM toks)),
-          sc AS (SELECT b.doc_id,
-                        CAST(floor(ln((c1.c1 + v.v) / (c2.c2 + 1.0))
-                          * 10000.0 + 0.5) AS BIGINT) AS nll
-                 FROM bge b
-                 JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-                 JOIN c1 ON b.w1 = c1.w1
-                 CROSS JOIN v),
-          agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                         CAST(SUM(nll) AS BIGINT) AS nll_e4
-                  FROM sc GROUP BY doc_id)
-          SELECT d.doc_id,
-                 COALESCE(agg.n_bigrams, 0) AS n_bigrams,
-                 COALESCE(agg.nll_e4, 0) AS nll_e4,
-                 CASE WHEN agg.n_bigrams > 0 THEN
-                   CAST(floor(exp(agg.nll_e4::DOUBLE / 10000.0
-                     / agg.n_bigrams) * 1000.0 + 0.5) AS BIGINT)
-                 END AS ppl_milli
-          FROM documents d LEFT JOIN agg USING (doc_id)
+      s"""WITH $duckLmPerplexity
+          SELECT doc_id, n_bigrams, nll_e4, ppl_milli FROM ppl
           ORDER BY doc_id""",
+    // q_t17: terciles of the SAME per-doc integer perplexity; boundary
+    // values are exact rank floor(p*(n-1)) picks over the scoreable docs
+    // (matching MedianImpute.exactQuantiles), labeling is a plain
+    // comparison — all-integer inputs, so no float boundary mass at all
+    "q_t17_ccnet_buckets" ->
+      s"""WITH $duckLmPerplexity,
+          pr AS (SELECT CAST(ppl_milli AS DOUBLE) AS x,
+                        ROW_NUMBER() OVER (ORDER BY ppl_milli) - 1 AS rk,
+                        COUNT(*) OVER () AS n
+                 FROM ppl WHERE ppl_milli IS NOT NULL),
+          b AS (SELECT
+                  MAX(CASE WHEN rk = CAST(FLOOR((1.0/3) * (n - 1)) AS BIGINT)
+                      THEN x END) AS b1,
+                  MAX(CASE WHEN rk = CAST(FLOOR((2.0/3) * (n - 1)) AS BIGINT)
+                      THEN x END) AS b2
+                FROM pr)
+          SELECT p.doc_id, p.ppl_milli,
+                 CASE WHEN p.ppl_milli IS NULL THEN 'unscored'
+                      WHEN p.ppl_milli <= b.b1 THEN 'head'
+                      WHEN p.ppl_milli <= b.b2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM ppl p CROSS JOIN b ORDER BY doc_id""",
     "q_t14_char_entropy" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
           ch AS (SELECT doc_id, ROUND(entropy(c), 6) AS char_entropy

@@ -49,6 +49,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("LM perplexity: model joins are equi-joins; the only loop join is the 1-row vocab") {
+    // The bigram-model scoring join (per-doc bigrams vs c2/c1 counts)
+    // must hash-partition on the token keys — at 100 TB a nested loop
+    // there is quadratic. The single BroadcastNestedLoopJoin allowed is
+    // the 1-row vocabulary-size scalar (the TF-IDF corpus-stats pattern).
+    for (name <- Seq("q_t16_lm_perplexity", "q_t17_ccnet_buckets",
+        "q_d7_semantic_prune")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a cartesian product")
+      // count in the FINAL section only — AQE's toString repeats the
+      // tree under "== Initial Plan ==", which would double-count
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val loops = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+      assert(loops <= 1, s"$name has $loops loop joins (max 1 allowed — " +
+        s"the 1-row vocab broadcast):\n${finalPlan.take(2000)}")
+    }
+  }
+
   test("as-of and range joins plan as hash joins on the real tables (no nested loop)") {
     // op-level specs pin this on synthetic frames; these pin the REAL
     // query plans (parquet scans, AQE on) — the inequality predicates
