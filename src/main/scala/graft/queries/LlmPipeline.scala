@@ -209,6 +209,17 @@ object LlmPipeline {
         .select(col("vec_id"), col("cluster"),
           col("keep").cast("int").as("keep"))
         .orderBy(col("vec_id"))),
+    "q_d8_paragraph_dedup" -> ((s, dir) =>
+      // RefinedWeb/CCNet paragraph-level exact dedup (r7, L45): the
+      // corpus is single-line, so units are tumbling 12-token windows
+      // (the newline segmentation is spec-covered); first (doc, pos)
+      // occurrence wins corpus-wide, each doc reassembled from its
+      // survivors in order — md5 pins the exact rebuilt text
+      ParagraphDedup.dedupTokenWindows(t(s, dir, "documents"),
+          "doc_id", "text", width = 12)
+        .select(col("doc_id"), col("n_units"), col("n_kept"),
+          md5(col("text").cast("binary")).as("dedup_md5"))
+        .orderBy(col("doc_id"))),
     "q_d6_delta_neardup" -> ((s, dir) => {
       // incremental (delta) near-dup ingestion — the batch-backfill form
       // of the streaming admit pipeline: docs < 250 build the admitted
@@ -353,6 +364,15 @@ object LlmPipeline {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("member_sum"))
         .orderBy(col("source"), col("split"))),
+    "q_e9_dsir_select" -> ((s, dir) => {
+      // DSIR importance-resampling selection (r7, L46): hashed-n-gram
+      // target-vs-raw contrast scores, top 50 most English-like docs
+      // under an en-target model, ties by id — per-bucket log ratios
+      // quantized once to 1e-4 nats, doc totals exact BIGINT
+      val docs = t(s, dir, "documents")
+      Dsir.selectTopK(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", m = 1024, k = 50)
+    }),
     "q_e1x_sessionize_chunked" -> ((s, dir) =>
       // the SAME sessionization through the hot-key-safe chunked plan —
       // 6 h chunks, deliberately SMALLER than the 12 h gap so sessions
@@ -920,6 +940,31 @@ object LlmPipeline {
     // the LSH scale path must reproduce the SAME exhaustive exact answer
     "q_d4x_embedding_neardup_lsh" -> embeddingNearDupOracle,
     "q_d7_semantic_prune" -> semanticPruneOracle,
+    // q_d8: same tumbling windows as the engine (range is exclusive so
+    // len+1; inclusive list slice [s:s+11] = 12 tokens, clamped tail),
+    // keeper = first (doc_id, pos) per exact unit string (the engine
+    // keys on sha2(unit) — identical absent a SHA-256 collision, which
+    // would be a finding, not noise), docs rebuilt from survivors in
+    // order; NULL agg (zero kept) and unit-less docs coalesce to ''
+    "q_d8_paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          st AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS s1
+                 FROM d WHERE len(toks) > 0),
+          u AS (SELECT doc_id, CAST((s1 - 1) // 12 AS INT) AS pos,
+                  array_to_string(toks[s1:s1+11], ' ') AS unit FROM st),
+          k AS (SELECT doc_id, pos, unit,
+                  ROW_NUMBER() OVER (PARTITION BY unit
+                    ORDER BY doc_id, pos) = 1 AS keep FROM u),
+          r AS (SELECT doc_id, COUNT(*) AS n_units,
+                  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_kept,
+                  md5(COALESCE(string_agg(CASE WHEN keep THEN unit END,
+                    ' ' ORDER BY pos), '')) AS dedup_md5
+                FROM k GROUP BY doc_id)
+         SELECT d0.doc_id, COALESCE(n_units, 0) AS n_units,
+                COALESCE(n_kept, 0) AS n_kept,
+                COALESCE(dedup_md5, md5('')) AS dedup_md5
+         FROM documents d0 LEFT JOIN r USING (doc_id) ORDER BY doc_id""",
     "q_v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 5),
@@ -1006,6 +1051,42 @@ object LlmPipeline {
          SELECT source, split, COUNT(*) AS n,
                 CAST(SUM(doc_id) AS BIGINT) AS member_sum
          FROM a GROUP BY source, split ORDER BY source, split""",
+    // q_e9: retrains the identical hashed-n-gram pair of models —
+    // bucket = md5 first 16 bits mod 1024 (CAST('0x'||hex AS INT) ≡
+    // Spark conv(..,16,10)); the per-bucket log ratio replays the
+    // engine's exact association ((ln(ct+1) − ln(nt+m)) − ln(cr+1)) +
+    // ln(nr+m) inside one half-up floor to 1e-4 nats; doc totals are
+    // BIGINT sums of those integers. Target ⊆ raw here, so every doc
+    // bucket is in cr and the left join is total.
+    "q_e9_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $duckToks AS tk FROM documents),
+          uni AS (SELECT doc_id, lang, unnest(tk) AS f FROM tk),
+          big AS (SELECT doc_id, lang,
+                    unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS f
+                  FROM tk WHERE len(tk) >= 2),
+          feats AS (SELECT doc_id, lang,
+                      CAST(concat('0x', substr(md5(f), 1, 4)) AS INT) % 1024
+                        AS b
+                    FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+          ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM feats
+                 WHERE lang = 'en' GROUP BY b),
+          cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM feats
+                 GROUP BY b),
+          tot AS (SELECT (SELECT SUM(ct) FROM ct) AS nt,
+                         (SELECT SUM(cr) FROM cr) AS nr),
+          w AS (SELECT cr.b,
+                  CAST(FLOOR((((ln(COALESCE(ct.ct, 0) + 1.0) -
+                    ln(nt + 1024.0)) - ln(cr.cr + 1.0)) + ln(nr + 1024.0)) *
+                    10000.0 + 0.5) AS BIGINT) AS w_e4
+                FROM cr LEFT JOIN ct USING (b), tot),
+          sc AS (SELECT f.doc_id, COUNT(*) AS n_feats,
+                   CAST(SUM(w.w_e4) AS BIGINT) AS score_e4
+                 FROM feats f JOIN w ON f.b = w.b GROUP BY f.doc_id)
+         SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+                COALESCE(score_e4, 0) AS score_e4
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY score_e4 DESC, doc_id LIMIT 50""",
     "q_e2_hash_split" ->
       // boundaries = first 4 md5 hex chars vs floor(cum_frac * 65536) in
       // hex: 0.8 → 'cccc', 0.9 → 'e666' (same constants the engine derives)

@@ -68,6 +68,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup: winner election partial-aggregates; no cross product") {
+    // The keeper join must hash on (sha, id, pos) and the winner
+    // election must carry a partial HashAggregate — the property that
+    // stops a corpus-wide boilerplate unit serializing one task.
+    val plan = executedPlan(q("q_d8_paragraph_dedup"))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_d8 plan contains a cross product")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_min")
+      || finalPlan.contains("partial_min".toUpperCase),
+      s"q_d8 winner election lost its partial aggregate:\n${finalPlan.take(2000)}")
+  }
+
+  test("DSIR: weight table broadcasts into the scoring join; only 1-row loop joins") {
+    // The fitted model is ≤ m rows and must BROADCAST against the
+    // corpus-sized feature stream — a shuffled join there repartitions
+    // the whole corpus by bucket (m distinct keys: catastrophic skew).
+    // The only loop joins allowed are the 1-row totals broadcasts:
+    // nt×nr (totals construction), totals into the weight fit, totals
+    // into the scoring smoothing default — three, each 1-row.
+    val plan = executedPlan(q("q_e9_dsir_select"))
+    assert(!plan.contains("CartesianProduct"),
+      "q_e9 plan contains a cartesian product")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"q_e9 weight join is not broadcast:\n${finalPlan.take(2000)}")
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(loops <= 3, s"q_e9 has $loops loop joins (max 3 — the 1-row " +
+      s"totals broadcasts):\n${finalPlan.take(2000)}")
+  }
+
   test("as-of and range joins plan as hash joins on the real tables (no nested loop)") {
     // op-level specs pin this on synthetic frames; these pin the REAL
     // query plans (parquet scans, AQE on) — the inequality predicates
