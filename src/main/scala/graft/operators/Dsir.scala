@@ -74,11 +74,14 @@ object Dsir {
     * two feature totals needed for that default, as a 1-row DataFrame
     * (nt, nr) — see [[score]]. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, m: Int): (DataFrame, DataFrame) = {
-    val ct = features(target, idCol, textCol, m)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val cr = features(raw, idCol, textCol, m)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+      textCol: String, m: Int): (DataFrame, DataFrame) =
+    fitFromFeatures(features(raw, idCol, textCol, m),
+      features(target, idCol, textCol, m), m)
+
+  private def fitFromFeatures(fRaw: DataFrame, fTarget: DataFrame,
+      m: Int): (DataFrame, DataFrame) = {
+    val ct = fTarget.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val cr = fRaw.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val totals = ct.agg(sum(col("ct")).as("nt")).crossJoin(
       cr.agg(sum(col("cr")).as("nr")))
     // Quantize HERE, once per bucket; everything downstream is BIGINT.
@@ -104,8 +107,12 @@ object Dsir {
     * — the formula's own zero-count value, not an arbitrary default.
     * Featureless documents score 0 over 0 features. */
   def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, totals: DataFrame, m: Int): DataFrame =
+    scoreFromFeatures(features(docs, idCol, textCol, m),
+      docs.select(col(idCol)), idCol, weights, totals, m)
+
+  private def scoreFromFeatures(f: DataFrame, ids: DataFrame, idCol: String,
       weights: DataFrame, totals: DataFrame, m: Int): DataFrame = {
-    val f = features(docs, idCol, textCol, m)
     val scored = f.join(broadcast(weights), Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       .select(col(idCol), coalesce(col("w_e4"),
@@ -115,22 +122,54 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"),
         sum(col("w_e4")).cast("long").as("score_e4"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+    ids.join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("score_e4"), lit(0L)).as("score_e4"))
+  }
+
+  /** The full fit-and-score pipeline with the raw feature relation
+    * PERSISTED through the cache hook: uncached, the raw explode (the
+    * corpus-sized projection) executes once per plan branch that
+    * references it — the cr fit, the totals broadcast and the scoring
+    * join each re-derive it (measured 8.3 s → the cached plan's cost
+    * at sf0.1). The cached relation is narrow (id, bucket) and spills;
+    * the target explode is cached too (three totals broadcasts re-run
+    * its agg chain otherwise). */
+  private def cachedScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, m: Int, cache: DataFrame => DataFrame): DataFrame = {
+    val fRaw = cache(features(raw, idCol, textCol, m))
+    val fTarget = cache(features(target, idCol, textCol, m))
+    val (weights, totals) = fitFromFeatures(fRaw, fTarget, m)
+    scoreFromFeatures(fRaw, raw.select(col(idCol)), idCol,
+      weights, totals, m)
   }
 
   /** The composed selector: fit target-vs-raw hashed models, score all
     * of `raw`, return the `k` most target-like documents —
     * (id, n_feats, score_e4), ties broken by ascending id (total,
     * deterministic order). The top-k is a TakeOrdered plan (per-
-    * partition heaps + driver merge of k rows), never a global sort. */
+    * partition heaps + driver merge of k rows), never a global sort;
+    * shared subplans ride the bounded materialized-result cache
+    * (the L3 ensemble's discipline — result is k rows, intermediates
+    * release on return). */
   def selectTopK(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, m: Int, k: Int): DataFrame = {
-    val (weights, totals) = importanceWeights(raw, target, idCol, textCol, m)
-    score(raw, idCol, textCol, weights, totals, m)
-      .orderBy(col("score_e4").desc, col(idCol))
-      .limit(k)
-  }
+      textCol: String, m: Int, k: Int): DataFrame =
+    NearDup.materialized { cache =>
+      cachedScores(raw, target, idCol, textCol, m, cache)
+        .orderBy(col("score_e4").desc, col(idCol))
+        .limit(k)
+    }
+
+  /** DSIR's actual resampling step: seeded Gumbel top-k (weighted
+    * sampling without replacement, [[Sampling.gumbelTopK]]) over the
+    * importance scores — k documents drawn ∝ exp(score), deterministic
+    * in `seed`. Returns the sampled rows with their `gumbel_key_e4`. */
+  def sampleK(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, m: Int, k: Int, seed: String): DataFrame =
+    NearDup.materialized { cache =>
+      Sampling.gumbelTopK(
+        cachedScores(raw, target, idCol, textCol, m, cache),
+        idCol, "score_e4", k, seed)
+    }
 }

@@ -264,4 +264,43 @@ object Sampling {
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_rank"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Seeded weighted sampling WITHOUT replacement via the Gumbel top-k
+    * trick (Vieira 2014; equivalent to Efraimidis & Spirakis 2006
+    * reservoir keys): taking the k largest `logw_i + G_i` with
+    * `G_i = -ln(-ln(U_i))` i.i.d. Gumbel draws samples k items without
+    * replacement with probability proportional to `exp(logw_i)` — the
+    * resampling step DSIR (arXiv:2302.03169 §3) runs over its importance
+    * weights, here composable with [[Dsir.score]]'s `score_e4` output.
+    *
+    * Everything is deterministic and engine-portable: `U_i` derives from
+    * the row key, not an RNG stream — the first 13 md5 hex digits of
+    * `"gum:<seed>:<key>"` as an exact 52-bit dyadic rational
+    * `(h + 0.5) / 2^52` (never 0 or 1, so both `ln`s are finite), the
+    * same per-row-hash discipline as [[hashSplit]] (stable across runs,
+    * engines, partitionings — `rand()`'s per-partition streams are
+    * none of these). The sampling key `logw + G` is quantized ONCE to
+    * integer 1e-4 (half-up floor, the L43 float discipline) and ties
+    * break on the key column, so the selected set is total-ordered and
+    * reproducible; `logw` arrives as the 1e-4-nat integer convention
+    * (`weightE4Col`), divided out in DOUBLE exactly as the oracle does.
+    *
+    * Scale shape: one narrow projection computes keys, then TakeOrdered
+    * (per-partition heaps + a k-row driver merge) — no global sort, no
+    * shuffle of the corpus. */
+  def gumbelTopK(df: DataFrame, keyCol: String, weightE4Col: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    // 2^52 as an exact literal — pow() is a float call some engines
+    // round differently; the constant is exact in both.
+    val twoPow52 = lit(4503599627370496.0)
+    val u = (conv(substring(md5(concat(lit(s"gum:$seed:"),
+        col(keyCol).cast("string")).cast("binary")), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / twoPow52
+    df.select(col("*"),
+        floor((col(weightE4Col).cast("double") / lit(10000.0) -
+          log(-log(u))) * lit(10000.0) + lit(0.5)).as("gumbel_key_e4"))
+      .orderBy(col("gumbel_key_e4").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -47,6 +47,39 @@ object LlmPipeline {
   // totals/perplexity derive from those identical BIGINTs (division
   // order matches the Spark side: nll::DOUBLE / 1e4 / n). Yields `ppl`
   // (doc_id, n_bigrams, nll_e4, ppl_milli); embed as `WITH $duckLmPerplexity`.
+  // Shared CTE chain replaying Dsir (L46) for the q_e9/q_e10 oracles:
+  // retrains both hashed-n-gram models from scratch; yields `dsir`
+  // (doc_id, n_feats, score_e4 for EVERY document); embed as
+  // `WITH $duckDsir`.
+  private val duckDsir =
+    s"""tk AS (SELECT doc_id, lang, $duckToks AS tk FROM documents),
+          uni AS (SELECT doc_id, lang, unnest(tk) AS f FROM tk),
+          big AS (SELECT doc_id, lang,
+                    unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS f
+                  FROM tk WHERE len(tk) >= 2),
+          feats AS (SELECT doc_id, lang,
+                      CAST(concat('0x', substr(md5(f), 1, 4)) AS INT) % 1024
+                        AS b
+                    FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+          ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM feats
+                 WHERE lang = 'en' GROUP BY b),
+          cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM feats
+                 GROUP BY b),
+          tot AS (SELECT (SELECT SUM(ct) FROM ct) AS nt,
+                         (SELECT SUM(cr) FROM cr) AS nr),
+          w AS (SELECT cr.b,
+                  CAST(FLOOR((((ln(COALESCE(ct.ct, 0) + 1.0) -
+                    ln(nt + 1024.0)) - ln(cr.cr + 1.0)) + ln(nr + 1024.0)) *
+                    10000.0 + 0.5) AS BIGINT) AS w_e4
+                FROM cr LEFT JOIN ct USING (b), tot),
+          sc AS (SELECT f.doc_id, COUNT(*) AS n_feats,
+                   CAST(SUM(w.w_e4) AS BIGINT) AS score_e4
+                 FROM feats f JOIN w ON f.b = w.b GROUP BY f.doc_id),
+          dsir AS (SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+                     COALESCE(score_e4, 0) AS score_e4
+                   FROM documents d LEFT JOIN sc USING (doc_id))"""
+
   private val duckLmPerplexity =
     s"""toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
           bge AS (SELECT doc_id,
@@ -372,6 +405,16 @@ object LlmPipeline {
       val docs = t(s, dir, "documents")
       Dsir.selectTopK(docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", m = 1024, k = 50)
+    }),
+    "q_e10_gumbel_sample" -> ((s, dir) => {
+      // DSIR's resampling step (r7, L47): seeded Gumbel top-k over the
+      // L46 importance scores — weighted sampling without replacement,
+      // deterministic via md5-derived uniforms, keys quantized to 1e-4
+      val docs = t(s, dir, "documents")
+      Dsir.sampleK(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", m = 1024, k = 50, seed = "r7")
+        .select(col("doc_id"), col("gumbel_key_e4"))
+        .orderBy(col("gumbel_key_e4").desc, col("doc_id"))
     }),
     "q_e1x_sessionize_chunked" -> ((s, dir) =>
       // the SAME sessionization through the hot-key-safe chunked plan —
@@ -1059,34 +1102,23 @@ object LlmPipeline {
     // BIGINT sums of those integers. Target ⊆ raw here, so every doc
     // bucket is in cr and the left join is total.
     "q_e9_dsir_select" ->
-      s"""WITH tk AS (SELECT doc_id, lang, $duckToks AS tk FROM documents),
-          uni AS (SELECT doc_id, lang, unnest(tk) AS f FROM tk),
-          big AS (SELECT doc_id, lang,
-                    unnest(list_transform(range(1, len(tk)),
-                      i -> tk[i] || ' ' || tk[i+1])) AS f
-                  FROM tk WHERE len(tk) >= 2),
-          feats AS (SELECT doc_id, lang,
-                      CAST(concat('0x', substr(md5(f), 1, 4)) AS INT) % 1024
-                        AS b
-                    FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
-          ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM feats
-                 WHERE lang = 'en' GROUP BY b),
-          cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM feats
-                 GROUP BY b),
-          tot AS (SELECT (SELECT SUM(ct) FROM ct) AS nt,
-                         (SELECT SUM(cr) FROM cr) AS nr),
-          w AS (SELECT cr.b,
-                  CAST(FLOOR((((ln(COALESCE(ct.ct, 0) + 1.0) -
-                    ln(nt + 1024.0)) - ln(cr.cr + 1.0)) + ln(nr + 1024.0)) *
-                    10000.0 + 0.5) AS BIGINT) AS w_e4
-                FROM cr LEFT JOIN ct USING (b), tot),
-          sc AS (SELECT f.doc_id, COUNT(*) AS n_feats,
-                   CAST(SUM(w.w_e4) AS BIGINT) AS score_e4
-                 FROM feats f JOIN w ON f.b = w.b GROUP BY f.doc_id)
-         SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
-                COALESCE(score_e4, 0) AS score_e4
-         FROM documents d LEFT JOIN sc USING (doc_id)
+      s"""WITH $duckDsir
+         SELECT doc_id, n_feats, score_e4 FROM dsir
          ORDER BY score_e4 DESC, doc_id LIMIT 50""",
+    // q_e10: DSIR's resampling step — the Gumbel key replays the
+    // engine's md5-derived 52-bit dyadic uniform ((h + 0.5) / 2^52,
+    // exact in double on both engines) and the same association
+    // (score/1e4 − ln(−ln(u))) inside one half-up floor to 1e-4
+    "q_e10_gumbel_sample" ->
+      s"""WITH $duckDsir,
+          g AS (SELECT doc_id, CAST(FLOOR((score_e4 / 10000.0 -
+                  ln(-ln((CAST(concat('0x', substr(md5('gum:r7:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5) /
+                    4503599627370496.0))) * 10000.0 + 0.5) AS BIGINT)
+                  AS gumbel_key_e4
+                FROM dsir)
+         SELECT doc_id, gumbel_key_e4 FROM g
+         ORDER BY gumbel_key_e4 DESC, doc_id LIMIT 50""",
     "q_e2_hash_split" ->
       // boundaries = first 4 md5 hex chars vs floor(cum_frac * 65536) in
       // hex: 0.8 → 'cccc', 0.9 → 'e666' (same constants the engine derives)

@@ -86,18 +86,31 @@ class PlanAuditSpec extends SparkSpec {
     // The fitted model is ≤ m rows and must BROADCAST against the
     // corpus-sized feature stream — a shuffled join there repartitions
     // the whole corpus by bucket (m distinct keys: catastrophic skew).
-    // The only loop joins allowed are the 1-row totals broadcasts:
-    // nt×nr (totals construction), totals into the weight fit, totals
-    // into the scoring smoothing default — three, each 1-row.
+    // q_e9 routes through the materialized-result cache, whose
+    // InMemoryRelation print nests whole AQE subtrees — count loop
+    // joins on the UNCACHED fit+score composition instead (the same
+    // operator plan without cache-print duplication): the only ones
+    // allowed are the 1-row totals broadcasts — nt×nr construction,
+    // totals into the weight fit, totals into the scoring smoothing
+    // default — three, each 1-row.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (w, tot) = graft.operators.Dsir.importanceWeights(docs,
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+      "doc_id", "text", 1024)
+    val uncached = executedPlan(
+      graft.operators.Dsir.score(docs, "doc_id", "text", w, tot, 1024))
+    assert(!uncached.contains("CartesianProduct"),
+      "DSIR score plan contains a cartesian product")
+    val finalPlan = uncached.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"DSIR weight join is not broadcast:\n${finalPlan.take(2000)}")
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(loops <= 3, s"DSIR has $loops loop joins (max 3 — the 1-row " +
+      s"totals broadcasts):\n${finalPlan.take(2000)}")
+    // and the cached query itself stays cartesian-free
     val plan = executedPlan(q("q_e9_dsir_select"))
     assert(!plan.contains("CartesianProduct"),
       "q_e9 plan contains a cartesian product")
-    val finalPlan = plan.split("== Initial Plan ==").head
-    assert(finalPlan.contains("BroadcastHashJoin"),
-      s"q_e9 weight join is not broadcast:\n${finalPlan.take(2000)}")
-    val loops = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
-    assert(loops <= 3, s"q_e9 has $loops loop joins (max 3 — the 1-row " +
-      s"totals broadcasts):\n${finalPlan.take(2000)}")
   }
 
   test("as-of and range joins plan as hash joins on the real tables (no nested loop)") {

@@ -284,4 +284,76 @@ class SamplingSpec extends SparkSpec {
       .agg(min(col("shard")), max(col("shard"))).as[(Int, Int)].head()
     assert(bounds._1 >= 0 && bounds._2 < 65536)
   }
+
+  // ---- gumbelTopK (seeded weighted sampling without replacement) ----
+
+  /** Exact reference replay: md5-derived 52-bit uniform, Gumbel key,
+    * half-up floor to 1e-4, ties by id. */
+  private def gumbelReference(rows: Seq[(Long, Long)], k: Int,
+      seed: String): Seq[(Long, Long)] = {
+    def keyE4(id: Long, wE4: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gum:$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(md, 16) + 0.5) / 4503599627370496.0
+      math.floor((wE4.toDouble / 10000.0 - math.log(-math.log(u))) *
+        10000.0 + 0.5).toLong
+    }
+    rows.map { case (id, w) => (id, keyE4(id, w)) }
+      .sortBy { case (id, key) => (-key, id) }.take(k)
+  }
+
+  test("gumbelTopK replays the exact reference keys on a seeded fixture") {
+    val rows = (1L to 200L).map(i => (i, (i % 17) * 2500L - 10000L))
+    val got = Sampling.gumbelTopK(rows.toDF("id", "w_e4"), "id", "w_e4",
+        k = 25, seed = "s1")
+      .select(col("id"), col("gumbel_key_e4"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === gumbelReference(rows, 25, "s1"))
+  }
+
+  test("gumbelTopK: same seed is stable; different seed is a different sample") {
+    val rows = (1L to 500L).map(i => (i, 0L)) // uniform weights
+    def ids(seed: String) = Sampling.gumbelTopK(rows.toDF("id", "w_e4"),
+      "id", "w_e4", k = 50, seed = seed).select("id").as[Long].collect().toSet
+    assert(ids("a") === ids("a"))
+    assert(ids("a") !== ids("b"))
+  }
+
+  test("gumbelTopK samples proportionally: heavy items dominate across seeds") {
+    // 10 items at weight e^4, 490 at weight 1 (w_e4 = 40000 vs 0): each
+    // heavy item is ~e^4 ≈ 55x likelier per draw; over 20 seeds x k=20
+    // the heavy ids must win far more often than uniform would give.
+    val rows = (1L to 500L).map(i => (i, if (i <= 10) 40000L else 0L))
+    val df = rows.toDF("id", "w_e4")
+    val heavyWins = (1 to 20).map { s =>
+      Sampling.gumbelTopK(df, "id", "w_e4", k = 20, seed = s"seed$s")
+        .select("id").as[Long].collect().count(_ <= 10)
+    }.sum
+    // uniform sampling would give E[heavy] = 20*20*(10/500) = 8; the
+    // weighted draw ~ 20*10*(55/(55*10+490)) ≈ 106 — assert a wide gap
+    assert(heavyWins > 60, s"heavy ids won only $heavyWins/400 slots")
+  }
+
+  test("gumbelTopK composes with Dsir scores on real documents") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val scores = {
+      val (w, tot) = Dsir.importanceWeights(docs,
+        docs.filter($"lang" === "en"), "doc_id", "text", 1024)
+      Dsir.score(docs, "doc_id", "text", w, tot, 1024)
+    }
+    val got = Sampling.gumbelTopK(scores, "doc_id", "score_e4",
+        k = 30, seed = "r7")
+      .select(col("doc_id"), col("gumbel_key_e4"))
+      .as[(Long, Long)].collect().toSeq
+    val rows = scores.select(col("doc_id"), col("score_e4"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === gumbelReference(rows, 30, "r7"))
+    // the cached composed form is row-identical to the manual composition
+    val composed = Dsir.sampleK(docs, docs.filter($"lang" === "en"),
+        "doc_id", "text", 1024, k = 30, seed = "r7")
+      .select(col("doc_id"), col("gumbel_key_e4"))
+      .as[(Long, Long)].collect().toSeq
+    assert(composed === got)
+  }
 }
