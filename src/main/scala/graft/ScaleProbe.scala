@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Sessions, Skew}
+import graft.operators.{AsOf, ParagraphDedup, Sessions, Skew}
 
 /** Measurement harness behind SCALE.md's hot-key numbers (VERDICT r6 #2
   * and #3): generates a synthetic ~10M-event corpus at several skew
@@ -12,6 +12,8 @@ import graft.operators.{AsOf, Sessions, Skew}
   *  - plain vs chunked `Sessions.sessionize`,
   *  - plain vs chunked `AsOf.joinPriorOrEqual`,
   *  - the bounded (≤64-partition) vs full-scan `Skew.hotKeyShare` probe,
+  *  - `ParagraphDedup.markKeepers`' partial-aggregated winner election
+  *    vs the window row_number formulation under unit skew,
   *
   * and records which plan the auto-probe picks on each fixture. The
   * chunked widths are the ones `Skew.autoChunkWidth`'s policy would
@@ -63,11 +65,16 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SCALE_SECTIONS=events,paradedup selects which fixture
+    // families run (each regenerates + measures for minutes).
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECTIONS",
+      "events,paradedup").split(",").map(_.trim).toSet
+
     val gap = java.time.Duration.ofHours(1)
     println(s"| fixture | op | plain s | chunked s | speedup | auto picks |")
     println(s"|---|---|---|---|---|---|")
 
-    for (hotPct <- Seq(0, 50, 90)) {
+    for (hotPct <- Seq(0, 50, 90) if sections("events")) {
       val path = s"$base/events_hot$hotPct"
       genEvents(spark, n, hotPct, path)
       val ev = spark.read.parquet(path)
@@ -110,6 +117,56 @@ object ScaleProbe {
 
       println(f"| hot$hotPct | skew probe (bounded vs full scan) | " +
         f"$tProbeFull%.2f | $tProbe%.2f | ${tProbeFull / tProbe}%.1fx | — |")
+    }
+
+    // --- paragraph-dedup winner election (L45): the shipped
+    // partial-aggregated groupBy(hash)→min(struct) vs the obvious
+    // window row_number-per-unit formulation, under unit skew (one
+    // boilerplate unit owning hotPct% of all rows — the nav-header
+    // shape). The window form routes every copy of the hot unit into
+    // ONE task's sort; the agg form collapses them map-side.
+    for (hotPct <- Seq(0, 50, 90) if sections("paradedup")) {
+      val path = s"$base/units_hot$hotPct"
+      spark.range(0, n, 1, 256).select(
+          (col("id") / 8L).cast("long").as("doc_id"),
+          pmod(col("id"), lit(8L)).cast("int").as("pos"),
+          when(pmod(xxhash64(col("id")), lit(100L)) < hotPct,
+              lit("subscribe to our newsletter for updates"))
+            .otherwise(concat(lit("unique unit "), col("id"))).as("unit"))
+        .write.mode("overwrite").parquet(path)
+      val units = spark.read.parquet(path)
+      // shipped: one partial-aggregated groupBy(unit), winner rides min
+      def consumeAgg(): Unit =
+        ParagraphDedup.keepers(units, "doc_id", "pos", "unit")
+          .agg(count(lit(1))).collect()
+      // straw man A: window row_number per unit — the hot unit's copies
+      // all sort in one task
+      def consumeWindow(): Unit = {
+        import org.apache.spark.sql.expressions.Window
+        units.withColumn("rn", row_number().over(
+            Window.partitionBy(col("unit"))
+              .orderBy(col("doc_id"), col("pos"))))
+          .agg(sum((col("rn") === 1).cast("long"))).collect()
+      }
+      // straw man B: flag via groupBy + join back on a sha fingerprint —
+      // three unit-level shuffles re-shipping a 64-char hash
+      def consumeJoinBack(): Unit = {
+        val hashed = units.withColumn("h", sha2(col("unit"), 256))
+        val w2 = hashed.groupBy(col("h"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+          .select(col("h").as("wh"), col("w")("doc_id").as("wid"),
+            col("w")("pos").as("wpos"))
+        hashed.join(w2, col("h") === col("wh") &&
+            col("doc_id") === col("wid") && col("pos") === col("wpos"),
+            "left")
+          .agg(sum(col("wid").isNotNull.cast("long"))).collect()
+      }
+      val tAgg = timeIt(2)(consumeAgg())
+      val tWin = timeIt(2)(consumeWindow())
+      val tJb = timeIt(2)(consumeJoinBack())
+      println(f"| hot$hotPct | paragraph-dedup winner election " +
+        f"(agg / window / join-back) | $tWin%.1f win, $tJb%.1f jb | " +
+        f"$tAgg%.1f | ${tWin / tAgg}%.1fx, ${tJb / tAgg}%.1fx | — |")
     }
     spark.stop()
   }

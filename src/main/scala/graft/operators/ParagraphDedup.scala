@@ -16,23 +16,26 @@ import graft.functions.TextAnalysis
   * million pages never makes two DOCUMENTS near-identical, but this
   * operator strips it from all but one.
   *
-  * Unit identity is `sha2(unit, 256)` — the standard content-identity
-  * convention for exact dedup at scale (collision mass ~2^-128 is far
-  * below any pipeline's error budget), and it is what keeps the winner
-  * shuffle narrow: the winner election groups (hash → min (doc, pos)),
-  * a hash-partial-aggregated shuffle of fixed-width rows, never of
-  * paragraph text. The keeper rule (globally smallest `(doc, pos)`
-  * pair) is total and deterministic, so reruns and engines agree.
+  * The winner election is ONE partial-aggregated shuffle and nothing
+  * else: group the unit relation BY THE UNIT STRING and take
+  * `min(struct(id, pos))` — the winning occurrence IS the surviving
+  * row, so no join back is needed to identify keepers. Two formulations
+  * that look equivalent lose at scale (both measured, ScaleProbe /
+  * SCALE.md): a window `row_number` per unit routes every copy of a
+  * corpus-wide boilerplate unit into ONE task's sort (2.1× slower at
+  * 90% unit skew on 10M units, unboundedly worse as the hot unit
+  * grows); a groupBy-then-join-back marks flags in 3 unit-level
+  * shuffles and re-ships a fingerprint column, a 12× tax on uniform
+  * corpora. The keeper rule (globally smallest `(doc, pos)` pair) is
+  * total and deterministic, so reruns and engines agree.
   *
   * Scale shape: segmentation is a codegen'd narrow projection
   * (split/posexplode — rows multiply but nothing shuffles); the winner
-  * election is one partial-aggregated `groupBy(hash)` — the hottest
-  * unit (the million-page nav header) map-side combines to one row per
-  * input partition, so unit skew CANNOT serialize a task (the exact
-  * failure the window-rank formulation would hit); marking keepers is
-  * one equi-join back on `(hash, doc, pos)`; reassembly is one
-  * `groupBy(doc)` whose groups are document-sized. Three shuffles
-  * total, each on narrow keys, none skew-vulnerable.
+  * election's map-side combine collapses the hottest unit to one row
+  * per input partition (unit skew CANNOT serialize a task); reassembly
+  * is one `groupBy(doc)` whose groups are document-sized; the final
+  * per-document join runs at document granularity, not unit
+  * granularity. Two unit-level shuffles total, both narrow.
   *
   * Units shorter than `minLen` characters never participate: they are
   * always kept in place (blank lines between real paragraphs must
@@ -65,58 +68,36 @@ object ParagraphDedup {
           .as(Seq("pos", "unit")))
       .select(col("__pd_id").as(idCol), col("pos"), col("unit"))
 
-  /** Adds a `keep` flag to a unit relation: true iff the unit is short
-    * (`< minLen` chars — never deduped) or is the corpus-wide first
-    * occurrence of its content (smallest `(id, pos)` over all rows
-    * sharing its sha-256). `idCol` must be orderable; ordering is the
-    * natural one on `(id, pos)` pairs. */
-  def markKeepers(units: DataFrame, idCol: String, posCol: String,
+  /** The surviving unit occurrences of a unit relation: for each
+    * distinct unit of `≥ minLen` chars, the row with the corpus-wide
+    * smallest `(id, pos)`; short units pass through untouched (every
+    * occurrence survives). One partial-aggregated `groupBy(unit)` —
+    * the winning occurrence rides the `min(struct)`, so there is no
+    * join back and unit skew collapses map-side. `idCol` must be
+    * orderable; ordering is the natural one on `(id, pos)` pairs. */
+  def keepers(units: DataFrame, idCol: String, posCol: String,
       unitCol: String, minLen: Int = 1): DataFrame = {
-    val hashed = units.withColumn("__pd_h",
-      when(length(col(unitCol)) >= minLen, sha2(col(unitCol), 256)))
-    // Winner election: partial-aggregated min over (id, pos) per hash —
-    // the hot-unit row count collapses map-side, so no single task ever
-    // sees all copies of a corpus-wide boilerplate unit.
-    // Winner side renames every column (fresh projection) so the
-    // derived-from-self join resolves unambiguously.
-    val winners = hashed.filter(col("__pd_h").isNotNull)
-      .groupBy(col("__pd_h"))
+    val won = units.filter(length(col(unitCol)) >= minLen)
+      .groupBy(col(unitCol))
       .agg(min(struct(col(idCol), col(posCol))).as("__pd_w"))
-      .select(col("__pd_h").as("__pd_wh"), col("__pd_w")(idCol).as("__pd_wid"),
-        col("__pd_w")(posCol).as("__pd_wpos"))
-    hashed.join(winners,
-        col("__pd_h") === col("__pd_wh") &&
-          col(idCol) === col("__pd_wid") && col(posCol) === col("__pd_wpos"),
-        "left")
-      .select(col(idCol), col(posCol), col(unitCol),
-        (col("__pd_h").isNull || col("__pd_wid").isNotNull).as("keep"))
+      .select(col("__pd_w")(idCol).as(idCol),
+        col("__pd_w")(posCol).as(posCol), col(unitCol))
+    won.unionByName(
+      units.filter(length(col(unitCol)) < minLen)
+        .select(col(idCol), col(posCol), col(unitCol)))
   }
-
-  /** Reassembles per-document text from the kept units, in original
-    * order, joined with `delim`. Returns one row per unit-relation
-    * document: (id, n_units, n_kept, text). Documents that produced no
-    * units (empty after segmentation) are absent — callers wanting
-    * every input row left-join this back (as [[dedupParagraphs]] does). */
-  def reassemble(marked: DataFrame, idCol: String, posCol: String,
-      unitCol: String, delim: String): DataFrame =
-    marked.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_units"),
-        sum(col("keep").cast("long")).as("n_kept"),
-        // when() without otherwise yields NULL for dropped units and
-        // collect_list skips NULLs — only kept units are gathered.
-        array_join(transform(
-          array_sort(collect_list(when(col("keep"),
-            struct(col(posCol), col(unitCol))))),
-          s => s(unitCol)), delim).as("text"))
 
   /** The composed operator: segment on `delim`, dedup exact units
     * corpus-wide (first occurrence by `(id, pos)` wins, short units
-    * exempt), reassemble. One row per input row:
-    * (id, n_units, n_kept, text). */
+    * exempt), reassemble survivors in original order. One row per input
+    * row: (id, n_units, n_kept, text). */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n", minLen: Int = 1): DataFrame = {
-    val units = explodeDelim(df, idCol, textCol, delim)
-    composed(df, units, idCol, delim, minLen)
+    val nUnits = df.select(col(idCol),
+      size(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+        .cast("long").as("n_units"))
+    composed(nUnits, explodeDelim(df, idCol, textCol, delim), idCol, delim,
+      minLen)
   }
 
   /** [[dedupParagraphs]] over tumbling `width`-token windows — the
@@ -125,17 +106,27 @@ object ParagraphDedup {
     * dropped, since units are themselves space-joined token runs). */
   def dedupTokenWindows(df: DataFrame, idCol: String, textCol: String,
       width: Int, minLen: Int = 1): DataFrame = {
-    val units = explodeTokenWindows(df, idCol, textCol, width)
-    composed(df, units, idCol, " ", minLen)
+    val nUnits = df.select(col(idCol),
+      size(TextAnalysis.tokenChunks(col(textCol), width, width))
+        .cast("long").as("n_units"))
+    composed(nUnits, explodeTokenWindows(df, idCol, textCol, width), idCol,
+      " ", minLen)
   }
 
-  private def composed(df: DataFrame, units: DataFrame, idCol: String,
+  /** `nUnits` is (id, n_units) — a narrow projection of the source
+    * docs, which also resurrects documents whose segmentation produced
+    * no units (empty under token windows): they re-enter with
+    * n_kept = 0 and empty text. */
+  private def composed(nUnits: DataFrame, units: DataFrame, idCol: String,
       delim: String, minLen: Int): DataFrame = {
-    val marked = markKeepers(units, idCol, "pos", "unit", minLen)
-    val docs = reassemble(marked, idCol, "pos", "unit", delim)
-    df.select(col(idCol)).join(docs, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_units"), lit(0L)).as("n_units"),
+    val kept = keepers(units, idCol, "pos", "unit", minLen)
+    val perDoc = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("unit")))),
+          s => s("unit")), delim).as("text"))
+    nUnits.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_units"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text"), lit("")).as("text"))
   }
