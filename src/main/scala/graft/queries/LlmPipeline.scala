@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Bpe, TextAnalysis}
+import graft.functions.{Bpe, GopherRules, TextAnalysis}
 import graft.operators._
 
 /** LLM-training-data pipeline query battery (BASELINE.json north star) over
@@ -544,6 +544,15 @@ object LlmPipeline {
           .otherwise(lit("tail")).as("bucket"))
         .orderBy(col("doc_id"))
     }),
+    "q_t18_gopher_rules" -> ((s, dir) =>
+      // the published Gopher/MassiveWeb rule battery (r7): hard pass/fail
+      // document gates — word-count and mean-word-length bounds, '#' and
+      // ellipsis symbol caps, bullet/ellipsis line-shape caps, alphabetic
+      // floor, required-stopword floor. Pure narrow Catalyst projection;
+      // the oracle recomputes every ratio from the same integer counts
+      GopherRules.report(
+          t(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "q_t8_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals: most-common-word share and the
       // share of tokens whose word occurs 2+ times — the boilerplate /
@@ -856,6 +865,61 @@ object LlmPipeline {
                       / len($duckToks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
               2) AS quality
           FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // q_t18: every ratio is a double division of exact integer counts in
+    // the same order as the Spark side; replace-counting is
+    // non-overlapping on both engines; `keep` compares UNROUNDED ratios.
+    "q_t18_gopher_rules" ->
+      s"""WITH tk AS (
+            SELECT doc_id, text,
+              $duckToks AS toks,
+              CASE WHEN length(trim(lower(text))) = 0 THEN []
+                ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ltoks,
+              string_split(text, chr(10)) AS ls
+            FROM documents WHERE doc_id < 60),
+          m AS (
+            SELECT doc_id,
+              CAST(len(toks) AS INTEGER) AS n_words,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0
+                     / len(toks) END AS mwl,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE (length(text) - length(replace(text, '#', ''))) * 1.0
+                     / len(toks) END AS hashr,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE ((length(text) - length(replace(text, '...', ''))) // 3
+                      + (length(text) - length(replace(text, '…', ''))))
+                     * 1.0 / len(toks) END AS ellr,
+              CASE WHEN len(ls) = 0 THEN 0.0
+                ELSE len(list_filter(ls,
+                       l -> regexp_matches(ltrim(l), '^[•*-]'))) * 1.0
+                     / len(ls) END AS bullr,
+              CASE WHEN len(ls) = 0 THEN 0.0
+                ELSE len(list_filter(ls,
+                       l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) * 1.0
+                     / len(ls) END AS elliner,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE len(list_filter(toks,
+                       t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0
+                     / len(toks) END AS alphar,
+              CAST(len(list_filter(
+                ['the','be','to','of','and','that','have','with'],
+                w -> list_contains(ltoks, w))) AS INTEGER) AS n_stop
+            FROM tk)
+          SELECT doc_id, n_words,
+            ROUND(mwl, 4) AS mean_word_len,
+            ROUND(hashr, 4) AS hash_ratio,
+            ROUND(ellr, 4) AS ellipsis_ratio,
+            ROUND(bullr, 4) AS bullet_line_ratio,
+            ROUND(elliner, 4) AS ellipsis_line_ratio,
+            ROUND(alphar, 4) AS alpha_word_ratio,
+            n_stop AS n_req_stopwords,
+            CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+              AND mwl BETWEEN 3.0 AND 10.0
+              AND hashr <= 0.1 AND ellr <= 0.1
+              AND bullr <= 0.9 AND elliner <= 0.3
+              AND alphar >= 0.8 AND n_stop >= 2
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM m ORDER BY doc_id""",
     "q_t3_langid" -> {
       val langs = TextAnalysis.LangMarkers
       val scores = langs.map { case (l, ws) => l -> duckMarkerScore(ws) }
