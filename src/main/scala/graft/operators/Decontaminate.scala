@@ -42,6 +42,40 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** [[overlaps]] with a Bloom-filter pre-screen — identical output (the
+    * screen's false positives are removed by the exact confirm join, and
+    * false negatives are impossible by construction), different scale
+    * envelope: the screening predicate is a CONSTANT-size sketch probe
+    * (sized by `fpp` and the eval shingle count, never by the corpus), so
+    * the stream of corpus shingles that reaches the confirm join shrinks
+    * from "all of them" to "true matches + fpp stragglers". With the
+    * default broadcast confirm that saves join-probe work; when an eval
+    * set is too big to broadcast and the confirm must run as a SHUFFLED
+    * semi-join, it is the difference between shuffling 100 TB of corpus
+    * shingles and shuffling approximately nothing — the same pattern
+    * Spark's own runtime-injected bloom filters apply to shuffle joins.
+    * The probe is a native codegen expression
+    * ([[graft.expressions.BloomMightContain]]); the filter bits ride the
+    * closure once per task, not per row. */
+  def overlapsBloomScreened(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 8,
+      fpp: Double = 0.01): DataFrame = NearDup.materialized { cache =>
+    val evalGrams = cache(explodedGrams(
+      NearDup.hashedShingles(eval, idCol, textCol, shingleLen))
+      .select(col("g")).distinct())
+    // sizing count doubles as the cache-materializing action
+    val nGrams = math.max(1L, evalGrams.count())
+    val bloom = graft.functions.LongBloom.build(evalGrams, "g", nGrams, fpp)
+    val screen = org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.BloomMightContain(
+        org.apache.spark.sql.GraftBridge.expression(col("g")), bloom))
+    explodedGrams(NearDup.hashedShingles(train, idCol, textCol, shingleLen))
+      .filter(screen)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** ("id", "hs") → one ("id", "g") row per shingle, via a typed
     * mapPartitions instead of `explode`. The typed boundary is an
     * optimizer barrier, and here that is the point, not a side effect:

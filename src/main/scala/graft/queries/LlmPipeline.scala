@@ -114,6 +114,19 @@ object LlmPipeline {
                  END AS ppl_milli
           FROM documents d LEFT JOIN agg USING (doc_id))"""
 
+  // Exact contamination oracle shared by q_t9 (broadcast-set path) and
+  // q_t19 (bloom-screened path) — both compute the identical overlap.
+  private lazy val duckDecontaminate =
+    s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len($duckToks) - 3, 0) + 1),
+            i -> array_to_string(($duckToks)[i:i+3], ' '))) AS sh
+          FROM documents),
+        ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0)
+        SELECT doc_id, COUNT(*) AS n_overlap
+        FROM tr WHERE g IN (SELECT g FROM ev)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   // Quality formula == the q_t2 oracle's, rounded to 2 (thresholds sit
   // off the score's discrete levels {0.4,0.6,0.8,1.0}, so downstream
   // filters never compare at a rounding boundary). Shared by the q_lp
@@ -605,6 +618,20 @@ object LlmPipeline {
       // shingle overlap (membership check — exact, no sketch)
       val docs = t(s, dir, "documents")
       Decontaminate.overlaps(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleLen = 4)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_t19_bloom_decontaminate" -> ((s, dir) => {
+      // same contamination question as q_t9, answered through the
+      // bloom-screened path (r7): constant-size sketch probe prunes the
+      // corpus shingle stream before the exact confirm join — the oracle
+      // is IDENTICAL to q_t9's because the screen is exact end-to-end
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlapsBloomScreened(
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0),
           "doc_id", "text", shingleLen = 4)
@@ -1365,16 +1392,10 @@ object LlmPipeline {
                              '$em', '<EMAIL>', 'g')) AS INTEGER) AS chars_removed
           FROM w ORDER BY doc_id"""
     },
-    "q_t9_decontaminate" ->
-      s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
-              range(1, greatest(len($duckToks) - 3, 0) + 1),
-              i -> array_to_string(($duckToks)[i:i+3], ' '))) AS sh
-            FROM documents),
-          ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
-          tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0)
-          SELECT doc_id, COUNT(*) AS n_overlap
-          FROM tr WHERE g IN (SELECT g FROM ev)
-          GROUP BY doc_id ORDER BY doc_id""",
+    "q_t9_decontaminate" -> duckDecontaminate,
+    // q_t19: the bloom screen is exact end-to-end (false positives are
+    // confirmed away, false negatives impossible), so the oracle is q_t9's
+    "q_t19_bloom_decontaminate" -> duckDecontaminate,
     "q_qr2_corpus_card" ->
       s"""WITH d AS (SELECT source, lang,
               len($duckToks) AS nt,
