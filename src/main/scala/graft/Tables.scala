@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the test tables (TESTDATA.md). One parquet dataset per table;
   * at production scale the same layout holds — Catalyst prunes columns and
@@ -12,4 +14,24 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch-micros view of an event-time column, robust to the physical type
+    * the data generator emits — the generator has shipped BOTH over the
+    * project's life:
+    *  - parquet `timestamp[ns]` read as INT64 nano longs (under the
+    *    `nanosAsLong` legacy flag the entrypoints set): integral `DIV 1000`
+    *    truncates to micros, exactly DuckDB's nanos→TIMESTAMP truncation;
+    *  - parquet `timestamp[us]` read as TIMESTAMP_NTZ (or TIMESTAMP):
+    *    `unix_micros` under the repo-wide UTC session reproduces DuckDB's
+    *    `epoch_us(ts)` on the same naive value.
+    * Both paths are plain Catalyst expressions — codegen'd, pushdown-safe,
+    * and in exact value parity with the oracle's `epoch_us(ts)`. */
+  def epochMicros(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case LongType         => expr(s"$name DIV 1000")
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case TimestampType    => unix_micros(col(name))
+      case dt => throw new IllegalArgumentException(
+        s"epochMicros: unsupported event-time type $dt for column $name")
+    }
 }

@@ -375,19 +375,20 @@ object LlmPipeline {
     }),
 
     // ------------------------------------- training-data shaping (events)
-    "q_e1_sessionize" -> ((s, dir) =>
-      // gap-based sessionization of the event stream (12 h idle gap →
-      // 3292 sessions at sf0.01). Time rides as epoch micros: the parquet
-      // timestamps are NANOS (read as nano longs under nanosAsLong), and
-      // DuckDB's timestamp truncates to micros, so both sides compare
-      // `ts DIV 1000`-truncated values — exact parity by construction.
+    "q_e1_sessionize" -> ((s, dir) => {
+      // gap-based sessionization of the event stream (12 h idle gap).
+      // Time rides as epoch micros (Tables.epochMicros — robust to the
+      // generator's physical timestamp encoding), matching the oracle's
+      // epoch_us(ts) exactly.
       // autoChunk OFF (ADVICE r6): measure the sessionize, not the
       // plan-build skew probe — q_e1x covers the chunked plan, the auto
       // path is spec-covered and measured in SCALE.md
-      Sessions.sessionStats(t(s, dir, "events"), "user_id",
-          expr("ts DIV 1000"), col("event_id"),
+      val ev = t(s, dir, "events")
+      Sessions.sessionStats(ev, "user_id",
+          Tables.epochMicros(ev, "ts"), col("event_id"),
           java.time.Duration.ofHours(12), autoChunk = false)
-        .orderBy(col("user_id"), col("session_idx"))),
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
     "q_e7_token_budget" -> ((s, dir) =>
       // fill each source to a 2000-token budget in budget-hash order —
       // mixtures are set in tokens, not document counts; the crossing
@@ -429,16 +430,18 @@ object LlmPipeline {
         .select(col("doc_id"), col("gumbel_key_e4"))
         .orderBy(col("gumbel_key_e4").desc, col("doc_id"))
     }),
-    "q_e1x_sessionize_chunked" -> ((s, dir) =>
+    "q_e1x_sessionize_chunked" -> ((s, dir) => {
       // the SAME sessionization through the hot-key-safe chunked plan —
       // 6 h chunks, deliberately SMALLER than the 12 h gap so sessions
       // cross chunk boundaries and the summary stitch is load-bearing;
       // checked against the SAME oracle as q_e1
-      Sessions.sessionStats(t(s, dir, "events"), "user_id",
-          expr("ts DIV 1000"), col("event_id"),
+      val ev = t(s, dir, "events")
+      Sessions.sessionStats(ev, "user_id",
+          Tables.epochMicros(ev, "ts"), col("event_id"),
           java.time.Duration.ofHours(12),
           chunkWidth = Some(6L * 3600L * 1000000L))
-        .orderBy(col("user_id"), col("session_idx"))),
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
     "q_e2_hash_split" -> ((s, dir) =>
       // deterministic md5-bucket train/val/test split — row membership is
       // a pure function of doc_id (stable across runs/engines/partitionings,
@@ -840,8 +843,9 @@ object LlmPipeline {
         ORDER BY vec_id"""
 
   /** q_e1 / q_e1x oracle — 12 h gap in micros = 43200000000; epoch_us(ts)
-    * is the same micro-truncation the Spark side applies (ts DIV 1000 on
-    * nano longs). Shared by the plain and chunked sessionize plans. */
+    * is the same epoch-micros view the Spark side applies
+    * (Tables.epochMicros). Shared by the plain and chunked sessionize
+    * plans. */
   private val sessionizeOracle: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
           g AS (SELECT user_id, event_id, us,

@@ -81,10 +81,11 @@ object Relational {
       tolerance: Option[Long] = None,
       following: Boolean = false): DataFrame = {
     val ev = t(s, dir, "events")
+    val us = Tables.epochMicros(ev, "ts")
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
+      .select(col("user_id"), us.as("us"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+      .select(col("user_id"), us.as("us"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
     val join = if (following) AsOf.joinFollowing _ else AsOf.joinPriorOrEqual _
     // autoChunk OFF (ADVICE r6): the benchmark-timed q_j5 family should
@@ -101,10 +102,11 @@ object Relational {
     * shape; oracle ranks by absolute distance with prior-wins-ties. */
   private def asOfNearestQuery(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    val us = Tables.epochMicros(ev, "ts")
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
+      .select(col("user_id"), us.as("us"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+      .select(col("user_id"), us.as("us"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
     AsOf.joinNearest(views, purchases, Seq("user_id"), "us", "us",
         "purchase_id", autoChunk = false) // measure the join, not the probe
@@ -223,9 +225,9 @@ object Relational {
       // point-in-time enrichment: each 'view' event sees the latest
       // prior-or-equal 'purchase' of the same user — the feature-store
       // join ("no future leakage"); union+window, never a pair blowup
-      // micro-truncated timestamps (ts DIV 1000), the repo-wide parity
-      // convention: the oracle's epoch_us compares micros, and raw nano
-      // comparison would diverge on same-micro sub-microsecond residue
+      // time rides as epoch micros (Tables.epochMicros), the repo-wide
+      // parity convention matching the oracle's epoch_us(ts) on either
+      // physical timestamp encoding the generator emits
       asOfQuery(s, dir, chunkWidth = None)
     }),
     "q_j5x_asof_chunked" -> ((s, dir) => {
@@ -263,14 +265,15 @@ object Relational {
       // buckets — never a per-key nested loop). Composes two operators:
       // Sessions provides the intervals, RangeJoin places the points.
       val ev = t(s, dir, "events")
+      val us = Tables.epochMicros(ev, "ts")
       val sessions = Sessions.sessionStats(
           ev.filter(col("event_type") =!= "error"), "user_id",
-          expr("ts DIV 1000"), col("event_id"),
+          us, col("event_id"),
           java.time.Duration.ofHours(12), autoChunk = false)
         .select(col("user_id"), col("session_idx"),
           col("session_start_us"), col("session_end_us"))
       val errors = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
+        .select(col("user_id"), us.as("us"), col("event_id"))
       RangeJoin.pointInInterval(errors, sessions, Seq("user_id"),
           "us", "session_start_us", "session_end_us",
           bucketWidth = 3600L * 1000000L)
@@ -284,15 +287,16 @@ object Relational {
       // Bucketized on both sides; the canonical-bucket rule emits each
       // overlapping pair exactly once (no distinct).
       val ev = t(s, dir, "events")
+      val us = Tables.epochMicros(ev, "ts")
       val sessions = Sessions.sessionStats(
           ev.filter(col("event_type") =!= "error"), "user_id",
-          expr("ts DIV 1000"), col("event_id"),
+          us, col("event_id"),
           java.time.Duration.ofHours(12), autoChunk = false)
         .select(col("user_id"), col("session_idx"),
           col("session_start_us"), col("session_end_us"))
       val bursts = Sessions.sessionStats(
           ev.filter(col("event_type") === "error"), "user_id",
-          expr("ts DIV 1000"), col("event_id"),
+          us, col("event_id"),
           java.time.Duration.ofHours(1), autoChunk = false)
         .select(col("user_id"), col("session_idx").as("burst_idx"),
           col("session_start_us").as("burst_start_us"),
