@@ -265,6 +265,79 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("shuffle_rank"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * α-sampling rule (Lample & Conneau 2019, arXiv:1901.07291 §3.1;
+    * Xue et al. 2020 mT5, arXiv:2010.11934 §3.2): a total document
+    * budget is allocated across sources proportionally to `n_g^α`
+    * (α ∈ (0, 1]; α = 1 is proportional sampling, smaller α boosts
+    * low-resource sources), then each source contributes its quota in
+    * deterministic hash order.
+    *
+    * Exactness: the raw weight `n_g^α` is quantized ONCE to integer
+    * 1e-6 (floor half-up) and the Hamilton / largest-remainder
+    * allocation then runs in EXACT 64-bit integer arithmetic
+    * (`(B·w) DIV Σw` base quotas, the `B − Σbase` leftover seats going
+    * to the largest `(B·w) MOD Σw` remainders, ties by group) — no
+    * float comparison anywhere downstream of the one quantization, so
+    * engines agree bit-for-bit. α = 0.5 stays oracle-exact end to end
+    * because IEEE sqrt is correctly rounded on every engine; other α go
+    * through `pow`, whose last-ulp rounding is libm-specific — fine
+    * within one engine, documented as hash-check-only across engines.
+    * A group's quota is capped at its row count (`least(n, quota)`);
+    * saturated corpora may therefore undershoot the budget — the
+    * single-pass rule every side can replicate, rather than an
+    * iterative redistribution.
+    *
+    * Scale shape: the allocation runs on the GROUP relation (one row
+    * per source — partial-aggregated count, two 1-row broadcasts, one
+    * G-row window). Row selection is one ranking window whose
+    * `rank <= totalBudget` LITERAL bound rewrites to WindowGroupLimit
+    * (map tasks ship ≤ budget rows per group, a 10⁹-row source never
+    * serializes a sort task), then a broadcast join against the G-row
+    * quota relation applies the exact per-group cutoff. Ranking reuses
+    * [[capPerGroup]]'s domain-separated `"cap:"` hash so the kept
+    * subset stays decorrelated from [[hexBucket]] splits. Null keys
+    * and null groups drop, as elsewhere in this module. */
+  def temperatureMixture(df: DataFrame, groupCol: String, key: Column,
+      totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget > 0, s"totalBudget $totalBudget must be positive")
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha outside (0, 1]")
+    // 1e9 budget × 1e6-quantized weights of a 2^53-row group stays
+    // comfortably inside Long for the B·w products below
+    require(totalBudget <= 1000000000L,
+      s"totalBudget $totalBudget above 1e9 risks 64-bit overflow in the " +
+        "exact allocation arithmetic")
+    val g = col(groupCol)
+    val rows = df.filter(key.isNotNull && g.isNotNull)
+    val counts = rows.groupBy(g.as("__g")).agg(count(lit(1)).as("__n"))
+    val scaledW = if (alpha == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(alpha))
+    val weighted = counts.select(col("__g"), col("__n"),
+      floor(scaledW * lit(1000000.0) + lit(0.5)).cast("long").as("__w"))
+    val tot = weighted.agg(sum(col("__w")).as("__s"))
+    val based = weighted.crossJoin(broadcast(tot))
+      .select(col("__g"), col("__n"),
+        expr(s"(${totalBudget}L * __w) DIV __s").as("__base"),
+        expr(s"(${totalBudget}L * __w) % __s").as("__rem"))
+    val leftover = based.agg((lit(totalBudget) - sum(col("__base"))).as("__l"))
+    // global window over the G-row group relation — G is the number of
+    // sources, bounded metadata scale, never row scale
+    val remRank = Window.orderBy(col("__rem").desc, col("__g"))
+    val quotas = based.crossJoin(broadcast(leftover))
+      .withColumn("__rr", row_number().over(remRank))
+      .select(col("__g"),
+        least(col("__n"), col("__base") +
+          when(col("__rr") <= col("__l"), lit(1L)).otherwise(lit(0L)))
+          .as("__k"))
+    val ord = md5(concat(lit("cap:"), key.cast("string")).cast("binary"))
+    val w = Window.partitionBy(g).orderBy(ord, key)
+    rows.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= lit(totalBudget))
+      .join(broadcast(quotas), g === col("__g"))
+      .filter(col("__graft_rk") <= col("__k"))
+      .drop("__graft_rk", "__g", "__k")
+  }
+
   /** Seeded weighted sampling WITHOUT replacement via the Gumbel top-k
     * trick (Vieira 2014; equivalent to Efraimidis & Spirakis 2006
     * reservoir keys): taking the k largest `logw_i + G_i` with

@@ -430,6 +430,18 @@ object LlmPipeline {
         .select(col("doc_id"), col("gumbel_key_e4"))
         .orderBy(col("gumbel_key_e4").desc, col("doc_id"))
     }),
+    "q_e11_temperature_mix" -> ((s, dir) =>
+      // temperature-scaled language mixing (r7, L48): a 200-doc budget
+      // allocated across languages ∝ n^0.5 (α = 0.5 — the sqrt path is
+      // IEEE-exact cross-engine), largest-remainder seats, per-language
+      // quota filled in 'cap:'-hash order. en's raw 43.6% share flattens
+      // to ~30% — the low-resource boost the α rule exists for.
+      // kept_sum pins exact membership, not just the quota arithmetic.
+      Sampling.temperatureMixture(t(s, dir, "documents"), "lang",
+          col("doc_id"), totalBudget = 200L, alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_sum"))
+        .orderBy(col("lang"))),
     "q_e1x_sessionize_chunked" -> ((s, dir) => {
       // the SAME sessionization through the hot-key-safe chunked plan —
       // 6 h chunks, deliberately SMALLER than the 12 h gap so sessions
@@ -1214,6 +1226,41 @@ object LlmPipeline {
                 FROM dsir)
          SELECT doc_id, gumbel_key_e4 FROM g
          ORDER BY gumbel_key_e4 DESC, doc_id LIMIT 50""",
+    // q_e11: replays the exact-integer Hamilton allocation — weights
+    // floor(sqrt(n)·1e6 + 0.5) (IEEE sqrt is correctly rounded on both
+    // engines), base = (B·w) // Σw, leftover seats by remainder DESC
+    // then group, quota LEAST-capped at n, rows chosen in the same
+    // 'cap:' md5 order as q_e6
+    "q_e11_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+              WHERE doc_id IS NOT NULL AND lang IS NOT NULL GROUP BY lang),
+          w AS (SELECT lang, n,
+                  CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS w
+                FROM c),
+          t AS (SELECT CAST(SUM(w) AS BIGINT) AS s FROM w),
+          a AS (SELECT lang, n, (200 * w) // s AS base, (200 * w) % s AS rem
+                FROM w, t),
+          l AS (SELECT 200 - CAST(SUM(base) AS BIGINT) AS lft FROM a),
+          r AS (SELECT lang, n, base, rem,
+                  ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr
+                FROM a),
+          k AS (SELECT lang,
+                  LEAST(CAST(n AS BIGINT),
+                    base + CASE WHEN rr <= (SELECT lft FROM l)
+                                THEN 1 ELSE 0 END) AS quota
+                FROM r),
+          ranked AS (SELECT lang, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS rk
+                FROM documents WHERE doc_id IS NOT NULL),
+          sel AS (SELECT ranked.lang, doc_id
+                  FROM ranked JOIN k ON ranked.lang = k.lang
+                  WHERE rk <= k.quota)
+         SELECT lang, COUNT(*) AS n_kept,
+                CAST(SUM(doc_id) AS BIGINT) AS kept_sum
+         FROM sel GROUP BY lang ORDER BY lang""",
     "q_e2_hash_split" ->
       // boundaries = first 4 md5 hex chars vs floor(cum_frac * 65536) in
       // hex: 0.8 → 'cccc', 0.9 → 'e666' (same constants the engine derives)

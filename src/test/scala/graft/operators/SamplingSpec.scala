@@ -356,4 +356,73 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(composed === got)
   }
+
+  // ---------------------------------------------- temperatureMixture (L48)
+
+  private def mixCounts(df: org.apache.spark.sql.DataFrame, budget: Long,
+      alpha: Double): Map[String, Long] =
+    Sampling.temperatureMixture(df, "g", col("id"), budget, alpha)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+
+  private def groupsOf(sizes: (String, Int)*) =
+    sizes.flatMap { case (g, n) => (1 to n).map(i => (g, s"$g$i")) }
+      .toDF("g", "id")
+
+  test("temperatureMixture: exact Hamilton allocation, by hand") {
+    // counts 100/25/4 → sqrt weights exactly 10/5/2 (×1e6): at B=17 the
+    // base quotas are exact (10/5/2, no leftover); at B=18 the single
+    // leftover seat goes to the largest remainder (a: rem 10e6 > b: 5e6
+    // > c: 2e6) — worked by hand from the operator's own integer rule
+    val df = groupsOf("a" -> 100, "b" -> 25, "c" -> 4)
+    assert(mixCounts(df, 17, 0.5) === Map("a" -> 10L, "b" -> 5L, "c" -> 2L))
+    assert(mixCounts(df, 18, 0.5) === Map("a" -> 11L, "b" -> 5L, "c" -> 2L))
+  }
+
+  test("temperatureMixture: alpha=1 is proportional; alpha<1 flattens") {
+    val df = groupsOf("big" -> 320, "small" -> 20)
+    val prop = mixCounts(df, 17, 1.0)
+    // exact: w = n·1e6, base = 17·320/340 = 16, 17·20/340 = 1
+    assert(prop === Map("big" -> 16L, "small" -> 1L))
+    val flat = mixCounts(df, 17, 0.5)
+    // sqrt weights 17.888544e6 / 4.472136e6: small's share rises — the
+    // low-resource boost is the point of the α rule
+    assert(flat("small") > prop("small") && flat("big") < prop("big"))
+    assert(flat.values.sum === 17L)
+  }
+
+  test("temperatureMixture: a saturated group is capped at its row count") {
+    // α=0.1 flattens hard: the 2-row group's quota exceeds 2 and is
+    // LEAST-capped; the realized total undershoots the budget (documented
+    // single-pass rule — no iterative redistribution)
+    val df = groupsOf("a" -> 10000, "b" -> 2)
+    val got = mixCounts(df, 20, 0.1)
+    assert(got("b") === 2L)
+    assert(got.values.sum < 20L)
+  }
+
+  test("temperatureMixture: membership is stable under repartitioning") {
+    val df = groupsOf("a" -> 100, "b" -> 25, "c" -> 4)
+    val a = Sampling.temperatureMixture(df, "g", col("id"), 17, 0.5)
+      .select("id").as[String].collect().toSet
+    val b = Sampling.temperatureMixture(df.repartition(13), "g", col("id"),
+        17, 0.5)
+      .select("id").as[String].collect().toSet
+    assert(a === b && a.size === 17)
+  }
+
+  test("temperatureMixture plans the selection as a WindowGroupLimit") {
+    // the rank <= totalBudget LITERAL bound must rewrite to
+    // WindowGroupLimit — map tasks ship ≤ budget rows per group, so a
+    // 10⁹-row source never funnels into one sort task; the exact
+    // per-group quota then applies above as a broadcast-joined filter
+    val df = Sampling.temperatureMixture(
+      groupsOf("a" -> 500, "b" -> 100), "g", col("id"), 30, 0.5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the quota join to broadcast:\n${plan.take(3000)}")
+  }
 }
