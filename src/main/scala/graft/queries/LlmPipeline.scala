@@ -654,6 +654,29 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "q_t20_quality_classifier" -> ((s, dir) => {
+      // trained GPT-3/LLaMA-style quality filter (r7, L51): logistic
+      // regression over hashed uni+bigram features; positives = the raw
+      // documents, negatives = deterministic token-sorted scrambles of
+      // the SAME documents (identical unigram mass, destroyed order —
+      // the learned signal is bigram fluency, the thing the deployed
+      // classifiers actually measure). Train on the doc_id%10==0
+      // subsample, score the full corpus. No SQL oracle (the dependent
+      // GD rounds are outside one statement); retrain bit-exactness,
+      // held-out separation and the broadcast scoring plan are
+      // spec-pinned in QualityClassifierSpec.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val scrambled = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", sort_array(split(col("text"), "\\s+"))).as("text"))
+      val trainRows = col("doc_id") % 10 === 0
+      val model = QualityClassifier.train(docs.filter(trainRows),
+        scrambled.filter(trainRows), "doc_id", "text", m = 2048,
+        iters = 8)
+      QualityClassifier.score(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_feats"), col("logit_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_t11_shared_passages" -> ((s, dir) =>
       // passage-level (not whole-doc) duplication: pairs sharing >= 3
       // rare verbatim 8-gram runs; at sf0.1 this finds ~10x more pairs
