@@ -119,6 +119,44 @@ object ScaleProbe {
         f"$tProbeFull%.2f | $tProbe%.2f | ${tProbeFull / tProbe}%.1fx | — |")
     }
 
+    // --- co-located bucketed layout (L52): the same 10M×10M equi-join
+    // through plain parquet (both sides shuffle every run) vs two
+    // co-bucketed catalog tables (zero exchanges — the layout shuffle
+    // was paid once at write time). The MEASURED quantity is the
+    // recurring per-run cost a pipeline pays forever.
+    if (sections("bucketed")) {
+      import graft.operators.Bucketed
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_scale " +
+        s"LOCATION '$base/warehouse'")
+      val fact = spark.range(0, n, 1, 256).select(
+        pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
+        (col("id") % 97L).as("a"))
+      val dim = spark.range(0, n, 1, 256).select(
+        pmod(xxhash64(col("id") + 7L), lit(1000000L)).as("k"),
+        (col("id") % 89L).as("b"))
+      fact.write.mode("overwrite").parquet(s"$base/plain_fact")
+      dim.write.mode("overwrite").parquet(s"$base/plain_dim")
+      val tLayout = timeIt(1) {
+        Bucketed.materialize(fact, "graft_scale.b_fact", Seq("k"), cpus.toInt)
+        Bucketed.materialize(dim, "graft_scale.b_dim", Seq("k"), cpus.toInt)
+      }
+      def consumePlain(): Unit =
+        spark.read.parquet(s"$base/plain_fact")
+          .join(spark.read.parquet(s"$base/plain_dim"), Seq("k"))
+          .agg(sum(col("a") * col("b"))).collect()
+      def consumeBucketed(): Unit =
+        Bucketed.table(spark, "graft_scale.b_fact")
+          .join(Bucketed.table(spark, "graft_scale.b_dim"), Seq("k"))
+          .agg(sum(col("a") * col("b"))).collect()
+      val tPlain = timeIt(2)(consumePlain())
+      val tBuck = timeIt(2)(consumeBucketed())
+      System.err.println(f"[scale] bucketed layout cost (one-time) = " +
+        f"$tLayout%.1f s")
+      println(f"| 10M x 10M join | plain parquet vs co-bucketed | " +
+        f"$tPlain%.1f | $tBuck%.1f | ${tPlain / tBuck}%.1fx | " +
+        f"layout $tLayout%.1f s once |")
+    }
+
     // --- paragraph-dedup winner election (L45): the shipped
     // partial-aggregated groupBy(hash)→min(struct) vs the obvious
     // window row_number-per-unit formulation, under unit skew (one
