@@ -677,6 +677,17 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "q_t21_heavy_phrases" -> ((s, dir) =>
+      // sketch-screened exact heavy hitters (r7, L53): 3-token phrases
+      // occurring >= 6 times corpus-wide — the boilerplate-candidate
+      // report. Count-Min screens every occurrence before the exact
+      // groupBy (no false negatives — CMS never underestimates), the
+      // exact count removes the screen's false positives, so the answer
+      // IS GROUP BY HAVING and the oracle is exact at any sketch size.
+      HeavyHitters.frequentPhrases(t(s, dir, "documents"), "doc_id",
+          "text", n = 3, minCount = 6L)
+        .orderBy(col("phrase"))),
+
     "q_t11_shared_passages" -> ((s, dir) =>
       // passage-level (not whole-doc) duplication: pairs sharing >= 3
       // rare verbatim 8-gram runs; at sf0.1 this finds ~10x more pairs
@@ -1467,6 +1478,17 @@ object LlmPipeline {
           FROM w ORDER BY doc_id"""
     },
     "q_t9_decontaminate" -> duckDecontaminate,
+    // q_t21: the sketch screen is exact end-to-end (Count-Min never
+    // underestimates; overestimates die in the exact confirm), so the
+    // oracle is the plain GROUP BY HAVING over every 3-gram OCCURRENCE
+    "q_t21_heavy_phrases" ->
+      s"""WITH tk AS (SELECT $duckToks AS t FROM documents),
+          g AS (SELECT unnest(list_transform(
+                  range(1, greatest(len(t) - 2, 0) + 1),
+                  i -> array_to_string(t[i:i+2], ' '))) AS phrase
+                FROM tk)
+         SELECT phrase, COUNT(*) AS n FROM g
+         GROUP BY phrase HAVING COUNT(*) >= 6 ORDER BY phrase""",
     // q_t19: the bloom screen is exact end-to-end (false positives are
     // confirmed away, false negatives impossible), so the oracle is q_t9's
     "q_t19_bloom_decontaminate" -> duckDecontaminate,
