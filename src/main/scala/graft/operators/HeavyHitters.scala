@@ -76,11 +76,16 @@ object HeavyHitters {
       n: Int, minCount: Long, eps: Double = 1e-4,
       confidence: Double = 0.99): DataFrame = {
     require(n > 0, s"n $n must be positive")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val sh = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-    frequent(docs.select(explode(sh).as("ng")), col("ng"), minCount,
+    // Token-staging discipline (the q_t15 lesson): materialize the token
+    // array in its OWN projection before the positional lambda —
+    // otherwise every lambda element re-evaluates the regex split and
+    // the shingling goes quadratic in document length.
+    val staged = docs.select(TextAnalysis.tokens(col(textCol)).as("tk"))
+    val tk = col("tk")
+    val sh = when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => array_join(slice(tk, i, lit(n)), " ")))
+    frequent(staged.select(explode(sh).as("ng")), col("ng"), minCount,
         eps, confidence)
       .select(col("k").as("phrase"), col("n"))
   }
