@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
   *
   * `cal_cs` is a same-run calibration constant: a fixed synthetic
   * sort+hash-agg (no parquet) timed on this host in this JVM, in
-  * centiseconds. The sandbox host swings ±40% across rounds, so raw
-  * cross-round query deltas are unreadable; `query_time / cal` is the
-  * host-normalized form (SURVEY §6). Per-query keys are the short SURVEY
+  * centiseconds — sampled BEFORE and AFTER the battery, min kept (r7:
+  * a start-only probe repeatedly caught transient stalls the battery
+  * itself didn't see). The sandbox host swings ±40% across rounds, so
+  * raw cross-round query deltas are unreadable; `query_time / cal` is
+  * the host-normalized form (SURVEY §6). Per-query keys are the short SURVEY
   * §2 ids ("d4x"), mapped from SparkEntry.queries names by stripping
   * "q_" and keeping the first underscore segment.
   *
@@ -198,22 +200,27 @@ object Bench {
     // construction (id-derived keys, no RNG), wide enough to exercise
     // shuffle + codegen + sort, and sized ~1 s so its own measurement
     // noise stays small; min of 3 runs drops GC/scheduler outliers.
-    val calSec = {
+    // The constant is sampled on BOTH sides of the battery and the min
+    // taken: three of this round's four local runs caught a transient
+    // host stall in a START-only probe (cal 145/240 cs while the
+    // battery's own queries ran at normal speed), which would have made
+    // every cal-normalized cross-round delta misread ~3-5×. A stall
+    // would have to span the whole run to own both samples — and then
+    // it would slow the queries identically, which is exactly when a
+    // large cal is the truthful reading.
+    def calOnce(): Double = {
       import org.apache.spark.sql.functions._
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0, 8_000_000L, 1, 32)
-          .select(col("id"), pmod(xxhash64(col("id")), lit(4096)).as("k"))
-          .groupBy(col("k"))
-          .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
-          .sort(col("s").desc)
-          .limit(5).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val s = (1 to 3).map(_ => once()).min
-      System.err.println(f"[bench] calibration $s%6.3f s")
-      s
+      val t0 = System.nanoTime()
+      spark.range(0, 8_000_000L, 1, 32)
+        .select(col("id"), pmod(xxhash64(col("id")), lit(4096)).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        .sort(col("s").desc)
+        .limit(5).collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    val calStart = (1 to 3).map(_ => calOnce()).min
+    System.err.println(f"[bench] calibration (pre-battery) $calStart%6.3f s")
 
     // Min of N runs per query. Default 2: single-shot numbers showed
     // occasional 3-4× outliers deep into a 50-query session (context
@@ -265,6 +272,12 @@ object Bench {
     // each round by scripts/make_bench_prior.py) is re-run once and the
     // min taken; the JSON line records which under "reran" so a
     // cross-round reader can see the correction happened.
+    // post-battery calibration sample — see the calOnce rationale
+    val calEnd = (1 to 2).map(_ => calOnce()).min
+    val calSec = math.min(calStart, calEnd)
+    System.err.println(
+      f"[bench] calibration (post-battery) $calEnd%6.3f s -> cal $calSec%6.3f s")
+
     val priorNorm = loadPriorNorm()
     val (results, reran) = adaptivePass(firstPass, calSec, priorNorm,
       shortKeys, skip = n => IoBound(n) || errors.contains(n),
