@@ -58,8 +58,8 @@ object HeavyHitters {
 
   /** Token-level form over a document table: tokens occurring at least
     * `minCount` times corpus-wide — the hot-token / boilerplate-candidate
-    * report. */
-  def frequentTokens(docs: DataFrame, idCol: String, textCol: String,
+    * report. (No id column: occurrence counting is corpus-global.) */
+  def frequentTokens(docs: DataFrame, textCol: String,
       minCount: Long, eps: Double = 1e-4,
       confidence: Double = 0.99): DataFrame =
     frequent(
@@ -72,7 +72,7 @@ object HeavyHitters {
     * document, occurrence counts are the point) occurring at least
     * `minCount` times corpus-wide — the "find the boilerplate phrases"
     * report at occurrence granularity. */
-  def frequentPhrases(docs: DataFrame, idCol: String, textCol: String,
+  def frequentPhrases(docs: DataFrame, textCol: String,
       n: Int, minCount: Long, eps: Double = 1e-4,
       confidence: Double = 0.99): DataFrame = {
     require(n > 0, s"n $n must be positive")

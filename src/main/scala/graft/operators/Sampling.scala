@@ -275,11 +275,12 @@ object Sampling {
     *
     * Exactness: the raw weight `n_g^α` is quantized ONCE to integer
     * 1e-6 (floor half-up) and the Hamilton / largest-remainder
-    * allocation then runs in EXACT 64-bit integer arithmetic
+    * allocation then runs in EXACT DECIMAL(38,0) integer arithmetic
     * (`(B·w) DIV Σw` base quotas, the `B − Σbase` leftover seats going
-    * to the largest `(B·w) MOD Σw` remainders, ties by group) — no
-    * float comparison anywhere downstream of the one quantization, so
-    * engines agree bit-for-bit. α = 0.5 stays oracle-exact end to end
+    * to the largest `(B·w) MOD Σw` remainders, ties by group; 38
+    * digits hold `B·w` for any 64-bit group count, where a LONG
+    * product would overflow) — no float comparison anywhere downstream
+    * of the one quantization, so engines agree bit-for-bit. α = 0.5 stays oracle-exact end to end
     * because IEEE sqrt is correctly rounded on every engine; other α go
     * through `pow`, whose last-ulp rounding is libm-specific — fine
     * within one engine, documented as hash-check-only across engines.
@@ -302,23 +303,30 @@ object Sampling {
       totalBudget: Long, alpha: Double = 0.5): DataFrame = {
     require(totalBudget > 0, s"totalBudget $totalBudget must be positive")
     require(alpha > 0 && alpha <= 1, s"alpha $alpha outside (0, 1]")
-    // 1e9 budget × 1e6-quantized weights of a 2^53-row group stays
-    // comfortably inside Long for the B·w products below
+    // rank-literal pruning and quota sanity; exactness does NOT depend
+    // on this bound (the allocation arithmetic below is DECIMAL(38,0))
     require(totalBudget <= 1000000000L,
-      s"totalBudget $totalBudget above 1e9 risks 64-bit overflow in the " +
-        "exact allocation arithmetic")
+      s"totalBudget $totalBudget above 1e9 — cap the budget or allocate " +
+        "in multiple draws")
     val g = col(groupCol)
     val rows = df.filter(key.isNotNull && g.isNotNull)
     val counts = rows.groupBy(g.as("__g")).agg(count(lit(1)).as("__n"))
     val scaledW = if (alpha == 0.5) sqrt(col("__n").cast("double"))
       else pow(col("__n").cast("double"), lit(alpha))
+    // DECIMAL(38,0) end to end: w ≤ ~1e25 for ANY 64-bit group count
+    // (n^α·1e6 at α=1, n=2^63), so B·w ≤ 10+25 digits — a 64-bit LONG
+    // product would overflow (ANSI throw) already at B=1e9 × a 10k-row
+    // group at α=1 (caught in review; regression spec pins that case)
     val weighted = counts.select(col("__g"), col("__n"),
-      floor(scaledW * lit(1000000.0) + lit(0.5)).cast("long").as("__w"))
+      floor(scaledW * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)")
+        .as("__w"))
     val tot = weighted.agg(sum(col("__w")).as("__s"))
     val based = weighted.crossJoin(broadcast(tot))
       .select(col("__g"), col("__n"),
-        expr(s"(${totalBudget}L * __w) DIV __s").as("__base"),
-        expr(s"(${totalBudget}L * __w) % __s").as("__rem"))
+        expr(s"CAST((CAST($totalBudget AS DECIMAL(38,0)) * __w) DIV __s " +
+          "AS BIGINT)").as("__base"),
+        expr(s"(CAST($totalBudget AS DECIMAL(38,0)) * __w) % __s")
+          .as("__rem"))
     val leftover = based.agg((lit(totalBudget) - sum(col("__base"))).as("__l"))
     // global window over the G-row group relation — G is the number of
     // sources, bounded metadata scale, never row scale

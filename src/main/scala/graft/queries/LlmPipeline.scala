@@ -431,7 +431,7 @@ object LlmPipeline {
         .orderBy(col("gumbel_key_e4").desc, col("doc_id"))
     }),
     "q_e11_temperature_mix" -> ((s, dir) =>
-      // temperature-scaled language mixing (r7, L48): a 200-doc budget
+      // temperature-scaled language mixing (r7, L50): a 200-doc budget
       // allocated across languages ∝ n^0.5 (α = 0.5 — the sqrt path is
       // IEEE-exact cross-engine), largest-remainder seats, per-language
       // quota filled in 'cap:'-hash order. en's raw 43.6% share flattens
@@ -684,7 +684,7 @@ object LlmPipeline {
       // groupBy (no false negatives — CMS never underestimates), the
       // exact count removes the screen's false positives, so the answer
       // IS GROUP BY HAVING and the oracle is exact at any sketch size.
-      HeavyHitters.frequentPhrases(t(s, dir, "documents"), "doc_id",
+      HeavyHitters.frequentPhrases(t(s, dir, "documents"),
           "text", n = 3, minCount = 6L)
         .orderBy(col("phrase"))),
 

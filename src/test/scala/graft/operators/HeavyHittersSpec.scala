@@ -71,7 +71,7 @@ class HeavyHittersSpec extends SparkSpec {
       (1L, "spam spam spam spam"), // "spam spam" occurs 3x HERE
       (2L, "ham and eggs"),
       (3L, "spam spam again")).toDF("doc_id", "text")
-    val got = HeavyHitters.frequentPhrases(docs, "doc_id", "text",
+    val got = HeavyHitters.frequentPhrases(docs, "text",
         n = 2, minCount = 3)
       .as[(String, Long)].collect().toMap
     assert(got === Map("spam spam" -> 4L))

@@ -400,6 +400,18 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.sum < 20L)
   }
 
+  test("temperatureMixture: no 64-bit overflow at large budget x group (review)") {
+    // review-caught: with LONG products, budget 1e9 x a 10k-row group at
+    // alpha=1 overflows (1e9 * 1e10 > Long.Max) and ANSI throws; the
+    // DECIMAL(38,0) allocation must survive and stay exact
+    val df = groupsOf("a" -> 10000, "b" -> 100)
+    val got = Sampling.temperatureMixture(df, "g", col("id"),
+        totalBudget = 1000000000L, alpha = 1.0)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    // budget dwarfs the corpus: every group saturates at its row count
+    assert(got === Map("a" -> 10000L, "b" -> 100L))
+  }
+
   test("temperatureMixture: membership is stable under repartitioning") {
     val df = groupsOf("a" -> 100, "b" -> 25, "c" -> 4)
     val a = Sampling.temperatureMixture(df, "g", col("id"), 17, 0.5)
