@@ -13,8 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-      // default; read as epoch-nanos longs (ordering-compatible).
+      // The generator has shipped events.ts as BOTH TIMESTAMP(NANOS)
+      // (rounds 1-6; Spark 4 rejects it without this flag, which reads
+      // epoch-nanos longs) and timestamp[us] (round 7+; flag is then a
+      // no-op). Keep it set and let Tables.epochMicros adapt per type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
