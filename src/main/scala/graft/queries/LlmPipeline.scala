@@ -688,6 +688,23 @@ object LlmPipeline {
           "text", n = 3, minCount = 6L)
         .orderBy(col("phrase"))),
 
+    "q_qr3_corpus_diff" -> ((s, dir) => {
+      // snapshot-over-snapshot diff (r7, L54): two deterministic
+      // snapshots derived from the documents table — old = ids not
+      // divisible by 7, new = ids not divisible by 5, with every id
+      // divisible by 3 carrying revised content in the new snapshot —
+      // rollup counts + id-sum membership witness per status
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      CorpusDiff.report(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("status"))
+    }),
+
     "q_t11_shared_passages" -> ((s, dir) =>
       // passage-level (not whole-doc) duplication: pairs sharing >= 3
       // rare verbatim 8-gram runs; at sf0.1 this finds ~10x more pairs
@@ -1478,6 +1495,24 @@ object LlmPipeline {
           FROM w ORDER BY doc_id"""
     },
     "q_t9_decontaminate" -> duckDecontaminate,
+    // q_qr3: replays the same derived snapshots and the same md5
+    // fingerprint compare; FULL OUTER + CASE mirrors the engine's
+    // status derivation token-for-token
+    "q_qr3_corpus_diff" ->
+      """WITH oldS AS (SELECT doc_id, md5(text) AS f FROM documents
+              WHERE doc_id % 7 <> 0),
+          newS AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                         ELSE text END) AS f
+              FROM documents WHERE doc_id % 5 <> 0),
+          j AS (SELECT COALESCE(oldS.doc_id, newS.doc_id) AS doc_id,
+                  CASE WHEN oldS.f IS NULL THEN 'added'
+                       WHEN newS.f IS NULL THEN 'removed'
+                       WHEN oldS.f = newS.f THEN 'unchanged'
+                       ELSE 'changed' END AS status
+                FROM oldS FULL OUTER JOIN newS ON oldS.doc_id = newS.doc_id)
+         SELECT status, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM j GROUP BY status ORDER BY status""",
     // q_t21: the sketch screen is exact end-to-end (Count-Min never
     // underestimates; overestimates die in the exact confirm), so the
     // oracle is the plain GROUP BY HAVING over every 3-gram OCCURRENCE

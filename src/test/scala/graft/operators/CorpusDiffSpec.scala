@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("all four statuses, by hand") {
+    val oldSnap = Seq(
+      (1L, "kept the same"),
+      (2L, "will be edited"),
+      (3L, "will be deleted")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "kept the same"),
+      (2L, "was edited"),
+      (4L, "brand new")).toDF("doc_id", "text")
+    val got = CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val rep = CorpusDiff.report(oldSnap, newSnap, "doc_id", "text")
+      .select($"status", $"n", $"id_sum").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep === Map("unchanged" -> ((1L, 1L)), "changed" -> ((1L, 2L)),
+      "removed" -> ((1L, 3L)), "added" -> ((1L, 4L))))
+  }
+
+  test("null ids drop from both snapshots") {
+    val oldSnap = Seq((Some(1L), "a"), (None, "ghost")).toDF("doc_id", "text")
+    val newSnap = Seq((Some(1L), "a"), (None, "ghost2")).toDF("doc_id", "text")
+    val got = CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq(1L -> "unchanged"))
+  }
+
+  test("the join ships fingerprints, not documents") {
+    // the scale contract: both sides project to (id, md5) BEFORE the
+    // full-outer join, so the shuffle payload is fixed-width and the
+    // join's output schema carries no content column
+    val dir = tmpDir("cdiff")
+    spark.range(1000)
+      .select($"id".as("doc_id"),
+        concat(lit("x" * 1000), $"id".cast("string")).as("text"))
+      .write.mode("overwrite").parquet(dir)
+    val snap = spark.read.parquet(dir)
+    val out = CorpusDiff.diff(snap, snap, "doc_id", "text")
+    out.collect()
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // AQE hides the join behind stage-wrapper leaves — recurse through them
+    def joinsIn(p: SparkPlan): Seq[Seq[Attribute]] = p match {
+      case a: AdaptiveSparkPlanExec => joinsIn(a.executedPlan)
+      case q: QueryStageExec => joinsIn(q.plan)
+      case j: SortMergeJoinExec =>
+        Seq(j.output) ++ j.children.flatMap(joinsIn)
+      case j: ShuffledHashJoinExec =>
+        Seq(j.output) ++ j.children.flatMap(joinsIn)
+      case other => other.children.flatMap(joinsIn)
+    }
+    val joins = joinsIn(out.queryExecution.executedPlan)
+    assert(joins.nonEmpty, "expected a shuffled join in the diff plan")
+    val cols = joins.flatten.map(_.name).toSet
+    assert(!cols.contains("text"),
+      s"join output carries document content: $cols")
+  }
+}
