@@ -53,6 +53,28 @@ object StreamingIngest {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Windowed heavy hitters — the streaming twin of L53's semantic
+    * restricted to an event-time window: keys whose occurrence count
+    * within a tumbling window reaches `minCount` (trending tokens /
+    * hot domains per window). Exact per window — streaming state plays
+    * the screen's role and the watermark bounds it to the horizon;
+    * append mode emits each window's final answer exactly once when the
+    * watermark closes it, so the output is the batch
+    * `GROUP BY window, key HAVING count >= T` row for row
+    * (stream ≡ batch pinned in spec, disorder included). `occurrences`
+    * needs an event-time `ts` (TimestampType) column. */
+  def windowedHeavyHitters(occurrences: DataFrame, keyCol: String,
+      minCount: Long, windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame = {
+    require(minCount > 0, s"minCount $minCount must be positive")
+    occurrences
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+  }
+
   /** Exactly-once-style sink: every micro-batch goes through the SAME
     * IdempotentAppend protocol as the batch path (J3) via foreachBatch —
     * a replayed micro-batch inserts 0, which is precisely the reference's

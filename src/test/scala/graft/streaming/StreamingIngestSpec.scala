@@ -120,4 +120,46 @@ class StreamingIngestSpec extends SparkSpec {
       assert(spark.table("file_stream").agg(sum("count")).head.getLong(0) == 100)
     } finally q.stop()
   }
+
+  test("windowed heavy hitters: stream (append, disorder) == batch HAVING") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val occ = input.toDF().toDF("ts", "k")
+    val q = windowedHeavyHitters(occ, "k", minCount = 2,
+        windowDur = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two windows, out-of-order within the watermark
+      input.addData(
+        (ts("2024-01-01 10:00:40"), "a"),
+        (ts("2024-01-01 10:00:10"), "a"),
+        (ts("2024-01-01 10:00:20"), "b"), // below threshold in w0
+        (ts("2024-01-01 10:01:05"), "b"))
+      q.processAllAvailable()
+      // batch 2: late-but-in-horizon b lands back in w1, then advance
+      // the watermark far enough to close both windows
+      input.addData(
+        (ts("2024-01-01 10:01:50"), "b"),
+        (ts("2024-01-01 10:05:00"), "z"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:10:00"), "z"))
+      q.processAllAvailable()
+      val got = spark.table("hh_stream")
+        .select("window_start", "k", "n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      // the batch answer over the same rows
+      val rows = Seq(
+        (ts("2024-01-01 10:00:40"), "a"), (ts("2024-01-01 10:00:10"), "a"),
+        (ts("2024-01-01 10:00:20"), "b"), (ts("2024-01-01 10:01:05"), "b"),
+        (ts("2024-01-01 10:01:50"), "b"), (ts("2024-01-01 10:05:00"), "z"),
+        (ts("2024-01-01 10:10:00"), "z")).toDF("ts", "k")
+      val want = rows.groupBy(window(col("ts"), "1 minute"), col("k"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select(col("window.start"), col("k"), col("n"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"stream $got != batch $want")
+    } finally q.stop()
+  }
 }
