@@ -705,6 +705,19 @@ object LlmPipeline {
         .orderBy(col("status"))
     }),
 
+    "q_qr4_drift" -> ((s, dir) => {
+      // distribution drift (r7, L55): language-mix PSI between the
+      // even-id reference snapshot and a deliberately skewed current
+      // snapshot (odd ids, long docs only — shifts the language mix);
+      // per-category counts + 1e-6-quantized PSI contributions
+      val docs = t(s, dir, "documents")
+      Drift.categorical(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1 && col("n_chars") >= 400),
+          "lang")
+        .orderBy(col("bucket"))
+    }),
+
     "q_t11_shared_passages" -> ((s, dir) =>
       // passage-level (not whole-doc) duplication: pairs sharing >= 3
       // rare verbatim 8-gram runs; at sf0.1 this finds ~10x more pairs
@@ -1513,6 +1526,29 @@ object LlmPipeline {
                 FROM oldS FULL OUTER JOIN newS ON oldS.doc_id = newS.doc_id)
          SELECT status, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM j GROUP BY status ORDER BY status""",
+    // q_qr4: replays the smoothed shares and the single ln inside the
+    // same half-up floor — the one float surface is token-identical
+    "q_qr4_drift" ->
+      """WITH r AS (SELECT lang AS bucket, COUNT(*) AS n_ref
+              FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+              GROUP BY lang),
+          c AS (SELECT lang AS bucket, COUNT(*) AS n_cur
+              FROM documents
+              WHERE doc_id % 2 = 1 AND n_chars >= 400 AND lang IS NOT NULL
+              GROUP BY lang),
+          j AS (SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+                  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+                FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+          t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc,
+                  COUNT(*) AS b FROM j)
+         SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+                CAST(n_cur AS BIGINT) AS n_cur,
+                CAST(FLOOR(((n_ref + 0.5) / (tr + 0.5 * b) -
+                    (n_cur + 0.5) / (tc + 0.5 * b)) *
+                  ln(((n_ref + 0.5) / (tr + 0.5 * b)) /
+                    ((n_cur + 0.5) / (tc + 0.5 * b))) * 1000000 + 0.5)
+                  AS BIGINT) AS psi_e6
+         FROM j, t ORDER BY bucket""",
     // q_t21: the sketch screen is exact end-to-end (Count-Min never
     // underestimates; overestimates die in the exact confirm), so the
     // oracle is the plain GROUP BY HAVING over every 3-gram OCCURRENCE

@@ -412,6 +412,35 @@ class SamplingSpec extends SparkSpec {
     assert(got === Map("a" -> 10000L, "b" -> 100L))
   }
 
+  test("temperatureMixture: randomized vs a Scala reference model") {
+    // the operator's whole allocation, replayed in plain Scala BigInt
+    // arithmetic + the md5 rank rule, on seeded random group sizes
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val sizes = (1 to 2 + rnd.nextInt(6))
+        .map(i => s"g$i" -> (1 + rnd.nextInt(200))).toMap
+      val budget = 1L + rnd.nextInt(150)
+      val df = groupsOf(sizes.toSeq: _*)
+      val got = mixCounts(df, budget, 0.5)
+
+      // reference: quantized sqrt weights, Hamilton seats, cap at n
+      val w = sizes.map { case (g, n) =>
+        g -> BigInt(math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong)
+      }
+      val s = w.values.sum
+      val base = w.map { case (g, wg) => g -> (BigInt(budget) * wg / s) }
+      val rem = w.map { case (g, wg) => g -> (BigInt(budget) * wg % s) }
+      val left = (BigInt(budget) - base.values.sum).toInt
+      val seated = rem.toSeq.sortBy { case (g, r) => (-r, g) }
+        .take(left).map(_._1).toSet
+      val want = sizes.map { case (g, n) =>
+        g -> math.min(n.toLong,
+          (base(g) + (if (seated(g)) 1 else 0)).toLong)
+      }.filter(_._2 > 0)
+      assert(got === want, s"trial $trial sizes=$sizes budget=$budget")
+    }
+  }
+
   test("temperatureMixture: membership is stable under repartitioning") {
     val df = groupsOf("a" -> 100, "b" -> 25, "c" -> 4)
     val a = Sampling.temperatureMixture(df, "g", col("id"), 17, 0.5)
