@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Snapshot-over-snapshot corpus diff — the data-versioning report a
@@ -22,12 +22,20 @@ import org.apache.spark.sql.functions._
 object CorpusDiff {
 
   /** Per-id diff between `oldSnap` and `newSnap`: (id, status) with
-    * status ∈ added | removed | changed | unchanged. */
+    * status ∈ added | removed | changed | unchanged. NULL content is a
+    * legal value, not absence: the fingerprint coalesces to an empty
+    * binary sentinel (a real md5 is always 16 bytes, so no collision),
+    * so presence is carried by the join itself — a null-text doc in one
+    * snapshot only is removed/added, in both with equal nullness
+    * unchanged (review-caught: a raw `md5` would read its null as the
+    * row being ABSENT). */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
     def fp(df: DataFrame, side: String): DataFrame =
       df.filter(col(idCol).isNotNull)
-        .select(col(idCol), md5(col(contentCol).cast("binary")).as(side))
+        .select(col(idCol),
+          coalesce(unhex(md5(col(contentCol).cast("binary"))),
+            lit(Array.emptyByteArray)).as(side))
     val joined = fp(oldSnap, "__old_fp")
       .join(fp(newSnap, "__new_fp"), Seq(idCol), "full_outer")
     joined.select(col(idCol),
@@ -38,10 +46,13 @@ object CorpusDiff {
   }
 
   /** The rollup: one row per status with document count and an id-sum
-    * membership witness (pins WHICH ids, not just how many). */
+    * membership witness (pins WHICH ids, not just how many). The sum
+    * runs in DECIMAL(38,0) — 64-bit ids over billions of rows overflow
+    * a LONG sum (the temperatureMixture review lesson applied here). */
   def report(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       contentCol: String): DataFrame =
     diff(oldSnap, newSnap, idCol, contentCol)
       .groupBy(col("status"))
-      .agg(count(lit(1)).as("n"), sum(col(idCol)).as("id_sum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(idCol).cast("decimal(38,0)")).as("id_sum"))
 }

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * bucket (`p_b = (n_b + 0.5) / (N + 0.5·B)`) so empty cells never
   * divide by zero or take `ln 0`, and every per-bucket contribution is
   * quantized ONCE to integer 1e-6 (floor half-up, the repo's L43 float
-  * discipline) — totals are exact BIGINT sums, order-independent and
-  * engine-portable, and the oracle replays the identical expression
-  * tree token-for-token.
+  * discipline) — totals are exact BIGINT sums, order-independent within
+  * the engine; the oracle replays the identical expression tree
+  * token-for-token. Cross-engine caveat (same as L43/L46's ln-in-floor
+  * oracles, which have held across rounds): `ln` is libm-specified to
+  * ~1 ulp, not correctly rounded, so a contribution landing within an
+  * ulp of a .5 quantization boundary could read one off between
+  * engines — accepted here exactly as in the established families.
   *
   * Scale shape: one partial-aggregated count per snapshot (output ≤ B
   * buckets each), a B-row full-outer join, a 1-row totals broadcast,

@@ -1512,11 +1512,14 @@ object LlmPipeline {
     // fingerprint compare; FULL OUTER + CASE mirrors the engine's
     // status derivation token-for-token
     "q_qr3_corpus_diff" ->
-      """WITH oldS AS (SELECT doc_id, md5(text) AS f FROM documents
-              WHERE doc_id % 7 <> 0),
+      // '' sentinel for null content mirrors the engine's empty-binary
+      // coalesce: equal-md5 compare ≡ equal-bytes compare, and presence
+      // rides the join, not the fingerprint's nullness
+      """WITH oldS AS (SELECT doc_id, COALESCE(md5(text), '') AS f
+              FROM documents WHERE doc_id % 7 <> 0),
           newS AS (SELECT doc_id,
-                md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
-                         ELSE text END) AS f
+                COALESCE(md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                         ELSE text END), '') AS f
               FROM documents WHERE doc_id % 5 <> 0),
           j AS (SELECT COALESCE(oldS.doc_id, newS.doc_id) AS doc_id,
                   CASE WHEN oldS.f IS NULL THEN 'added'
@@ -1524,7 +1527,8 @@ object LlmPipeline {
                        WHEN oldS.f = newS.f THEN 'unchanged'
                        ELSE 'changed' END AS status
                 FROM oldS FULL OUTER JOIN newS ON oldS.doc_id = newS.doc_id)
-         SELECT status, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         SELECT status, COUNT(*) AS n,
+                CAST(SUM(doc_id) AS DECIMAL(38,0)) AS id_sum
          FROM j GROUP BY status ORDER BY status""",
     // q_qr4: replays the smoothed shares and the single ln inside the
     // same half-up floor — the one float surface is token-identical

@@ -61,13 +61,17 @@ object StreamingIngest {
     * append mode emits each window's final answer exactly once when the
     * watermark closes it, so the output is the batch
     * `GROUP BY window, key HAVING count >= T` row for row
-    * (stream ≡ batch pinned in spec, disorder included). `occurrences`
-    * needs an event-time `ts` (TimestampType) column. */
+    * (stream ≡ batch over NON-NULL event times, pinned in spec with
+    * disorder). `occurrences` needs an event-time `ts` (TimestampType)
+    * column; null-ts rows are dropped up front — a null window can
+    * never be closed by the watermark, so it would otherwise pin a
+    * state-store row forever and never emit (review-caught). */
   def windowedHeavyHitters(occurrences: DataFrame, keyCol: String,
       minCount: Long, windowDur: String = "1 minute",
       watermark: String = "2 minutes"): DataFrame = {
     require(minCount > 0, s"minCount $minCount must be positive")
     occurrences
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n"))

@@ -21,10 +21,26 @@ class CorpusDiffSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
     val rep = CorpusDiff.report(oldSnap, newSnap, "doc_id", "text")
-      .select($"status", $"n", $"id_sum").as[(String, Long, Long)]
+      .select($"status", $"n", $"id_sum".cast("long")) // decimal witness
+      .as[(String, Long, Long)]
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(rep === Map("unchanged" -> ((1L, 1L)), "changed" -> ((1L, 2L)),
       "removed" -> ((1L, 3L)), "added" -> ((1L, 4L))))
+  }
+
+  test("null content is a value, not absence (review)") {
+    // review-caught: a raw md5 null would read the row as ABSENT —
+    // a null-text doc present only in old must be 'removed', not 'added'
+    val oldSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("real"))).toDF("doc_id", "text")
+    val newSnap = Seq((2L, Some("now filled")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "removed",   // null-text doc gone from new
+      2L -> "changed",   // null -> real content
+      3L -> "changed"))  // real content -> null
   }
 
   test("null ids drop from both snapshots") {
