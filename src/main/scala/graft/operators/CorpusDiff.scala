@@ -28,7 +28,14 @@ object CorpusDiff {
     * so presence is carried by the join itself — a null-text doc in one
     * snapshot only is removed/added, in both with equal nullness
     * unchanged (review-caught: a raw `md5` would read its null as the
-    * row being ABSENT). */
+    * row being ABSENT).
+    *
+    * Precondition: `idCol` is unique WITHIN each snapshot ("per
+    * document id" is the contract). Duplicate ids fan out through the
+    * full-outer join (k_old × k_new rows per id) and would silently
+    * inflate [[report]]'s counts and witness; snapshots produced by
+    * this library's own dedup (L1) satisfy the contract, foreign inputs
+    * should be deduped on id first. */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
     def fp(df: DataFrame, side: String): DataFrame =
@@ -48,11 +55,16 @@ object CorpusDiff {
   /** The rollup: one row per status with document count and an id-sum
     * membership witness (pins WHICH ids, not just how many). The sum
     * runs in DECIMAL(38,0) — 64-bit ids over billions of rows overflow
-    * a LONG sum (the temperatureMixture review lesson applied here). */
+    * a LONG sum (the temperatureMixture review lesson applied here) —
+    * but the COLUMN goes out as its canonical decimal STRING: wide
+    * scale-0 decimals render differently across engines' binary
+    * representations (r7's only driver-red was exactly this column
+    * hash-mismatching while bit-exact by value), and the digit string
+    * is the one representation every engine agrees on. */
   def report(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       contentCol: String): DataFrame =
     diff(oldSnap, newSnap, idCol, contentCol)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),
-        sum(col(idCol).cast("decimal(38,0)")).as("id_sum"))
+        sum(col(idCol).cast("decimal(38,0)")).cast("string").as("id_sum"))
 }

@@ -26,10 +26,14 @@ import graft.functions.TextAnalysis
   * Zipfian corpus the tail (the overwhelming majority of DISTINCT keys,
   * which is what sizes the groupBy's hash tables and shuffle) is
   * dropped map-side at scan speed. Sketch width/depth are
-  * `eps`/`confidence` knobs with the standard w = ⌈e/eps⌉ bound: the
-  * default 1e-4 at 99% is a ~2.7k × 5 long grid, ~100 KB in the task
-  * closure regardless of corpus size. The sketch pass and the confirm
-  * pass each scan once; both stay in whole-stage codegen.
+  * `eps`/`confidence` knobs sized by SPARK'S convention (CountMinSketch
+  * .create): w = ⌈2/eps⌉, d = ⌈log₂(1/(1−confidence))⌉ — the default
+  * 1e-4 at 99% is a 20000 × 7 long grid, ~1.1 MB in the task closure
+  * regardless of corpus size (advice-corrected: NOT the textbook
+  * ⌈e/eps⌉ × ⌈ln(1/δ)⌉, and an order of magnitude bigger than a
+  * back-of-envelope might budget — tighten `eps` to shrink it). The
+  * sketch pass and the confirm pass each scan once; both stay in
+  * whole-stage codegen.
   *
   * Keys are screened by their xxhash64 image: a 64-bit hash collision
   * can only merge two keys' counts — an OVERestimate, absorbed by the
@@ -39,7 +43,19 @@ object HeavyHitters {
 
   /** Exact keys-with-count >= minCount over an occurrence relation.
     * `occurrences` is one row per occurrence; `key` the column to count.
-    * Output: (key, n), exactly `GROUP BY key HAVING count(*) >= minCount`. */
+    * Output: (key, n), exactly `GROUP BY key HAVING count(*) >= minCount`.
+    *
+    * Two-pass contract: the sketch build and the screened confirm are
+    * SEPARATE jobs over `occurrences`. The no-false-negative guarantee
+    * therefore requires the relation to be deterministic and its
+    * backing files stable between the two scans — a non-deterministic
+    * source (rand(), a mutating directory, an uncheckpointed shuffle
+    * replay under speculative retry) can make the sketch undercount
+    * what the confirm pass then sees. Persisting `occurrences` would
+    * close the window but means caching every occurrence (corpus-sized
+    * at 100 TB); for batch parquet inputs — this operator's use case —
+    * stability holds by construction, so the requirement is documented
+    * rather than paid for. */
   def frequent(occurrences: DataFrame, key: Column, minCount: Long,
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {

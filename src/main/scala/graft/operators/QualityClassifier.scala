@@ -156,9 +156,18 @@ object QualityClassifier {
 
   /** Score every document under a fitted model: (id, n_feats, logit_e6,
     * prob). `logit_e6` is the integer-quantized logit (exact dot product,
-    * one rounding); `prob` its sigmoid. Featureless documents score the
-    * bias alone. The corpus-scale path: narrow featurize + broadcast
-    * m-row weight join + one partial agg. */
+    * one EXACT rounding); `prob` its sigmoid. Featureless documents score
+    * the bias alone. The corpus-scale path: narrow featurize + broadcast
+    * m-row weight join + one partial agg.
+    *
+    * The rounding is round-half-up of `num / n_feats` computed as
+    * `floorDiv(2·num + n, 2·n)` in DECIMAL(38,0) with the floor built
+    * from `pmod` — a division by an exact multiple, so NO inexact
+    * division anywhere (advice-fixed: the previous double-cast division
+    * silently degraded past 2^53, where train and score could disagree
+    * at extremes). The identity: for n > 0 and any-sign num,
+    * half-up(num/n) = ⌊(2·num + n) / (2·n)⌋, and
+    * ⌊a/b⌋ = (a − pmod(a, b)) / b exactly. */
   def score(docs: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
     val spark = docs.sparkSession
@@ -166,6 +175,9 @@ object QualityClassifier {
     val wDf = broadcast(
       model.weightsE6.toIndexedSeq.zipWithIndex
         .map { case (v, b) => (b, v) }.toDF("bucket", "w_e6"))
+    val halfNum = col("num").cast("decimal(38,0)") * lit(2) +
+      col("n_feats")
+    val halfDen = col("n_feats").cast("decimal(38,0)") * lit(2)
     val perDoc = Dsir.features(docs, idCol, textCol, model.m)
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("x"))
       .join(wDf, Seq("bucket"), "left")
@@ -173,7 +185,7 @@ object QualityClassifier {
       .agg(sum(col("x")).as("n_feats"),
         sum(coalesce(col("w_e6"), lit(0L)) * col("x")).as("num"))
       .select(col(idCol), col("n_feats"),
-        (floor(col("num").cast("double") / col("n_feats") + lit(0.5))
+        (((halfNum - pmod(halfNum, halfDen)) / halfDen)
           .cast("long") + lit(model.biasE6)).as("logit_e6"))
     docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")

@@ -1528,7 +1528,7 @@ object LlmPipeline {
                        ELSE 'changed' END AS status
                 FROM oldS FULL OUTER JOIN newS ON oldS.doc_id = newS.doc_id)
          SELECT status, COUNT(*) AS n,
-                CAST(SUM(doc_id) AS DECIMAL(38,0)) AS id_sum
+                CAST(CAST(SUM(doc_id) AS DECIMAL(38,0)) AS VARCHAR) AS id_sum
          FROM j GROUP BY status ORDER BY status""",
     // q_qr4: replays the smoothed shares and the single ln inside the
     // same half-up floor — the one float surface is token-identical

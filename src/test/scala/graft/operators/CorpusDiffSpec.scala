@@ -21,11 +21,28 @@ class CorpusDiffSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
     val rep = CorpusDiff.report(oldSnap, newSnap, "doc_id", "text")
-      .select($"status", $"n", $"id_sum".cast("long")) // decimal witness
-      .as[(String, Long, Long)]
+      .as[(String, Long, String)]
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(rep === Map("unchanged" -> ((1L, 1L)), "changed" -> ((1L, 2L)),
-      "removed" -> ((1L, 3L)), "added" -> ((1L, 4L))))
+    assert(rep === Map("unchanged" -> ((1L, "1")), "changed" -> ((1L, "2")),
+      "removed" -> ((1L, "3")), "added" -> ((1L, "4"))))
+  }
+
+  test("id_sum witness is a canonical digit STRING (r7 driver-red pin)") {
+    // r7's only driver-red was this column: bit-exact DECIMAL(38,0)
+    // values hash-mismatching across engines' binary decimal layouts.
+    // The representation contract is now part of the operator: the
+    // witness column is StringType, rendered as plain digits with no
+    // scale markers, even for sums past 2^63.
+    val big = 4000000000L // 4e9 — pairwise sums exceed Int, stress rendering
+    val oldSnap = Seq((big, "a"), (big + 1, "b"), (big + 2, "c"))
+      .toDF("doc_id", "text")
+    val rep = CorpusDiff.report(oldSnap, oldSnap, "doc_id", "text")
+    import org.apache.spark.sql.types.StringType
+    assert(rep.schema("id_sum").dataType === StringType)
+    val Seq((st, n, w)) =
+      rep.as[(String, Long, String)].collect().toSeq
+    assert((st, n, w) === (("unchanged", 3L, "12000000003")))
+    assert(w.forall(_.isDigit), s"non-canonical witness rendering: $w")
   }
 
   test("null content is a value, not absence (review)") {
