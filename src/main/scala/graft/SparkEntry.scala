@@ -21,7 +21,11 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.LlmPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * A `def` on purpose: LlmPipeline.dynamicOracles embeds state the
+    * query runs establish (the q_t20 trained weight vector), so the dump
+    * must happen AFTER Verify ran the queries — which Verify guarantees. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.LlmPipeline.oracles
+    graft.queries.Relational.oracles ++ graft.queries.LlmPipeline.oracles ++
+      graft.queries.LlmPipeline.dynamicOracles
 }

@@ -314,6 +314,34 @@ object TextAnalysis {
       .withColumn(as, winnowingSketch(col("__wn_seq"), w))
       .drop("__wn_th", "__wn_seq")
 
+  /** PORTABLE positional k-gram hash sequence: each position hashes its
+    * space-joined k-gram through the engine-portable md5 convention
+    * (DSIR's trick, widened from 16 to 60 bits so window-min ties stay
+    * ~2⁻⁶⁰-rare): `conv(substr(md5(gram), 1, 15), 16, 10)` ≡ DuckDB
+    * `CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)` — 15 hex digits
+    * = 60 bits, always positive, always < 2⁶³. O(k) per position with
+    * k fixed; ~2× the xxhash64 path's cost (md5 + string staging), which
+    * is why BOTH exist: this one whenever cross-engine reproducibility
+    * of sketch CONTENT matters (the oracle, polyglot pipelines), the
+    * xxhash64 path when only within-engine agreement is needed. */
+  def portableShingleHashSeq(tk: Column, k: Int): Column =
+    when(size(tk) < k, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tk) - (k - 1)),
+        i => conv(substring(md5(array_join(slice(tk, i, lit(k)), " ")),
+          1, 15), 16, 10).cast("bigint")))
+
+  /** [[withWinnowing]] on the portable hash family: identical window
+    * min-select, sketches reproducible in any engine with md5 —
+    * oracle-exact, not just rows-countable. */
+  def withPortableWinnowing(df: org.apache.spark.sql.DataFrame,
+      textCol: String, as: String = "sketch", k: Int = 3,
+      w: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn("__wn_tk", tokens(col(textCol)))
+      .withColumn("__wn_seq", portableShingleHashSeq(col("__wn_tk"), k))
+      .withColumn(as, winnowingSketch(col("__wn_seq"), w))
+      .drop("__wn_tk", "__wn_seq")
+
   // ------------------------------------------------------------ PII scrub
 
   /** Email/URL patterns for scrubbing — restricted to syntax both Java's

@@ -33,6 +33,44 @@ object LlmPipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Driver-gated recall report for an approximate top-k result: joins
+    * the ANN pairs against the in-engine exact brute-force top-3 (the
+    * same computation the oracle-green q_v1 pins), emits per query the
+    * exact k-th similarity plus the corpus-level floor verdict. `ann`
+    * must carry (query_id, neighbor_id); queries are vec_id < 5 of
+    * `emb`, corpus the rest — mirrored by the shared oracle SQL. */
+  private def annRecallReport(s: SparkSession, ann: DataFrame,
+      emb: DataFrame, minHits: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 3)
+    val perQuery = ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    // the floor verdict is corpus-level: a deliberately global window
+    // over the |queries|-row report (5 rows — never corpus-sized) sums
+    // the hits without the 1-row cross join a scalar would need (the
+    // ANN plan audit pins "no cross product", and it should)
+    exact.filter(col("rank") === 3)
+      .select(col("query_id"), col("sim").as("exact_kth_sim"))
+      .join(perQuery, Seq("query_id"), "left")
+      .withColumn("recall_ok",
+        sum(coalesce(col("__hits"), lit(0L)))
+          .over(Window.partitionBy()) >= minHits)
+      .select(col("query_id"), col("exact_kth_sim"), col("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Model fitted by the q_t20 query run, consumed by [[dynamicOracles]].
+    * Training is bit-exact under any partitioning (QualityClassifierSpec),
+    * so the weights are a pure function of the input table — Verify runs
+    * every query BEFORE dumping oracle_sql.json, which makes the fitted
+    * vector legal oracle material: the oracle replays the corpus-scale
+    * SCORING join with the weights as literals, exactly what a user
+    * deploying a trained filter runs. */
+  @volatile private var trainedT20: Option[QualityClassifier.Model] = None
+
   // Shared tokenizer fragment for DuckDB oracles.
   private val duckToks =
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
@@ -178,13 +216,16 @@ object LlmPipeline {
         .filter(col("id") < 20)
         .orderBy(col("id"), col("term"))),
     "q_t6_winnowing" -> ((s, dir) =>
-      // winnowing (MOSS rolling-hash) sketches — sketch contents are
-      // hash-family-dependent, so no SQL oracle (rows-only); the
-      // w+k-1-run guarantee is measured in TextNearDupSpec
-      TextAnalysis.withWinnowing(
+      // winnowing (MOSS) sketches on the PORTABLE md5-60-bit hash family
+      // (r8): sketch CONTENT is oracle-exact — DuckDB replays the token
+      // k-grams, the same 60-bit hash prefix and the same w-window
+      // min-select value for value; the w+k-1 shared-run guarantee is
+      // measured in TextNearDupSpec (xxhash64 fast path kept for
+      // engine-internal use)
+      TextAnalysis.withPortableWinnowing(
           t(s, dir, "documents").filter(col("doc_id") < 50), "text")
-        .select(col("doc_id"), size(col("sketch")).as("sketch_size"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), explode(col("sketch")).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))),
     "q_t4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .agg(
@@ -298,34 +339,44 @@ object LlmPipeline {
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // ANN recall reports (r8, VERDICT r7 #4): each approximate index is
+    // now DRIVER-gated, not just spec-measured. Output per query:
+    // (query_id, exact_kth_sim, recall_ok) — exact_kth_sim is the k-th
+    // exact-cosine similarity (a pure function of the data, recomputed
+    // independently by the DuckDB oracle), recall_ok the aggregate
+    // verdict `Σ per-query |ANN ∩ exact top-k| >= floor` that the
+    // oracle declares TRUE. A recall regression under ANY future data
+    // regeneration flips the boolean and reds the driver gate. Floors
+    // sit well under measured totals (LSH 10/15, IVF 7/15 at sf0.01;
+    // aggregate because per-query recall legitimately hits 0 on a
+    // worst-case query while the index stays healthy). The top-k LISTS
+    // remain spec-tested (SimilaritySpec, AnnRecallProbe).
     "q_v2_ann_lsh" -> ((s, dir) => {
-      // approximate variant — no SQL oracle (rows-only check); recall vs
-      // brute force is measured in SimilaritySpec
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
-        .orderBy(col("query_id"), col("rank"))
+      annRecallReport(s,
+        Similarity.lshTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3),
+        e, minHits = 7L)
     }),
     "q_v4_ann_ivf" -> ((s, dir) => {
       // IVF inverted-list ANN — the second scale-path family next to LSH
-      // (north star: "an IVF or LSH-bucketed variant"); approximate, so
-      // rows-only check; recall measured in SimilaritySpec
+      // (north star: "an IVF or LSH-bucketed variant")
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
-        .orderBy(col("query_id"), col("rank"))
+      annRecallReport(s,
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3),
+        e, minHits = 4L)
     }),
     "q_v6_ann_ivf_quantized" -> ((s, dir) => {
       // IVF over int8-coded inverted lists with float re-rank of the
       // top candidates (VERDICT r6 #5) — the volume path moves 1-byte
-      // codes, fp32 touched only for rerank×|queries| rows. Approximate
-      // → rows-only check; quantized-vs-float recall measured in
-      // AnnRecallProbe, rerank-covers-corpus equality pinned in
-      // SimilaritySpec
+      // codes, fp32 touched only for rerank×|queries| rows;
+      // rerank-covers-corpus equality pinned in SimilaritySpec
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopKQuantized(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
-        .orderBy(col("query_id"), col("rank"))
+      annRecallReport(s,
+        Similarity.ivfTopKQuantized(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3),
+        e, minHits = 4L)
     }),
     "q_v3_norm_stats" -> ((s, dir) =>
       Similarity.normStats(t(s, dir, "embeddings"), "label")
@@ -661,10 +712,13 @@ object LlmPipeline {
       // the SAME documents (identical unigram mass, destroyed order —
       // the learned signal is bigram fluency, the thing the deployed
       // classifiers actually measure). Train on the doc_id%10==0
-      // subsample, score the full corpus. No SQL oracle (the dependent
-      // GD rounds are outside one statement); retrain bit-exactness,
-      // held-out separation and the broadcast scoring plan are
-      // spec-pinned in QualityClassifierSpec.
+      // subsample, score the full corpus. The iterative GD rounds are
+      // outside one SQL statement, but training is bit-exact under any
+      // partitioning (spec-pinned), so the fitted weights ARE a
+      // deterministic function of the input table — the query stashes
+      // them and [[dynamicOracles]] embeds them as a literal VALUES CTE
+      // whose oracle replays the corpus-scale SCORING join exactly
+      // (featurize, broadcast weight join, exact floorDiv half-up).
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val scrambled = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ", sort_array(split(col("text"), "\\s+"))).as("text"))
@@ -672,6 +726,7 @@ object LlmPipeline {
       val model = QualityClassifier.train(docs.filter(trainRows),
         scrambled.filter(trainRows), "doc_id", "text", m = 2048,
         iters = 8)
+      trainedT20 = Some(model)
       QualityClassifier.score(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("n_feats"), col("logit_e6"))
         .orderBy(col("doc_id"))
@@ -870,6 +925,28 @@ object LlmPipeline {
                      4) AS boiler_frac
         FROM sh s LEFT JOIN nb ON s.doc_id = nb.doc_id ORDER BY id"""
 
+  /** Shared oracle for the three ANN recall reports — identical SQL:
+    * only the engine-side floor differs, and the oracle's declaration is
+    * TRUE for all of them. */
+  private lazy val annRecallOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                   FROM embeddings WHERE vec_id >= 5),
+             s AS (SELECT query_id, neighbor_id,
+                     ROUND(CASE WHEN sqrt(${duckNormSq("qv")}) = 0
+                                  OR sqrt(${duckNormSq("cv")}) = 0 THEN 0.0
+                           ELSE $duckDot / (sqrt(${duckNormSq("qv")})
+                                            * sqrt(${duckNormSq("cv")})) END,
+                           6) AS sim
+                   FROM c CROSS JOIN q),
+             e AS (SELECT query_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+                   FROM s)
+       SELECT query_id, sim AS exact_kth_sim, TRUE AS recall_ok
+       FROM e WHERE rank = 3 ORDER BY query_id"""
+
   private val duckDot =
     "list_sum(list_transform(range(1, len(qv) + 1), " +
       "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))"
@@ -1051,6 +1128,28 @@ object LlmPipeline {
                  ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
           FROM tf JOIN dfr USING (term), n
           WHERE id < 20 ORDER BY id, term""",
+    // q_t6: replays the portable winnowing sketch value for value — the
+    // k=3 space-joined token grams, the md5-60-bit positional hash
+    // (15 hex digits, DSIR's convention widened), and the w=4 window
+    // min-select with the same short-doc clamp (one whole-sequence
+    // window when fewer than w positions exist; slice-past-end clamps
+    // identically on both engines). list_distinct mirrors the sketch's
+    // array_distinct; empty sketches drop via unnest ≡ explode.
+    "q_t6_winnowing" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents
+              WHERE doc_id < 50),
+          hs AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN []
+                   ELSE list_transform(range(1, len(tk) - 1),
+                     i -> CAST(concat('0x',
+                       substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                         1, 15)) AS BIGINT)) END AS hs
+                 FROM tk),
+          sk AS (SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 3, 1) + 1),
+                   i -> list_min(list_slice(hs, i, i + 3)))) AS sketch
+                 FROM hs WHERE len(hs) > 0)
+         SELECT doc_id, unnest(sketch) AS fp FROM sk
+         ORDER BY doc_id, fp""",
     "q_t4_fingerprint" ->
       """SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct,
@@ -1195,6 +1294,14 @@ object LlmPipeline {
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
           FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""",
+    // q_v2/q_v4/q_v6 (r8): the oracle recomputes the EXACT top-3 per
+    // query independently (same cross-join + rank as q_v1), reports each
+    // query's 3rd-best similarity, and declares the recall floor met —
+    // the engine side computes |ANN ∩ exact| for real, so any recall
+    // regression flips recall_ok and fails this compare.
+    "q_v2_ann_lsh" -> annRecallOracle,
+    "q_v4_ann_ivf" -> annRecallOracle,
+    "q_v6_ann_ivf_quantized" -> annRecallOracle,
     "q_v3_norm_stats" ->
       s"""SELECT label,
             ROUND(AVG(sqrt(${duckNormSq("embedding")})), 4) AS avg_norm,
@@ -1629,8 +1736,59 @@ object LlmPipeline {
           FROM pk GROUP BY split ORDER BY split"""
     }
     // q_v2_ann_lsh, q_v4_ann_ivf, q_v6_ann_ivf_quantized,
-    // q_a2x_approx_distinct, q_t6_winnowing: no SQL oracle (approximate /
+    // q_a2x_approx_distinct: no SQL oracle (approximate /
     // hash-family-dependent) — driver records the weaker rows-only check;
     // invariants measured in specs.
   )
+
+  /** Oracles that depend on state a query run establishes — today the
+    * q_t20 classifier-scoring oracle, whose weight table is the vector
+    * the query's deterministic training fit. Evaluated by Verify AFTER
+    * all queries ran; empty for any query that didn't run (the driver
+    * then records its rows-only fallback, never a wrong oracle). */
+  def dynamicOracles: Map[String, String] = trainedT20 match {
+    case None => Map.empty
+    case Some(m) =>
+      // only nonzero weights ride the VALUES CTE; zero-weight buckets
+      // contribute 0 to the dot product on both sides (LEFT JOIN +
+      // COALESCE 0), so omitting them is exact
+      val nz = m.weightsE6.iterator.zipWithIndex
+        .filter(_._1 != 0L)
+        .map { case (w, b) => s"($b,$w)" }.mkString(",")
+      if (nz.isEmpty) Map.empty
+      else Map("q_t20_quality_classifier" ->
+        // replays QualityClassifier.score end-to-end: the m=2048 hashed
+        // uni+bigram featurization (portable md5-16-bit convention, the
+        // duckDsir chain's hash), per-(doc,bucket) counts, the weight
+        // join, and the EXACT round-half-up logit_e6 =
+        // floorDiv(2·num + n, 2·n) + bias with the floor built from a
+        // nonnegative mod — token-identical to the engine's decimal
+        // pmod identity. Featureless documents score the bias alone.
+        s"""WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+            uni AS (SELECT doc_id, unnest(tk) AS f FROM tk),
+            big AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS f
+                    FROM tk WHERE len(tk) >= 2),
+            feats AS (SELECT doc_id,
+                        CAST(concat('0x', substr(md5(f), 1, 4)) AS INT)
+                          % ${m.m} AS b
+                      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+            xs AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS x
+                   FROM feats GROUP BY doc_id, b),
+            w(b, w_e6) AS (VALUES $nz),
+            sc AS (SELECT doc_id, CAST(SUM(x) AS BIGINT) AS n_feats,
+                     CAST(SUM(COALESCE(w_e6, 0) * x) AS BIGINT) AS num
+                   FROM xs LEFT JOIN w USING (b) GROUP BY doc_id),
+            lg AS (SELECT doc_id, n_feats,
+                     CAST((2*num + n_feats -
+                        ((((2*num + n_feats) % (2*n_feats)) + 2*n_feats)
+                          % (2*n_feats))) // (2*n_feats) AS BIGINT)
+                       + ${m.biasE6} AS logit_e6
+                   FROM sc)
+           SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+                  CAST(COALESCE(logit_e6, ${m.biasE6}) AS BIGINT) AS logit_e6
+           FROM documents d LEFT JOIN lg USING (doc_id)
+           ORDER BY d.doc_id""")
+  }
 }
