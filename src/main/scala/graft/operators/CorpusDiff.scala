@@ -67,4 +67,153 @@ object CorpusDiff {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),
         sum(col(idCol).cast("decimal(38,0)")).cast("string").as("id_sum"))
+
+  // ------------------------------------------------------------- fuzzy
+
+  /** [[diff]] with the `changed` class split by HOW MUCH changed:
+    * `edited` (token `shingleLen`-gram Jaccard between the two versions
+    * ≥ thresholdE6/10⁶ — a revision of the same document) vs `rewritten`
+    * (below — the id now carries substantially different content). The
+    * distinction is what a release-notes consumer actually wants: "3%
+    * of documents got touch-ups, 0.1% were replaced wholesale".
+    *
+    * Scale shape: the md5 diff runs FIRST (fingerprint-weight, as
+    * [[diff]]), and only ids it classifies `changed` are semi-joined
+    * back to the snapshots for shingling — at 100 TB with a 1% churn
+    * rate the expensive tokenize+shingle pass reads 1% of the corpus,
+    * not all of it. The changed pair is matched by ID (a 1:1 join under
+    * [[diff]]'s unique-id precondition), so there is no banding and no
+    * candidate generation — similarity here is EXACT, not approximate.
+    *
+    * Exactness: the verdict is the integer comparison
+    * `|A∩B| · 10⁶ ≥ thresholdE6 · |A∪B|` over distinct shingle-hash
+    * sets — no float division, so an oracle replaying the same shingle
+    * sets agrees bit-for-bit (64-bit shingle-hash collisions are the
+    * battery-wide accepted trade). Both-empty shingle sets (both
+    * versions shorter than `shingleLen` tokens, yet byte-different) have
+    * no n-gram evidence of sameness and classify `rewritten`.
+    *
+    * The fingerprint diff subtree is referenced from multiple plan
+    * branches; `cache` (NearDup's shared-subplan convention) bounds it
+    * to one execution — [[fuzzyReport]] wires this up, and direct
+    * callers of this corpus-sized frame should pass their own hook
+    * (identity re-executes the cheap md5 join once per branch). */
+  private def fuzzyDiffImpl(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, contentCol: String, shingleLen: Int,
+      thresholdE6: Long, cache: NearDup.Cache): DataFrame = {
+    require(thresholdE6 >= 0L && thresholdE6 <= 1000000L,
+      s"thresholdE6 is parts-per-million in [0, 1000000], got $thresholdE6")
+    val base = cache(diff(oldSnap, newSnap, idCol, contentCol))
+    val changedIds = base.filter(col("status") === "changed").select(col(idCol))
+    def sideShingles(snap: DataFrame, out: String): DataFrame =
+      NearDup.hashedShingles(
+          snap.join(changedIds, Seq(idCol), "left_semi"),
+          idCol, contentCol, shingleLen)
+        .select(col("id").as(idCol),
+          // null content tokenizes to null, not empty — coalesce so the
+          // set algebra below sees the empty set
+          coalesce(col("hs"), array().cast("array<bigint>")).as(out))
+    val inter = size(array_intersect(col("__hs_old"), col("__hs_new")))
+      .cast("long")
+    val union = size(array_union(col("__hs_old"), col("__hs_new")))
+      .cast("long")
+    val scored = sideShingles(oldSnap, "__hs_old")
+      .join(sideShingles(newSnap, "__hs_new"), Seq(idCol))
+      .select(col(idCol),
+        when(union === 0L, lit("rewritten"))
+          .when(inter * lit(1000000L) >= lit(thresholdE6) * union,
+            lit("edited"))
+          .otherwise(lit("rewritten")).as("status"))
+    base.filter(col("status") =!= "changed").unionAll(scored)
+  }
+
+  /** Per-id fuzzy diff: (id, status) with status ∈ added | removed |
+    * unchanged | edited | rewritten. See [[fuzzyDiffImpl]] for the
+    * classification contract; this entry point re-executes the cheap
+    * fingerprint join once per plan branch (use [[fuzzyReport]] for the
+    * rollup, which caches it). */
+  def fuzzyDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      contentCol: String, shingleLen: Int = 3,
+      thresholdE6: Long = 800000L): DataFrame =
+    fuzzyDiffImpl(oldSnap, newSnap, idCol, contentCol, shingleLen,
+      thresholdE6, identity)
+
+  /** [[report]] over [[fuzzyDiff]]'s five statuses, with the shared
+    * fingerprint-diff subtree persisted for the duration of the rollup
+    * (NearDup.materialized's LRU owns the tiny 5-row result cache). */
+  def fuzzyReport(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      contentCol: String, shingleLen: Int = 3,
+      thresholdE6: Long = 800000L): DataFrame =
+    NearDup.materialized { cache =>
+      fuzzyDiffImpl(oldSnap, newSnap, idCol, contentCol, shingleLen,
+          thresholdE6, cache)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col(idCol).cast("decimal(38,0)")).cast("string").as("id_sum"))
+    }
+
+  // ----------------------------------------------------------- rekeyed
+
+  /** Re-keyed document detection — the diff class an id-keyed [[diff]]
+    * is structurally blind to: a document REMOVED under one id whose
+    * content reappears (verbatim or lightly edited) ADDED under another
+    * id. Id-less churn like this is routine corpus versioning noise
+    * (re-crawls reassign ids, stores migrate key schemes), and counting
+    * it as remove+add double-books the churn volumetry.
+    *
+    * Output: (old_id, new_id, jaccard) — one row per cross-snapshot
+    * near-dup pair with exact distinct-`shingleLen`-gram Jaccard ≥
+    * `threshold`, jaccard rounded to 6 dp (the near-dup family's
+    * convention, oracle-checkable against an exhaustive exact compare).
+    *
+    * Scale shape — composition of [[diff]]'s id algebra with NearDup's
+    * L2 banding machinery: the candidate pool is ONLY removed ∪ added
+    * documents (two anti-joins on id, no content hashed), the pool is
+    * id-unique by construction (an id present in both snapshots is
+    * neither removed nor added, so the two sides cannot collide), and
+    * MinHash-LSH banding generates candidates — never removed × added
+    * all-pairs. Candidates are pruned to CROSS-side pairs BEFORE the
+    * exact-Jaccard confirm, so same-side near-dups (duplicates among
+    * the removals) cost a broadcast-join lookup, not a shingle-set
+    * intersection. Recall is the banding family's: P[detect] =
+    * 1-(1-j^r)^b, ≥ 1-5e-8 at j=0.8 with the r=4/b=32 defaults. */
+  def rekeyed(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      contentCol: String, shingleLen: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val oldIds = oldSnap.select(col(idCol))
+    val newIds = newSnap.select(col(idCol))
+    val removed = oldSnap.join(newIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(contentCol))
+    val added = newSnap.join(oldIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(contentCol))
+    NearDup.materialized { cache =>
+      val sh = cache(NearDup.hashedShingles(
+        removed.unionAll(added), idCol, contentCol, shingleLen))
+      sh.count() // fill the shared cache before branches race on it
+      val cand = NearDup.minhashCandidates(sh, numHashes, bands)
+      // side tags ride a projection of the pool's id column; the pair
+      // set is small → AQE broadcasts it into both lookups
+      val oldSide = removed.select(col(idCol).as("__sid"))
+        .withColumn("__is_old", lit(true))
+        .unionAll(added.select(col(idCol).as("__sid"))
+          .withColumn("__is_old", lit(false)))
+      val cross = cand
+        .join(oldSide.select(col("__sid"), col("__is_old").as("__a_old")),
+          col("id_a") === col("__sid")).drop("__sid")
+        .join(oldSide.select(col("__sid"), col("__is_old").as("__b_old")),
+          col("id_b") === col("__sid")).drop("__sid")
+        .filter(col("__a_old") =!= col("__b_old"))
+      val confirmed = NearDup.confirmJaccard(
+        cache(cross.select(col("id_a"), col("id_b"))), sh, threshold)
+      confirmed
+        .join(oldSide.select(col("__sid"), col("__is_old").as("__a_old")),
+          col("id_a") === col("__sid")).drop("__sid")
+        .select(
+          when(col("__a_old"), col("id_a")).otherwise(col("id_b"))
+            .as("old_id"),
+          when(col("__a_old"), col("id_b")).otherwise(col("id_a"))
+            .as("new_id"),
+          col("jaccard"))
+    }
+  }
 }

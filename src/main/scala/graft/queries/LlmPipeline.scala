@@ -78,6 +78,13 @@ object LlmPipeline {
   private def duckMarkerScore(words: Seq[String]): String =
     s"len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
 
+  // Distinct 3-gram shingle list over `text` — the nearDupOracle
+  // formulation, shared by the r8 snapshot-diff oracles.
+  private val duckSh3 =
+    s"""list_distinct(list_transform(
+         range(1, greatest(len($duckToks) - 2, 0) + 1),
+         i -> array_to_string(($duckToks)[i:i+2], ' ')))"""
+
   // Shared CTE chain replaying LmScore.bigramPerplexity (L43) for the
   // q_t16/q_t17 oracles: retrains the identical add-one bigram model —
   // counts are exact integers, the one float step per position is
@@ -758,6 +765,47 @@ object LlmPipeline {
             .otherwise(col("text")).as("text"))
       CorpusDiff.report(oldSnap, newSnap, "doc_id", "text")
         .orderBy(col("status"))
+    }),
+
+    "q_qr3x_fuzzy_diff" -> ((s, dir) => {
+      // fuzzy snapshot diff (r8, L56): q_qr3's snapshots with a second
+      // mutation class — ids divisible by 11 are REPLACED wholesale
+      // (near-zero trigram overlap), ids divisible by 3 get the light
+      // " v2" touch-up — and `changed` splits into edited vs rewritten
+      // by the exact integer Jaccard compare (inter*1e6 >= 8e5*union)
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit("rewritten placeholder document number "),
+              col("doc_id")))
+            .when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      CorpusDiff.fuzzyReport(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("status"))
+    }),
+
+    "q_qr5_rekeyed" -> ((s, dir) => {
+      // re-keyed document detection (r8, L56): every id divisible by 7
+      // migrates to id+1000000 with a light edit (a MOVE the id-keyed
+      // diff double-books as removed+added), ids divisible by 13 (and
+      // not re-keyed) are plain removals with no twin. The pool is
+      // removed ∪ added only; banding generates candidates; the 0.8
+      // threshold sits in the certain-recall band (same argument as
+      // q_d2), so the exhaustive removed×added oracle agrees exactly.
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.select(col("doc_id"), col("text"))
+      val newSnap = docs
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 13 =!= 0)
+        .select(
+          when(col("doc_id") % 7 === 0, col("doc_id") + 1000000)
+            .otherwise(col("doc_id")).as("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      CorpusDiff.rekeyed(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("old_id"), col("new_id"))
     }),
 
     "q_qr4_drift" -> ((s, dir) => {
@@ -1637,6 +1685,67 @@ object LlmPipeline {
          SELECT status, COUNT(*) AS n,
                 CAST(CAST(SUM(doc_id) AS DECIMAL(38,0)) AS VARCHAR) AS id_sum
          FROM j GROUP BY status ORDER BY status""",
+    // q_qr3x: replays q_qr3's status derivation, then re-scores the
+    // changed ids with the same exact integer Jaccard compare over
+    // literal trigram lists (the engine rides 64-bit hashes — the
+    // battery-wide collision-freedom assumption)
+    "q_qr3x_fuzzy_diff" ->
+      s"""WITH oldS AS (SELECT doc_id, text FROM documents
+              WHERE doc_id % 7 <> 0),
+          newS AS (SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0
+                     THEN 'rewritten placeholder document number ' || doc_id
+                     WHEN doc_id % 3 = 0 THEN text || ' v2'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0),
+          fo AS (SELECT doc_id, COALESCE(md5(text), '') AS f FROM oldS),
+          fn AS (SELECT doc_id, COALESCE(md5(text), '') AS f FROM newS),
+          j AS (SELECT COALESCE(fo.doc_id, fn.doc_id) AS doc_id,
+                  CASE WHEN fo.f IS NULL THEN 'added'
+                       WHEN fn.f IS NULL THEN 'removed'
+                       WHEN fo.f = fn.f THEN 'unchanged'
+                       ELSE 'changed' END AS status
+                FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id),
+          ch AS (SELECT doc_id FROM j WHERE status = 'changed'),
+          sho AS (SELECT o.doc_id, COALESCE($duckSh3, []) AS sh
+                  FROM oldS o JOIN ch USING (doc_id)),
+          shn AS (SELECT n.doc_id, COALESCE($duckSh3, []) AS sh
+                  FROM newS n JOIN ch USING (doc_id)),
+          sc AS (SELECT sho.doc_id,
+                   CASE WHEN len(list_distinct(list_concat(sho.sh, shn.sh)))
+                          = 0 THEN 'rewritten'
+                        WHEN len(list_intersect(sho.sh, shn.sh)) * 1000000
+                          >= 800000 *
+                             len(list_distinct(list_concat(sho.sh, shn.sh)))
+                          THEN 'edited'
+                        ELSE 'rewritten' END AS status
+                 FROM sho JOIN shn USING (doc_id)),
+          f AS (SELECT doc_id, status FROM j WHERE status <> 'changed'
+                UNION ALL SELECT doc_id, status FROM sc)
+         SELECT status, COUNT(*) AS n,
+                CAST(CAST(SUM(doc_id) AS DECIMAL(38,0)) AS VARCHAR) AS id_sum
+         FROM f GROUP BY status ORDER BY status""",
+    // q_qr5: exhaustive removed × added exact Jaccard (all-pairs is fine
+    // at the gate: ~105 removals × ~72 additions; the Spark side must
+    // NOT do this — it bands)
+    "q_qr5_rekeyed" ->
+      s"""WITH oldS AS (SELECT doc_id, text FROM documents),
+          newS AS (SELECT CASE WHEN doc_id % 7 = 0 THEN doc_id + 1000000
+                     ELSE doc_id END AS doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 <> 0),
+          rem AS (SELECT doc_id, $duckSh3 AS sh FROM oldS
+                  WHERE doc_id NOT IN (SELECT doc_id FROM newS)),
+          ad AS (SELECT doc_id, $duckSh3 AS sh FROM newS
+                 WHERE doc_id NOT IN (SELECT doc_id FROM oldS)),
+          p AS (SELECT r.doc_id AS old_id, a.doc_id AS new_id,
+                  round(len(list_intersect(r.sh, a.sh)) * 1.0 /
+                        nullif(len(list_distinct(list_concat(r.sh, a.sh))),
+                               0), 6) AS jaccard
+                FROM rem r CROSS JOIN ad a)
+         SELECT old_id, new_id, jaccard FROM p
+         WHERE jaccard >= 0.8 ORDER BY old_id, new_id""",
     // q_qr4: replays the smoothed shares and the single ln inside the
     // same half-up floor — the one float surface is token-identical
     "q_qr4_drift" ->

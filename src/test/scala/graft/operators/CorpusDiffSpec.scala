@@ -100,4 +100,104 @@ class CorpusDiffSpec extends SparkSpec {
     assert(!cols.contains("text"),
       s"join output carries document content: $cols")
   }
+
+  // ------------------------------------------------------------- fuzzy
+
+  test("fuzzy diff splits changed into edited vs rewritten") {
+    val oldSnap = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "to be removed")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten v2"),
+      (3L, "completely different content with no shared trigrams anywhere"),
+      (5L, "freshly added")).toDF("doc_id", "text")
+    val got = CorpusDiff.fuzzyDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // doc 2: 8 shared trigrams of 9 union (J = 0.889 >= 0.8) -> edited;
+    // doc 3: zero shared trigrams -> rewritten
+    assert(got === Map(1L -> "unchanged", 2L -> "edited",
+      3L -> "rewritten", 4L -> "removed", 5L -> "added"))
+    val rep = CorpusDiff
+      .fuzzyReport(oldSnap, newSnap, "doc_id", "text")
+      .as[(String, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep === Map("unchanged" -> ((1L, "1")), "edited" -> ((1L, "2")),
+      "rewritten" -> ((1L, "3")), "removed" -> ((1L, "4")),
+      "added" -> ((1L, "5"))))
+  }
+
+  test("fuzzy threshold is an exact integer compare at the boundary") {
+    // old has 4 trigrams, new 5, all 4 shared: J = 4/5 = 0.8 exactly.
+    // At thresholdE6 = 800000 the >= compare admits it (edited); one
+    // ppm higher excludes it (rewritten) — no float division anywhere.
+    val oldSnap = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    def statusAt(thr: Long): String =
+      CorpusDiff.fuzzyDiff(oldSnap, newSnap, "doc_id", "text",
+          thresholdE6 = thr)
+        .as[(Long, String)].collect().head._2
+    assert(statusAt(800000L) === "edited")
+    assert(statusAt(800001L) === "rewritten")
+  }
+
+  test("changed docs below shingle length have no n-gram evidence -> rewritten") {
+    val oldSnap = Seq((1L, "xx yy")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "zz ww")).toDF("doc_id", "text")
+    val got = CorpusDiff.fuzzyDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "rewritten"))
+  }
+
+  // ----------------------------------------------------------- rekeyed
+
+  test("rekeyed pairs a removed doc with its re-keyed added twin only") {
+    val oldSnap = Seq(
+      (1L, "stable document stays put keeping both id and its content"),
+      (2L, "the relocated document text which is long enough to match"),
+      (3L, "plain removal with nothing resembling it among the additions"),
+      (4L, "plain removal with nothing resembling it among the additions"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "stable document stays put keeping both id and its content"),
+      (10L, "the relocated document text which is long enough to match v2"),
+      (11L, "a genuinely new document unrelated to anything seen before"))
+      .toDF("doc_id", "text")
+    val got = CorpusDiff.rekeyed(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    // exactly the (2 -> 10) move; docs 3/4 are IDENTICAL same-side
+    // removals — they certainly share bands, so only the cross-side
+    // candidate prune keeps them out
+    assert(got.map(p => (p._1, p._2)) === Seq((2L, 10L)))
+    assert(got.head._3 >= 0.8)
+  }
+
+  test("rekeyed orients (old_id, new_id) regardless of id order") {
+    // the added id is SMALLER than the removed id, so the banding
+    // pair (id_a < id_b) arrives flipped — orientation must still be
+    // old -> new
+    val oldSnap = Seq(
+      (20L, "the migrating document body long enough to band and match"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (5L, "the migrating document body long enough to band and match"))
+      .toDF("doc_id", "text")
+    val got = CorpusDiff.rekeyed(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((20L, 5L, 1.0)))
+  }
+
+  test("rekeyed ignores ids present in both snapshots") {
+    // an id that survives is neither removed nor added — even if its
+    // content also appears verbatim under a fresh id (a COPY, not a
+    // move, stays out of the re-key report's pool on the old side)
+    val text = "a document body long enough to produce shingle bands here"
+    val oldSnap = Seq((1L, text)).toDF("doc_id", "text")
+    val newSnap = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = CorpusDiff.rekeyed(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.isEmpty)
+  }
 }
