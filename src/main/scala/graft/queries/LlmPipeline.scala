@@ -500,6 +500,38 @@ object LlmPipeline {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_sum"))
         .orderBy(col("lang"))),
+    "q_e12_funnel" -> ((s, dir) => {
+      // ordered-step funnel (r8, L57): view → click → purchase with a
+      // 48 h conversion window anchored at funnel ENTRY; at sf0.01 the
+      // steps count 150 → 96 → 41 — every stage bites. entity_sum pins
+      // WHICH users converted, not just how many.
+      val ev = t(s, dir, "events")
+      Funnel.report(ev, "user_id", Tables.epochMicros(ev, "ts"),
+          "event_type", Seq("view", "click", "purchase"),
+          windowUs = Some(48L * 3600L * 1000000L))
+        .orderBy(col("step_idx"))
+    }),
+
+    "q_e13_retention" -> ((s, dir) => {
+      // cohort retention (r8, L58): first-seen day cohorts × day
+      // offsets over the 30-day window; offset 0 is the cohort size
+      val ev = t(s, dir, "events")
+      Retention.matrix(ev, "user_id", Tables.epochMicros(ev, "ts"),
+          bucketUs = 24L * 3600L * 1000000L)
+        .orderBy(col("cohort_bucket"), col("offset_buckets"))
+    }),
+
+    "q_e14_locf_resample" -> ((s, dir) => {
+      // gap-filled resampling (r8, L59): each user's event values on a
+      // regular 6 h grid over their observed span, last observation
+      // carried forward (~2.2 events/user/day → a majority of buckets
+      // are genuine gaps, so the fill is load-bearing)
+      val ev = t(s, dir, "events")
+      Resample.locf(ev, "user_id", Tables.epochMicros(ev, "ts"),
+          "value", "event_id", stepUs = 6L * 3600L * 1000000L)
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     "q_e1x_sessionize_chunked" -> ((s, dir) => {
       // the SAME sessionization through the hot-key-safe chunked plan —
       // 6 h chunks, deliberately SMALLER than the 12 h gap so sessions
@@ -1480,6 +1512,77 @@ object LlmPipeline {
          SELECT lang, COUNT(*) AS n_kept,
                 CAST(SUM(doc_id) AS BIGINT) AS kept_sum
          FROM sel GROUP BY lang ORDER BY lang""",
+    // q_e12: step-wise CTE chain replaying the funnel rounds — each
+    // stage's min-qualifying-time join is token-identical; the HAVING
+    // mirrors the engine's "no row for an unreached step"
+    "q_e12_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+              FROM events WHERE user_id IS NOT NULL),
+          s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS t2
+                 FROM e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click' AND e.t > s1.t1
+                   AND e.t <= s1.t1 + 172800000000
+                 GROUP BY e.user_id, s1.t1),
+          s3 AS (SELECT e.user_id, MIN(e.t) AS t3
+                 FROM e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                   AND e.t <= s2.t1 + 172800000000
+                 GROUP BY e.user_id),
+          u AS (SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n,
+                  CAST(CAST(SUM(user_id) AS DECIMAL(38,0)) AS VARCHAR)
+                    AS entity_sum
+                FROM s1 HAVING COUNT(*) > 0
+            UNION ALL
+                SELECT 2, 'click', COUNT(*),
+                  CAST(CAST(SUM(user_id) AS DECIMAL(38,0)) AS VARCHAR)
+                FROM s2 HAVING COUNT(*) > 0
+            UNION ALL
+                SELECT 3, 'purchase', COUNT(*),
+                  CAST(CAST(SUM(user_id) AS DECIMAL(38,0)) AS VARCHAR)
+                FROM s3 HAVING COUNT(*) > 0)
+         SELECT step_idx, step, n, entity_sum FROM u ORDER BY step_idx""",
+    // q_e13: distinct (user, day) activity, min-day cohorts, exact
+    // integer day buckets (// ≡ Spark DIV on nonnegative micros)
+    "q_e13_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                epoch_us(ts) // 86400000000 AS b
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          c AS (SELECT user_id, MIN(b) AS c0 FROM a GROUP BY user_id)
+         SELECT c.c0 AS cohort_bucket, a.b - c.c0 AS offset_buckets,
+                COUNT(*) AS n,
+                CAST(CAST(SUM(a.user_id) AS DECIMAL(38,0)) AS VARCHAR)
+                  AS entity_sum
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q_e14: per-bucket last value by (t, event_id) rank, grid from
+    // each user's span, IGNORE NULLS carry-forward over the same
+    // running frame; gap_filled rides bucket PRESENCE, not value
+    // nullness (the engine's marker-column semantics)
+    "q_e14_locf_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          r AS (SELECT user_id, t // 21600000000 AS b, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, t // 21600000000
+                                     ORDER BY t DESC, event_id DESC) AS rn
+                FROM e),
+          lv AS (SELECT user_id, b, value, FALSE AS gap
+                 FROM r WHERE rn = 1),
+          span AS (SELECT user_id, MIN(t // 21600000000) AS b0,
+                     MAX(t // 21600000000) AS b1
+                   FROM e GROUP BY user_id),
+          grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b
+                   FROM span),
+          j AS (SELECT g.user_id, g.b, lv.value AS lvv, lv.gap
+                FROM grid g LEFT JOIN lv
+                  ON g.user_id = lv.user_id AND g.b = lv.b)
+         SELECT user_id, b AS bucket,
+                last_value(lvv IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS value,
+                COALESCE(gap, TRUE) AS gap_filled
+         FROM j ORDER BY user_id, bucket""",
     "q_e2_hash_split" ->
       // boundaries = first 4 md5 hex chars vs floor(cum_frac * 65536) in
       // hex: 0.8 → 'cccc', 0.9 → 'e666' (same constants the engine derives)
