@@ -799,6 +799,15 @@ object LlmPipeline {
         .orderBy(col("status"))
     }),
 
+    "q_t22_bm25" -> ((s, dir) =>
+      // BM25 ranked retrieval (r8, L60): 3-term query with a 15×
+      // rarity spread ('dup' df=25 vs 'spark'/'vector' df≈385 at
+      // sf0.01), top-20 page; contributions integer-quantized at 1e-6
+      // (L43 discipline) so the ranking is an exact BIGINT compare
+      Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "spark", "vector"), k = 20)
+        .orderBy(col("score_e6").desc, col("doc_id"))),
+
     "q_qr3x_fuzzy_diff" -> ((s, dir) => {
       // fuzzy snapshot diff (r8, L56): q_qr3's snapshots with a second
       // mutation class — ids divisible by 11 are REPLACED wholesale
@@ -1788,6 +1797,32 @@ object LlmPipeline {
          SELECT status, COUNT(*) AS n,
                 CAST(CAST(SUM(doc_id) AS DECIMAL(38,0)) AS VARCHAR) AS id_sum
          FROM j GROUP BY status ORDER BY status""",
+    // q_t22: replays the BM25 pipeline — tf over query-term hits only,
+    // df from the tf table, corpus stats, and the per-term contribution
+    // inside the same half-up 1e-6 floor with token-identical operation
+    // order ((k1+1) written as (1.2 + 1.0) so both engines fold the
+    // same IEEE sum, never a pre-folded 2.2 literal)
+    "q_t22_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $duckToks AS tk, len($duckToks) AS dl
+              FROM documents WHERE doc_id IS NOT NULL),
+          stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM d),
+          m AS (SELECT doc_id, dl,
+                  unnest(list_filter(tk,
+                    t -> t IN ('dup', 'spark', 'vector'))) AS t
+                FROM d),
+          tf AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM m
+                 GROUP BY doc_id, dl, t),
+          dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+          c AS (SELECT tf.doc_id,
+                  CAST(FLOOR(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                    ((tf * (1.2 + 1.0)) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total / n))))
+                    * 1000000 + 0.5) AS BIGINT) AS c_e6
+                FROM tf JOIN dft USING (t) CROSS JOIN stats),
+          s AS (SELECT doc_id, SUM(c_e6) AS score_e6 FROM c
+                GROUP BY doc_id)
+         SELECT doc_id, score_e6 FROM s
+         ORDER BY score_e6 DESC, doc_id LIMIT 20""",
     // q_qr3x: replays q_qr3's status derivation, then re-scores the
     // changed ids with the same exact integer Jaccard compare over
     // literal trigram lists (the engine rides 64-bit hashes — the
