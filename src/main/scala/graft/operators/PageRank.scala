@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quantized-integer PageRank — entity-importance scoring over a link
+  * graph (the web-curation signal behind crawl prioritization and the
+  * classic "which suppliers/customers matter" graph rollup), computed
+  * so that every engine agrees on every digit.
+  *
+  * The standard recurrence pr'(v) = (1−d)/N + d·Σ pr(u)/deg(u) runs
+  * entirely in scaled integers: ranks are parts-per-1e9 (`pr_e9`),
+  * damping is the rational dampE3/1000, and each step is
+  *   pr'_e9(v) = (1000−dampE3)·10⁹ DIV (1000·N)
+  *             + (dampE3 · Σ (pr_e9(u) DIV deg(u))) DIV 1000
+  * — floor division on nonnegative longs at every stage, so a fixed
+  * iteration count yields the IDENTICAL integer vector on any engine
+  * (no float accumulation order to disagree on) and the result is
+  * exactly oracle-checkable with unrolled SQL. Dangling nodes (no
+  * out-edges) leak their mass, the textbook simple variant — the
+  * deliberate bias is shared with the oracle by construction.
+  *
+  * Scale shape: per iteration, one key-partitioned join of the edge
+  * list against the rank vector (+ a broadcast-sized out-degree join)
+  * and one groupBy(dst) sum — the canonical distributed PR step; the
+  * iteration count is a small constant, each round's result is
+  * `localCheckpoint`ed (lazy) so plans don't grow across rounds
+  * (the Clusters discipline), and the previous round's blocks are
+  * released as soon as the next is materialized. Nothing ever
+  * collects: N is the one driver-side scalar (a count). */
+object PageRank {
+
+  /** (id, pr_e9) for every vertex of the (deduplicated, null-pruned)
+    * edge list after exactly `iterations` quantized steps from the
+    * uniform start 10⁹ DIV N. */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampE3: Long = 850L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampE3 >= 0L && dampE3 <= 1000L,
+      s"dampE3 is parts-per-thousand in [0, 1000], got $dampE3")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(false)
+    val n = nodes.count() // materializes both checkpoints; the 1 scalar
+    require(n > 0, "PageRank over an empty edge list")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(false)
+    val base = Math.floorDiv((1000L - dampE3) * 1000000000L, 1000L * n)
+    var pr = nodes
+      .select(col("id"), lit(Math.floorDiv(1000000000L, n)).as("pr_e9"))
+      .localCheckpoint(false)
+    pr.count()
+    for (_ <- 1 to iterations) {
+      val inflow = e
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("pr_e9 DIV __deg").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__in"))
+      val next = nodes
+        .join(inflow.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"(${dampE3}L * coalesce(__in, 0L)) DIV 1000"))
+            .as("pr_e9"))
+        .localCheckpoint(false)
+      next.count() // materialize before releasing the previous round
+      Checkpoints.release(pr)
+      pr = next
+    }
+    Checkpoints.release(e)
+    Checkpoints.release(outdeg)
+    // nodes stays live — the final pr plan no longer references it, so
+    // release it too; pr itself is the returned, materialized result
+    Checkpoints.release(nodes)
+    liveResults.synchronized {
+      liveResults.addLast(pr)
+      if (liveResults.size > MaxLiveResults)
+        Checkpoints.release(liveResults.removeFirst())
+    }
+    pr
+  }
+
+  /** Bound on concurrently-live result vectors (each node-table-sized,
+    * checkpoint-backed) — the Clusters LRU pattern. */
+  private val MaxLiveResults = 8
+  private val liveResults = new java.util.ArrayDeque[DataFrame]()
+
+  /** Release every live result's checkpoint storage. */
+  def releaseResults(): Unit = liveResults.synchronized {
+    while (!liveResults.isEmpty)
+      Checkpoints.release(liveResults.removeFirst())
+  }
+}

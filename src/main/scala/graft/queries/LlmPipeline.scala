@@ -799,6 +799,44 @@ object LlmPipeline {
         .orderBy(col("status"))
     }),
 
+    "q_g1_pagerank" -> ((s, dir) => {
+      // quantized-integer PageRank (r8, L62) over the customer⇄supplier
+      // trade graph (both directions of every distinct pair traded via
+      // an order; supplier ids offset by 1e6 out of the customer id
+      // space): 5 exact integer steps — floor division everywhere, so
+      // the unrolled-SQL oracle agrees on every digit
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val pairs = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000L)).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      PageRank.ranks(edges, "src", "dst", iterations = 5)
+        .orderBy(col("id"))
+    }),
+
+    "q_j8_scd2" -> ((s, dir) => {
+      // SCD2 history merge (r8, L61): bootstrap a versioned dimension
+      // from the old snapshot, apply the new snapshot as a change
+      // batch at t=1000 — unchanged keys ride through open, edits
+      // close the old version and open the new, snapshot-absent keys
+      // stay open (SCD2 never deletes), fresh keys open at t=1000
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val hist = Scd2.init(oldSnap, "doc_id", Seq("text"), atUs = 0L)
+      Scd2.merge(hist, newSnap, "doc_id", Seq("text"), atUs = 1000L)
+        .select(col("doc_id"), md5(col("text")).as("v_md5"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy(col("doc_id"), col("valid_from_us"))
+    }),
+
     "q_t22_bm25" -> ((s, dir) =>
       // BM25 ranked retrieval (r8, L60): 3-term query with a 15×
       // rarity spread ('dup' df=25 vs 'spark'/'vector' df≈385 at
@@ -938,6 +976,36 @@ object LlmPipeline {
       // scale-out variant of A2 — sketch-based, so no exact oracle
       t(s, dir, "orders").agg(
         approx_count_distinct(col("o_custkey")).as("approx_u"))))
+
+  /** q_g1 oracle: the PageRank recurrence unrolled to 5 explicit CTE
+    * rounds — every stage is BIGINT floor division (`//` ≡ Spark `DIV`
+    * on the nonnegative values here), so equality is digit-exact with
+    * no float surface at all. */
+  private val pagerankOracle: String = {
+    val iters = (1 to 5).map { k =>
+      s"""i$k AS (SELECT e.dst AS id, SUM(p.pr // d.deg) AS infl
+             FROM e JOIN p${k - 1} p ON e.src = p.id
+                  JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+          p$k AS (SELECT nodes.id,
+                    (150000000000 // (1000 * n)) +
+                    (850 * COALESCE(i$k.infl, 0)) // 1000 AS pr
+                  FROM nodes CROSS JOIN c
+                  LEFT JOIN i$k ON nodes.id = i$k.id)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS cust,
+             CAST(l.l_suppkey + 1000000 AS BIGINT) AS supp
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        e AS (SELECT DISTINCT src, dst FROM (
+                SELECT cust AS src, supp AS dst FROM pairs
+                UNION ALL SELECT supp, cust FROM pairs)),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        c AS (SELECT COUNT(*) AS n FROM nodes),
+        p0 AS (SELECT id, 1000000000 // n AS pr FROM nodes CROSS JOIN c),
+        $iters
+       SELECT id, pr AS pr_e9 FROM p5 ORDER BY id"""
+  }
 
   /** Exhaustive exact near-dup oracle (all-pairs is fine at sf0.01: 500
     * docs → 125k pairs in DuckDB; the Spark side must NOT do this). */
@@ -1797,6 +1865,39 @@ object LlmPipeline {
          SELECT status, COUNT(*) AS n,
                 CAST(CAST(SUM(doc_id) AS DECIMAL(38,0)) AS VARCHAR) AS id_sum
          FROM j GROUP BY status ORDER BY status""",
+    // q_g1: 5 unrolled PR steps — the recurrence is all BIGINT floor
+    // division, so the replay is digit-exact, no quantization caveat
+    "q_g1_pagerank" -> pagerankOracle,
+    // q_j8: replays the SCD2 outcome classes over the same FULL OUTER
+    // join — ride-through (absent-or-equal, null-safe), closed, and
+    // opened versions as three UNION ALL branches
+    "q_j8_scd2" ->
+      """WITH oldS AS (SELECT doc_id, text FROM documents
+              WHERE doc_id % 7 <> 0),
+          newS AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0),
+          j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                  o.text AS ot, n.text AS nt,
+                  o.doc_id IS NOT NULL AS has_o,
+                  n.doc_id IS NOT NULL AS has_n
+                FROM oldS o FULL OUTER JOIN newS n
+                  ON o.doc_id = n.doc_id),
+          h AS (
+            SELECT doc_id, ot AS v, CAST(0 AS BIGINT) AS valid_from_us,
+                   CAST(NULL AS BIGINT) AS valid_to_us, TRUE AS is_current
+            FROM j WHERE has_o AND (NOT has_n
+                                    OR ot IS NOT DISTINCT FROM nt)
+            UNION ALL
+            SELECT doc_id, ot, 0, 1000, FALSE FROM j
+            WHERE has_o AND has_n AND ot IS DISTINCT FROM nt
+            UNION ALL
+            SELECT doc_id, nt, 1000, NULL, TRUE FROM j
+            WHERE has_n AND (NOT has_o OR ot IS DISTINCT FROM nt))
+         SELECT doc_id, md5(v) AS v_md5, valid_from_us, valid_to_us,
+                is_current
+         FROM h ORDER BY doc_id, valid_from_us""",
     // q_t22: replays the BM25 pipeline — tf over query-term hits only,
     // df from the tf table, corpus stats, and the per-term contribution
     // inside the same half-up 1e-6 floor with token-identical operation
