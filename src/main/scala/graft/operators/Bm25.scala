@@ -26,9 +26,12 @@ import graft.functions.TextAnalysis
   * ≤|terms|-row df aggregate broadcasts back, and corpus stats (N,
   * total length) ride a 1-row broadcast join (the Drift shape). No
   * inverted index is materialized and nothing scales with vocabulary —
-  * at 100 TB the cost is one tokenizing scan plus a shuffle of only the
-  * matching (doc, term) pairs. Documents containing no query term score
-  * 0 and are absent by construction (standard retrieval semantics). */
+  * at 100 TB the cost is two tokenizing scans (one aggregates the
+  * corpus length stats, one matches query terms; persisting per-doc
+  * token arrays to save the second would cost more than it saves) plus
+  * a shuffle of only the matching (doc, term) pairs. Documents
+  * containing no query term score 0 and are absent by construction
+  * (standard retrieval semantics). */
 object Bm25 {
 
   /** Per-document integer-quantized BM25 score: (id, score_e6), one row

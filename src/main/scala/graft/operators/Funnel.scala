@@ -31,7 +31,10 @@ object Funnel {
     * t_us) per step the entity completed, step_idx 1-based. Null
     * entities and null timestamps are dropped (they can anchor no
     * sequence). `steps` must be distinct — a repeated label would make
-    * "its first step-k event" ambiguous. */
+    * "its first step-k event" ambiguous. The window bound is evaluated
+    * as `t ≤ t₁ + windowUs` in LONG arithmetic: keep `windowUs` a real
+    * duration (t₁ + windowUs must not overflow 2⁶³), not MaxValue-as-
+    * infinity — "no window" is `None`. */
   def stepTimes(df: DataFrame, entityCol: String, tsUs: Column,
       typeCol: String, steps: Seq[String],
       windowUs: Option[Long] = None): DataFrame = {

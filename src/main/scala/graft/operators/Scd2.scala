@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Slowly-changing-dimension type-2 history maintenance — the
   * warehouse-standard "MERGE with history" (Kimball SCD2, Delta/Iceberg
@@ -24,10 +25,12 @@ import org.apache.spark.sql.functions._
   * the current-slice scan + one key shuffle of current ∪ changes.
   *
   * Preconditions (the MERGE contract): ≤ 1 current row per key in the
-  * history, keys unique within a change batch, and `atUs` at or after
-  * every open `valid_from_us` (batches apply in time order). Violations
-  * fan out through the join exactly as CorpusDiff's duplicate-id
-  * caveat. */
+  * history, keys unique within a change batch, `is_current` non-null
+  * (a null would drop the row from BOTH the current slice and the
+  * pass-through — [[init]] and [[merge]] only ever write true/false),
+  * and `atUs` at or after every open `valid_from_us` (batches apply in
+  * time order). Violations fan out through the join exactly as
+  * CorpusDiff's duplicate-id caveat. */
 object Scd2 {
 
   /** Bootstrap a history from an initial snapshot: every row open from
@@ -89,5 +92,38 @@ object Scd2 {
         .as("__r"))
       .select(col("__r.*"))
     past.select(emitted.columns.map(col): _*).unionAll(emitted)
+  }
+
+  /** Temporal lookup into the history: enrich each fact row with the
+    * dimension version that was valid AT the fact's own time — the
+    * point of keeping SCD2 history at all ("price as of the order
+    * date"). A fact matches the version with `valid_from_us ≤ t` and
+    * `t < valid_to_us` (open versions match every t ≥ from); under the
+    * merge contract the intervals per key are disjoint, so each fact
+    * matches AT MOST one version. Facts dated before their key's first
+    * version (or keyed to no version at all) survive with null version
+    * columns — a LEFT join, so enrichment never drops facts.
+    *
+    * Scale shape: ONE equi-join on the dimension key with the interval
+    * predicate as the join residual (never a broadcast-nested-loop —
+    * the equi component keys the shuffle); versions-per-key is small by
+    * nature, so the residual scans a handful of rows per fact. Output:
+    * every fact column, then the version's value columns and
+    * `valid_from_us` (the version identifier). */
+  def lookup(history: DataFrame, facts: DataFrame, keyCol: String,
+      tsUs: Column, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "SCD2 needs at least one value column")
+    val h = history.select(col(keyCol).as("__hk") +:
+      valueCols.map(c => col(c).as(s"__v_$c")) :+
+      col("valid_from_us").as("__vfrom") :+
+      col("valid_to_us").as("__vto"): _*)
+    val f = facts.withColumn("__ft", tsUs.cast(LongType))
+    f.join(h,
+        f(keyCol) === h("__hk") && col("__ft") >= col("__vfrom") &&
+          (col("__vto").isNull || col("__ft") < col("__vto")),
+        "left")
+      .select(facts.columns.map(col) ++
+        valueCols.map(c => col(s"__v_$c").as(c)) :+
+        col("__vfrom").as("valid_from_us"): _*)
   }
 }

@@ -837,6 +837,30 @@ object LlmPipeline {
         .orderBy(col("doc_id"), col("valid_from_us"))
     }),
 
+    "q_j9_scd2_lookup" -> ((s, dir) => {
+      // temporal lookup into the q_j8 history (r8, L61): every doc id
+      // probed at t=500 (inside version 1) and t=1500 (inside version
+      // 2 where one exists); ids never dimensioned (in neither
+      // snapshot) ride through with null version columns — the LEFT
+      // join contract
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val hist = Scd2.merge(
+        Scd2.init(oldSnap, "doc_id", Seq("text"), atUs = 0L),
+        newSnap, "doc_id", Seq("text"), atUs = 1000L)
+      val facts = docs.select(col("doc_id"),
+        explode(array(lit(500L), lit(1500L))).as("t_us"))
+      Scd2.lookup(hist, facts, "doc_id", col("t_us"), Seq("text"))
+        .select(col("doc_id"), col("t_us"), md5(col("text")).as("v_md5"),
+          col("valid_from_us"))
+        .orderBy(col("doc_id"), col("t_us"))
+    }),
+
     "q_t22_bm25" -> ((s, dir) =>
       // BM25 ranked retrieval (r8, L60): 3-term query with a 15×
       // rarity spread ('dup' df=25 vs 'spark'/'vector' df≈385 at
@@ -976,6 +1000,34 @@ object LlmPipeline {
       // scale-out variant of A2 — sketch-based, so no exact oracle
       t(s, dir, "orders").agg(
         approx_count_distinct(col("o_custkey")).as("approx_u"))))
+
+  /** Shared q_j8/q_j9 CTE chain: the SCD2 history that init(old, t=0) +
+    * merge(new, t=1000) produces, replayed as the three outcome classes
+    * of the same FULL OUTER join. */
+  private val duckScd2Hist: String =
+    """oldS AS (SELECT doc_id, text FROM documents
+              WHERE doc_id % 7 <> 0),
+          newS AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0),
+          j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                  o.text AS ot, n.text AS nt,
+                  o.doc_id IS NOT NULL AS has_o,
+                  n.doc_id IS NOT NULL AS has_n
+                FROM oldS o FULL OUTER JOIN newS n
+                  ON o.doc_id = n.doc_id),
+          h AS (
+            SELECT doc_id, ot AS v, CAST(0 AS BIGINT) AS valid_from_us,
+                   CAST(NULL AS BIGINT) AS valid_to_us, TRUE AS is_current
+            FROM j WHERE has_o AND (NOT has_n
+                                    OR ot IS NOT DISTINCT FROM nt)
+            UNION ALL
+            SELECT doc_id, ot, 0, 1000, FALSE FROM j
+            WHERE has_o AND has_n AND ot IS DISTINCT FROM nt
+            UNION ALL
+            SELECT doc_id, nt, 1000, NULL, TRUE FROM j
+            WHERE has_n AND (NOT has_o OR ot IS DISTINCT FROM nt))"""
 
   /** q_g1 oracle: the PageRank recurrence unrolled to 5 explicit CTE
     * rounds — every stage is BIGINT floor division (`//` ≡ Spark `DIV`
@@ -1872,32 +1924,22 @@ object LlmPipeline {
     // join — ride-through (absent-or-equal, null-safe), closed, and
     // opened versions as three UNION ALL branches
     "q_j8_scd2" ->
-      """WITH oldS AS (SELECT doc_id, text FROM documents
-              WHERE doc_id % 7 <> 0),
-          newS AS (SELECT doc_id,
-                CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
-                     ELSE text END AS text
-              FROM documents WHERE doc_id % 5 <> 0),
-          j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-                  o.text AS ot, n.text AS nt,
-                  o.doc_id IS NOT NULL AS has_o,
-                  n.doc_id IS NOT NULL AS has_n
-                FROM oldS o FULL OUTER JOIN newS n
-                  ON o.doc_id = n.doc_id),
-          h AS (
-            SELECT doc_id, ot AS v, CAST(0 AS BIGINT) AS valid_from_us,
-                   CAST(NULL AS BIGINT) AS valid_to_us, TRUE AS is_current
-            FROM j WHERE has_o AND (NOT has_n
-                                    OR ot IS NOT DISTINCT FROM nt)
-            UNION ALL
-            SELECT doc_id, ot, 0, 1000, FALSE FROM j
-            WHERE has_o AND has_n AND ot IS DISTINCT FROM nt
-            UNION ALL
-            SELECT doc_id, nt, 1000, NULL, TRUE FROM j
-            WHERE has_n AND (NOT has_o OR ot IS DISTINCT FROM nt))
+      s"""WITH $duckScd2Hist
          SELECT doc_id, md5(v) AS v_md5, valid_from_us, valid_to_us,
                 is_current
          FROM h ORDER BY doc_id, valid_from_us""",
+    // q_j9: the same replayed history, then the interval-containment
+    // LEFT join picking each fact's valid version (or nulls)
+    "q_j9_scd2_lookup" ->
+      s"""WITH $duckScd2Hist,
+          facts AS (SELECT doc_id,
+                      unnest([500::BIGINT, 1500::BIGINT]) AS t_us
+                    FROM documents)
+         SELECT f.doc_id, f.t_us, md5(h.v) AS v_md5, h.valid_from_us
+         FROM facts f LEFT JOIN h
+           ON f.doc_id = h.doc_id AND f.t_us >= h.valid_from_us
+              AND (h.valid_to_us IS NULL OR f.t_us < h.valid_to_us)
+         ORDER BY f.doc_id, f.t_us""",
     // q_t22: replays the BM25 pipeline — tf over query-term hits only,
     // df from the tf table, corpus stats, and the per-term contribution
     // inside the same half-up 1e-6 floor with token-identical operation

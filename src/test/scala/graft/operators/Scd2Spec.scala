@@ -80,6 +80,22 @@ class Scd2Spec extends SparkSpec {
       (2L, "b", 99, 10L, None, true)))
   }
 
+  test("lookup picks the version valid at each fact's time") {
+    val h = hist(Seq((1L, "v0")))
+    val m = Scd2.merge(h, Seq((1L, "v1")).toDF("k", "v"), "k", Seq("v"), 10L)
+    val facts = Seq((1L, -5L), (1L, 0L), (1L, 9L), (1L, 10L), (1L, 50L),
+      (2L, 5L)).toDF("k", "t")
+    val got = Scd2.lookup(m, facts, "k", col("t"), Seq("v"))
+      .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, -5L, None, None),             // predates the first version
+      (1L, 0L, Some("v0"), Some(0L)),    // valid_from inclusive
+      (1L, 9L, Some("v0"), Some(0L)),
+      (1L, 10L, Some("v1"), Some(10L)),  // valid_to exclusive: flips here
+      (1L, 50L, Some("v1"), Some(10L)),  // open version matches onward
+      (2L, 5L, None, None)))             // key never dimensioned
+  }
+
   test("closed history rides through untouched") {
     val h = hist(Seq((1L, "v0")))
     val m1 = Scd2.merge(h, Seq((1L, "v1")).toDF("k", "v"), "k", Seq("v"), 10L)
