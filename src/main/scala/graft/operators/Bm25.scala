@@ -48,10 +48,14 @@ object Bm25 {
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("__id"), col("__tk"), size(col("__tk")).as("__dl"))
     val stats = d.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    // outer + null filter, not plain explode (the q_t6 lesson):
+    // InferFiltersFromGenerate would re-evaluate the tokenize+match
+    // lambda in a pushed size()>0 filter below the generate
     val tf = d
       .select(col("__id"), col("__dl"),
-        explode(filter(col("__tk"), t => t.isInCollection(terms)))
+        explode_outer(filter(col("__tk"), t => t.isInCollection(terms)))
           .as("__t"))
+      .filter(col("__t").isNotNull)
       .groupBy(col("__id"), col("__dl"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
     val dft = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))

@@ -54,13 +54,17 @@ object Dsir {
     // token array in its own projection before positional lambdas.
     val toks = df.select(col(idCol).as("__id"),
       TextAnalysis.tokens(col(textCol)).as("tk"))
+    // outer + null filter (the q_t6 lesson): plain explode would
+    // rebuild the unigram+bigram array inside the inferred size()>0
+    // filter
     val feats = toks.select(col("__id"),
-        explode(concat(
+        explode_outer(concat(
           col("tk"),
           when(size(col("tk")) < 2, array().cast("array<string>"))
             .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
               i => concat_ws(" ", element_at(col("tk"), i),
                 element_at(col("tk"), i + 1)))))).as("f"))
+      .filter(col("f").isNotNull)
     feats.select(col("__id").as(idCol),
       (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int") % m)
         .as("bucket"))

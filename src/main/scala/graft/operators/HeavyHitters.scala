@@ -78,8 +78,12 @@ object HeavyHitters {
   def frequentTokens(docs: DataFrame, textCol: String,
       minCount: Long, eps: Double = 1e-4,
       confidence: Double = 0.99): DataFrame =
+    // outer + null filter (the q_t6 lesson): plain explode lets the
+    // inferred size()>0 filter tokenize every row a second time
     frequent(
-      docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok")),
+      docs.select(explode_outer(TextAnalysis.tokens(col(textCol)))
+          .as("tok"))
+        .filter(col("tok").isNotNull),
       col("tok"), minCount, eps, confidence)
       .select(col("k").as("token"), col("n"))
 
@@ -101,8 +105,11 @@ object HeavyHitters {
     val sh = when(size(tk) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
         i => array_join(slice(tk, i, lit(n)), " ")))
-    frequent(staged.select(explode(sh).as("ng")), col("ng"), minCount,
-        eps, confidence)
+    // outer + null filter (the q_t6 lesson): plain explode would
+    // re-shingle every row inside the inferred size()>0 filter
+    frequent(staged.select(explode_outer(sh).as("ng"))
+        .filter(col("ng").isNotNull),
+      col("ng"), minCount, eps, confidence)
       .select(col("k").as("phrase"), col("n"))
   }
 }

@@ -55,13 +55,16 @@ object LmScore {
     // per-doc bigram rows with the token-hash staging discipline: tk is
     // its own projection so the position lambda reads a materialized
     // array (TextAnalysis.positionalShingleHashesFromTokens's lesson)
+    // outer + null filter (the q_t6 lesson): plain explode would
+    // rebuild the bigram array inside the inferred size()>0 filter
     def bigrams(d: DataFrame, id: String, text: String): DataFrame =
       d.select(col(id).as("__id"), TextAnalysis.tokens(col(text)).as("tk"))
-        .select(col("__id"), explode(when(size(col("tk")) < 2,
+        .select(col("__id"), explode_outer(when(size(col("tk")) < 2,
             array().cast("array<struct<w1:string,w2:string>>"))
           .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
             i => struct(element_at(col("tk"), i).as("w1"),
               element_at(col("tk"), i + 1).as("w2"))))).as("bg"))
+        .filter(col("bg").isNotNull)
         .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
     val refBg = bigrams(ref, idCol, textCol)
@@ -69,7 +72,8 @@ object LmScore {
       .agg(count(lit(1)).as("c2"))
     val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = ref
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(explode_outer(TextAnalysis.tokens(col(textCol))).as("t"))
+      .filter(col("t").isNotNull)
       .agg(count_distinct(col("t")).as("v"))
 
     val scored = bigrams(df, idCol, textCol)

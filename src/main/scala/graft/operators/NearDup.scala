@@ -248,8 +248,12 @@ object NearDup {
     * so the two paths cannot drift). */
   private[graft] def bandKeyRows(d: DataFrame, numHashes: Int,
       bands: Int): DataFrame =
+    // outer + null filter (the q_t6 lesson): plain explode would
+    // rebuild the band-key array inside the inferred size()>0 filter
     minhashSignatures(d, numHashes)
-      .select(col("id"), explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"),
+        explode_outer(bandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .filter(col("bk").isNotNull)
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** Candidate id pairs (a < b) from MinHash-LSH banding over a hashed

@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   * out-edges) leak their mass, the textbook simple variant — the
   * deliberate bias is shared with the oracle by construction.
   *
-  * Scale shape: per iteration, one key-partitioned join of the edge
-  * list against the rank vector (+ a broadcast-sized out-degree join)
-  * and one groupBy(dst) sum — the canonical distributed PR step; the
-  * iteration count is a small constant, each round's result is
-  * `localCheckpoint`ed (lazy) so plans don't grow across rounds
-  * (the Clusters discipline), and the previous round's blocks are
-  * released as soon as the next is materialized. Nothing ever
-  * collects: N is the one driver-side scalar (a count). */
+  * Scale shape: per iteration, ONE key-partitioned join of the edge
+  * list against the rank vector and one groupBy(dst) sum — the
+  * canonical distributed PR step. The out-degree is folded INTO the
+  * rank vector once up front (it never changes), so no second join
+  * rides every round. Rounds are `localCheckpoint`ed LAZILY so plans
+  * don't grow (the Clusters discipline) and the whole chain
+  * materializes in a single job at the end — each round's blocks cache
+  * as the lineage runs through them, so nothing is recomputed and no
+  * per-round action pays job-scheduling overhead; intermediate rounds'
+  * blocks are released the moment the final vector is materialized.
+  * Nothing ever collects: N is the one driver-side scalar (a count). */
 object PageRank {
 
   /** (id, pr_e9) for every vertex of the (deduplicated, null-pruned)
@@ -51,42 +54,43 @@ object PageRank {
       .localCheckpoint(false)
     val n = nodes.count() // materializes both checkpoints; the 1 scalar
     require(n > 0, "PageRank over an empty edge list")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(false)
     val base = Math.floorDiv((1000L - dampE3) * 1000000000L, 1000L * n)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // the rank vector carries its (constant) out-degree: one join per
+    // round instead of two; pure sinks keep deg 0 — they never appear
+    // as a join src, so the divisor is never 0 where it's used
     var pr = nodes
-      .select(col("id"), lit(Math.floorDiv(1000000000L, n)).as("pr_e9"))
+      .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__deg"), lit(0L)).as("__deg"),
+        lit(Math.floorDiv(1000000000L, n)).as("pr_e9"))
       .localCheckpoint(false)
-    pr.count()
+    val rounds = scala.collection.mutable.ArrayBuffer(pr)
     for (_ <- 1 to iterations) {
       val inflow = e
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst"), expr("pr_e9 DIV __deg").as("__c"))
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__in"))
-      val next = nodes
+      pr = pr.select(col("id"), col("__deg"))
         .join(inflow.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__deg"),
           (lit(base) +
             expr(s"(${dampE3}L * coalesce(__in, 0L)) DIV 1000"))
             .as("pr_e9"))
         .localCheckpoint(false)
-      next.count() // materialize before releasing the previous round
-      Checkpoints.release(pr)
-      pr = next
+      rounds += pr
     }
+    val result = pr.select(col("id"), col("pr_e9")).localCheckpoint(false)
+    result.count() // ONE job runs the whole lazy chain, caching per round
+    rounds.foreach(Checkpoints.release)
     Checkpoints.release(e)
-    Checkpoints.release(outdeg)
-    // nodes stays live — the final pr plan no longer references it, so
-    // release it too; pr itself is the returned, materialized result
     Checkpoints.release(nodes)
     liveResults.synchronized {
-      liveResults.addLast(pr)
+      liveResults.addLast(result)
       if (liveResults.size > MaxLiveResults)
         Checkpoints.release(liveResults.removeFirst())
     }
-    pr
+    result
   }
 
   /** Bound on concurrently-live result vectors (each node-table-sized,

@@ -53,9 +53,12 @@ object ParagraphDedup {
     * round-trips byte-identically when nothing is dropped. */
   def explodeDelim(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n"): DataFrame =
+    // outer + null filter (the q_t6 lesson): plain posexplode would
+    // re-split every row inside the inferred size()>0 filter
     df.select(col(idCol).as("__pd_id"),
-        posexplode(split(col(textCol),
+        posexplode_outer(split(col(textCol),
           java.util.regex.Pattern.quote(delim), -1)).as(Seq("pos", "unit")))
+      .filter(col("unit").isNotNull)
       .select(col("__pd_id").as(idCol), col("pos"), col("unit"))
 
   /** (id, pos, unit) — tumbling `width`-token windows (the segmentation
@@ -64,8 +67,9 @@ object ParagraphDedup {
   def explodeTokenWindows(df: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame =
     df.select(col(idCol).as("__pd_id"),
-        posexplode(TextAnalysis.tokenChunks(col(textCol), width, width))
-          .as(Seq("pos", "unit")))
+        posexplode_outer(TextAnalysis.tokenChunks(col(textCol), width,
+          width)).as(Seq("pos", "unit")))
+      .filter(col("unit").isNotNull)
       .select(col("__pd_id").as(idCol), col("pos"), col("unit"))
 
   /** The surviving unit occurrences of a unit relation: for each

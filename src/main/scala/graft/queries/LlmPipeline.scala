@@ -229,9 +229,17 @@ object LlmPipeline {
       // min-select value for value; the w+k-1 shared-run guarantee is
       // measured in TextNearDupSpec (xxhash64 fast path kept for
       // engine-internal use)
+      // explode_OUTER + null filter, not plain explode: a non-outer
+      // generate lets InferFiltersFromGenerate push `size(sketch) > 0`
+      // BELOW the staged projections with the whole winnowing chain
+      // inlined — the window-min lambda then recomputes the full md5
+      // k-gram sequence per window position (quadratic per doc; 5 s for
+      // 50 docs at sf0.1, 0.15 s this way). The outer form infers no
+      // filter; the post-generate null check is an attribute compare.
       TextAnalysis.withPortableWinnowing(
           t(s, dir, "documents").filter(col("doc_id") < 50), "text")
-        .select(col("doc_id"), explode(col("sketch")).as("fp"))
+        .select(col("doc_id"), explode_outer(col("sketch")).as("fp"))
+        .filter(col("fp").isNotNull)
         .orderBy(col("doc_id"), col("fp"))),
     "q_t4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -677,7 +685,10 @@ object LlmPipeline {
       // keyword-stuffing filters of an LLM quality pipeline
       t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("w"))
+          // outer + null filter: see q_t6 — a plain explode re-tokenizes
+          // every row inside the inferred size()>0 filter
+          explode_outer(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(col("w").isNotNull)
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(

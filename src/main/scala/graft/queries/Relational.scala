@@ -517,7 +517,10 @@ object Relational {
           col("Line"))).as("payload"))
       Envelope.parsePayload(payloads, graft.plans.Schemas.invoice)
         .select(col("rec.Id").as("id"),
-          explode(col("rec.Line")).as("line"))
+          // outer + null filter: see q_t6 — the inferred size()>0 filter
+          // pushes below the projection and re-parses the JSON envelope
+          explode_outer(col("rec.Line")).as("line"))
+        .filter(col("line").isNotNull)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("line.Amount")), 2).as("total"))
