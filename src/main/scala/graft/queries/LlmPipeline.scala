@@ -267,6 +267,14 @@ object LlmPipeline {
       NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleLen = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_d9_setsim_exact" -> ((s, dir) =>
+      // exact prefix-filtered set-similarity join (r8, L63): the SAME
+      // answer as q_d2's exhaustive oracle but with recall guaranteed by
+      // construction (lossless prefix filter, no banding probability) —
+      // same threshold, same oracle, deterministically zero missed pairs
+      SetSimJoin.pairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
     "q_d3_neardup_ensemble" -> ((s, dir) =>
       // MinHash ∪ SimHash candidates → exact confirm: recall guaranteed by
       // the MinHash leg (SimHash-64 alone misses J≈0.9 pairs at hamming 8+
@@ -562,6 +570,17 @@ object LlmPipeline {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))),
+    "q_e15_safe_split" -> ((s, dir) =>
+      // leakage-safe split (r8, L64): split fate keyed by the near-dup
+      // CLUSTER id, so duplicate families move between splits atomically
+      // — with the exact SetSimJoin pair source the no-straddle property
+      // is deterministic, and the oracle can replay it exhaustively
+      // (recursive-CTE reachability over the exact pair set, then the
+      // same md5 hex boundaries as q_e2)
+      SafeSplit.assign(t(s, dir, "documents"), "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.8)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))),
     "q_e3_seq_pack" -> ((s, dir) =>
       // concatenate-and-chunk sequence packing at a 512-token budget,
       // sharded by source (each shard packs independently — the scale
@@ -1100,7 +1119,7 @@ object LlmPipeline {
     * stays quadratic by design (it is the exhaustive ground truth); at
     * sf0.1 the one-shot 12.5M-pair intersection itself costs tens of
     * minutes — validate the cluster oracle at the gate scale only. */
-  private val clusterOracle: String =
+  private val clusterCtes: String =
     s"""WITH RECURSIVE sh AS MATERIALIZED (
           SELECT doc_id,
                  list_distinct(list_transform(
@@ -1119,7 +1138,10 @@ object LlmPipeline {
         r(s, d) AS (
           SELECT s, d FROM e
           UNION
-          SELECT r.s, e.d FROM r JOIN e ON r.d = e.s WHERE e.d <> r.s)
+          SELECT r.s, e.d FROM r JOIN e ON r.d = e.s WHERE e.d <> r.s)"""
+
+  private val clusterOracle: String =
+    s"""$clusterCtes
         SELECT s AS id, least(s, MIN(d)) AS cluster
         FROM r GROUP BY s ORDER BY id"""
 
@@ -1387,6 +1409,9 @@ object LlmPipeline {
          ORDER BY doc_id""",
     "q_d2_minhash_neardup" -> nearDupOracle,
     "q_d3_neardup_ensemble" -> nearDupOracle,
+    // q_d9 (L63): the prefix filter is lossless, so the exact join's
+    // contract IS the exhaustive all-pairs computation — same oracle
+    "q_d9_setsim_exact" -> nearDupOracle,
     "q_d5_neardup_clusters" -> clusterOracle,
     "q_d6_delta_neardup" ->
       // sequential replay of the two-phase admit: a1 = batch-1 docs with
@@ -1736,6 +1761,23 @@ object LlmPipeline {
          SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id,
                 MAX(doc_id) AS max_id
          FROM s GROUP BY split ORDER BY split""",
+    // q_e15 (L64): exhaustive replay of the leakage-safe split — the
+    // same recursive-reachability clusters as q_d5 (exact pair set at
+    // threshold 0.8), singletons coalesce to their own id, then q_e2's
+    // md5 hex boundaries applied to the CLUSTER id
+    "q_e15_safe_split" ->
+      s"""$clusterCtes,
+          cl AS (SELECT s AS id, least(s, MIN(d)) AS cluster
+                 FROM r GROUP BY s),
+          a AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         SELECT doc_id, cluster,
+                CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'cccc'
+                       THEN 'train'
+                     WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'e666'
+                       THEN 'val'
+                     ELSE 'test' END AS split
+         FROM a ORDER BY doc_id""",
     "q_e3_seq_pack" ->
       s"""WITH d AS (SELECT source, doc_id, len($duckToks) AS n FROM documents),
              p AS (SELECT source, n,
