@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk operators over quasi-identifiers — the privacy
+  * gate a dataset passes before leaving the pipeline (Sweeney's
+  * k-anonymity; Machanavajjhala et al.'s l-diversity): a row is safe to
+  * release only when at least k−1 other rows share its quasi-identifier
+  * combination (k-anonymity), and a group of look-alikes is only safe
+  * when the sensitive attribute takes ≥ l distinct values inside it
+  * (l-diversity — a 12-strong group that all share one salary still
+  * discloses the salary). Complements the content-level PII scrubbing
+  * (L23): that redacts what a row SAYS, this bounds what a row's
+  * presence REVEALS.
+  *
+  * Scale shape: one map-side-combinable groupBy over the quasi columns
+  * builds the group table (|groups| ≪ |rows| by nature — that is what
+  * makes them quasi-identifiers), which AQE broadcasts back into the
+  * row-level join; the corpus is scanned once and never shuffled wider
+  * than the quasi columns. The join is NULL-SAFE (`<=>`): a null quasi
+  * value is a value — grouping already treats it as one group, and a
+  * null-rejecting join would silently release every null-keyed row
+  * unchecked. Suppression (dropping unsafe rows) is the one exact
+  * mechanism; generalization ladders are a caller-side projection
+  * (coarsen, then re-check) composed from the same primitives. */
+object Privacy {
+
+  private def grouped(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Option[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    val aggs = count(lit(1)).as("n") +: sensitiveCol.toSeq.map(s =>
+      countDistinct(col(s)).as("n_sensitive"))
+    df.groupBy(quasiCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def joinBack(df: DataFrame, groups: DataFrame,
+      quasiCols: Seq[String]): DataFrame = {
+    val g = quasiCols.foldLeft(groups) { (d, c) =>
+      d.withColumnRenamed(c, s"__g_$c")
+    }
+    val cond: Column = quasiCols.map(c => col(c) <=> col(s"__g_$c"))
+      .reduce(_ && _)
+    df.join(g, cond).drop(quasiCols.map(c => s"__g_$c"): _*)
+  }
+
+  /** Rows whose quasi-identifier group has at least `k` members — the
+    * k-anonymous release set (suppression mechanism: unsafe groups are
+    * dropped whole). */
+  def kAnonymous(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    joinBack(df, grouped(df, quasiCols, None).filter(col("n") >= k),
+      quasiCols).drop("n")
+  }
+
+  /** Rows whose quasi-identifier group carries at least `l` DISTINCT
+    * values of `sensitiveCol` — the l-diverse release set. (Null
+    * sensitive values follow count-distinct semantics: not counted.) */
+  def lDiverse(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(l >= 1, s"l $l must be >= 1")
+    joinBack(df,
+      grouped(df, quasiCols, Some(sensitiveCol))
+        .filter(col("n_sensitive") >= l),
+      quasiCols).drop("n", "n_sensitive")
+  }
+
+  /** The audit table behind both gates: one row per quasi-group with its
+    * size, distinct-sensitive count, and the two verdicts (int 0/1 —
+    * the battery's portable boolean convention). This is what a privacy
+    * review actually reads: which groups fail, and by how much. */
+  def groupReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(k >= 1 && l >= 1, s"k=$k, l=$l must be >= 1")
+    grouped(df, quasiCols, Some(sensitiveCol))
+      .withColumn("k_ok", (col("n") >= k).cast("int"))
+      .withColumn("l_ok", (col("n_sensitive") >= l).cast("int"))
+  }
+}

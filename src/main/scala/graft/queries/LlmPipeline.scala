@@ -984,6 +984,23 @@ object LlmPipeline {
           shingleLen = 3, minDf = 5)
         .orderBy(col("id"))),
 
+    // ------------------------------------------- privacy release gates
+    "q_p3_k_anonymity" -> ((s, dir) =>
+      // k-anonymity suppression (r8, L65) over (nation, segment) as the
+      // quasi-identifier pair: rows in look-alike groups under k=12 are
+      // suppressed whole (~12 expected rows/group at the gate scale, so
+      // the threshold genuinely bites)
+      Privacy.kAnonymous(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 12)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+    "q_p4_l_diversity" -> ((s, dir) =>
+      // the privacy audit table behind both gates: group size, distinct
+      // sensitive values (account balance), and 0/1 verdicts at k=12/l=10
+      Privacy.groupReport(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 12, l = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     // -------------------------------------- composed end-to-end pipeline
     "q_lp_training_prep" -> ((s, dir) =>
       // the FULL prep chain (scrub → exact dedup → near-dup prune →
@@ -2117,6 +2134,22 @@ object LlmPipeline {
     // q_t19: the bloom screen is exact end-to-end (false positives are
     // confirmed away, false negatives impossible), so the oracle is q_t9's
     "q_t19_bloom_decontaminate" -> duckDecontaminate,
+    // q_p3/q_p4 (L65): suppression is a window count; the audit table is
+    // the grouped aggregate itself — both exactly expressible
+    "q_p3_k_anonymity" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment FROM (
+           SELECT c_custkey, c_nationkey, c_mktsegment,
+                  COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+           FROM customer)
+         WHERE n >= 12 ORDER BY c_custkey""",
+    "q_p4_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                COUNT(DISTINCT c_acctbal) AS n_sensitive,
+                CASE WHEN COUNT(*) >= 12 THEN 1 ELSE 0 END AS k_ok,
+                CASE WHEN COUNT(DISTINCT c_acctbal) >= 10 THEN 1 ELSE 0
+                  END AS l_ok
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
     "q_qr2_corpus_card" ->
       s"""WITH d AS (SELECT source, lang,
               len($duckToks) AS nt,
