@@ -31,4 +31,42 @@ object QualityReport {
       min(col(ingestTs)).as("first_ingested"),
       max(col(ingestTs)).as("last_ingested"))
   }
+
+  /** Sparse equi-width histogram of an integer-valued column, optionally
+    * per group — the distribution panel of a dataset card (document
+    * lengths per source, tokens per document, session sizes per cohort).
+    * One row per OCCUPIED bin: (groupCols…, bin, n, min_v, max_v) with
+    * `bin` = ⌊(v − lo)·bins / (hi − lo)⌋ over the half-open [lo, hi),
+    * −1 for underflow and `bins` for overflow — out-of-range mass is
+    * reported, never silently clipped (a clipped histogram reads as "no
+    * outliers" exactly when outliers exist). Empty bins are absent by
+    * construction (sparse), which keeps output exact on any engine
+    * without a grid join. Null values are dropped — they are absence of
+    * a measurement, not a magnitude; count them separately if needed.
+    *
+    * Exactness: the bin index is pure integer arithmetic — the product
+    * runs in DECIMAL(38,0) (the Hamilton-allocation overflow lesson:
+    * (v−lo)·bins overflows a LONG for 2⁶³-scale values, e.g.
+    * hash-valued columns) and the division is integral, so every engine
+    * computes the identical index; no float width, no float edges.
+    *
+    * Scale shape: one narrow projection + one map-side-combinable
+    * groupBy on (groupCols, bin) — cardinality ≤ |groups|·(bins+2),
+    * independent of row count. The histogram of 100 TB is one shuffle
+    * of a few thousand partial-agg rows. */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins $bins must be >= 1")
+    require(lo < hi, s"empty value range [$lo, $hi)")
+    val v = col(valueCol).cast("long")
+    val idx = call_function("div",
+      (v - lit(lo)).cast("decimal(38,0)") * lit(bins), lit(hi - lo))
+    val bin = when(v < lo, lit(-1)).when(v >= hi, lit(bins))
+      .otherwise(idx.cast("int"))
+    df.filter(v.isNotNull)
+      .select(groupCols.map(col) :+ bin.as("bin") :+ v.as("__v"): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("min_v"),
+        max(col("__v")).as("max_v"))
+  }
 }

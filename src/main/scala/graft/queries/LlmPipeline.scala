@@ -984,6 +984,16 @@ object LlmPipeline {
           shingleLen = 3, minDf = 5)
         .orderBy(col("id"))),
 
+    "q_qr6_length_histogram" -> ((s, dir) =>
+      // dataset-card distribution panel (r8, L66): sparse equi-width
+      // histogram of document length per source, integer-exact bin
+      // indices in decimal arithmetic, out-of-range mass in explicit
+      // under/overflow bins (both non-empty at the gate scale: corpus
+      // lengths span 48..553 vs the [100, 500) range)
+      QualityReport.histogram(t(s, dir, "documents"), Seq("source"),
+          "n_chars", lo = 100L, hi = 500L, bins = 8)
+        .orderBy(col("source"), col("bin"))),
+
     // ------------------------------------------- privacy release gates
     "q_p3_k_anonymity" -> ((s, dir) =>
       // k-anonymity suppression (r8, L65) over (nation, segment) as the
@@ -2136,6 +2146,17 @@ object LlmPipeline {
     "q_t19_bloom_decontaminate" -> duckDecontaminate,
     // q_p3/q_p4 (L65): suppression is a window count; the audit table is
     // the grouped aggregate itself — both exactly expressible
+    // q_qr6 (L66): same half-open integer binning, `//` integral div
+    "q_qr6_length_histogram" ->
+      """WITH b AS (SELECT source,
+                CASE WHEN n_chars < 100 THEN -1
+                     WHEN n_chars >= 500 THEN 8
+                     ELSE CAST((n_chars - 100) * 8 // 400 AS INTEGER)
+                  END AS bin,
+                n_chars AS v
+            FROM documents WHERE n_chars IS NOT NULL)
+         SELECT source, bin, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v
+         FROM b GROUP BY source, bin ORDER BY source, bin""",
     "q_p3_k_anonymity" ->
       """SELECT c_custkey, c_nationkey, c_mktsegment FROM (
            SELECT c_custkey, c_nationkey, c_mktsegment,

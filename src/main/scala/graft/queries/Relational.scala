@@ -334,6 +334,23 @@ object Relational {
       t(s, dir, "orders").agg(
         min(col("o_orderdate")).cast("date").as("min_d"),
         max(col("o_orderdate")).cast("date").as("max_d"))),
+    "q_a10_rollup" -> ((s, dir) =>
+      // multi-level reporting cube (r8): ROLLUP over (status, priority)
+      // — detail, per-status subtotal, grand total in ONE aggregate pass
+      // (Spark expands grouping sets in a single Expand+Aggregate, no
+      // re-scan per level). Money sums in decimal (the q_x12 convention):
+      // rollup totals aggregate 15× more rows than detail cells, where
+      // double reassociation noise would outgrow the 2-dp rounding.
+      // grouping_id disambiguates "NULL because rolled up" from a real
+      // NULL group, and makes the ORDER BY null-order-independent (all
+      // null keys within a gid class are the rolled-up ones).
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("total"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))),
     "q_a5_having" -> ((s, dir) =>
       Dedup.duplicateKeys(t(s, dir, "orders"), "o_custkey", 10)
         .select(col("o_custkey"), col("c")).orderBy(col("o_custkey"))),
@@ -631,6 +648,17 @@ object Relational {
          ORDER BY l_returnflag, l_linestatus""",
     "q_a7_dup_arith" ->
       "SELECT COUNT(*) - COUNT(DISTINCT o_custkey) AS dups FROM orders",
+    // q_a10: GROUPING() bit order matches Spark's grouping_id (first
+    // grouping column = most significant bit); null order in the sort
+    // never matters because gid classes separate rolled-up nulls
+    "q_a10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS total,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER)
+                  AS gid
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
     "q_a8_median" ->
       """SELECT v AS median_acctbal FROM (
            SELECT c_acctbal AS v,
