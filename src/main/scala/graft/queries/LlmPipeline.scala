@@ -847,6 +847,26 @@ object LlmPipeline {
         .orderBy(col("id"))
     }),
 
+    "q_g2_triangles" -> ((s, dir) => {
+      // exact triangle census (r8, L67) over the user co-activity graph:
+      // users co-active in the same (event_type, minute) bucket are
+      // linked; pair generation reuses the banding machinery's capped
+      // in-bucket expansion, then the degree-ordered compact-forward
+      // count (oriented out-degree ≤ √2m — degree skew cannot square).
+      // 141 vertices / 207 edges / 8 triangles at the sf0.01 gate;
+      // 23k edges / 8491 at sf0.1 — structure, not a clique artifact
+      val ev = t(s, dir, "events")
+      val buckets = ev.select(col("event_type").as("band"),
+          call_function("div", Tables.epochMicros(ev, "ts"),
+            lit(60000000L)).as("key"),
+          col("user_id").as("id"))
+        .filter(col("band").isNotNull && col("key").isNotNull &&
+          col("id").isNotNull)
+        .distinct()
+      Triangles.stats(NearDup.bucketPairs(buckets, maxBucketSize = 10000),
+        "id_a", "id_b")
+    }),
+
     "q_j8_scd2" -> ((s, dir) => {
       // SCD2 history merge (r8, L61): bootstrap a versioned dimension
       // from the old snapshot, apply the new snapshot as a change
@@ -2000,6 +2020,35 @@ object LlmPipeline {
     // q_g1: 5 unrolled PR steps — the recurrence is all BIGINT floor
     // division, so the replay is digit-exact, no quantization caveat
     "q_g1_pagerank" -> pagerankOracle,
+    // q_g2 (L67): exhaustive canonical-order 3-way join over the same
+    // co-activity edges; gcc in integral arithmetic on both engines
+    "q_g2_triangles" ->
+      """WITH b AS (SELECT DISTINCT event_type,
+                epoch_us(ts) // 60000000 AS m, user_id
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL),
+          e0 AS (SELECT DISTINCT least(x.user_id, y.user_id) AS a,
+                    greatest(x.user_id, y.user_id) AS b
+                 FROM b x JOIN b y
+                   ON x.event_type = y.event_type AND x.m = y.m
+                  AND x.user_id < y.user_id),
+          deg AS (SELECT v, COUNT(*) AS d
+                  FROM (SELECT a AS v FROM e0
+                        UNION ALL SELECT b AS v FROM e0)
+                  GROUP BY v),
+          tri AS (SELECT COUNT(*) AS t FROM e0 e1
+                  JOIN e0 e2 ON e2.a = e1.b
+                  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+          wdg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w
+                  FROM deg)
+         SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+                (SELECT COUNT(*) FROM e0) AS n_edges,
+                (SELECT w FROM wdg) AS n_wedges,
+                (SELECT t FROM tri) AS n_triangles,
+                CAST(CASE WHEN (SELECT w FROM wdg) = 0 THEN 0
+                     ELSE 3 * (SELECT t FROM tri) * 1000000
+                          // (SELECT w FROM wdg) END AS BIGINT) AS gcc_e6""",
     // q_j8: replays the SCD2 outcome classes over the same FULL OUTER
     // join — ride-through (absent-or-equal, null-safe), closed, and
     // opened versions as three UNION ALL branches
