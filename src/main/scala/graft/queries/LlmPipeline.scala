@@ -847,6 +847,52 @@ object LlmPipeline {
         .orderBy(col("id"))
     }),
 
+    "q_j10_fuzzy_match" -> ((s, dir) =>
+      // exact edit-distance entity matching (r8, L69): SymSpell
+      // deletion-neighborhood blocking (lossless for lev ≤ d, the L63
+      // recall property replayed for edit distance) + exact levenshtein
+      // confirm; the oracle is the exhaustive quadratic join
+      FuzzyJoin.selfPairs(t(s, dir, "customer"), "c_custkey", "c_name",
+          maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_e16_hopping_window" -> ((s, dir) => {
+      // hopping event-time windows (r8, L68): 30-min windows opening
+      // every 15 min per event type — each event expands to exactly 2
+      // window indices via a codegen'd sequence (never a range join
+      // against a window table), then one map-side-combinable groupBy
+      val ev = t(s, dir, "events")
+      TimeWindows.hopping(ev, Tables.epochMicros(ev, "ts"),
+          widthUs = 30L * 60L * 1000000L, slideUs = 15L * 60L * 1000000L,
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+        .orderBy(col("event_type"), col("window_start_us"))
+    }),
+
+    "q_t23_fertility" -> ((s, dir) => {
+      // tokenizer fertility per language (r8): BPE tokens per whitespace
+      // token under the learned 1000-merge table — the tokenizer-
+      // efficiency panel of a multilingual dataset card (a language
+      // with fertility 3 costs 3× the context budget per word). Ratio
+      // in integral ppm arithmetic; q_t13's doc subset (the REPLACE
+      // -chain oracle is quadratic in merge count)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      val bpe = Bpe.tokenCounts(docs, "doc_id", "text",
+        merges = Bpe.Merges1k)
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws"))
+        .join(bpe, "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe_tokens")).as("bpe_tokens"))
+        .select(col("lang"), col("ws_tokens"), col("bpe_tokens"),
+          when(col("ws_tokens") === 0L, lit(0L))
+            .otherwise(call_function("div",
+              col("bpe_tokens") * lit(1000000L), col("ws_tokens")))
+            .as("fertility_e6"))
+        .orderBy(col("lang"))
+    }),
+
     "q_g2_triangles" -> ((s, dir) => {
       // exact triangle census (r8, L67) over the user co-activity graph:
       // users co-active in the same (event_type, minute) bucket are
@@ -1919,6 +1965,54 @@ object LlmPipeline {
                   FROM $last GROUP BY doc_id)
          SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS bpe_tokens
          FROM d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"""
+      },
+    // q_j10 (L69): exhaustive quadratic ground truth — affordable at
+    // the gate scale; the engine side is the blocked linear-ish path
+    "q_j10_fuzzy_match" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
+    // q_e16 (L68): per-event window-index expansion replayed with
+    // range() (DuckDB `//` floors, matching the engine's pmod formula)
+    "q_e16_hopping_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value
+            FROM events WHERE ts IS NOT NULL),
+          x AS (SELECT event_type, value,
+                  unnest(range((t - 1800000000) // 900000000 + 1,
+                               t // 900000000 + 1)) AS k
+                FROM e)
+         SELECT event_type, k * 900000000 AS window_start_us,
+                COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+         FROM x GROUP BY event_type, k
+         ORDER BY event_type, window_start_us""",
+    // q_t23: q_t13's staged REPLACE chain, aggregated per language with
+    // the whitespace-token denominator and an integral ppm ratio
+    "q_t23_fertility" ->
+      {
+        val (ctes, last) = Bpe.oracleCtes("w2", "word", Bpe.Merges1k)
+        s"""WITH d AS (SELECT doc_id, lang, text FROM documents
+                       WHERE doc_id < 50),
+          w AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                FROM d),
+          w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+          $ctes,
+          cnt AS (SELECT doc_id,
+                    CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS n
+                  FROM $last GROUP BY doc_id),
+          ws AS (SELECT doc_id, len($duckToks) AS nws FROM d),
+          g AS (SELECT d.lang,
+                  CAST(SUM(ws.nws) AS BIGINT) AS ws_tokens,
+                  CAST(SUM(COALESCE(cnt.n, 0)) AS BIGINT) AS bpe_tokens
+                FROM d JOIN ws USING (doc_id) LEFT JOIN cnt USING (doc_id)
+                GROUP BY d.lang)
+         SELECT lang, ws_tokens, bpe_tokens,
+                CAST(CASE WHEN ws_tokens = 0 THEN 0
+                     ELSE bpe_tokens * 1000000 // ws_tokens END AS BIGINT)
+                  AS fertility_e6
+         FROM g ORDER BY lang"""
       },
     "q_e5_shuffle_shard" ->
       // shard = range-bucket of the first 16 hash bits: ('0x'||hex)::INT

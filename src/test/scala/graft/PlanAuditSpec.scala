@@ -70,6 +70,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r8 pair/graph operators: equi-joins only, no cross product of any kind") {
+    // SetSimJoin's prefix join, FuzzyJoin's deletion blocking and
+    // Triangles' wedge closure are all bucket/key joins by construction —
+    // a loop join appearing in any of them is the all-pairs trap
+    // re-entering (the 100 TB killer these designs exist to avoid)
+    for (name <- Seq("q_d9_setsim_exact", "q_j10_fuzzy_match",
+        "q_e15_safe_split")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a shuffle cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a loop join")
+    }
+    // Triangles combines its three ONE-ROW aggregates via broadcast loop
+    // joins (the Drift/vocab shape — bounded by construction); the
+    // corpus-scale wedge/closure joins must still never be a shuffle
+    // cartesian
+    val g2 = executedPlan(q("q_g2_triangles"))
+    assert(!g2.contains("CartesianProduct"),
+      "q_g2 plan contains a shuffle cartesian")
+  }
+
   test("LM perplexity: model joins are equi-joins; the only loop join is the 1-row vocab") {
     // The bigram-model scoring join (per-doc bigrams vs c2/c1 counts)
     // must hash-partition on the token keys — at 100 TB a nested loop
