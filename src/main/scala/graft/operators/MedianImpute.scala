@@ -141,6 +141,50 @@ object MedianImpute {
     }
   }
 
+  /** Exact quantiles PER GROUP in one distributed pass — the
+    * quality-threshold primitive stratified (per-source length P90s,
+    * per-language perplexity medians): (group, p_e6, v) rows with v the
+    * exact value at 0-based rank ⌊p·(n_g−1)/10⁶⌋ of the group's sorted
+    * non-null values. Quantile positions are integral ppm arithmetic —
+    * identical rank on every engine, no float rank drift.
+    *
+    * Scale shape (vs [[exactQuantiles]]'s driver recursion, which is one
+    * GLOBAL quantile — fine for a scalar, wrong shape for 10⁵ groups):
+    * one hash shuffle on the group key, per-group sort inside the
+    * window (sort-based, spillable), rank targets computed on the
+    * G·|ps|-row counts table and BROADCAST into an equi-join against
+    * the ranked rows — no driver loop, no per-group job, no row
+    * expansion (the join filters; an explode-then-filter would ship
+    * |ps|× the corpus through the exchange). Value ties make any
+    * tie-order yield the same v, so output is deterministic.
+    *
+    * Null group keys and null values are dropped (quantile of the
+    * unkeyed stratum: filter upstream and pass a literal group). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      psE6: Seq[Long]): DataFrame = {
+    require(psE6.nonEmpty, "at least one quantile")
+    psE6.foreach(p =>
+      require(p >= 0L && p <= 1000000L, s"p_e6 $p outside [0, 1e6]"))
+    val vals = df
+      .select(col(groupCol).as("g"), col(valueCol).try_cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val counts = vals.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+    // renamed key on the ranks side: both subtrees descend from `vals`,
+    // and same-name join columns across a self-derived pair would trip
+    // ambiguous-attribute resolution
+    val ranks = counts
+      .withColumn("p_e6", explode(array(psE6.distinct.map(lit): _*)))
+      .select(col("g").as("__rg"), col("p_e6"),
+        call_function("div", col("p_e6") * (col("__n") - lit(1L)),
+          lit(1000000L)).as("__rk"))
+    vals
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("v")))
+          .cast("long") - lit(1L))
+      .join(ranks, col("g") === col("__rg") && col("__rn") === col("__rk"))
+      .select(col("g").as(groupCol), col("p_e6"), col("v"))
+  }
+
   /** Fill nulls in each column with that column's exact upper median —
     * batched: one count pass + one multi-column `approxQuantile` + one
     * bracket-count pass shared by ALL columns (vs round 1's 4 sequential

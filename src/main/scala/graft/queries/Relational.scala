@@ -334,6 +334,16 @@ object Relational {
       t(s, dir, "orders").agg(
         min(col("o_orderdate")).cast("date").as("min_d"),
         max(col("o_orderdate")).cast("date").as("max_d"))),
+    "q_a11_grouped_quantile" -> ((s, dir) =>
+      // exact per-group quantiles (r8): one hash shuffle + per-group
+      // window sort + broadcast rank join — the distributed shape q_a9's
+      // driver rank-select cannot take at 10^5 groups; ppm-integral
+      // ranks so both engines pick the identical row
+      MedianImpute.groupedQuantiles(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice",
+          Seq(250000L, 500000L, 900000L))
+        .withColumnRenamed("l_returnflag", "flag")
+        .orderBy(col("flag"), col("p_e6"))),
     "q_a10_rollup" -> ((s, dir) =>
       // multi-level reporting cube (r8): ROLLUP over (status, priority)
       // — detail, per-status subtotal, grand total in ONE aggregate pass
@@ -648,6 +658,20 @@ object Relational {
          ORDER BY l_returnflag, l_linestatus""",
     "q_a7_dup_arith" ->
       "SELECT COUNT(*) - COUNT(DISTINCT o_custkey) AS dups FROM orders",
+    // q_a11: same ppm rank formula; `//` and the engine's div both floor
+    "q_a11_grouped_quantile" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+          r AS (SELECT g, v,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 AS rn,
+                  COUNT(*) OVER (PARTITION BY g) AS n
+                FROM v),
+          p AS (SELECT unnest([250000::BIGINT, 500000::BIGINT,
+                              900000::BIGINT]) AS p_e6)
+         SELECT r.g AS flag, p.p_e6, r.v
+         FROM r JOIN p ON r.rn = p.p_e6 * (r.n - 1) // 1000000
+         ORDER BY flag, p_e6""",
     // q_a10: GROUPING() bit order matches Spark's grouping_id (first
     // grouping column = most significant bit); null order in the sort
     // never matters because gid classes separate rolled-up nulls
