@@ -34,6 +34,25 @@ object StreamingIngest {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total"))
 
+  /** Hopping-window event aggregation — the continuous form of the batch
+    * [[graft.operators.TimeWindows.hopping]] (L68): overlapping windows
+    * of `windowDur` opening every `slideDur`, each event folded into
+    * width/slide window states incrementally; a window's row is emitted
+    * (append mode) once the watermark passes its end. Same bounded-state
+    * discipline as the tumbling form — the state store holds the
+    * watermark horizon's open windows × groups, not stream history;
+    * the overlap factor multiplies state rows, not events retained.
+    * `StreamingIngestSpec` pins stream ≡ batch under disorder. */
+  def hoppingActivity(events: DataFrame, windowDur: String,
+      slideDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
   /** Streaming sessionization — the continuous form of the batch
     * `Sessions` operator (L20): Spark's built-in `session_window` merges
     * events into gap-separated sessions incrementally, closing a session

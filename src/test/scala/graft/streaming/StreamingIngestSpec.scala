@@ -121,6 +121,51 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows: stream (append, disorder) == batch TimeWindows.hopping") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = hoppingActivity(events, "1 minute", "30 seconds",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("hop_stream")
+      .outputMode("append").start()
+    val data = Seq(
+      (ts("2024-01-01 10:00:40"), "click", 2.0), // out of order...
+      (ts("2024-01-01 10:00:10"), "click", 1.0), // ...within the horizon
+      (ts("2024-01-01 10:01:05"), "view", 5.0),
+      (ts("2024-01-01 10:01:20"), "click", 3.0))
+    val late = (ts("2024-01-01 10:01:40"), "view", 7.0)
+    val sentinel = (ts("2024-01-01 10:30:00"), "z", 0.0)
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData(late) // late but inside the watermark horizon
+      q.processAllAvailable()
+      input.addData(sentinel) // advance the watermark: close everything
+      q.processAllAvailable()
+      val cutoff = ts("2024-01-01 10:10:00")
+      val got = spark.table("hop_stream")
+        .filter(col("window_start") < cutoff)
+        .select(unix_micros(col("window_start")), col("event_type"),
+          col("n"), col("total"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      // the batch operator over the same rows (sentinel excluded by the
+      // same cutoff): overlap factor 2, identical window grid
+      val all = (data :+ late).toDF("ts", "event_type", "value")
+      val want = graft.operators.TimeWindows.hopping(all,
+          unix_micros(col("ts")), 60000000L, 30000000L,
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total")))
+        .filter(col("window_start_us") < unix_micros(lit(cutoff)))
+        .select(col("window_start_us"), col("event_type"), col("n"),
+          col("total"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(want.nonEmpty && got === want, s"stream $got != batch $want")
+      // the overlap is real: some event contributes to 2 emitted windows
+      assert(got.toSeq.map(_._3).sum > (data :+ late).size)
+    } finally q.stop()
+  }
+
   test("windowed heavy hitters: stream (append, disorder) == batch HAVING") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
