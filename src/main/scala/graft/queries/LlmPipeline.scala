@@ -847,6 +847,13 @@ object LlmPipeline {
         .orderBy(col("id"))
     }),
 
+    "q_t24_cluster_terms" -> ((s, dir) =>
+      // c-TF-IDF class labeling (r8, L70): top-5 discriminative terms
+      // per source — tf·⌊ln(1+A/f)·10⁴⌋ with the one float op inside a
+      // half-up floor (L43 discipline), WindowGroupLimit top-k
+      ClusterTerms.topTerms(t(s, dir, "documents"), "source", "text", k = 5)
+        .orderBy(col("source"), col("rank"))),
+
     "q_j10_fuzzy_match" -> ((s, dir) =>
       // exact edit-distance entity matching (r8, L69): SymSpell
       // deletion-neighborhood blocking (lossless for lev ≤ d, the L63
@@ -1966,6 +1973,29 @@ object LlmPipeline {
          SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS bpe_tokens
          FROM d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"""
       },
+    // q_t24 (L70): same tf/f/A replay; the DISTINCT subquery (not
+    // COUNT(DISTINCT)) keeps a null class counted like Spark's groupBy
+    "q_t24_cluster_terms" ->
+      s"""WITH tk AS (SELECT source AS cls, unnest($duckToks) AS term
+                      FROM documents),
+          tf AS (SELECT cls, term, COUNT(*) AS tf FROM tk
+                 GROUP BY cls, term),
+          ft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f FROM tf
+                 GROUP BY term),
+          st AS (SELECT CAST(SUM(tf) AS DOUBLE) /
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT cls FROM tf))
+                   AS a
+                 FROM tf),
+          sc AS (SELECT cls, term, tf,
+                   tf * CAST(FLOOR(ln(1 + (SELECT a FROM st) / f) * 10000
+                     + 0.5) AS BIGINT) AS score_e4
+                 FROM tf JOIN ft USING (term)),
+          r AS (SELECT cls, term, tf, score_e4,
+                  ROW_NUMBER() OVER (PARTITION BY cls
+                    ORDER BY score_e4 DESC, term) AS rank
+                FROM sc)
+         SELECT cls AS source, term, tf, score_e4, rank FROM r
+         WHERE rank <= 5 ORDER BY source, rank""",
     // q_j10 (L69): exhaustive quadratic ground truth — affordable at
     // the gate scale; the engine side is the blocked linear-ish path
     "q_j10_fuzzy_match" ->
