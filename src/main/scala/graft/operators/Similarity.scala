@@ -702,6 +702,36 @@ object Similarity {
   /** Quantization audit per vector: L1 mass of the quantized codes and
     * the mean squared dequantization error — the check that a chosen
     * bit-width keeps reconstruction error inside tolerance. */
+  /** Exact per-class centroids in quantized-integer arithmetic — the
+    * labeled-centroid step under IVF list training, SemDeDup cluster
+    * centers and per-label embedding audits, made ENGINE-PORTABLE: a
+    * float mean's value depends on summation order (Spark partial aggs
+    * vs any oracle's scan order), so each component is quantized ONCE to
+    * integer 1e-6 (⌊x·10⁶+0.5⌋ — float→double widening is exact, one
+    * IEEE product, one half-up floor) and the centroid is the exact
+    * integer floor-mean of those BIGINTs. Output: (classCol, dim, n,
+    * mean_e6) — 0-based dim, n the class size.
+    *
+    * Scale shape: one posexplode (rows×D slim triples) into a
+    * map-side-combinable (class, dim) sum/count — the 100 TB cost is
+    * one combine-shuffled aggregate, grid-sized output; no vector is
+    * ever collected. The floor division is the negative-safe pmod
+    * formula (components go negative; a truncating `div` would round
+    * toward zero and disagree with the oracle's flooring `//`). */
+  def classCentroids(df: DataFrame, classCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val s = sum(col("__q")).as("__s")
+    df.select(col(classCol), posexplode_outer(q).as(Seq("dim", "__q")))
+      .filter(col("__q").isNotNull)
+      .groupBy(col(classCol), col("dim"))
+      .agg(count(lit(1)).as("n"), s)
+      .select(col(classCol), col("dim"), col("n"),
+        call_function("div",
+          col("__s") - pmod(col("__s"), col("n")), col("n")).as("mean_e6"))
+  }
+
   def quantizeProfile(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     quantizeInt8(df, vecCol)

@@ -356,6 +356,13 @@ object LlmPipeline {
     }),
 
     // --------------------------------------------------------- similarity
+    "q_v7_class_centroids" -> ((s, dir) =>
+      // exact per-label centroids (r8): quantize-once integer floor-means
+      // — the engine-portable form of the float mean no engine pair can
+      // agree on bit-wise; negative-safe pmod floor division
+      Similarity.classCentroids(t(s, dir, "embeddings"), "label")
+        .orderBy(col("label"), col("dim"))),
+
     "q_v1_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -1623,6 +1630,27 @@ object LlmPipeline {
                 COALESCE(n_kept, 0) AS n_kept,
                 COALESCE(dedup_md5, md5('')) AS dedup_md5
          FROM documents d0 LEFT JOIN r USING (doc_id) ORDER BY doc_id""",
+    // q_v7: same quantize-once integers; DuckDB lists are 1-indexed so
+    // the 0-based dim reads embedding[i + 1]. Two portability traps both
+    // caught by the gate: (1) DuckDB promotes FLOAT * INTEGER to FLOAT,
+    // so the quantizing product must CAST to DOUBLE first (127 of 640
+    // cells off by one ulp otherwise — the header's fold-in-DOUBLE rule
+    // applied to a scalar product); (2) DuckDB's `//` TRUNCATES toward
+    // zero on integers (-3 // 2 = -1), so the floor is built the same
+    // way the engine builds it: subtract the POSITIVE remainder, then
+    // divide the exact multiple (sums go negative here — the one
+    // battery spot where the `//`-floors assumption would bite)
+    "q_v7_class_centroids" ->
+      """WITH x AS (SELECT label, i AS dim,
+               CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS q
+             FROM embeddings, unnest(range(0, len(embedding))) AS t(i)),
+          g AS (SELECT label, dim, COUNT(*) AS n,
+                  CAST(SUM(q) AS BIGINT) AS s
+                FROM x GROUP BY label, dim)
+         SELECT label, CAST(dim AS INTEGER) AS dim, n,
+                (s - ((s % n + n) % n)) // n AS mean_e6
+         FROM g ORDER BY label, dim""",
     "q_v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 5),

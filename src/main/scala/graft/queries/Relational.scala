@@ -334,6 +334,28 @@ object Relational {
       t(s, dir, "orders").agg(
         min(col("o_orderdate")).cast("date").as("min_d"),
         max(col("o_orderdate")).cast("date").as("max_d"))),
+    "q_a12_iqr_outliers" -> ((s, dir) => {
+      // statistical QC composed from q_a11's primitive (r8): per-type
+      // Tukey fences q1/q3 ± 1.5·IQR — quantiles are exact data values
+      // (ppm ranks), the fence arithmetic is the same three IEEE ops on
+      // both engines, so the flag counts compare exactly; events.value
+      // is right-skewed, ~95 high outliers per type at the gate scale
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val qs = MedianImpute
+        .groupedQuantiles(ev, "event_type", "value", Seq(250000L, 750000L))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("p_e6") === 250000L, col("v"))).as("q1"),
+          max(when(col("p_e6") === 750000L, col("v"))).as("q3"))
+      ev.join(qs, "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("value") <
+            col("q1") - lit(1.5) * (col("q3") - col("q1")), 1)).as("n_low"),
+          count(when(col("value") >
+            col("q3") + lit(1.5) * (col("q3") - col("q1")), 1)).as("n_high"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
     "q_a11_grouped_quantile" -> ((s, dir) =>
       // exact per-group quantiles (r8): one hash shuffle + per-group
       // window sort + broadcast rank join — the distributed shape q_a9's
@@ -658,6 +680,29 @@ object Relational {
          ORDER BY l_returnflag, l_linestatus""",
     "q_a7_dup_arith" ->
       "SELECT COUNT(*) - COUNT(DISTINCT o_custkey) AS dups FROM orders",
+    // q_a12: q_a11's rank machinery + identical IEEE fence arithmetic
+    "q_a12_iqr_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events
+            WHERE value IS NOT NULL),
+          r AS (SELECT event_type, value AS v,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY value) - 1 AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM e),
+          q AS (SELECT event_type,
+                  MAX(CASE WHEN rn = 250000 * (n - 1) // 1000000
+                      THEN v END) AS q1,
+                  MAX(CASE WHEN rn = 750000 * (n - 1) // 1000000
+                      THEN v END) AS q3
+                FROM r GROUP BY event_type)
+         SELECT e.event_type,
+                COUNT(*) FILTER (WHERE value < q1 - 1.5 * (q3 - q1))
+                  AS n_low,
+                COUNT(*) FILTER (WHERE value > q3 + 1.5 * (q3 - q1))
+                  AS n_high,
+                COUNT(*) AS n
+         FROM e JOIN q ON e.event_type = q.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
     // q_a11: same ppm rank formula; `//` and the engine's div both floor
     "q_a11_grouped_quantile" ->
       """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
