@@ -372,16 +372,40 @@ object Sampling {
   def gumbelTopK(df: DataFrame, keyCol: String, weightE4Col: String,
       k: Int, seed: String): DataFrame = {
     require(k > 0, s"k $k must be positive")
+    df.select(col("*"), gumbelKeyE4(keyCol, weightE4Col, seed))
+      .orderBy(col("gumbel_key_e4").desc, col(keyCol))
+      .limit(k)
+  }
+
+  /** The shared Gumbel sampling key (see [[gumbelTopK]]'s contract). */
+  private def gumbelKeyE4(keyCol: String, weightE4Col: String,
+      seed: String): Column = {
     // 2^52 as an exact literal — pow() is a float call some engines
     // round differently; the constant is exact in both.
     val twoPow52 = lit(4503599627370496.0)
     val u = (conv(substring(md5(concat(lit(s"gum:$seed:"),
         col(keyCol).cast("string")).cast("binary")), 1, 13), 16, 10)
       .cast("double") + lit(0.5)) / twoPow52
-    df.select(col("*"),
-        floor((col(weightE4Col).cast("double") / lit(10000.0) -
-          log(-log(u))) * lit(10000.0) + lit(0.5)).as("gumbel_key_e4"))
-      .orderBy(col("gumbel_key_e4").desc, col(keyCol))
-      .limit(k)
+    floor((col(weightE4Col).cast("double") / lit(10000.0) -
+      log(-log(u))) * lit(10000.0) + lit(0.5)).as("gumbel_key_e4")
+  }
+
+  /** [[gumbelTopK]] PER GROUP — weighted sampling without replacement of
+    * k rows from every group in one pass (k quality-weighted docs per
+    * source, k exemplars per cluster). Same deterministic per-row-hash
+    * Gumbel key; selection is `row_number ≤ k` over (group, key desc) —
+    * Spark's WindowGroupLimit keeps each map task's local top-k per
+    * group BEFORE the shuffle (the L34 caps discipline), so a billion-row
+    * group ships ~k·tasks rows, and there is NO TakeOrdered driver
+    * bottleneck multiplied across 10⁵ groups. Adds `gumbel_key_e4` and
+    * `rank` (1..k by key desc, tie-broken on the key column). Null
+    * group keys form a group of their own (grouping semantics). */
+  def gumbelTopKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      weightE4Col: String, k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    df.select(col("*"), gumbelKeyE4(keyCol, weightE4Col, seed))
+      .withColumn("rank", row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(col("gumbel_key_e4").desc, col(keyCol))))
+      .filter(col("rank") <= k)
   }
 }

@@ -870,6 +870,19 @@ object LlmPipeline {
           maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_e17_gumbel_per_group" -> ((s, dir) =>
+      // per-group weighted sampling without replacement (r8): 3 length-
+      // weighted exemplar docs per source via the shared deterministic
+      // Gumbel key, selected by WindowGroupLimit instead of q_e10's
+      // global TakeOrdered — the 10⁵-group shape
+      Sampling.gumbelTopKPerGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            (col("n_chars") * lit(10L)).as("w_e4")),
+          "source", "doc_id", "w_e4", k = 3, seed = "42")
+        .select(col("source"), col("rank"), col("doc_id"),
+          col("gumbel_key_e4"))
+        .orderBy(col("source"), col("rank"))),
+
     "q_e16_hopping_window" -> ((s, dir) => {
       // hopping event-time windows (r8, L68): 30-min windows opening
       // every 15 min per event type — each event expands to exactly 2
@@ -1770,6 +1783,23 @@ object LlmPipeline {
                 FROM dsir)
          SELECT doc_id, gumbel_key_e4 FROM g
          ORDER BY gumbel_key_e4 DESC, doc_id LIMIT 50""",
+    // q_e17: q_e10's key replay with n_chars·10 weights, ranked per
+    // source (CAST to BIGINT — Spark's floor() is integral, DuckDB's is
+    // DOUBLE)
+    "q_e17_gumbel_per_group" ->
+      """WITH g AS (SELECT source, doc_id,
+                CAST(FLOOR((n_chars * 10 / 10000.0 -
+                  ln(-ln((CAST(concat('0x', substr(md5('gum:42:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5) /
+                    4503599627370496.0))) * 10000.0 + 0.5) AS BIGINT)
+                  AS gumbel_key_e4
+              FROM documents),
+          r AS (SELECT source, doc_id, gumbel_key_e4,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY gumbel_key_e4 DESC, doc_id) AS rank
+                FROM g)
+         SELECT source, rank, doc_id, gumbel_key_e4 FROM r
+         WHERE rank <= 3 ORDER BY source, rank""",
     // q_e11: replays the exact-integer Hamilton allocation — weights
     // floor(sqrt(n)·1e6 + 0.5) (IEEE sqrt is correctly rounded on both
     // engines), base = (B·w) // Σw, leftover seats by remainder DESC

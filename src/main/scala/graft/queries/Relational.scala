@@ -334,6 +334,20 @@ object Relational {
       t(s, dir, "orders").agg(
         min(col("o_orderdate")).cast("date").as("min_d"),
         max(col("o_orderdate")).cast("date").as("max_d"))),
+    "q_s11_incremental_agg" -> ((s, dir) => {
+      // incremental aggregate maintenance (r8, L71): the history is
+      // folded in as TWO batches of partial aggregates and merged —
+      // decimal sums make merge ≡ recompute an exact identity, and the
+      // oracle IS the direct full recompute, so the driver gate proves
+      // the maintenance algebra cross-engine
+      val orders = t(s, dir, "orders")
+      val g = Seq("o_orderstatus")
+      val p1 = IncrementalAgg.partials(
+        orders.filter(col("o_orderkey") % 4 =!= 0), g, "o_totalprice")
+      val p2 = IncrementalAgg.partials(
+        orders.filter(col("o_orderkey") % 4 === 0), g, "o_totalprice")
+      IncrementalAgg.merge(p1, p2, g).orderBy(col("o_orderstatus"))
+    }),
     "q_a12_iqr_outliers" -> ((s, dir) => {
       // statistical QC composed from q_a11's primitive (r8): per-type
       // Tukey fences q1/q3 ± 1.5·IQR — quantiles are exact data values
@@ -680,6 +694,18 @@ object Relational {
          ORDER BY l_returnflag, l_linestatus""",
     "q_a7_dup_arith" ->
       "SELECT COUNT(*) - COUNT(DISTINCT o_custkey) AS dups FROM orders",
+    // q_s11: the oracle is the DIRECT recompute the merged partials
+    // must equal — decimal addition is associative, so batch order
+    // cannot drift the sums
+    "q_s11_incremental_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS sum_v,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS min_v,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS max_v
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // q_a12: q_a11's rank machinery + identical IEEE fence arithmetic
     "q_a12_iqr_outliers" ->
       """WITH e AS (SELECT event_type, value FROM events

@@ -312,6 +312,24 @@ class SamplingSpec extends SparkSpec {
     assert(got === gumbelReference(rows, 25, "s1"))
   }
 
+  test("gumbelTopKPerGroup: per-group reference replay, exactly k per group") {
+    val rnd = new scala.util.Random(75)
+    val rows = (1L to 300L).map(i =>
+      (i, s"g${i % 7}", rnd.nextInt(30000).toLong - 10000L))
+    val k = 4
+    val got = Sampling.gumbelTopKPerGroup(
+        rows.toDF("id", "g", "w_e4"), "g", "id", "w_e4", k, seed = "s2")
+      .select(col("g"), col("rank"), col("id"), col("gumbel_key_e4"))
+      .as[(String, Int, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (g, grp) =>
+      gumbelReference(grp.map(r => (r._1, r._3)), k, "s2").zipWithIndex
+        .map { case ((id, key), i) => (g, i + 1, id, key) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+    assert(got.groupBy(_._1).values.forall(_.size == k))
+  }
+
   test("gumbelTopK: same seed is stable; different seed is a different sample") {
     val rows = (1L to 500L).map(i => (i, 0L)) // uniform weights
     def ids(seed: String) = Sampling.gumbelTopK(rows.toDF("id", "w_e4"),
