@@ -51,17 +51,26 @@ object FuzzyJoin {
 
   /** (id_a, id_b, dist) for every unordered pair of rows whose `strCol`
     * values are within Levenshtein distance `maxDist` (id_a < id_b,
-    * dist the exact distance). Null ids and null strings are dropped
-    * (no stable identity / nothing to match); ids follow the pair
+    * dist the exact distance). Null ids, null strings and strings
+    * longer than `maxLen` are dropped (no stable identity / nothing to
+    * match / not a key — see the valve note below); ids follow the pair
     * family's bigint contract. `maxBucketSize` caps a single blocking
     * bucket's pair expansion — the mass-duplicate-key valve. */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1, maxBucketSize: Int = 10000): DataFrame = {
+      maxDist: Int = 1, maxBucketSize: Int = 10000,
+      maxLen: Int = 256): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist $maxDist outside [0, 3] — variant count is C(len, d)")
+    require(maxLen >= 1, s"maxLen $maxLen must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.filter(col(idCol).isNotNull && col(strCol).isNotNull)
+    // length valve (review-caught skew bomb): ONE 10-KB string at d=2
+    // would emit ~C(10⁴,2) ≈ 5·10⁷ variants from a single row. Entity
+    // KEYS are short by nature; strings past `maxLen` don't participate
+    // (documented drop, like the bucket cap — raise it deliberately,
+    // never silently)
+    val keyed = df.filter(col(idCol).isNotNull && col(strCol).isNotNull &&
+        length(col(strCol)) <= maxLen)
       .select(col(idCol).cast("long"), col(strCol))
     val variantRows = keyed.as[(Long, String)].mapPartitions { it =>
       it.flatMap { case (id, s) =>

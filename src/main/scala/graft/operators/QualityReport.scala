@@ -58,6 +58,12 @@ object QualityReport {
       lo: Long, hi: Long, bins: Int): DataFrame = {
     require(bins >= 1, s"bins $bins must be >= 1")
     require(lo < hi, s"empty value range [$lo, $hi)")
+    // hi − lo is the divisor; a wider-than-2⁶³ range wraps NEGATIVE in
+    // long arithmetic (lo=Long.Min, hi=Long.Max) and would silently
+    // corrupt every interior bin — reject it here (review-caught; the
+    // in-range subtraction v − lo is then provably overflow-free too)
+    require(hi - lo > 0,
+      s"range [$lo, $hi) wider than 2^63 — split into two histograms")
     val v = col(valueCol).cast("long")
     val idx = call_function("div",
       (v - lit(lo)).cast("decimal(38,0)") * lit(bins), lit(hi - lo))

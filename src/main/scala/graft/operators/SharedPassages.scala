@@ -61,6 +61,35 @@ object SharedPassages {
         .filter(col("n_shared") >= minShared)
     }
 
+  /** Cross-source contamination matrix — [[pairs]] rolled up to the
+    * SOURCE level: for every (unordered) source pair, how many document
+    * pairs share rare verbatim passages and how many shared grams in
+    * total. The dataset-governance panel behind source selection ("srcA
+    * and srcB are 40% mirror content — don't count them twice in the
+    * mixture") and the cross-source face of L30's decontamination.
+    *
+    * Scale shape: the pair set is [[pairs]]' bounded output (orders of
+    * magnitude smaller than the corpus); the two source lookups join a
+    * slim (id, source) projection key-partitioned on bigint ids; the
+    * final aggregate is grid-sized (|sources|² upper bound). Source
+    * pairs are canonically ordered (least/greatest — string order is an
+    * engine-portable total order), so intra-source duplication shows on
+    * the diagonal rows. */
+  def sourceMatrix(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, shingleLen: Int = 8, maxDf: Int = 5,
+      minShared: Int = 1): DataFrame = {
+    val p = pairs(df, idCol, textCol, shingleLen, maxDf, minShared)
+    val src = df.select(col(idCol).cast("long").as("__id"),
+      col(srcCol).as("__src"))
+    p.join(src.select(col("__id").as("id_a"), col("__src").as("__sa")), "id_a")
+      .join(src.select(col("__id").as("id_b"), col("__src").as("__sb")), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"), col("n_shared"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_shared")).cast("long").as("n_shared_total"))
+  }
+
   /** Longest shared verbatim token run per candidate pair (VERDICT r6
     * #6) — the CONTAMINATION-LENGTH signal [[pairs]] deliberately does
     * not carry: `n_shared` counts distinct rare n-grams (presence), and

@@ -1077,6 +1077,14 @@ object LlmPipeline {
           shingleLen = 3, minDf = 5)
         .orderBy(col("id"))),
 
+    "q_qr7_contamination_matrix" -> ((s, dir) =>
+      // cross-source contamination matrix (r8, L72): q_t11's rare-
+      // passage pairs rolled up per canonical source pair — the
+      // governance panel behind mixture weights; same (8, 5, 3)
+      // parameters so the pair set is the proven one
+      SharedPassages.sourceMatrix(t(s, dir, "documents"), "doc_id",
+          "text", "source", shingleLen = 8, maxDf = 5, minShared = 3)
+        .orderBy(col("src_a"), col("src_b"))),
     "q_qr6_length_histogram" -> ((s, dir) =>
       // dataset-card distribution panel (r8, L66): sparse equi-width
       // histogram of document length per source, integer-exact bin
@@ -1577,6 +1585,30 @@ object LlmPipeline {
           SELECT id_a, id_b, COUNT(*) AS n_shared FROM pr
           GROUP BY id_a, id_b HAVING COUNT(*) >= 3
           ORDER BY id_a, id_b""",
+    // q_qr7 (L72): q_t11's chain + two source lookups + the canonical
+    // least/greatest source-pair rollup
+    "q_qr7_contamination_matrix" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len($duckToks) - 7, 0) + 1),
+                     i -> array_to_string(($duckToks)[i:i+7], ' '))) AS sh
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          rare AS (SELECT g FROM ex GROUP BY g
+                   HAVING COUNT(*) BETWEEN 2 AND 5),
+          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM ex a JOIN ex b USING (g) JOIN rare USING (g)
+                 WHERE a.doc_id < b.doc_id),
+          ps AS (SELECT id_a, id_b, COUNT(*) AS n_shared FROM pr
+                 GROUP BY id_a, id_b HAVING COUNT(*) >= 3),
+          m AS (SELECT least(da.source, db.source) AS src_a,
+                       greatest(da.source, db.source) AS src_b, n_shared
+                FROM ps JOIN documents da ON ps.id_a = da.doc_id
+                        JOIN documents db ON ps.id_b = db.doc_id)
+         SELECT src_a, src_b, COUNT(*) AS n_pairs,
+                CAST(SUM(n_shared) AS BIGINT) AS n_shared_total
+         FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""",
     // q_t15: same rare-gram candidate generation as q_t11 (minShared=1),
     // then the longest common TOKEN run per pair via the diagonal-islands
     // trick: token matches (i, j) grouped by diagonal i-j; within a

@@ -113,6 +113,51 @@ object StreamingIngest {
         ()
       }
 
+  /** The per-batch step of [[incrementalAggSink]], exposed for replay
+    * testing: fold `batch` into the versioned partial-table directory.
+    * Version `v<batchId>` is derived ONLY from `v<batchId−1>` (the
+    * highest version BELOW this batch) plus this batch's rows, and is
+    * overwritten whole — so a redelivered micro-batch recomputes the
+    * identical version instead of double-counting, which is the
+    * exactly-once effect without a transactional sink. */
+  private[streaming] def mergeAggBatch(batch: DataFrame, dir: String,
+      groupCols: Seq[String], valueCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val prevId = {
+      val base = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(base)) None
+      else fs.listStatus(base).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v"))
+        .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+        .filter(_ < batchId).sorted.lastOption
+    }
+    val p = graft.operators.IncrementalAgg.partials(batch, groupCols, valueCol)
+    val merged = prevId match {
+      case Some(id) => graft.operators.IncrementalAgg.merge(
+        spark.read.parquet(s"$dir/v$id"), p, groupCols)
+      case None => p
+    }
+    merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+  }
+
+  /** Streaming form of L71's incremental aggregate maintenance: each
+    * micro-batch folds into a VERSIONED partial-aggregate table
+    * (`<dir>/v<batchId>`) via [[graft.operators.IncrementalAgg]]'s
+    * monoid merge — the history is never rescanned, the latest version
+    * is always a complete report, and batch replay is idempotent by
+    * construction (see [[mergeAggBatch]]). Reading side: pick the
+    * highest `v*` directory. */
+  def incrementalAggSink(stream: DataFrame, dir: String,
+      groupCols: Seq[String], valueCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeAggBatch(batch, dir, groupCols, valueCol, batchId)
+      }
+
   /** Seen-key state for streaming dedup. */
   final case class SeenState(firstSeenMs: Long, count: Long)
   /** One output row per key per batch-with-news: first occurrence flag +

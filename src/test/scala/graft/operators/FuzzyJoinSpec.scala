@@ -90,12 +90,19 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(run(rows, 1, cap = 2).isEmpty)     // valve drops the clique
   }
 
-  test("null ids and null strings are dropped") {
+  test("null ids, null strings and over-maxLen strings are dropped") {
     val rows = Seq((Some(1L), "abc"), (Some(2L), "abd"),
       (None, "abc"), (Some(4L), null))
       .toDF("id", "name")
     val got = FuzzyJoin.selfPairs(rows, "id", "name", 1)
       .as[(Long, Long, Int)].collect().toSeq
     assert(got === Seq((1L, 2L, 1)))
+    // the length valve: a pathological long "key" cannot detonate the
+    // variant generator — it simply doesn't participate
+    val long = Seq((1L, "abc"), (2L, "abd"), (3L, "x" * 500))
+      .toDF("id", "name")
+    val got2 = FuzzyJoin.selfPairs(long, "id", "name", 1)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got2 === Seq((1L, 2L, 1)))
   }
 }
