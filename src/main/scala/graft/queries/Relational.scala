@@ -475,6 +475,24 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    "q_w3_analytic_suite" -> ((s, dir) => {
+      // W-series completion (r8): the remaining analytic functions in
+      // one pass — ntile/percent_rank/cume_dist over a UNIQUE order key
+      // (ties would make them engine-order-dependent; c_custkey is the
+      // PK) and lead over a partitioned window. percent_rank/cume_dist
+      // are single IEEE divisions of identical integers — exact parity
+      val wg = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+      val w = Window.orderBy(col("c_custkey"))
+      t(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(10).over(w).as("decile"),
+          percent_rank().over(wg).as("pr"),
+          cume_dist().over(wg).as("cd"),
+          lead(col("c_custkey"), 1).over(wg).as("next_in_segment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ----------------------------------------------------scalar functions
     "q_x1_substr" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -510,6 +528,24 @@ object Relational {
       t(s, dir, "orders")
         .select(col("o_orderkey"), floor(col("o_totalprice")).as("p"))
         .orderBy(col("o_orderkey")).limit(20)),
+    "q_x13_regexp_extract_all" -> ((s, dir) =>
+      // X-series completion (r8): multi-match regex extraction — count,
+      // first hit, and the full pipe-joined match stream per document
+      // (leftmost-first greedy semantics agree between Java regex and
+      // DuckDB's RE2 for this pattern class)
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("ta[a-z]+"), lit(0)))
+            .as("n_hits"),
+          // try_element_at: element_at THROWS on an empty array (ANSI)
+          coalesce(try_element_at(
+              regexp_extract_all(col("text"), lit("ta[a-z]+"), lit(0)),
+              lit(1)),
+            lit("-")).as("first_hit"),
+          array_join(
+            regexp_extract_all(col("text"), lit("ta[a-z]+"), lit(0)), "|")
+            .as("all_hits"))
+        .orderBy(col("doc_id"))),
     "q_x10_date_funcs" -> ((s, dir) =>
       t(s, dir, "orders")
         .filter(col("o_orderdate").cast("date") >=
@@ -902,6 +938,32 @@ object Relational {
       """SELECT CAST(MIN(o_orderdate) AS DATE) AS min_d,
                 CAST(MAX(o_orderdate) AS DATE) AS max_d, COUNT(*) AS n
          FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'""",
+    // len() is BIGINT (Spark size() is int) and a no-match
+    // array_to_string surfaces NULL — both coerced to the engine's form
+    "q_x13_regexp_extract_all" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS INTEGER)
+                  AS n_hits,
+                COALESCE(regexp_extract_all(text, 'ta[a-z]+')[1], '-')
+                  AS first_hit,
+                COALESCE(array_to_string(
+                  regexp_extract_all(text, 'ta[a-z]+'), '|'), '')
+                  AS all_hits
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // q_w3: NTILE/PERCENT_RANK/CUME_DIST/LEAD with the same unique
+    // order keys — both engines compute the identical integer ranks and
+    // the same single IEEE division
+    "q_w3_analytic_suite" ->
+      """SELECT c_custkey, c_mktsegment,
+                CAST(NTILE(10) OVER (ORDER BY c_custkey) AS INTEGER)
+                  AS decile,
+                PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_custkey) AS pr,
+                CUME_DIST() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_custkey) AS cd,
+                LEAD(c_custkey, 1) OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_custkey) AS next_in_segment
+         FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
     "q_s4_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_s9_jsonl" -> fidelityOracle,
