@@ -1077,6 +1077,21 @@ object LlmPipeline {
           shingleLen = 3, minDf = 5)
         .orderBy(col("id"))),
 
+    "q_qr8_benford" -> ((s, dir) => {
+      // first-digit (Benford) distribution of the money column (r8) —
+      // the classic synthetic-data / fraud smell test as a QC panel:
+      // digit counts plus integral ppm shares (the grid is 9 rows, so
+      // the share window is trivial)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .select(col("digit"), col("n"),
+          call_function("div", col("n") * lit(1000000L),
+            sum(col("n")).over(w)).as("share_e6"))
+        .orderBy(col("digit"))
+    }),
     "q_qr7_contamination_matrix" -> ((s, dir) =>
       // cross-source contamination matrix (r8, L72): q_t11's rare-
       // passage pairs rolled up per canonical source pair — the
@@ -1585,6 +1600,16 @@ object LlmPipeline {
           SELECT id_a, id_b, COUNT(*) AS n_shared FROM pr
           GROUP BY id_a, id_b HAVING COUNT(*) >= 3
           ORDER BY id_a, id_b""",
+    // q_qr8: digit of the floored BIGINT's string form; shares in
+    // positive integral division (`//` truncation == floor here)
+    "q_qr8_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                      AS VARCHAR), 1, 1) AS digit
+            FROM orders),
+          g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+         SELECT digit, n,
+                CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_e6
+         FROM g ORDER BY digit""",
     // q_qr7 (L72): q_t11's chain + two source lookups + the canonical
     // least/greatest source-pair rollup
     "q_qr7_contamination_matrix" ->

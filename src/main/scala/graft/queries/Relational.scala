@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -347,6 +347,34 @@ object Relational {
       val p2 = IncrementalAgg.partials(
         orders.filter(col("o_orderkey") % 4 === 0), g, "o_totalprice")
       IncrementalAgg.merge(p1, p2, g).orderBy(col("o_orderstatus"))
+    }),
+    "q_a13_grouped_corr" -> ((s, dir) => {
+      // exact-moment Pearson correlation per group (r8): both columns
+      // quantized ONCE to 2-dp integers, the five moments are exact
+      // integral sums (per-row products fit LONG — qx·qy ≤ 1e12 here —
+      // sums widen to DECIMAL(38,0)), and the correlation is derived
+      // from those identical integers with the SAME op sequence on both
+      // engines (one cast-to-double per term, IEEE sqrt is correctly
+      // rounded, round to 6 dp). corr() itself streams float partials —
+      // reassociation noise no oracle could pin
+      val qx = floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+      val qy = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val m = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), qx.as("qx"), qy.as("qy"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qx").cast("decimal(38,0)")).as("sx"),
+          sum(col("qy").cast("decimal(38,0)")).as("sy"),
+          sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("qy") * col("qy")).cast("decimal(38,0)")).as("syy"),
+          sum((col("qx") * col("qy")).cast("decimal(38,0)")).as("sxy"))
+      def d(c: Column) = c.cast("double")
+      m.select(col("flag"), col("n"),
+          round(d(col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) /
+            sqrt(d(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr6"))
+        .orderBy(col("flag"))
     }),
     "q_a12_iqr_outliers" -> ((s, dir) => {
       // statistical QC composed from q_a11's primitive (r8): per-type
@@ -742,6 +770,23 @@ object Relational {
                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)))
                      AS DECIMAL(18,2)) AS max_v
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // q_a13: HUGEINT sums are exact like the engine's decimal sums;
+    // one cast-to-double per term at the same spots, same op order
+    "q_a13_grouped_corr" ->
+      """WITH q AS (SELECT l_returnflag AS flag,
+                CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+                CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS qy
+            FROM lineitem),
+          m AS (SELECT flag, COUNT(*) AS n,
+                  SUM(qx) AS sx, SUM(qy) AS sy,
+                  SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy,
+                  SUM(qx * qy) AS sxy
+                FROM q GROUP BY flag)
+         SELECT flag, n,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
+                      sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr6
+         FROM m ORDER BY flag""",
     // q_a12: q_a11's rank machinery + identical IEEE fence arithmetic
     "q_a12_iqr_outliers" ->
       """WITH e AS (SELECT event_type, value FROM events
