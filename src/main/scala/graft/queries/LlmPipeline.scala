@@ -413,6 +413,19 @@ object LlmPipeline {
         .orderBy(col("label"))),
 
     // --------------------------------------------------------- multimodal
+    "q_m5_blob_dedup" -> ((s, dir) => {
+      // exact binary-payload dedup (r8): q_d1's content dedup on the
+      // MULTIMODAL surface — doubled corpus packed to blobs, one keeper
+      // (min id) per content fingerprint, copy count carried; at 100 TB
+      // the groupBy ships 16-byte fingerprints, never payloads
+      val docs = t(s, dir, "documents")
+      Multimodal.packBinary(docs.unionAll(docs), "doc_id", "text")
+        .groupBy(col("meta.checksum").as("blob_md5"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"),
+          max(col("meta.n_bytes")).as("n_bytes"))
+        .orderBy(col("keeper"))
+    }),
     "q_m1_multimodal_profile" -> ((s, dir) =>
       Multimodal.metaProfile(
           Multimodal.packBinary(t(s, dir, "documents"), "doc_id", "text",
@@ -1750,6 +1763,14 @@ object LlmPipeline {
             ROUND(AVG(sqrt(${duckNormSq("embedding")})), 4) AS avg_norm,
             COUNT(*) AS n
           FROM embeddings GROUP BY label ORDER BY label""",
+    // q_m5: doubled corpus → every fingerprint has ≥2 copies; the
+    // corpus also carries real duplicate texts, so n_copies > 2 exists
+    "q_m5_blob_dedup" ->
+      """SELECT md5(text) AS blob_md5, MIN(doc_id) AS keeper,
+                COUNT(*) AS n_copies,
+                CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes
+         FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+         GROUP BY md5(text) ORDER BY keeper""",
     "q_m1_multimodal_profile" ->
       """SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
