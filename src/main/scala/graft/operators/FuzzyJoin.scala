@@ -54,8 +54,10 @@ object FuzzyJoin {
     * dist the exact distance). Null ids, null strings and strings
     * longer than `maxLen` are dropped (no stable identity / nothing to
     * match / not a key — see the valve note below); ids follow the pair
-    * family's bigint contract. `maxBucketSize` caps a single blocking
-    * bucket's pair expansion — the mass-duplicate-key valve. */
+    * family's bigint contract and must be UNIQUE (a duplicate id would
+    * fan out through the confirm's string lookups — the CorpusDiff
+    * precondition). `maxBucketSize` caps a single blocking bucket's
+    * pair expansion — the mass-duplicate-key valve. */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, maxBucketSize: Int = 10000,
       maxLen: Int = 256): DataFrame = {

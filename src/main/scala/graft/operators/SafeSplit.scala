@@ -44,7 +44,9 @@ object SafeSplit {
 
   /** [[assign]] with a caller-supplied near-dup pair set (id_a, id_b) —
     * e.g. the LSH candidates-confirmed pairs when approximate recall is
-    * acceptable, or a pair set already computed for dedup. */
+    * acceptable, or a pair set already computed for dedup. Document ids
+    * must be unique (the pair family's precondition; a duplicate id
+    * would fan out through the label join). */
   def assignFromPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     val reserved = Seq("cluster", "split")

@@ -56,7 +56,10 @@ object SetSimJoin {
   /** (id_a, id_b, jaccard) for every unordered pair with exact distinct
     * `shingleLen`-gram Jaccard ≥ `threshold`, id_a < id_b, jaccard
     * rounded to 6 dp (the near-dup family's oracle convention). Ids must
-    * be numeric (upcast to long — [[NearDup.bucketPairs]]'s contract).
+    * be numeric (upcast to long — [[NearDup.bucketPairs]]'s contract)
+    * and UNIQUE: duplicate ids would merge their shingle sets through
+    * the per-id grouping and double-count document frequency (the
+    * CorpusDiff precondition, same reason).
     * Empty shingle sets (documents shorter than `shingleLen` tokens)
     * never pair: their Jaccard is 0 by the family's convention. */
   def pairs(df: DataFrame, idCol: String, textCol: String,

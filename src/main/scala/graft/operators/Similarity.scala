@@ -710,7 +710,9 @@ object Similarity {
     * integer 1e-6 (⌊x·10⁶+0.5⌋ — float→double widening is exact, one
     * IEEE product, one half-up floor) and the centroid is the exact
     * integer floor-mean of those BIGINTs. Output: (classCol, dim, n,
-    * mean_e6) — 0-based dim, n the class size.
+    * mean_e6) — 0-based dim; `n` counts the vectors CARRYING that
+    * dimension (equal to class size for fixed-dim embeddings, per-dim
+    * for ragged input — the mean is over vectors that have the value).
     *
     * Scale shape: one posexplode (rows×D slim triples) into a
     * map-side-combinable (class, dim) sum/count — the 100 TB cost is

@@ -79,8 +79,12 @@ object Triangles {
         .join(oriented.select(col("src").as("wa"), col("dst").as("wb")),
           Seq("wa", "wb"))
         .agg(count(lit(1)).as("n_triangles"))
+      // coalesce: sum over an EMPTY degree table is null, and a null
+      // wedge count would null-poison gcc_e6 on an edgeless input
+      // (review-caught) — an empty graph reports honest zeros
       val degAgg = deg.agg(count(lit(1)).as("n_vertices"),
-        sum(call_function("div", col("d") * (col("d") - lit(1L)), lit(2L)))
+        coalesce(sum(call_function("div",
+            col("d") * (col("d") - lit(1L)), lit(2L))), lit(0L))
           .cast("long").as("n_wedges"))
       val edgeAgg = e0.agg(count(lit(1)).as("n_edges"))
       degAgg.crossJoin(edgeAgg).crossJoin(triAgg)

@@ -43,6 +43,8 @@ class TrianglesSpec extends SparkSpec {
     val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
       (2L, 2L))
     assert(stats(messy) === (3L, 3L, 3L, 1L, 1000000L))
+    // empty graph (everything hygiene-dropped): zeros, not nulls
+    assert(stats(Seq((7L, 7L))) === (0L, 0L, 0L, 0L, 0L))
   }
 
   test("property: matches brute force on random graphs (seeded)") {
