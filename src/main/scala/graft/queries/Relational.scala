@@ -478,9 +478,33 @@ object Relational {
       cnt("customer", "c").union(cnt("orders", "o")).union(cnt("lineitem", "l"))
         .orderBy(col("t"))
     }),
+    "q_u3_set_ops" -> ((s, dir) => {
+      // U-series completion (r8): INTERSECT / EXCEPT (distinct set
+      // semantics on both engines) between big-spender custkeys and
+      // rich-customer custkeys, tagged into one frame
+      val spenders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("k"))
+      val rich = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      spenders.intersect(rich).withColumn("op", lit("both"))
+        .unionAll(spenders.except(rich).withColumn("op", lit("spend_only")))
+        .orderBy(col("op"), col("k"))
+    }),
     "q_o1_limit" -> ((s, dir) =>
       t(s, dir, "orders").select(col("o_orderkey"))
         .orderBy(col("o_orderkey")).limit(100)),
+    "q_o2_sort_nulls" -> ((s, dir) =>
+      // O-series completion (r8): explicit null placement — Spark
+      // defaults NULLS FIRST (asc), DuckDB NULLS LAST, so portable sorts
+      // must SAY it; deterministic via the unique key tie-break
+      t(s, dir, "customer").filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"))
+        .orderBy(col("bal").asc_nulls_last, col("c_custkey"))
+        .limit(50)),
     "q_w1_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -945,6 +969,24 @@ object Relational {
          UNION ALL SELECT 'l', COUNT(*) FROM lineitem ORDER BY t""",
     "q_o1_limit" ->
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_u3_set_ops" ->
+      """SELECT k, op FROM (
+           SELECT k, 'both' AS op FROM (
+             SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+             INTERSECT
+             SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+           UNION ALL
+           SELECT k, 'spend_only' FROM (
+             SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+             EXCEPT
+             SELECT c_custkey FROM customer WHERE c_acctbal > 5000))
+         ORDER BY op, k""",
+    "q_o2_sort_nulls" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey % 7 = 0 THEN NULL
+                     ELSE c_acctbal END AS bal
+         FROM customer WHERE c_custkey < 200
+         ORDER BY bal ASC NULLS LAST, c_custkey LIMIT 50""",
     "q_w1_window_topk" ->
       """SELECT user_id, event_id,
                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
