@@ -70,6 +70,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("partitioned sink layout: partition filter prunes directories at the scan") {
+    // the per-window parquet layout (SURVEY §7.1 M5; IdempotentAppend's
+    // partCols) exists so window-scoped re-reads touch one directory —
+    // pin that the filter actually becomes a PartitionFilter and only
+    // the matching directory's files are opened
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString + "/sink"
+    spark.range(0, 1000)
+      .select(col("id"), (col("id") % 10).as("win"))
+      .write.mode("overwrite").partitionBy("win").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("win") === 3)
+    val plan = executedPlan(df)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*win[^\\]]*\\].*"),
+      s"no partition filter in:\n$plan")
+    import spark.implicits._
+    val files = df.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("win=3")),
+      s"scan touched non-pruned files: ${files.mkString(",")}")
+  }
+
   test("r8 pair/graph operators: equi-joins only, no cross product of any kind") {
     // SetSimJoin's prefix join, FuzzyJoin's deletion blocking and
     // Triangles' wedge closure are all bucket/key joins by construction —
