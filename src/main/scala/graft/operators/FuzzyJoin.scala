@@ -58,35 +58,81 @@ object FuzzyJoin {
     * fan out through the confirm's string lookups — the CorpusDiff
     * precondition). `maxBucketSize` caps a single blocking bucket's
     * pair expansion — the mass-duplicate-key valve. */
+  /** Cross-table record linkage — (left_id, right_id, dist) for every
+    * LEFT×RIGHT pair within Levenshtein distance `maxDist`: the A–B
+    * matching shape of entity resolution (new batch vs master table,
+    * two vendors' catalogs). Same lossless deletion-neighborhood screen;
+    * candidates come from an equi-join of the two variant sets (id
+    * spaces stay separate — no shared-pool remapping, so colliding
+    * numeric ids across tables are safe), `maxVariantDf` caps a single
+    * variant's per-side fan-in (the mass-duplicate valve: a name shared
+    * by k_l × k_r records is a genuine biclique). Null/overlong strings
+    * and null ids drop as in [[selfPairs]]; ids must be unique within
+    * each side. */
+  def pairs(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int = 1, maxVariantDf: Int = 10000,
+      maxLen: Int = 256): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist $maxDist outside [0, 3] — variant count is C(len, d)")
+    val lv = variantRows(left, leftId, leftStr, maxDist, maxLen)
+    val rv = variantRows(right, rightId, rightStr, maxDist, maxLen)
+    def capped(v: DataFrame): DataFrame = {
+      val hot = v.groupBy(col("key")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxVariantDf).select(col("key"))
+      v.join(hot, Seq("key"), "left_anti")
+    }
+    val cand = capped(lv).select(col("key"), col("id").as("left_id"))
+      .join(capped(rv).select(col("key"), col("id").as("right_id")), "key")
+      .select(col("left_id"), col("right_id")).distinct()
+    val ls = left.filter(col(leftId).isNotNull && col(leftStr).isNotNull)
+      .select(col(leftId).cast("long").as("left_id"),
+        col(leftStr).as("__sl"))
+    val rs = right.filter(col(rightId).isNotNull && col(rightStr).isNotNull)
+      .select(col(rightId).cast("long").as("right_id"),
+        col(rightStr).as("__sr"))
+    cand.join(ls, "left_id").join(rs, "right_id")
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("__sl"), col("__sr")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** (key, id) deletion-variant rows for one side — the shared screen. */
+  private def variantRows(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxLen: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(idCol).isNotNull && col(strCol).isNotNull &&
+        length(col(strCol)) <= maxLen)
+      .select(col(idCol).cast("long"), col(strCol))
+      .as[(Long, String)].mapPartitions { it =>
+        it.flatMap { case (id, s) =>
+          deletionVariants(s, maxDist).iterator.map(v => (hash64(v), id))
+        }
+      }.toDF("key", "id")
+  }
+
+  /** 64-bit combine of (length, murmur3): deterministic across JVMs;
+    * collisions merge candidate buckets, which only ADDS candidates. */
+  private def hash64(v: String): Long =
+    (v.length.toLong << 32) ^
+      (scala.util.hashing.MurmurHash3.stringHash(v).toLong & 0xffffffffL)
+
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, maxBucketSize: Int = 10000,
       maxLen: Int = 256): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist $maxDist outside [0, 3] — variant count is C(len, d)")
     require(maxLen >= 1, s"maxLen $maxLen must be >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
-    // length valve (review-caught skew bomb): ONE 10-KB string at d=2
-    // would emit ~C(10⁴,2) ≈ 5·10⁷ variants from a single row. Entity
-    // KEYS are short by nature; strings past `maxLen` don't participate
-    // (documented drop, like the bucket cap — raise it deliberately,
-    // never silently)
-    val keyed = df.filter(col(idCol).isNotNull && col(strCol).isNotNull &&
-        length(col(strCol)) <= maxLen)
-      .select(col(idCol).cast("long"), col(strCol))
-    val variantRows = keyed.as[(Long, String)].mapPartitions { it =>
-      it.flatMap { case (id, s) =>
-        deletionVariants(s, maxDist).iterator.map { v =>
-          // 64-bit combine of (length, murmur3): deterministic across
-          // JVMs; collisions merge buckets, which only adds candidates
-          val h = (v.length.toLong << 32) ^
-            (scala.util.hashing.MurmurHash3.stringHash(v).toLong & 0xffffffffL)
-          (h, id)
-        }
-      }
-    }.toDF("key", "id").withColumn("band", lit(0))
-    val cand = NearDup.bucketPairs(variantRows, maxBucketSize)
-    val strs = keyed.toDF("__id", "__s")
+    // the length valve (review-caught skew bomb: ONE 10-KB string at
+    // d=2 would emit ~C(10⁴,2) ≈ 5·10⁷ variants from a single row —
+    // entity KEYS are short by nature) lives in variantRows, shared
+    // with the cross-table form
+    val vr = variantRows(df, idCol, strCol, maxDist, maxLen)
+      .withColumn("band", lit(0))
+    val cand = NearDup.bucketPairs(vr, maxBucketSize)
+    val strs = df.filter(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
     cand
       .join(strs.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(strs.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")

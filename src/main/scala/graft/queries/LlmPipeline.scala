@@ -896,6 +896,20 @@ object LlmPipeline {
           col("gumbel_key_e4"))
         .orderBy(col("source"), col("rank"))),
 
+    "q_j11_fuzzy_link" -> ((s, dir) => {
+      // cross-table record linkage (r8, L69's A–B form): customers and
+      // suppliers normalized into one entity-key space ("E#…"), linked
+      // at lev ≤ 1 — exact matches plus one-digit typos; id spaces stay
+      // separate (custkey 5 and suppkey 5 are different entities)
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        regexp_replace(col("c_name"), "^Customer#", "E#").as("name"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+        regexp_replace(col("s_name"), "^Supplier#", "E#").as("name"))
+      FuzzyJoin.pairs(c, "c_custkey", "name", sup, "s_suppkey", "name",
+          maxDist = 1)
+        .orderBy(col("left_id"), col("right_id"))
+    }),
+
     "q_e16_hopping_window" -> ((s, dir) => {
       // hopping event-time windows (r8, L68): 30-min windows opening
       // every 15 min per event type — each event expands to exactly 2
@@ -2140,6 +2154,18 @@ object LlmPipeline {
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
+    // q_j11: exhaustive cross join over the normalized key space
+    "q_j11_fuzzy_link" ->
+      """SELECT c.c_custkey AS left_id, s.s_suppkey AS right_id,
+                CAST(levenshtein(
+                  regexp_replace(c.c_name, '^Customer#', 'E#'),
+                  regexp_replace(s.s_name, '^Supplier#', 'E#'))
+                  AS INTEGER) AS dist
+         FROM customer c, supplier s
+         WHERE levenshtein(
+                 regexp_replace(c.c_name, '^Customer#', 'E#'),
+                 regexp_replace(s.s_name, '^Supplier#', 'E#')) <= 1
+         ORDER BY left_id, right_id""",
     // q_e16 (L68): per-event window-index expansion replayed with
     // range() (DuckDB `//` floors, matching the engine's pmod formula)
     "q_e16_hopping_window" ->

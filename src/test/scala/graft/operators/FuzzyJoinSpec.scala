@@ -90,6 +90,43 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(run(rows, 1, cap = 2).isEmpty)     // valve drops the clique
   }
 
+  test("cross-table pairs: brute-force equality; colliding numeric ids across sides safe") {
+    val rnd = new scala.util.Random(76)
+    val alpha = "abcd"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // deliberately OVERLAPPING id spaces — the cross form must keep the
+    // two sides separate, never pool ids
+    val left = (1L to 15L).map(i => i -> randStr(rnd.nextInt(5) + 4))
+    val right = (1L to 15L).map { i =>
+      val base = left(rnd.nextInt(left.size))._2
+      val mutated =
+        if (rnd.nextBoolean()) base.updated(rnd.nextInt(base.length),
+          alpha(rnd.nextInt(alpha.length)))
+        else randStr(rnd.nextInt(5) + 4)
+      i -> mutated
+    }
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.pairs(left.toDF("id", "s"), "id", "s",
+          right.toDF("id", "s"), "id", "s", maxDist = d)
+        .orderBy(col("left_id"), col("right_id"))
+        .as[(Long, Long, Int)].collect().toSeq
+      val want = (for {
+        (a, sa) <- left; (b, sb) <- right
+        dd = lev(sa, sb) if dd <= d
+      } yield (a, b, dd)).sortBy(p => (p._1, p._2))
+      assert(got === want, s"d=$d left=$left right=$right")
+    }
+  }
+
+  test("cross-table pairs: the variant-df valve drops mass-duplicate names") {
+    val left = (1L to 5L).map(_ -> "same").toDF("id", "s")
+    val right = (1L to 5L).map(_ -> "sane").toDF("id", "s")
+    assert(FuzzyJoin.pairs(left, "id", "s", right, "id", "s", 1).count() === 25)
+    assert(FuzzyJoin.pairs(left, "id", "s", right, "id", "s", 1,
+      maxVariantDf = 2).count() === 0)
+  }
+
   test("null ids, null strings and over-maxLen strings are dropped") {
     val rows = Seq((Some(1L), "abc"), (Some(2L), "abd"),
       (None, "abc"), (Some(4L), null))
