@@ -1199,7 +1199,21 @@ object LlmPipeline {
     "q_a2x_approx_distinct" -> ((s, dir) =>
       // scale-out variant of A2 — sketch-based, so no exact oracle
       t(s, dir, "orders").agg(
-        approx_count_distinct(col("o_custkey")).as("approx_u"))))
+        approx_count_distinct(col("o_custkey")).as("approx_u"))),
+    "q_a2y_approx_distinct_grouped" -> ((s, dir) =>
+      // the q_v2 recall-report trick applied to HLL (r8): per group the
+      // engine emits the EXACT distinct count (oracle-recomputable) and
+      // a boolean error-bound verdict on its own sketch — the sketch
+      // value itself can't be oracled, but the claim "within 5% of
+      // exact, per group" becomes a driver-gated integer. rsd=0.02 ⇒
+      // 5% is > 2σ headroom on every group
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_u"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.02).as("__a"))
+        .select(col("o_orderpriority"), col("exact_u"),
+          (abs(col("__a") - col("exact_u")) * lit(100L) <=
+            col("exact_u") * lit(5L)).cast("int").as("err_ok"))
+        .orderBy(col("o_orderpriority"))))
 
   /** Shared q_j8/q_j9 CTE chain: the SCD2 history that init(old, t=0) +
     * merge(new, t=1000) produces, replayed as the three outcome classes
@@ -2154,6 +2168,12 @@ object LlmPipeline {
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
+    // q_a2y: the oracle recomputes the exact counts and expects the
+    // engine's sketch to have declared itself inside the bound
+    "q_a2y_approx_distinct_grouped" ->
+      """SELECT o_orderpriority,
+                COUNT(DISTINCT o_custkey) AS exact_u, 1 AS err_ok
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // q_j11: exhaustive cross join over the normalized key space
     "q_j11_fuzzy_link" ->
       """SELECT c.c_custkey AS left_id, s.s_suppkey AS right_id,
