@@ -867,6 +867,19 @@ object LlmPipeline {
         .orderBy(col("id"))
     }),
 
+    "q_t25_vocab_encode" -> ((s, dir) => {
+      // vocabulary indexing + id encoding (r8, L73) — the last step
+      // before tensors: frequency-ranked ids (minCount=2 tail cut),
+      // docs re-emitted as position-ordered id sequences with OOV kept
+      // as -1 (length must survive encoding); md5 pins each sequence
+      val docs = t(s, dir, "documents")
+      val v = Vocab.build(docs, "text", minCount = 2)
+      Vocab.encode(docs.filter(col("doc_id") < 100), "doc_id", "text", v)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          md5(array_join(transform(col("ids"), _.cast("string")), " ")
+            .cast("binary")).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q_t24_cluster_terms" -> ((s, dir) =>
       // c-TF-IDF class labeling (r8, L70): top-5 discriminative terms
       // per source — tf·⌊ln(1+A/f)·10⁴⌋ with the one float op inside a
@@ -2137,6 +2150,33 @@ object LlmPipeline {
          SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS bpe_tokens
          FROM d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"""
       },
+    // q_t25 (L73): rank replay (same DESC-count, token tie-break),
+    // positional re-index via range() (lists are 1-indexed), OOV -1,
+    // ordered list() rebuild — empty docs md5 the empty string
+    "q_t25_vocab_encode" ->
+      s"""WITH tk AS (SELECT unnest($duckToks) AS token FROM documents),
+          cnt AS (SELECT token, COUNT(*) AS n FROM tk GROUP BY token
+                  HAVING COUNT(*) >= 2),
+          v AS (SELECT token,
+                  ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS id
+                FROM cnt),
+          d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+          p AS (SELECT doc_id, i AS pos,
+                  ($duckToks)[CAST(i + 1 AS INTEGER)] AS token
+                FROM d, unnest(range(0, len($duckToks))) AS t(i)),
+          e AS (SELECT p.doc_id, p.pos, COALESCE(v.id, -1) AS tid
+                FROM p LEFT JOIN v USING (token)),
+          enc AS (SELECT doc_id,
+                    array_to_string(
+                      list(CAST(tid AS VARCHAR) ORDER BY pos), ' ') AS s,
+                    COUNT(*) AS n_toks,
+                    SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_oov
+                  FROM e GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(enc.n_toks, 0) AS INTEGER) AS n_tokens,
+                CAST(COALESCE(enc.n_oov, 0) AS INTEGER) AS n_oov,
+                md5(COALESCE(enc.s, '')) AS ids_md5
+         FROM d LEFT JOIN enc USING (doc_id) ORDER BY doc_id""",
     // q_t24 (L70): same tf/f/A replay; the DISTINCT subquery (not
     // COUNT(DISTINCT)) keeps a null class counted like Spark's groupBy
     "q_t24_cluster_terms" ->
