@@ -97,7 +97,8 @@ class PlanAuditSpec extends SparkSpec {
     // a loop join appearing in any of them is the all-pairs trap
     // re-entering (the 100 TB killer these designs exist to avoid)
     for (name <- Seq("q_d9_setsim_exact", "q_j10_fuzzy_match",
-        "q_e15_safe_split")) {
+        "q_e15_safe_split", "q_j11_fuzzy_link", "q_qr7_contamination_matrix",
+        "q_t25_vocab_encode")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("CartesianProduct"),
         s"$name plan contains a shuffle cartesian")
