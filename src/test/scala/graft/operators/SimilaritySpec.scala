@@ -93,6 +93,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r - 0.96) < 1e-12)
   }
 
+  test("graft_jaccard is SQL-callable and matches TextAnalysis.jaccard (seeded)") {
+    val r = spark.sql(
+      "SELECT graft_jaccard(array('a','b','c'), array('b','c','d'))")
+      .head.getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-12)
+    assert(spark.sql("SELECT graft_jaccard(CAST(array() AS ARRAY<STRING>), " +
+        "CAST(array() AS ARRAY<STRING>))")
+      .head.getDouble(0) === 0.0) // empty-set convention pinned
+    // parity with the Column-API kernel on random sets
+    val rnd = new scala.util.Random(78)
+    val rows = (1 to 50).map { i =>
+      (i, (0 until rnd.nextInt(8)).map(_ => s"t${rnd.nextInt(10)}"),
+        (0 until rnd.nextInt(8)).map(_ => s"t${rnd.nextInt(10)}"))
+    }.toDF("i", "a", "b")
+    rows.createOrReplaceTempView("jac_rows")
+    val sqlSide = spark.sql(
+        "SELECT i, graft_jaccard(a, b) AS j FROM jac_rows")
+      .as[(Int, Double)].collect().toMap
+    val colSide = rows.select(col("i"),
+        graft.functions.TextAnalysis.jaccard(col("a"), col("b")).as("j"))
+      .as[(Int, Double)].collect().toMap
+    assert(sqlSide === colSide)
+  }
+
   test("cosineNearDupPairs matches a hand-built exhaustive computation") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
     val got = Similarity.cosineNearDupPairs(e, threshold = 0.3)
