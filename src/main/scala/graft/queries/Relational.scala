@@ -116,6 +116,47 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     // ------------------------------------------------------- projections
+    "q_s12_schema_evolution" -> ((s, dir) => {
+      // schema evolution across sink generations (r8): batch 1 writes
+      // (doc_id, lang), batch 2 adds a column (n_chars) — mergeSchema
+      // reconciles at read and old rows surface NULL for the new column
+      // (the additive-evolution contract a long-lived parquet sink
+      // needs); per-lang rollup proves both generations are read
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_evo_staged"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(staged)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("append").parquet(staged)
+      s.read.option("mergeSchema", "true").parquet(staged)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    "q_p5_corrupt_quarantine" -> ((s, dir) => {
+      // dead-letter handling (r8): a payload stream with deterministic
+      // corruption (every 10th record truncated mid-JSON) parsed
+      // PERMISSIVEly — corrupt rows quarantine (parse → null) instead
+      // of failing the batch; the report counts both classes per lang
+      val docs = t(s, dir, "documents")
+      val payload = when(col("doc_id") % 10 === 0,
+          concat(lit("{\"id\":"), col("doc_id"), lit(",\"nc\":")))
+        .otherwise(concat(lit("{\"id\":"), col("doc_id"), lit(",\"nc\":"),
+          col("n_chars"), lit("}")))
+      docs.select(col("lang"),
+          from_json(payload, org.apache.spark.sql.types.StructType
+            .fromDDL("id BIGINT, nc BIGINT")).as("p"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("p").isNull || col("p.id").isNull, 1))
+            .as("n_quarantined"),
+          sum(col("p.nc")).as("sum_nc"))
+        .orderBy(col("lang"))
+    }),
     "q_p1_envelope" -> ((s, dir) => {
       // P1 via the REAL operator (round 1 hand-built a look-alike —
       // VERDICT r1 #5): Envelope.project's deterministic columns are
@@ -708,6 +749,23 @@ object Relational {
        FROM documents GROUP BY lang ORDER BY lang"""
 
   val oracles: Map[String, String] = Map(
+    // q_s12: old-generation rows surface NULL n_chars ⇒ only odd ids
+    // contribute to the char aggregates
+    "q_s12_schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n,
+                COUNT(CASE WHEN doc_id % 2 <> 0 THEN n_chars END)
+                  AS n_with_chars,
+                CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN n_chars END)
+                  AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // q_p5: every 10th record is the truncated-JSON class ⇒ quarantined
+    "q_p5_corrupt_quarantine" ->
+      """SELECT lang, COUNT(*) AS n,
+                COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END)
+                  AS n_quarantined,
+                CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN n_chars END)
+                  AS BIGINT) AS sum_nc
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_p1_envelope" ->
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
          DATE '2024-01-01' AS window_start, 1 AS page_number, 100 AS page_size,
