@@ -867,6 +867,26 @@ object LlmPipeline {
         .orderBy(col("id"))
     }),
 
+    "q_t26_url_canonical" -> ((s, dir) => {
+      // URL canonicalization as a dedup key (r8, L74): a synthetic URL
+      // stream where the same page arrives in two shapes (tracking
+      // params + fragment + shouting authority vs clean) — after
+      // normalization both collapse to one canonical key; the rollup
+      // counts arrivals per key with a min-id keeper (the L1 shape)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://Example"), pmod(col("doc_id"), lit(20L)),
+            lit(".COM/p/"), pmod(col("doc_id"), lit(50L)),
+            lit("?utm_source=x&b=2&a=1#frag")))
+        .otherwise(
+          concat(lit("https://example"), pmod(col("doc_id"), lit(20L)),
+            lit(".com/p/"), pmod(col("doc_id"), lit(50L)),
+            lit("?a=1&b=2")))
+      docs.select(col("doc_id"), graft.functions.Urls.normalize(raw).as("url"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("url"))
+    }),
     "q_t25_vocab_encode" -> ((s, dir) => {
       // vocabulary indexing + id encoding (r8, L73) — the last step
       // before tensors: frequency-ranked ids (minCount=2 tail cut),
@@ -2150,6 +2170,44 @@ object LlmPipeline {
          SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS bpe_tokens
          FROM d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"""
       },
+    // q_t26 (L74): the same fixed rule chain replayed —
+    // strpos/substr/list_sort/list_filter are the DuckDB twins of
+    // instr/substr/sort_array/filter
+    "q_t26_url_canonical" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+          u AS (SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN
+                    'HTTPS://Example' || (doc_id % 20) || '.COM/p/' ||
+                    (doc_id % 50) || '?utm_source=x&b=2&a=1#frag'
+                  ELSE
+                    'https://example' || (doc_id % 20) || '.com/p/' ||
+                    (doc_id % 50) || '?a=1&b=2' END AS raw
+                FROM d),
+          n1 AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS nf
+                 FROM u),
+          n2 AS (SELECT doc_id,
+                   CASE WHEN strpos(nf, '?') = 0 THEN nf
+                        ELSE substr(nf, 1, strpos(nf, '?') - 1) END AS base,
+                   CASE WHEN strpos(nf, '?') = 0 THEN ''
+                        ELSE substr(nf, strpos(nf, '?') + 1) END AS q
+                 FROM n1),
+          n3 AS (SELECT doc_id,
+                   lower(regexp_extract(base,
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) ||
+                     substr(base, length(regexp_extract(base,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) + 1)
+                     AS cb,
+                   list_sort(list_filter(string_split(q, '&'),
+                     p -> NOT regexp_matches(p, '^(utm_|fbclid=)')
+                          AND p <> '')) AS ps
+                 FROM n2),
+          urls AS (SELECT doc_id,
+                     cb || CASE WHEN len(ps) > 0
+                           THEN '?' || array_to_string(ps, '&')
+                           ELSE '' END AS url
+                   FROM n3)
+         SELECT url, COUNT(*) AS n, MIN(doc_id) AS keeper
+         FROM urls GROUP BY url ORDER BY url""",
     // q_t25 (L73): rank replay (same DESC-count, token tie-break),
     // positional re-index via range() (lists are 1-indexed), OOV -1,
     // ordered list() rebuild — empty docs md5 the empty string
