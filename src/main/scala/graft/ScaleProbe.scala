@@ -238,6 +238,39 @@ object ScaleProbe {
         f"| $tRe%.1f | $tMe%.2f | ${tRe / tMe}%.0fx | history untouched |")
     }
 
+    // --- exact edit-distance matching (L69, r8): wall-clock scaling of
+    // the deletion-neighborhood self-join on synthetic entity keys —
+    // 10% planted single-char typos (the true-pair load), d=1. The
+    // quadratic baseline is 10⁵× infeasible at the top size; the claim
+    // is that blocked-exact stays near-linear in corpus size.
+    if (sections("fuzzy")) {
+      import graft.operators.FuzzyJoin
+      // NOTE the fixture is deliberately DENSE: every base key is lev-1
+      // from ~up to 81 digit-neighbors, so the output is tens of pairs
+      // per key — a worst-realistic ER load, not just the planted typos
+      for (nKeys <- Seq(100000L, 250000L, 500000L)) {
+        val baseKeys = spark.range(0, nKeys, 1, 64).select(
+          col("id"),
+          concat(lit("Entity#"), lpad(col("id").cast("string"), 9, "0"))
+            .as("name"))
+        val typos = baseKeys.filter(pmod(col("id"), lit(10L)) === 0)
+          .select((col("id") + nKeys).as("id"),
+            concat(lit("Entity#"),
+              substring(lpad(col("id").cast("string"), 9, "0"), 1, 8),
+              lit("X")).as("name"))
+        val path = s"$base/fuzzy_$nKeys"
+        baseKeys.unionAll(typos).write.mode("overwrite").parquet(path)
+        val keys = spark.read.parquet(path)
+        var nPairs = -1L
+        val t = timeIt(2) {
+          nPairs = FuzzyJoin.selfPairs(keys, "id", "name", maxDist = 1)
+            .count()
+        }
+        println(f"| ${nKeys / 1000}k keys (+10%% typos) | fuzzy selfPairs " +
+          f"d=1 | $t%.1f | — | — | $nPairs pairs |")
+      }
+    }
+
     // --- exact set-similarity join (L63, r8): wall-clock scaling of the
     // prefix-filtered EXACT join vs MinHash-LSH on the same corpora —
     // the claim under test is that the rarest-first prefix keeps the
