@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact triangle census + global clustering coefficient — the graph
@@ -94,5 +94,55 @@ object Triangles {
             .otherwise(call_function("div",
               lit(3L) * col("n_triangles") * lit(1000000L), col("n_wedges")))
             .as("gcc_e6"))
+    }
+
+  /** Degree assortativity — Newman's r: the Pearson correlation of the
+    * endpoint degrees over all (directed-both-ways) edges. Positive =
+    * hubs attach to hubs (social graphs), negative = hubs attach to
+    * leaves (infrastructure/star topologies) — the one-number structure
+    * summary next to [[stats]]' cohesion census. Same exact-moment
+    * discipline as q_a13: degrees are exact integers, the five moments
+    * are integral sums in DECIMAL(38,0) (a billion-edge graph overflows
+    * LONG on Σd²·pairs), and the correlation derives from identical
+    * integers with one cast-to-double per term + IEEE sqrt — the
+    * oracle replays digit-for-digit. Both orientations of each edge
+    * contribute (the standard symmetrization), so the measure is
+    * exchange-symmetric without halving tricks. Output: one row
+    * (n_edges, assortativity6); null correlation (zero variance — e.g.
+    * a regular graph) surfaces as null, honestly. */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    NearDup.materialized { cache =>
+      val e0 = cache(edges
+        .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+          greatest(col(aCol), col(bCol)).cast("long").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b"))
+        .distinct())
+      e0.count()
+      val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keyed = e0
+        .join(deg.select(col("v").as("a"), col("d").as("__da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("__db")), "b")
+      val sym = keyed.select(col("__da").as("x"), col("__db").as("y"))
+        .unionAll(keyed.select(col("__db").as("x"), col("__da").as("y")))
+      val m = sym.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      def d(c: Column) = c.cast("double")
+      val vx = d(col("n") * col("sxx") - col("sx") * col("sx"))
+      val vy = d(col("n") * col("syy") - col("sy") * col("sy"))
+      // explicit zero-variance guard: under ANSI a double divide-by-zero
+      // THROWS (it is not a silent NaN), and a regular graph genuinely
+      // has no degree variance to correlate
+      m.select(call_function("div", col("n"), lit(2L)).as("n_edges"),
+        when(vx > 0 && vy > 0,
+          round(d(col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(vx) / sqrt(vy), 6))
+          .otherwise(lit(null).cast("double")).as("assortativity6"))
     }
 }

@@ -1000,6 +1000,22 @@ object LlmPipeline {
         "id_a", "id_b")
     }),
 
+    "q_g4_assortativity" -> ((s, dir) => {
+      // degree assortativity (r8): Newman's r over the same co-activity
+      // graph — exact integer moments (the a13 discipline on degrees),
+      // identical IEEE derivation both engines
+      val ev = t(s, dir, "events")
+      val buckets = ev.select(col("event_type").as("band"),
+          call_function("div", Tables.epochMicros(ev, "ts"),
+            lit(60000000L)).as("key"),
+          col("user_id").as("id"))
+        .filter(col("band").isNotNull && col("key").isNotNull &&
+          col("id").isNotNull)
+        .distinct()
+      Triangles.degreeAssortativity(
+        NearDup.bucketPairs(buckets, maxBucketSize = 10000), "id_a", "id_b")
+    }),
+
     "q_j8_scd2" -> ((s, dir) => {
       // SCD2 history merge (r8, L61): bootstrap a versioned dimension
       // from the old snapshot, apply the new snapshot as a change
@@ -2424,6 +2440,37 @@ object LlmPipeline {
     // q_g1: 5 unrolled PR steps — the recurrence is all BIGINT floor
     // division, so the replay is digit-exact, no quantization caveat
     "q_g1_pagerank" -> pagerankOracle,
+    // q_g4: same co-activity edges + a13's moment replay on degrees
+    "q_g4_assortativity" ->
+      """WITH b AS (SELECT DISTINCT event_type,
+                epoch_us(ts) // 60000000 AS m, user_id
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL),
+          e0 AS (SELECT DISTINCT least(x.user_id, y.user_id) AS a,
+                    greatest(x.user_id, y.user_id) AS b
+                 FROM b x JOIN b y
+                   ON x.event_type = y.event_type AND x.m = y.m
+                  AND x.user_id < y.user_id),
+          deg AS (SELECT v, COUNT(*) AS d
+                  FROM (SELECT a AS v FROM e0
+                        UNION ALL SELECT b AS v FROM e0)
+                  GROUP BY v),
+          k AS (SELECT da.d AS dx, db.d AS dy
+                FROM e0 JOIN deg da ON e0.a = da.v
+                        JOIN deg db ON e0.b = db.v),
+          s AS (SELECT dx AS x, dy AS y FROM k
+                UNION ALL SELECT dy, dx FROM k),
+          m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                  SUM(x * y) AS sxy
+                FROM s)
+         SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
+                      sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                  AS assortativity6
+         FROM m""",
     // q_g2 (L67): exhaustive canonical-order 3-way join over the same
     // co-activity edges; gcc in integral arithmetic on both engines
     "q_g2_triangles" ->

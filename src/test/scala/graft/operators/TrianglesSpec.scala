@@ -62,6 +62,41 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("degreeAssortativity: star/path are -1, regular graph is null, reference parity") {
+    def assort(edges: Seq[(Long, Long)]) =
+      Triangles.degreeAssortativity(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Option[Double])].head()
+    // hub-leaf topologies: perfectly disassortative
+    assert(assort(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) ===
+      (4L, Some(-1.0)))
+    assert(assort(Seq((1L, 2L), (2L, 3L))) === (2L, Some(-1.0)))
+    // 4-cycle: every degree 2 → zero variance → honestly null
+    assert(assort(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) ===
+      (4L, None))
+    // reference parity on a random graph
+    val rnd = new scala.util.Random(79)
+    val edges = (for {
+      a <- 1L to 15L; b <- (a + 1) to 15L if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val (nE, Some(got)) = assort(edges)
+    assert(nE === edges.size)
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.size.toLong }
+    val pts = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val want = BigDecimal(
+      (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble) /
+        math.sqrt((n * syy - sy * sy).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === want)
+  }
+
   test("skew: a celebrity vertex cannot quadratically expand the wedge join") {
     // hub 0 touches everyone (degree 60) but sits LAST in the (deg, id)
     // order, so its oriented out-degree is 0 — its wedges come from the
