@@ -1000,6 +1000,25 @@ object LlmPipeline {
         "id_a", "id_b")
     }),
 
+    "q_g3_kcore" -> ((s, dir) => {
+      // k-core peeling (r8): the 2-core of the co-activity graph — 8
+      // fixed peeling rounds (spec-proved past the fixpoint depth for
+      // these fixtures; the oracle replays the identical unrolled
+      // rounds either way). 35 of 141 vertices peel at the gate scale;
+      // the denser sf0.1 graph is its own 2-core (saturation documented)
+      val ev = t(s, dir, "events")
+      val buckets = ev.select(col("event_type").as("band"),
+          call_function("div", Tables.epochMicros(ev, "ts"),
+            lit(60000000L)).as("key"),
+          col("user_id").as("id"))
+        .filter(col("band").isNotNull && col("key").isNotNull &&
+          col("id").isNotNull)
+        .distinct()
+      KCore.vertices(NearDup.bucketPairs(buckets, maxBucketSize = 10000),
+          "id_a", "id_b", k = 2, rounds = 8)
+        .orderBy(col("id"))
+    }),
+
     "q_g4_assortativity" -> ((s, dir) => {
       // degree assortativity (r8): Newman's r over the same co-activity
       // graph — exact integer moments (the a13 discipline on degrees),
@@ -2440,6 +2459,22 @@ object LlmPipeline {
     // q_g1: 5 unrolled PR steps — the recurrence is all BIGINT floor
     // division, so the replay is digit-exact, no quantization caveat
     "q_g1_pagerank" -> pagerankOracle,
+    // q_g3 (graph family): the unrolled peel chain is GENERATED from
+    // the same (k, rounds) by KCore.oracleCtes — engine and oracle
+    // cannot drift on the round count
+    "q_g3_kcore" ->
+      s"""WITH b AS MATERIALIZED (SELECT DISTINCT event_type,
+                epoch_us(ts) // 60000000 AS m, user_id
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL),
+          e0 AS MATERIALIZED (SELECT DISTINCT
+                  least(x.user_id, y.user_id) AS a,
+                  greatest(x.user_id, y.user_id) AS b
+                FROM b x JOIN b y
+                  ON x.event_type = y.event_type AND x.m = y.m
+                 AND x.user_id < y.user_id),
+          ${KCore.oracleCtes(k = 2, rounds = 8)}""",
     // q_g4: same co-activity edges + a13's moment replay on degrees
     "q_g4_assortativity" ->
       """WITH b AS (SELECT DISTINCT event_type,
