@@ -867,6 +867,28 @@ object LlmPipeline {
         .orderBy(col("id"))
     }),
 
+    "q_t27_lm_export" -> ((s, dir) => {
+      // count-based bigram LM table export (r8): for each context
+      // token the top-3 continuations by count — the artifact form of
+      // L43's bigram model (what a smoothing/serving layer loads);
+      // adjacent-pair extraction via zip_with over two slices (narrow,
+      // codegen'd), WindowGroupLimit top-k, deterministic tie-break
+      val tk = TextAnalysis.tokens(col("text"))
+      val len = greatest(size(tk) - 1, lit(0))
+      t(s, dir, "documents")
+        .select(explode_outer(zip_with(
+          slice(tk, lit(1), len), slice(tk, lit(2), len),
+          (a, b) => struct(a.as("ctx"), b.as("nxt")))).as("bg"))
+        .filter(col("bg").isNotNull)
+        .groupBy(col("bg.ctx").as("ctx"), col("bg.nxt").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("ctx"))
+            .orderBy(col("n").desc, col("nxt"))))
+        .filter(col("rank") <= 3)
+        .select(col("ctx"), col("rank"), col("nxt"), col("n"))
+        .orderBy(col("ctx"), col("rank"))
+    }),
     "q_t26_url_canonical" -> ((s, dir) => {
       // URL canonicalization as a dedup key (r8, L74): a synthetic URL
       // stream where the same page arrives in two shapes (tracking
@@ -2205,6 +2227,20 @@ object LlmPipeline {
          SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS bpe_tokens
          FROM d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"""
       },
+    // q_t27: positional pair extraction via range() (1-indexed lists),
+    // same count-desc/token tie-break rank
+    "q_t27_lm_export" ->
+      s"""WITH tk AS (SELECT $duckToks AS tk FROM documents),
+          bg AS (SELECT tk[CAST(i AS INTEGER)] AS ctx,
+                   tk[CAST(i + 1 AS INTEGER)] AS nxt
+                 FROM tk, unnest(range(1, len(tk))) AS t(i)),
+          c AS (SELECT ctx, nxt, COUNT(*) AS n FROM bg GROUP BY ctx, nxt),
+          r AS (SELECT ctx, nxt, n,
+                  ROW_NUMBER() OVER (PARTITION BY ctx
+                    ORDER BY n DESC, nxt) AS rank
+                FROM c)
+         SELECT ctx, rank, nxt, n FROM r WHERE rank <= 3
+         ORDER BY ctx, rank""",
     // q_t26 (L74): the same fixed rule chain replayed —
     // strpos/substr/list_sort/list_filter are the DuckDB twins of
     // instr/substr/sort_array/filter
