@@ -26,9 +26,19 @@ import org.apache.spark.sql.functions._
   * (coarsen, then re-check) composed from the same primitives. */
 object Privacy {
 
+  /** Columns the gates add internally. An input already carrying one
+    * would collide at the join-back — and `drop("n")` afterwards drops
+    * ALL occurrences by name, silently removing the user's column too —
+    * so reject up front (the IncrementalAgg.PartialCols discipline). */
+  private val ReservedCols = Seq("n", "n_sensitive")
+
   private def grouped(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: Option[String]): DataFrame = {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    ReservedCols.foreach(c => require(!df.columns.contains(c),
+      s"input column '$c' collides with a privacy-gate aggregate column"))
+    df.columns.find(_.startsWith("__g_")).foreach(c => require(false,
+      s"input column '$c' collides with the join-back rename prefix"))
     val aggs = count(lit(1)).as("n") +: sensitiveCol.toSeq.map(s =>
       countDistinct(col(s)).as("n_sensitive"))
     df.groupBy(quasiCols.map(col): _*).agg(aggs.head, aggs.tail: _*)

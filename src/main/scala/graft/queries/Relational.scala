@@ -121,8 +121,13 @@ object Relational {
       // (doc_id, lang), batch 2 adds a column (n_chars) — mergeSchema
       // reconciles at read and old rows surface NULL for the new column
       // (the additive-evolution contract a long-lived parquet sink
-      // needs); per-lang rollup proves both generations are read
-      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_evo_staged"
+      // needs); per-lang rollup proves both generations are read.
+      // Staged path is keyed by (corpus dir, Spark application): a
+      // fixed shared path would let two concurrent sessions — or the
+      // sf0.01 and sf0.1 gates — interleave overwrite-then-append
+      // generations and corrupt each other's rollup.
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+        s"${dir.hashCode.toHexString}_${s.sparkContext.applicationId}"
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
@@ -380,14 +385,23 @@ object Relational {
       // folded in as TWO batches of partial aggregates and merged —
       // decimal sums make merge ≡ recompute an exact identity, and the
       // oracle IS the direct full recompute, so the driver gate proves
-      // the maintenance algebra cross-engine
+      // the maintenance algebra cross-engine. The partial TABLE stays
+      // decimal (the merge monoid needs exact addition); the battery
+      // OUTPUT re-emits money as scaled-BIGINT cents — the r7 q_qr3
+      // rule: DECIMAL output columns are hash-fragile across the
+      // engine/oracle frame boundary, int64 is canonical on both sides.
       val orders = t(s, dir, "orders")
       val g = Seq("o_orderstatus")
       val p1 = IncrementalAgg.partials(
         orders.filter(col("o_orderkey") % 4 =!= 0), g, "o_totalprice")
       val p2 = IncrementalAgg.partials(
         orders.filter(col("o_orderkey") % 4 === 0), g, "o_totalprice")
-      IncrementalAgg.merge(p1, p2, g).orderBy(col("o_orderstatus"))
+      IncrementalAgg.merge(p1, p2, g)
+        .select(col("o_orderstatus"), col("n"),
+          (col("sum_v") * 100).cast("long").as("sum_cents"),
+          (col("min_v") * 100).cast("long").as("min_cents"),
+          (col("max_v") * 100).cast("long").as("max_cents"))
+        .orderBy(col("o_orderstatus"))
     }),
     "q_a13_grouped_corr" -> ((s, dir) => {
       // exact-moment Pearson correlation per group (r8): both columns
@@ -453,17 +467,20 @@ object Relational {
       // multi-level reporting cube (r8): ROLLUP over (status, priority)
       // — detail, per-status subtotal, grand total in ONE aggregate pass
       // (Spark expands grouping sets in a single Expand+Aggregate, no
-      // re-scan per level). Money sums in decimal (the q_x12 convention):
-      // rollup totals aggregate 15× more rows than detail cells, where
-      // double reassociation noise would outgrow the 2-dp rounding.
+      // re-scan per level). Money sums run in decimal (the q_x12
+      // convention — rollup totals aggregate 15× more rows than detail
+      // cells, where double reassociation noise would outgrow 2-dp
+      // rounding) but EMIT as scaled-BIGINT cents: the r7 q_qr3 rule —
+      // DECIMAL output columns are hash-fragile across the
+      // engine/oracle frame boundary, int64 is canonical on both sides.
       // grouping_id disambiguates "NULL because rolled up" from a real
       // NULL group, and makes the ORDER BY null-order-independent (all
       // null keys within a gid class are the rolled-up ones).
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("total"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("total_cents"),
           grouping_id().cast("int").as("gid"))
         .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))),
     "q_a5_having" -> ((s, dir) =>
@@ -721,11 +738,17 @@ object Relational {
     "q_x12_decimal_money" -> ((s, dir) =>
       // SURVEY §1.2: money as DecimalType — exact 2-dp arithmetic, no float
       // drift, so the aggregate needs NO rounding convention to match the
-      // oracle (unlike every double-summing query here).
+      // oracle (unlike every double-summing query here). The aggregate
+      // EMITS as canonical scale-2 digit strings (the q_qr3 witness
+      // convention): a raw DECIMAL output column is hash-fragile at the
+      // driver frame boundary — r8's q_a10/q_s11 proved a same-typed
+      // DECIMAL(38,2) can hash red on value distribution alone (trailing
+      // -zero canonicalization), so the battery bans the dtype outright
+      // (HashSafetySpec + scripts/hash_lint.py enforce the ban).
       t(s, dir, "orders")
         .select(col("o_totalprice").cast("decimal(18,2)").as("p"))
-        .agg(sum(col("p")).cast("decimal(38,2)").as("total"),
-          max(col("p")).cast("decimal(18,2)").as("mx"),
+        .agg(sum(col("p")).cast("decimal(38,2)").cast("string").as("total"),
+          max(col("p")).cast("decimal(18,2)").cast("string").as("mx"),
           count(lit(1)).as("n"))),
     "q_x11_impute" -> ((s, dir) => {
       // X11/A8 composed: inject nulls deterministically, impute with the
@@ -842,15 +865,15 @@ object Relational {
       "SELECT COUNT(*) - COUNT(DISTINCT o_custkey) AS dups FROM orders",
     // q_s11: the oracle is the DIRECT recompute the merged partials
     // must equal — decimal addition is associative, so batch order
-    // cannot drift the sums
+    // cannot drift the sums; money emits as BIGINT cents (q_qr3 rule)
     "q_s11_incremental_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                     AS DECIMAL(38,2)) AS sum_v,
-                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2)))
-                     AS DECIMAL(18,2)) AS min_v,
-                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)))
-                     AS DECIMAL(18,2)) AS max_v
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS sum_cents,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS min_cents,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS max_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // q_a13: HUGEINT sums are exact like the engine's decimal sums;
     // one cast-to-double per term at the same spots, same op order
@@ -911,8 +934,8 @@ object Relational {
     // never matters because gid classes separate rolled-up nulls
     "q_a10_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                     AS DECIMAL(38,2)) AS total,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS total_cents,
                 CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER)
                   AS gid
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -1131,8 +1154,10 @@ object Relational {
          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          GROUP BY 1 ORDER BY id""",
     "q_x12_decimal_money" ->
-      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
-                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS mx,
+      """SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS VARCHAR) AS total,
+                CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) AS VARCHAR) AS mx,
                 COUNT(*) AS n
          FROM orders""",
     "q_x11_impute" ->

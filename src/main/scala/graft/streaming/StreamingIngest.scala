@@ -166,15 +166,22 @@ object StreamingIngest {
   final case class DedupResult(key: String, isFirst: Boolean, dupCount: Long)
 
   /** Streaming dedup-across-batches (J1 as continuous state):
-    * `mapGroupsWithState` keeps one [[SeenState]] per key; a key's first
-    * event emits isFirst=true, later ones bump dupCount.
+    * `flatMapGroupsWithState` keeps one [[SeenState]] per key; a key's
+    * first event emits isFirst=true, later ones bump dupCount. The
+    * output contract is strict: one row per key per batch-with-news and
+    * NOTHING else — in particular a timeout eviction emits NO row (a
+    * timer firing is not an observation; a phantom `isFirst=false` row
+    * would be indistinguishable from a real duplicate downstream).
     *
     * `idleTimeout = Some(d)` (the production default) evicts idle keys by
     * processing-time timeout so state stays bounded — at 100 TB/day the
-    * horizon, not history, sizes the state store. Pass None for bounded
-    * test corpora: with a processing-time timeout the engine re-triggers
-    * micro-batches forever to check timers, which keeps
-    * `processAllAvailable` from ever observing quiescence. */
+    * horizon, not history, sizes the state store. A key re-arriving
+    * AFTER its eviction re-reports isFirst=true with a fresh count —
+    * bounded state trades exactly this: dedup memory spans the idle
+    * horizon, not all history. Pass None for bounded test corpora: with
+    * a processing-time timeout the engine re-triggers micro-batches
+    * forever to check timers, which keeps `processAllAvailable` from
+    * ever observing quiescence. */
   def dedupByKeyStateful(events: Dataset[KeyedEvent],
       idleTimeout: Option[String] = Some("10 minutes"))
       (implicit spark: SparkSession): Dataset[DedupResult] = {
@@ -182,12 +189,12 @@ object StreamingIngest {
     val timeoutConf = if (idleTimeout.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.key)
-      .mapGroupsWithState[SeenState, DedupResult](timeoutConf) {
+      .flatMapGroupsWithState[SeenState, DedupResult](
+        OutputMode.Update, timeoutConf) {
         (key: String, rows: Iterator[KeyedEvent], state: GroupState[SeenState]) =>
           if (state.hasTimedOut) {
-            val s = state.get
             state.remove()
-            DedupResult(key, isFirst = false, s.count)
+            Iterator.empty
           } else {
             val batch = rows.toSeq
             val prior = state.getOption
@@ -197,7 +204,7 @@ object StreamingIngest {
               prior.map(_.count).getOrElse(0L) + batch.size)
             state.update(s)
             idleTimeout.foreach(state.setTimeoutDuration)
-            DedupResult(key, first, s.count)
+            Iterator.single(DedupResult(key, first, s.count))
           }
       }
   }

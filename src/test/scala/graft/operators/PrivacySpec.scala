@@ -54,6 +54,23 @@ class PrivacySpec extends SparkSpec {
       (Some("20095"), "30s", 2L, 1L, 1, 0)))
   }
 
+  test("reserved-column guard: inputs carrying n / n_sensitive / __g_* are rejected") {
+    // without the guard, drop("n") after the join-back would also drop
+    // the USER's n column (drop-by-name drops all occurrences)
+    val withN = rows.withColumn("n", lit(7))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymous(withN, quasi, k = 2)
+    }
+    val withNs = rows.withColumn("n_sensitive", lit(1))
+    intercept[IllegalArgumentException] {
+      Privacy.lDiverse(withNs, quasi, "salary", l = 2)
+    }
+    val withPrefix = rows.withColumn("__g_zip", lit("x"))
+    intercept[IllegalArgumentException] {
+      Privacy.groupReport(withPrefix, quasi, "salary", k = 2, l = 2)
+    }
+  }
+
   test("property: kAnonymous output is exactly rows in >=k windows (seeded)") {
     val rnd = new scala.util.Random(66)
     val df = (1 to 400).map { i =>
