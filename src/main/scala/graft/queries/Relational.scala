@@ -519,6 +519,39 @@ object Relational {
         qs(0).as("p50"), qs(1).as("p90"), qs(2).as("p99"))
     }),
 
+    "q_a14_approx_quantile_verdict" -> ((s, dir) => {
+      // approx_percentile (GK sketch) is THE one-pass mergeable quantile
+      // path at 100 TB — A8/A9's exact rank-select costs a second
+      // sort-shuffle the sketch avoids. Its value depends on the
+      // accuracy parameter, so it can't be hash-oracled directly; the
+      // q_a2y treatment applies: per group, emit the exact count plus a
+      // driver-gated verdict that the sketch's median sits within the
+      // declared rank tolerance (n/accuracy + 1). The verdict is exact
+      // integer arithmetic over the sketch value's true rank INTERVAL
+      // [count(<v)+1, count(<=v)] — l_quantity is heavily tied, so a
+      // single-rank check would be wrong: a tied median's max-rank
+      // deviates from n/2 by the tie mass, not the sketch error.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
+        .filter(col("v").isNotNull)
+      val ap = li.groupBy(col("flag")).agg(
+        expr("approx_percentile(v, 0.5, 1000)").as("av"),
+        count(lit(1)).as("n"))
+      li.join(ap, Seq("flag"))
+        .groupBy(col("flag"))
+        .agg(first(col("n")).as("n"),
+          count(when(col("v") < col("av"), 1)).as("r_lt"),
+          count(when(col("v") <= col("av"), 1)).as("r_le"))
+        // tol = n/1000 + 1; ok ⇔ [r_lt+1, r_le] ∩ [n/2−tol, n/2+tol] ≠ ∅
+        // scaled ×2000 to stay integral: 1000·(2·rank − n) vs 2·(n+1000)
+        .select(col("flag"), col("n"),
+          ((lit(1000) * (lit(2) * (col("r_lt") + 1) - col("n")) <=
+              lit(2) * (col("n") + 1000)) &&
+            (lit(1000) * (col("n") - lit(2) * col("r_le")) <=
+              lit(2) * (col("n") + 1000))).cast("int").as("rank_ok"))
+        .orderBy(col("flag"))
+    }),
+
     // ------------------------------------- set ops / sort / limit / window
     "q_k1_salted_agg" -> ((s, dir) =>
       // L18 skew mitigation as an ORACLE-CHECKED query (was spec-only):
@@ -940,6 +973,13 @@ object Relational {
                   AS gid
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY gid, o_orderstatus, o_orderpriority""",
+    // q_a14: the sketch value is accuracy-dependent — the oracle pins
+    // the exact group counts and expects the engine's rank-interval
+    // verdict to hold (the q_a2y sketch-gating pattern)
+    "q_a14_approx_quantile_verdict" ->
+      """SELECT l_returnflag AS flag, COUNT(l_quantity) AS n, 1 AS rank_ok
+         FROM lineitem WHERE l_quantity IS NOT NULL
+         GROUP BY l_returnflag ORDER BY flag""",
     "q_a8_median" ->
       """SELECT v AS median_acctbal FROM (
            SELECT c_acctbal AS v,
