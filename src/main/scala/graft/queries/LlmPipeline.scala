@@ -368,6 +368,16 @@ object LlmPipeline {
     }),
 
     // --------------------------------------------------------- similarity
+    "q_v8_kmeans" -> ((s, dir) =>
+      // distributed quantized Lloyd (r9, L77): 8 clusters, 3 integer
+      // rounds from smallest-id seeds — the whole recurrence (squared
+      // distances, struct-min argmin, pmod-floor centroid means) is
+      // exact BIGINT, so assignment AND squared distance replay digit
+      // -exact; KMeansLloyd.oracleCtes generates the unrolled oracle
+      // from the same (k, rounds), the KCore generator discipline
+      KMeansLloyd.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 3)
+        .orderBy(col("vec_id"))),
     "q_v7_class_centroids" -> ((s, dir) =>
       // exact per-label centroids (r8): quantize-once integer floor-means
       // — the engine-portable form of the float mean no engine pair can
@@ -1882,6 +1892,16 @@ object LlmPipeline {
                 COALESCE(n_kept, 0) AS n_kept,
                 COALESCE(dedup_md5, md5('')) AS dedup_md5
          FROM documents d0 LEFT JOIN r USING (doc_id) ORDER BY doc_id""",
+    // q_v8: the generator-shared unrolled Lloyd replay over the same
+    // quantize-once integers (engine folds each float to DOUBLE before
+    // scaling — trap (1) of the q_v7 note)
+    "q_v8_kmeans" ->
+      s"""WITH q AS (SELECT vec_id, i AS dim,
+            CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS v
+          FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         ${KMeansLloyd.oracleCtes(k = 8, rounds = 3)}""",
     // q_v7: same quantize-once integers; DuckDB lists are 1-indexed so
     // the 0-based dim reads embedding[i + 1]. Two portability traps both
     // caught by the gate: (1) DuckDB promotes FLOAT * INTEGER to FLOAT,
