@@ -85,6 +85,30 @@ object LlmPipeline {
          range(1, greatest(len($duckToks) - 2, 0) + 1),
          i -> array_to_string(($duckToks)[i:i+2], ' ')))"""
 
+  // Shared CTE chain for the q_qr9/q_qr10 oracles: the SourceDivergence
+  // contribution grid (per-source smoothed unigram KL terms vs the
+  // corpus, each term floored once to integer 1e-9).
+  private val duckDivergenceTerms =
+    s"""tk AS (SELECT source, unnest($duckToks) AS token
+            FROM documents WHERE source IS NOT NULL),
+        st AS (SELECT source, token, COUNT(*) AS c
+               FROM tk GROUP BY source, token),
+        ct AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ctot
+               FROM st GROUP BY token),
+        ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ttot
+               FROM st GROUP BY source),
+        tot AS (SELECT CAST(SUM(ctot) AS BIGINT) AS t, COUNT(*) AS v
+                FROM ct),
+        term AS (SELECT ts.source, ts.ttot, ct.token,
+              CAST(FLOOR(
+                ((COALESCE(st.c, 0) + 0.5) / (ts.ttot + 0.5 * tot.v)) *
+                ln(((COALESCE(st.c, 0) + 0.5) / (ts.ttot + 0.5 * tot.v)) /
+                   ((ct.ctot + 0.5) / (tot.t + 0.5 * tot.v)))
+                * 1000000000 + 0.5) AS BIGINT) AS kl_term_e9
+            FROM ct CROSS JOIN ts
+            LEFT JOIN st ON st.source = ts.source AND st.token = ct.token
+            CROSS JOIN tot)"""
+
   // Shared CTE chain replaying LmScore.bigramPerplexity (L43) for the
   // q_t16/q_t17 oracles: retrains the identical add-one bigram model —
   // counts are exact integers, the one float step per position is
@@ -1216,6 +1240,20 @@ object LlmPipeline {
           shingleLen = 3, minDf = 5)
         .orderBy(col("id"))),
 
+    "q_qr9_source_divergence" -> ((s, dir) =>
+      // per-source token-distribution KL vs the corpus (r9, L78): the
+      // mixture-governance panel — smoothed unigram distributions, each
+      // term quantized once to integer 1e-9 (the Drift discipline at
+      // token granularity), exact BIGINT rollup
+      SourceDivergence.report(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))),
+    "q_qr10_divergent_tokens" -> ((s, dir) =>
+      // the WHICH behind q_qr9's HOW MUCH: top-3 over-represented
+      // tokens per source, deterministic (contribution DESC, token ASC)
+      SourceDivergence.topTokens(t(s, dir, "documents"), "source", "text",
+          k = 3)
+        .orderBy(col("source"), col("rank"))),
+
     "q_qr8_benford" -> ((s, dir) => {
       // first-digit (Benford) distribution of the money column (r8) —
       // the classic synthetic-data / fraud smell test as a QC panel:
@@ -1762,6 +1800,23 @@ object LlmPipeline {
           SELECT id_a, id_b, COUNT(*) AS n_shared FROM pr
           GROUP BY id_a, id_b HAVING COUNT(*) >= 3
           ORDER BY id_a, id_b""",
+    // q_qr9/q_qr10: the smoothed-KL replay — the one float expression
+    // (two smoothed shares, one ln, one e9 floor) token-for-token as
+    // the engine builds it; the full source×vocab grid via CROSS JOIN
+    // so absent tokens contribute their smoothed mass
+    "q_qr9_source_divergence" ->
+      s"""WITH $duckDivergenceTerms
+         SELECT source, MIN(ttot) AS n_tokens,
+                CAST(SUM(kl_term_e9) AS BIGINT) AS kl_e9
+         FROM term GROUP BY source ORDER BY source""",
+    "q_qr10_divergent_tokens" ->
+      s"""WITH $duckDivergenceTerms
+         SELECT source, rank, token, kl_term_e9 FROM (
+           SELECT source, token, kl_term_e9,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY kl_term_e9 DESC, token) AS INTEGER) AS rank
+           FROM term)
+         WHERE rank <= 3 ORDER BY source, rank""",
     // q_qr8: digit of the floored BIGINT's string form; shares in
     // positive integral division (`//` truncation == floor here)
     "q_qr8_benford" ->
