@@ -984,6 +984,17 @@ object LlmPipeline {
           maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_e18_interleave" -> ((s, dir) =>
+      // deterministic proportional interleave (r9, L79): the training
+      // data-loader ORDER — weighted fair queueing over sources with
+      // integer weights (src<k> → k%3+1), position in exact integer
+      // closed form over the skew-free hash rank; the oracle replays
+      // the DEFINITIONAL (v, source, r) sort, exact because weights
+      // {1,2,3} divide 6 so v6=(r+1)·(6/w) is integral
+      Interleave.positions(t(s, dir, "documents"), "source", "doc_id",
+          (substring(col("source"), 4, 10).cast("long") % 3) + 1)
+        .select(col("doc_id"), col("source"), col("r"), col("pos"))
+        .orderBy(col("pos"))),
     "q_e17_gumbel_per_group" -> ((s, dir) =>
       // per-group weighted sampling without replacement (r8): 3 length-
       // weighted exemplar docs per source via the shared deterministic
@@ -2106,6 +2117,24 @@ object LlmPipeline {
          SELECT doc_id, gumbel_key_e4 FROM g
          ORDER BY gumbel_key_e4 DESC, doc_id LIMIT 50""",
     // q_e17: q_e10's key replay with n_chars·10 weights, ranked per
+    // q_e18: the engine computes positions in closed form; the oracle
+    // is the DEFINITION — rank under the (virtual time, source, r)
+    // sort, virtual time exact-integered by the lcm-6 trick
+    "q_e18_interleave" ->
+      """WITH d AS (SELECT doc_id, source,
+              (CAST(substr(source, 4) AS BIGINT) % 3) + 1 AS w
+            FROM documents
+            WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+          rk AS (SELECT doc_id, source, w,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                    AS r
+                 FROM d)
+         SELECT doc_id, source, CAST(r AS BIGINT) AS r,
+                CAST(ROW_NUMBER() OVER
+                  (ORDER BY (r + 1) * (6 // w), source, r) - 1 AS BIGINT)
+                  AS pos
+         FROM rk ORDER BY pos""",
     // source (CAST to BIGINT — Spark's floor() is integral, DuckDB's is
     // DOUBLE)
     "q_e17_gumbel_per_group" ->
