@@ -519,6 +519,16 @@ object Relational {
         qs(0).as("p50"), qs(1).as("p90"), qs(2).as("p99"))
     }),
 
+    "q_a15_volume_trend" -> ((s, dir) => {
+      // ingestion-health trend (r9, L80): per-type OLS slope of the
+      // DAILY event count — the number an on-call reads before the
+      // count hits zero; exact integer moments (the a13 discipline,
+      // with no quantization step: x=day, y=count are born integral)
+      val ev = t(s, dir, "events")
+      Trend.dailyVolumeSlope(ev, "event_type",
+          Tables.epochMicros(ev, "ts"))
+        .orderBy(col("event_type"))
+    }),
     "q_a14_approx_quantile_verdict" -> ((s, dir) => {
       // approx_percentile (GK sketch) is THE one-pass mergeable quantile
       // path at 100 TB — A8/A9's exact rank-select costs a second
@@ -973,6 +983,35 @@ object Relational {
                   AS gid
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY gid, o_orderstatus, o_orderpriority""",
+    // q_a15: the moments replay (HUGEINT sums exact like the engine's
+    // decimals, CAST to BIGINT; one cast-to-double per term at the
+    // same spots); pmod day floor; m=1 groups null out
+    "q_a15_volume_trend" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          s AS (SELECT event_type,
+                  (us - ((us % 86400000000 + 86400000000) % 86400000000))
+                    // 86400000000 AS x,
+                  COUNT(*) AS y
+                FROM e GROUP BY 1, 2),
+          m AS (SELECT event_type, COUNT(*) AS m,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM s GROUP BY event_type)
+         SELECT event_type, m AS n_days, sy AS total,
+                CASE WHEN m = 1 THEN NULL ELSE
+                  ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                        CAST(m * sxx - sx * sx AS DOUBLE), 6) END
+                  AS slope6,
+                CASE WHEN m = 1 THEN NULL ELSE
+                  ROUND((CAST(sy AS DOUBLE) -
+                         (CAST(m * sxy - sx * sy AS DOUBLE) /
+                          CAST(m * sxx - sx * sx AS DOUBLE)) *
+                         CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE), 6) END
+                  AS icept6
+         FROM m ORDER BY event_type""",
     // q_a14: the sketch value is accuracy-dependent — the oracle pins
     // the exact group counts and expects the engine's rank-interval
     // verdict to hold (the q_a2y sketch-gating pattern)
