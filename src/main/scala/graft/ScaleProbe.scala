@@ -307,6 +307,62 @@ object ScaleProbe {
           f"($nLsh pairs) | ${tExact / tLsh}%.1fx | both exact-recall here |")
       }
     }
+    // --- skew-free within-group ranking (L79, r9): the shipped
+    // range-partition + grid-offset Ranking.indexWithinGroups vs the
+    // window row_number formulation, under group skew — the same
+    // pathology class the paragraph-dedup section measures, but for an
+    // operator whose OUTPUT is the rank (no aggregate escape hatch).
+    if (sections("ranking")) {
+      import graft.operators.Ranking
+      for (hotPct <- Seq(0, 50, 90)) {
+        val path = s"$base/ranking_hot$hotPct"
+        spark.range(0, n, 1, 256).select(
+            col("id"),
+            when(pmod(xxhash64(col("id")), lit(100L)) < hotPct, lit("hot"))
+              .otherwise(pmod(xxhash64(col("id"), lit(7)), lit(5000L))
+                .cast("string")).as("g"))
+          .write.mode("overwrite").parquet(path)
+        val rows = spark.read.parquet(path)
+        def consumeRanked(): Unit =
+          Ranking.indexWithinGroups(rows, "g", Seq(col("id")))
+            .agg(sum(col("r"))).collect()
+        def consumeWindow(): Unit = {
+          import org.apache.spark.sql.expressions.Window
+          rows.withColumn("r", row_number().over(
+              Window.partitionBy(col("g")).orderBy(col("id"))) - 1)
+            .agg(sum(col("r"))).collect()
+        }
+        val tR = timeIt(2)(consumeRanked())
+        val tW = timeIt(2)(consumeWindow())
+        println(f"| hot$hotPct | within-group ranking (window vs " +
+          f"range+offset) | $tW%.1f | $tR%.1f | ${tW / tR}%.1fx | — |")
+      }
+      // the Interleave regime: FEW huge groups — a window gets at most
+      // |groups|-way parallelism (every task sorts n/|G| rows), while
+      // range+offset spreads every group over all partitions
+      for (nGroups <- Seq(4, 20)) {
+        val path = s"$base/ranking_few$nGroups"
+        spark.range(0, n, 1, 256).select(
+            col("id"),
+            pmod(xxhash64(col("id")), lit(nGroups.toLong)).cast("string")
+              .as("g"))
+          .write.mode("overwrite").parquet(path)
+        val rows = spark.read.parquet(path)
+        def consumeRanked(): Unit =
+          Ranking.indexWithinGroups(rows, "g", Seq(col("id")))
+            .agg(sum(col("r"))).collect()
+        def consumeWindow(): Unit = {
+          import org.apache.spark.sql.expressions.Window
+          rows.withColumn("r", row_number().over(
+              Window.partitionBy(col("g")).orderBy(col("id"))) - 1)
+            .agg(sum(col("r"))).collect()
+        }
+        val tR = timeIt(2)(consumeRanked())
+        val tW = timeIt(2)(consumeWindow())
+        println(f"| $nGroups huge groups | within-group ranking (window " +
+          f"vs range+offset) | $tW%.1f | $tR%.1f | ${tW / tR}%.1fx | — |")
+      }
+    }
     spark.stop()
   }
 }
