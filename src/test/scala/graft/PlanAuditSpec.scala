@@ -254,4 +254,46 @@ class PlanAuditSpec extends SparkSpec {
     val plan = executedPlan(q("q_a6_groupby_multi"))
     assert(plan.contains("*(") , "TPC-H Q1 skeleton lost codegen")
   }
+
+  test("r9 operators: no cross product; ExactSubstr survivors anti-join") {
+    for (name <- Seq("q_d10_exact_substr", "q_v8_kmeans",
+        "q_e18_interleave", "q_qr9_source_divergence",
+        "q_a15_volume_trend")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a shuffle cartesian")
+    }
+    // the coverage subtraction is a LEFT ANTI hash join on (id, tp) —
+    // a loop-join here would be corpus × covered
+    val d10 = executedPlan(q("q_d10_exact_substr"))
+    assert(d10.contains("LeftAnti"), s"no anti-join in q_d10 plan")
+    assert(!d10.contains("NestedLoop"), s"q_d10 anti-join went loop-shaped")
+  }
+
+  test("k-means final assignment is a narrow projection (no join, no window)") {
+    // distance argmin against literal centroids: after fit()'s rounds,
+    // the returned frame must contain no join or window at all — the
+    // operator's scale claim is that assignment never shuffles
+    val out = graft.operators.KMeansLloyd.fit(
+      graft.Tables(spark, sf0001, "embeddings"), "vec_id", "embedding",
+      k = 4, rounds = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("Exchange"),
+      s"k-means assignment is not narrow:\n${plan.take(1500)}")
+  }
+
+  test("interleave positions are a projection over the ranking (no v-sort join)") {
+    // after the one ranking pass, pos folds the per-source stats as
+    // literals: the plan may exchange for the RANKING, but the position
+    // math itself must not introduce a join of the corpus against a
+    // stats table or a global sort by virtual time
+    val plan = executedPlan(q("q_e18_interleave"))
+    val joins = "(?i)sortmergejoin|shuffledhashjoin".r
+      .findAllIn(plan).toSeq
+    // exactly the ranking's one broadcast-offset join is allowed; the
+    // corpus never enters a shuffle join
+    assert(joins.isEmpty,
+      s"interleave shuffled a join it should have folded: $joins")
+  }
 }
