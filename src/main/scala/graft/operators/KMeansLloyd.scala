@@ -47,15 +47,24 @@ object KMeansLloyd {
           .as("q"))
 
   /** `(dist, cluster)` struct-min over the literal centroids — exact
-    * integer squared-L2, ties to the smaller cluster index. */
-  private def nearest(cents: IndexedSeq[Array[Long]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, j) =>
-      struct(
+    * integer squared-L2, ties to the smaller cluster index. The
+    * centroids ride as ONE 2-D array literal indexed at runtime inside
+    * a single lambda: k unrolled per-centroid expressions (the first
+    * formulation) each carried dim literals, and Catalyst + Janino
+    * paid seconds of analysis/compile per round for the k·dim-literal
+    * tree — measured 24.8 s for the whole sf0.1 query, vs sub-second
+    * once the loop moved into the runtime `transform`. */
+  private def nearest(cents: IndexedSeq[Array[Long]]): Column = {
+    val c = typedlit(cents.map(_.toSeq))
+    array_min(transform(sequence(lit(0), lit(cents.length - 1)),
+      j => struct(
         aggregate(
-          zip_with(col("q"), typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          zip_with(col("q"), element_at(c, j + 1),
+            (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x),
-        lit(j))
-    }: _*)).cast("struct<dist:bigint,cluster:int>")
+        j.cast("int"))))
+      .cast("struct<dist:bigint,cluster:int>")
+  }
 
   /** Final assignment table (vec_id, cluster, dist_q) after exactly
     * `rounds` Lloyd steps from the smallest-`k`-ids seeds; `dist_q` is
@@ -80,9 +89,14 @@ object KMeansLloyd {
     var cents: IndexedSeq[Array[Long]] =
       seeds.map(_.getSeq[Long](1).toArray).toIndexedSeq
     for (_ <- 1 to rounds) {
+      // assign BEFORE exploding: the argmin is a higher-order-function
+      // tree (interpreted, not codegen'd), and a combined
+      // select(nearest, posexplode) evaluates it once per EXPLODED row
+      // — dim× too often (measured: 7 s/round → 0.3 s/round at sf0.1)
       val sums = q
         .select(nearest(cents).getField("cluster").as("cluster"),
-          posexplode(col("q")).as(Seq("dim", "v")))
+          col("q"))
+        .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy(col("cluster"), col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
         .collect() // bounded: <= k*dim rows of 4 longs
