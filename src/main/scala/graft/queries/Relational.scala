@@ -681,6 +681,21 @@ object Relational {
       t(s, dir, "orders")
         .select(col("o_orderkey"), floor(col("o_totalprice")).as("p"))
         .orderBy(col("o_orderkey")).limit(20)),
+    "q_x14_zorder" -> ((s, dir) =>
+      // Morton/Z-order key (r9, L81): the multi-dimensional layout key
+      // behind 2-D file pruning (Layout.zorderWrite + ZOrderSpec carry
+      // the measured pruning claim); here the bit-interleave itself is
+      // oracle-pinned — top-50 distinct (l_orderkey, l_partkey) pairs
+      // by z (a bijection on the pair, so z totally orders them; scale
+      // -robust where a fixed bucket shift collapses at small SF),
+      // exact BIGINT bitwise both engines
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.functions.ZOrder
+            .zValue(col("l_orderkey"), col("l_partkey")).as("z"))
+        .orderBy(col("z").desc)
+        .limit(50)),
     "q_x13_regexp_extract_all" -> ((s, dir) =>
       // X-series completion (r8): multi-match regex extraction — count,
       // first hit, and the full pipe-joined match stream per document
@@ -1185,6 +1200,32 @@ object Relational {
       """SELECT CAST(MIN(o_orderdate) AS DATE) AS min_d,
                 CAST(MAX(o_orderdate) AS DATE) AS max_d, COUNT(*) AS n
          FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'""",
+    // q_x14: the magic-mask Morton spread replayed mask-for-mask
+    // (constants are the standard 64-bit interleave masks in decimal)
+    "q_x14_zorder" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          b0 AS (SELECT l_orderkey, l_partkey,
+                (l_orderkey & 4294967295) AS a,
+                (l_partkey & 4294967295) AS b FROM p),
+          b1 AS (SELECT l_orderkey, l_partkey,
+                ((a | (a << 16)) & 281470681808895) AS a,
+                ((b | (b << 16)) & 281470681808895) AS b FROM b0),
+          b2 AS (SELECT l_orderkey, l_partkey,
+                ((a | (a << 8)) & 71777214294589695) AS a,
+                ((b | (b << 8)) & 71777214294589695) AS b FROM b1),
+          b3 AS (SELECT l_orderkey, l_partkey,
+                ((a | (a << 4)) & 1085102592571150095) AS a,
+                ((b | (b << 4)) & 1085102592571150095) AS b FROM b2),
+          b4 AS (SELECT l_orderkey, l_partkey,
+                ((a | (a << 2)) & 3689348814741910323) AS a,
+                ((b | (b << 2)) & 3689348814741910323) AS b FROM b3),
+          b5 AS (SELECT l_orderkey, l_partkey,
+                ((a | (a << 1)) & 6148914691236517205) AS a,
+                ((b | (b << 1)) & 6148914691236517205) AS b FROM b4),
+          z AS (SELECT l_orderkey, l_partkey, (a | (b << 1)) AS z
+                FROM b5)
+         SELECT l_orderkey, l_partkey, z FROM z
+         ORDER BY z DESC LIMIT 50""",
     // len() is BIGINT (Spark size() is int) and a no-match
     // array_to_string surfaces NULL — both coerced to the engine's form
     "q_x13_regexp_extract_all" ->
