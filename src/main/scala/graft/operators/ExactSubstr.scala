@@ -56,11 +56,17 @@ object ExactSubstr {
     * document, `pos` the 0-based token index of the window start; docs
     * shorter than `k` tokens emit nothing. */
   def windowGrams(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    require(k >= 2, s"minRun $k must be >= 2")
+      k: Int): DataFrame =
+    gramsFromTokens(tokenize(df, idCol, textCol), k)
+
+  private def tokenize(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-        TextAnalysis.tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= k)
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+
+  private def gramsFromTokens(toks: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"minRun $k must be >= 2")
+    toks.filter(size(col("tk")) >= k)
       .select(col("id"), explode(transform(
           sequence(lit(0), size(col("tk")) - k),
           i => struct(i.as("pos"),
@@ -89,10 +95,13 @@ object ExactSubstr {
     * non-canonical duplicated window. Documents shorter than `minRun`
     * tokens (or empty) pass through whole. */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
-      minRun: Int): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("id"),
-      TextAnalysis.tokens(col(textCol)).as("tk"))
-    val covered = loserWindows(windowGrams(df, idCol, textCol, minRun))
+      minRun: Int): DataFrame = NearDup.materialized { cache =>
+    // tokenize ONCE, gram ONCE: toks feeds both the rebuild stream and
+    // the n_tokens join, grams feed both the winner election and the
+    // join back — uncached this operator re-tokenized the corpus up to
+    // 4x (review-caught r9); the SourceDivergence cache discipline
+    val toks = cache(tokenize(df, idCol, textCol))
+    val covered = loserWindows(cache(gramsFromTokens(toks, minRun)))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(minRun - 1))).as("tp"))
       .distinct()

@@ -40,6 +40,10 @@ object Interleave {
     * unique corpus-wide and non-null, sources non-null. */
   def positions(df: DataFrame, srcCol: String, idCol: String,
       weightOf: Column): DataFrame = {
+    // the Privacy/Ranking reserved-column discipline: a silent clobber
+    // of a user column is worse than a refusal
+    Seq("__w", "pos", "r").foreach(c => require(!df.columns.contains(c),
+      s"input column '$c' collides with an interleave output/temp column"))
     val base = df.filter(col(srcCol).isNotNull && col(idCol).isNotNull)
       .withColumn("__w", weightOf.cast("long"))
     val ranked = Ranking.indexWithinGroups(base, srcCol,
@@ -57,9 +61,12 @@ object Interleave {
       }.sortBy(_._1).toIndexedSeq
     val rp1 = col("r") + lit(1L)
     val terms: Seq[Column] = stats.map { case (sj, wj, nj) =>
+      // integer DIV, as the contract says — Column./ is DOUBLE division
+      // and past 2^53 the quotient could round across an integer
+      // boundary (all operands here are positive, so DIV == floor)
       val before = least(lit(nj),
-        floor((rp1 * lit(wj) - lit(1)) / col("__w")).cast("long"))
-      val kq = floor(rp1 * lit(wj) / col("__w")).cast("long")
+        expr(s"((r + 1) * ${wj}L - 1L) DIV __w"))
+      val kq = expr(s"((r + 1) * ${wj}L) DIV __w")
       val tie = when(lit(sj) < col(srcCol) &&
         kq * col("__w") === rp1 * lit(wj) && kq <= lit(nj), lit(1L))
         .otherwise(lit(0L))

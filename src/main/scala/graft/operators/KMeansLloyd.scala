@@ -74,7 +74,21 @@ object KMeansLloyd {
     * for with an O(corpus) shuffle): `idCol` is unique; duplicate ids
     * would double-weight their vector in every centroid mean. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame = run(df, idCol, vecCol, k, rounds,
+    checkpointOut = true)
+
+  /** Spec hook: the final-assignment frame BEFORE the output
+    * checkpoint, so PlanAuditSpec can assert the narrow-projection
+    * claim on the real plan (a checkpointed frame always plans as a
+    * bare RDD scan, which would make the pin vacuous — review-caught
+    * r9). The input checkpoint stays alive (pooled) since the
+    * returned frame still reads it. */
+  private[graft] def fitUncheckpointed(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, rounds: Int): DataFrame =
+    run(df, idCol, vecCol, k, rounds, checkpointOut = false)
+
+  private def run(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int, checkpointOut: Boolean): DataFrame = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
     require(rounds >= 0 && rounds <= 100,
       s"rounds must be in [0, 100], got $rounds")
@@ -108,11 +122,20 @@ object KMeansLloyd {
       cents = next
     }
     val a = nearest(cents)
-    val out = q.select(col("id").as("vec_id"), a.as("__a"))
+    val assigned = q.select(col("id").as("vec_id"), a.as("__a"))
       .select(col("vec_id"),
         col("__a.cluster").cast("int").as("cluster"),
         col("__a.dist").as("dist_q"))
-      .localCheckpoint(false)
+    if (!checkpointOut) {
+      // q must outlive the returned lazy frame; pool it for release
+      liveResults.synchronized {
+        liveResults.addLast(q)
+        if (liveResults.size > MaxLiveResults)
+          Checkpoints.release(liveResults.removeFirst())
+      }
+      return assigned
+    }
+    val out = assigned.localCheckpoint(false)
     out.count() // materialize so q's blocks can release now
     Checkpoints.release(q)
     liveResults.synchronized {

@@ -69,24 +69,32 @@ object Ranking {
     val joined = sorted.join(broadcast(offsets),
       sorted("__rk_pid") === offsets("__rk_pid") &&
         sorted(groupCol) <=> offsets("__rk_g"))
+    // checkpoint + materialize the RESULT, then release the sorted
+    // input immediately (the PageRank pattern): pooling the still-
+    // depended-on input instead would let an eviction strand a lazy
+    // result on missing checkpoint blocks — or worse, recompute it
+    // with freshly-sampled range boundaries (review-caught r9)
     val result = joined.select(
       (sorted.columns.filterNot(c => c == "__rk_pid" || c == "__rk_seq")
         .map(sorted(_)) :+
         (col("__off") + col("__rk_seq") - col("__m0")).as(out)): _*)
-    liveInputs.synchronized {
-      liveInputs.addLast(sorted)
-      if (liveInputs.size > MaxLive)
-        Checkpoints.release(liveInputs.removeFirst())
+      .localCheckpoint(false)
+    result.count()
+    Checkpoints.release(sorted)
+    liveResults.synchronized {
+      liveResults.addLast(result)
+      if (liveResults.size > MaxLive)
+        Checkpoints.release(liveResults.removeFirst())
     }
     result
   }
 
   private val MaxLive = 8
-  private val liveInputs = new java.util.ArrayDeque[DataFrame]()
+  private val liveResults = new java.util.ArrayDeque[DataFrame]()
 
-  /** Release live checkpoint storage (the PageRank pool pattern). */
-  def releaseAll(): Unit = liveInputs.synchronized {
-    while (!liveInputs.isEmpty)
-      Checkpoints.release(liveInputs.removeFirst())
+  /** Release live result checkpoint storage (the PageRank pool). */
+  def releaseAll(): Unit = liveResults.synchronized {
+    while (!liveResults.isEmpty)
+      Checkpoints.release(liveResults.removeFirst())
   }
 }

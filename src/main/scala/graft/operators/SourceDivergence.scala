@@ -81,10 +81,13 @@ object SourceDivergence {
       .agg(min(col("ttot")).as("n_tokens"),
         sum(col("kl_term_e9")).cast("long").as("kl_e9"))
 
-  /** The k most over-represented tokens per source (largest positive
-    * contribution; ties to the lexicographically smaller token):
-    * (source, rank, token, kl_term_e9). Plans as WindowGroupLimit —
-    * hot sources ship ~k rows per map task, not their vocabulary. */
+  /** The k largest-contribution tokens per source (signed — for a
+    * source with fewer than k over-represented tokens the tail of the
+    * list is the LEAST under-represented ones, which is itself the
+    * honest answer to "what carries this source's divergence"; ties to
+    * the lexicographically smaller token): (source, rank, token,
+    * kl_term_e9). Plans as WindowGroupLimit — hot sources ship ~k rows
+    * per map task, not their vocabulary. */
   def topTokens(df: DataFrame, srcCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")

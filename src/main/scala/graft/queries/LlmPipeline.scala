@@ -2116,7 +2116,6 @@ object LlmPipeline {
                 FROM dsir)
          SELECT doc_id, gumbel_key_e4 FROM g
          ORDER BY gumbel_key_e4 DESC, doc_id LIMIT 50""",
-    // q_e17: q_e10's key replay with n_chars·10 weights, ranked per
     // q_e18: the engine computes positions in closed form; the oracle
     // is the DEFINITION — rank under the (virtual time, source, r)
     // sort, virtual time exact-integered by the lcm-6 trick
@@ -2135,6 +2134,7 @@ object LlmPipeline {
                   (ORDER BY (r + 1) * (6 // w), source, r) - 1 AS BIGINT)
                   AS pos
          FROM rk ORDER BY pos""",
+    // q_e17: q_e10's key replay with n_chars·10 weights, ranked per
     // source (CAST to BIGINT — Spark's floor() is integral, DuckDB's is
     // DOUBLE)
     "q_e17_gumbel_per_group" ->

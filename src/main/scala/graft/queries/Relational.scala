@@ -689,12 +689,15 @@ object Relational {
       // by z (a bijection on the pair, so z totally orders them; scale
       // -robust where a fixed bucket shift collapses at small SF),
       // exact BIGINT bitwise both engines
+      // tiebreak on the raw keys: z is only a bijection while keys fit
+      // 32 bits (the mask makes larger keys collide), so the order must
+      // stay total without that assumption
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
         .select(col("l_orderkey"), col("l_partkey"),
           graft.functions.ZOrder
             .zValue(col("l_orderkey"), col("l_partkey")).as("z"))
-        .orderBy(col("z").desc)
+        .orderBy(col("z").desc, col("l_orderkey"), col("l_partkey"))
         .limit(50)),
     "q_x13_regexp_extract_all" -> ((s, dir) =>
       // X-series completion (r8): multi-match regex extraction — count,
@@ -1201,7 +1204,10 @@ object Relational {
                 CAST(MAX(o_orderdate) AS DATE) AS max_d, COUNT(*) AS n
          FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'""",
     // q_x14: the magic-mask Morton spread replayed mask-for-mask
-    // (constants are the standard 64-bit interleave masks in decimal)
+    // (constants are the standard 64-bit interleave masks in decimal).
+    // Declared key domain: < 2^31 — above that, spread(b)'s top bit
+    // sits at 62 and DuckDB's `(b << 1)` raises Out of Range where
+    // Spark's shiftleft wraps; TPC-H keys stay far inside the domain
     "q_x14_zorder" ->
       """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
           b0 AS (SELECT l_orderkey, l_partkey,
@@ -1225,7 +1231,7 @@ object Relational {
           z AS (SELECT l_orderkey, l_partkey, (a | (b << 1)) AS z
                 FROM b5)
          SELECT l_orderkey, l_partkey, z FROM z
-         ORDER BY z DESC LIMIT 50""",
+         ORDER BY z DESC, l_orderkey, l_partkey LIMIT 50""",
     // len() is BIGINT (Spark size() is int) and a no-match
     // array_to_string surfaces NULL — both coerced to the engine's form
     "q_x13_regexp_extract_all" ->

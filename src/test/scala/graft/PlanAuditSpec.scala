@@ -271,29 +271,32 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("k-means final assignment is a narrow projection (no join, no window)") {
-    // distance argmin against literal centroids: after fit()'s rounds,
-    // the returned frame must contain no join or window at all — the
-    // operator's scale claim is that assignment never shuffles
-    val out = graft.operators.KMeansLloyd.fit(
+    // distance argmin against literal centroids: the PRE-CHECKPOINT
+    // assignment frame (fitUncheckpointed — fit()'s own output plans
+    // as a bare RDD scan, which would make this pin vacuous) must
+    // contain no join, window, or exchange — the operator's scale
+    // claim is that assignment never shuffles
+    val out = graft.operators.KMeansLloyd.fitUncheckpointed(
       graft.Tables(spark, sf0001, "embeddings"), "vec_id", "embedding",
       k = 4, rounds = 1)
+    out.collect()
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Window") &&
       !plan.contains("Exchange"),
       s"k-means assignment is not narrow:\n${plan.take(1500)}")
+    graft.operators.KMeansLloyd.releaseResults()
   }
 
   test("interleave positions are a projection over the ranking (no v-sort join)") {
-    // after the one ranking pass, pos folds the per-source stats as
-    // literals: the plan may exchange for the RANKING, but the position
-    // math itself must not introduce a join of the corpus against a
-    // stats table or a global sort by virtual time
+    // the ranking itself sits behind its result checkpoint (its shape
+    // is asserted in RankingSpec); what this pin protects is the
+    // POSITION math above it — the per-source stats must fold in as
+    // literals, never as a join of the corpus against a stats table or
+    // a global sort by virtual time
     val plan = executedPlan(q("q_e18_interleave"))
-    val joins = "(?i)sortmergejoin|shuffledhashjoin".r
+    val joins = "(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin".r
       .findAllIn(plan).toSeq
-    // exactly the ranking's one broadcast-offset join is allowed; the
-    // corpus never enters a shuffle join
     assert(joins.isEmpty,
-      s"interleave shuffled a join it should have folded: $joins")
+      s"interleave joined what it should have folded: $joins")
   }
 }
