@@ -67,9 +67,12 @@ def main(sf_dir, out_dir, skip=()):
                     ok = False
                 if a.dtype == object:
                     # Decimal objects are the r7/r8 canonicalization trap
+                    # whole-column scan (ADVICE r9): a head-only sniff
+                    # would miss Decimals that first appear late; frames
+                    # are already in memory so this is cheap at gate scale
                     dec = [s for s in (a, b)
-                           if any(isinstance(v, decimal.Decimal)
-                                  for v in s.dropna().head(20))]
+                           if s.dropna().map(
+                               lambda v: isinstance(v, decimal.Decimal)).any()]
                     if dec:
                         print(f"FAIL {name}.{c}: Decimal objects in frame "
                               f"(hash-fragile; emit cents/digit-strings)")

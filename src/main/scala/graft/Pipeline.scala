@@ -42,8 +42,6 @@ object Pipeline {
   }
 
   def main(args: Array[String]): Unit = {
-    val sink = args.lift(0).getOrElse(
-      s"${System.getProperty("java.io.tmpdir")}/graft_pipeline_sink")
     val n = args.lift(1).map(_.toInt).getOrElse(29)
     val lo = args.lift(2).getOrElse("2024-01-01")
     val hi = args.lift(3).getOrElse("2025-12-31")
@@ -56,6 +54,11 @@ object Pipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Default sink is session-keyed (VERDICT r9 #1): a fixed machine-wide
+    // tmp path would let two concurrent pipeline runs probe each other's
+    // half-written sink and double-insert; an explicit arg overrides.
+    val sink = args.lift(0).getOrElse(
+      Tables.stagedPath(spark, "pipeline", "pipeline_sink"))
 
     val fetcher = MockQboApi(n)
     val first = run(spark, fetcher, sink, lo, hi)

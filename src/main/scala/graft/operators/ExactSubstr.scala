@@ -61,8 +61,12 @@ object ExactSubstr {
 
   private def tokenize(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-      TextAnalysis.tokens(col(textCol)).as("tk"))
+    // null ids would all collapse into ONE rebuild group and null text
+    // would surface null n_tokens/n_removed — filter/coalesce like the
+    // sibling operators (Interleave, KMeansLloyd, Trend; ADVICE r9)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("tk"))
 
   private def gramsFromTokens(toks: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"minRun $k must be >= 2")

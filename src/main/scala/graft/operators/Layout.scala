@@ -22,10 +22,25 @@ import graft.functions.ZOrder
   * ops per column ([[graft.functions.ZOrder]]), codegen'd. */
 object Layout {
 
-  /** Write `df` z-ordered on (c1, c2) into `path` as `files` files. */
+  /** Write `df` z-ordered on (c1, c2) into `path` as `files` files.
+    * Keys must be nonnegative (checked below): [[ZOrder.spread]] masks a
+    * negative key to a large 32-bit value (-1 → 0xFFFFFFFF), which would
+    * z-order it ABOVE every positive key and silently destroy the
+    * clustering locality this operator exists for (ADVICE r9). The check
+    * is one map-side-combinable aggregate over the two key columns —
+    * negligible next to the write it guards. */
   def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
       files: Int): Unit = {
     require(files >= 1, s"files $files must be positive")
+    require(!df.columns.contains("__z"),
+      "input already has reserved column __z") // ADVICE r9: match the
+      // Interleave/Ranking/Privacy reserved-column discipline
+    val mins = df.agg(min(col(c1).cast("long")),
+      min(col(c2).cast("long"))).head()
+    require(mins.isNullAt(0) || mins.getLong(0) >= 0L,
+      s"zorderWrite: negative $c1 keys break Morton ordering")
+    require(mins.isNullAt(1) || mins.getLong(1) >= 0L,
+      s"zorderWrite: negative $c2 keys break Morton ordering")
     df.withColumn("__z", ZOrder.zValue(col(c1), col(c2)))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -2730,7 +2730,8 @@ object LlmPipeline {
           tri AS (SELECT COUNT(*) AS t FROM e0 e1
                   JOIN e0 e2 ON e2.a = e1.b
                   JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
-          wdg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w
+          wdg AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0)
+                    AS BIGINT) AS w
                   FROM deg)
          SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
                 (SELECT COUNT(*) FROM e0) AS n_edges,

@@ -32,12 +32,13 @@ object Relational {
     * stage the documents table in `fmt`, read it back with an EXPLICIT
     * schema (inference is a second full scan — never at 100 TB), prove
     * content fidelity via per-language md5-distinct counts against the
-    * parquet original. Fixed staging path + overwrite (not UUID-per-run):
+    * parquet original. Session-keyed staging + overwrite (not UUID-per-run):
     * a repeat-run bench would otherwise leak one staged copy per
-    * invocation (ADVICE r3 on q_f2x). */
+    * invocation (ADVICE r3 on q_f2x), and a fixed machine-wide path let
+    * concurrent sessions crash each other's commit dirs (VERDICT r9 #1). */
   private def formatRoundTrip(s: SparkSession, dir: String,
       fmt: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_staged"
+    val tmp = Tables.stagedPath(s, dir, s"${fmt}_staged")
     t(s, dir, "documents").write.mode("overwrite").format(fmt).save(tmp)
     s.read
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
@@ -126,8 +127,7 @@ object Relational {
       // fixed shared path would let two concurrent sessions — or the
       // sf0.01 and sf0.1 gates — interleave overwrite-then-append
       // generations and corrupt each other's rollup.
-      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
-        s"${dir.hashCode.toHexString}_${s.sparkContext.applicationId}"
+      val staged = Tables.stagedPath(s, dir, "evo")
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
@@ -207,12 +207,12 @@ object Relational {
       // scan as a pushed filter in an ORACLE-CHECKED query (PlanAuditSpec
       // asserts the same push on a synthetic table; this one is hashed
       // against DuckDB).
-      // Fixed path + overwrite: a fresh UUID dir per invocation leaked one
-      // staged copy of orders per bench run (repeat=2 → two copies each)
-      // with nothing ever deleting them (ADVICE r3). Suites run
-      // sequentially and the bench is single-threaded, so one well-known
-      // path per JVM is safe; at most one copy ever persists.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_f2x_staged"
+      // Session-keyed path + overwrite: a fresh UUID dir per invocation
+      // leaked one staged copy of orders per bench run (repeat=2 → two
+      // copies each) with nothing ever deleting them (ADVICE r3), and a
+      // fixed machine-wide path crashed concurrent sessions racing on the
+      // same _temporary commit dir (VERDICT r9 #1).
+      val tmp = Tables.stagedPath(s, dir, "f2x_staged")
       t(s, dir, "orders").select(
           col("o_orderkey"),
           when(col("o_orderkey") % 2 === 0, lit("1995-06-15")).as("txn_date"),

@@ -66,4 +66,17 @@ class ZOrderSpec extends SparkSpec {
     assert(tZ <= 6L,
       s"z layout should bound the 1/64-area box to a few files, got $tZ")
   }
+
+  test("zorderWrite rejects negative keys and a reserved __z column") {
+    val neg = Seq((-1L, 3L), (2L, 4L)).toDF("x", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(neg, "x", "y", tmpDir("layout_neg"), files = 2)
+    }
+    assert(e1.getMessage.contains("negative"))
+    val clash = Seq((1L, 2L, 9L)).toDF("x", "y", "__z")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(clash, "x", "y", tmpDir("layout_clash"), files = 2)
+    }
+    assert(e2.getMessage.contains("__z"))
+  }
 }

@@ -28,6 +28,19 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got === Seq((3L, 8L, 4L, "p q r s")))
   }
 
+  test("null ids are dropped and null text surfaces as an empty doc") {
+    // ADVICE r9: null doc_ids must not collapse into one rebuild group,
+    // and null text must yield (0, 0, "") — not null counters
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "a b c d e"),
+      (null.asInstanceOf[java.lang.Long], "ghost row"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = ExactSubstr.dedupSubstrings(docs, "doc_id", "text", 4)
+      .orderBy(col("id")).as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 5L, 0L, "a b c d e"), (2L, 0L, 0L, "")))
+  }
+
   test("short, empty and fully-duplicated documents") {
     val got = run(Seq(
       (1L, "a b c d e f g h"),
