@@ -75,7 +75,21 @@ object KMeansLloyd {
     * would double-weight their vector in every centroid mean. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int): DataFrame = run(df, idCol, vecCol, k, rounds,
-    checkpointOut = true)
+    checkpointOut = true)._1
+
+  /** Fitted model: the assignment table of [[fit]] PLUS the final
+    * quantized-integer centroids (k × dim longs, grid-sized) — what a
+    * consumer needs to assign NEW vectors (e.g. [[IvfPq]] probing the
+    * coarse quantizer with query vectors the fit never saw). */
+  final case class Model(assign: DataFrame,
+      centroids: IndexedSeq[Array[Long]])
+
+  def fitModel(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int): Model = {
+    val (assign, cents) = run(df, idCol, vecCol, k, rounds,
+      checkpointOut = true)
+    Model(assign, cents)
+  }
 
   /** Spec hook: the final-assignment frame BEFORE the output
     * checkpoint, so PlanAuditSpec can assert the narrow-projection
@@ -85,10 +99,11 @@ object KMeansLloyd {
     * returned frame still reads it. */
   private[graft] def fitUncheckpointed(df: DataFrame, idCol: String,
       vecCol: String, k: Int, rounds: Int): DataFrame =
-    run(df, idCol, vecCol, k, rounds, checkpointOut = false)
+    run(df, idCol, vecCol, k, rounds, checkpointOut = false)._1
 
   private def run(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      rounds: Int, checkpointOut: Boolean): DataFrame = {
+      rounds: Int, checkpointOut: Boolean)
+      : (DataFrame, IndexedSeq[Array[Long]]) = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
     require(rounds >= 0 && rounds <= 100,
       s"rounds must be in [0, 100], got $rounds")
@@ -133,7 +148,7 @@ object KMeansLloyd {
         if (liveResults.size > MaxLiveResults)
           Checkpoints.release(liveResults.removeFirst())
       }
-      return assigned
+      return (assigned, cents)
     }
     val out = assigned.localCheckpoint(false)
     out.count() // materialize so q's blocks can release now
@@ -143,7 +158,7 @@ object KMeansLloyd {
       if (liveResults.size > MaxLiveResults)
         Checkpoints.release(liveResults.removeFirst())
     }
-    out
+    (out, cents)
   }
 
   private val MaxLiveResults = 8

@@ -62,7 +62,12 @@ class PlanAuditSpec extends SparkSpec {
         "lshTopK" -> graft.operators.Similarity.lshTopK(
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3),
         "ivfTopK" -> graft.operators.Similarity.ivfTopK(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3))) {
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3),
+        // r10: IVF-PQ — coarse lists meet probes via cluster equi-join,
+        // ADC scoring joins per-query LUTs and m-int code arrays by key
+        "ivfPqTopK" -> graft.operators.IvfPq.ivfPqTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+          k = 3, nlist = 8, nprobe = 2))) {
       val plan = executedPlan(df)
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"),

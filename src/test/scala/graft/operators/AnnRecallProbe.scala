@@ -58,6 +58,29 @@ object AnnRecallProbe {
         nlist, nprobe, rerank = 3 * k))
       println(f"ivfq nlist=$nlist%-3d nprobe=$nprobe%-3d     $r%.3f")
     }
+    // IVF-PQ (VERDICT r9 #3): KMeansLloyd coarse lists + m-block product
+    // codes, ADC candidate ranking, float rerank of the survivors
+    for ((nlist, nprobe, m) <- Seq((8, 2, 4), (8, 4, 4), (16, 4, 4),
+        (8, 2, 8), (16, 8, 4))) {
+      val r = recall(IvfPq.ivfPqTopK(queries, corpus, k, nlist, nprobe,
+        m = m, rerank = 3 * k))
+      println(f"ivfpq nlist=$nlist%-3d nprobe=$nprobe%-2d m=$m%-2d  $r%.3f")
+    }
+    // the q_v9 gate shape: 5 queries (vec_id < 5) x exact top-3 = 15
+    // possible hits — this count sets the driver floor
+    val gq = corpus.filter(col("vec_id") < 5)
+    val gc = corpus.filter(col("vec_id") >= 5)
+    val gateTruth = Similarity.bruteForceTopK(gq, gc, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    for ((nlist, nprobe, m, rerank) <- Seq((8, 2, 4, 32), (8, 4, 4, 48),
+        (8, 4, 8, 48), (16, 8, 8, 64))) {
+      val gateHits = IvfPq.ivfPqTopK(gq, gc, k = 3, nlist, nprobe,
+          m = m, rerank = rerank)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(gateTruth, Seq("query_id", "neighbor_id")).count()
+      println(s"ivfpq gate hits (of 15) nlist=$nlist nprobe=$nprobe " +
+        s"m=$m rerank=$rerank: $gateHits")
+    }
     spark.stop()
   }
 }

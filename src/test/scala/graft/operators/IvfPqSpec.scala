@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("fitPq is digit-identical to per-block KMeansLloyd fits") {
+    // the one-aggregation-per-round fused trainer must reproduce m
+    // INDEPENDENT Lloyd runs over the sliced subvectors exactly —
+    // codes AND integer squared distances
+    val m = 4; val ksub = 8; val rounds = 2
+    val dim = 64; val sub = dim / m
+    val pq = IvfPq.fitPq(emb, "vec_id", "embedding", m, ksub, rounds)
+    val got = pq.codes.orderBy(col("vec_id"), col("block"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    val want = (0 until m).flatMap { j =>
+      KMeansLloyd.fit(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+          "vec_id", "embedding", ksub, rounds)
+        .as[(Long, Int, Long)].collect().toSeq
+        .map { case (id, c, d) => (id, j, c, d) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+    // the packed layout is the same assignment, ordered by block
+    val packed = pq.packed.orderBy(col("vec_id"))
+      .as[(Long, Seq[Int])].collect().toSeq
+    val byId = want.groupBy(_._1)
+    packed.foreach { case (id, codes) =>
+      assert(codes === byId(id).sortBy(_._2).map(_._3))
+    }
+  }
+
+  test("full probe + corpus-wide rerank equals brute force exactly") {
+    // with every list probed and rerank covering the corpus, the PQ
+    // stage is a pure candidate pass-through and the exact float
+    // rerank must reproduce bruteForceTopK digit-for-digit
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val got = IvfPq.ivfPqTopK(queries, corpus, k = 3,
+        nlist = 8, nprobe = 8, rerank = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val want = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("ADC selection matches a plain-Scala PQ reimplementation") {
+    // k = rerank = 1 with every list probed: the returned neighbor IS
+    // the ADC argmin — checked against an independent driver-side
+    // lookup-table scorer built from the model's books and codes
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val m = 4; val ksub = 8; val rounds = 2; val sub = 16
+    val pq = IvfPq.fitPq(corpus, "vec_id", "embedding", m, ksub, rounds)
+    val codes = pq.packed.as[(Long, Seq[Int])].collect().toMap
+    val qvecs = KMeansLloyd.quantize(queries, "vec_id", "embedding")
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val want = qvecs.map { case (qid, qv) =>
+      val lut = Array.tabulate(m, ksub) { (j, c) =>
+        val cent = pq.books(j)(c)
+        var s = 0L; var i = 0
+        while (i < sub) {
+          val d = qv(j * sub + i) - cent(i); s += d * d; i += 1
+        }
+        s
+      }
+      val best = codes.toSeq.map { case (nid, cs) =>
+        (cs.zipWithIndex.map { case (c, j) => lut(j)(c) }.sum, nid)
+      }.min // (adc, neighbor_id) lexicographic — the engine's tie rule
+      qid -> best._2
+    }
+    val got = IvfPq.ivfPqTopK(queries, corpus, k = 1,
+        nlist = 8, nprobe = 8, m = m, ksub = ksub, pqRounds = rounds,
+        rerank = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id")).as[(Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+}
