@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed metadata carried alongside an opaque media blob. */
@@ -107,6 +107,94 @@ object Multimodal {
           lit(s";resized=${targetW}x$targetH")).as("media_type")))
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
+  }
+
+  /** STUB luminance decode for [[perceptualNearDup]] — the grid a real
+    * image pipeline gets by DOWNSCALING the decoded picture to
+    * `cells` pixels: cell k's luminance is the integer-mean code point
+    * of the k-th contiguous slice of the blob's UTF-8 interpretation
+    * (boundaries `floor(k·n/cells)`, floor-mean). Deterministic, exact
+    * on both engines (DuckDB replays it with `ord`/`substr`), and it
+    * has the property the hash needs: a small local edit perturbs one
+    * cell's mean slightly instead of shifting every sample (a
+    * positional char-sample hash collapses to exact-dup-only — tried
+    * and measured during r10 calibration). All-ASCII corpus assumed
+    * (the testdata is; `ascii`/`ord` both return the code point of the
+    * first char so parity holds per-char regardless). Empty slices
+    * (blob shorter than the grid) read luminance 0. */
+  private[graft] def luminanceGrid(text: Column, cells: Int): Column = {
+    val n = length(text).cast("long")
+    transform(sequence(lit(0), lit(cells - 1)), k => {
+      val start = call_function("div", k.cast("long") * n, lit(cells.toLong))
+      val end = call_function("div", (k.cast("long") + 1L) * n,
+        lit(cells.toLong))
+      when(end > start,
+        call_function("div",
+          aggregate(sequence(start, end - 1), lit(0L),
+            (acc, i) => acc + ascii(text.substr(i + 1, lit(1))).cast("long")),
+          end - start))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** 32-bit difference hash (dHash) over a 4×9 luminance grid: bit
+    * b = 1 iff cell (b/8, b%8) is darker than its right neighbor —
+    * the standard perceptual-hash construction (Krawetz's dHash),
+    * 8 comparisons per row so the row boundary never compares across
+    * rows. Integer-exact, fits a BIGINT with headroom. */
+  private[graft] def dHash32(lum: Column): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+      val k1 = call_function("div", b, lit(8L)) * 9 + pmod(b, lit(8L))
+      acc + when(
+        element_at(lum, (k1 + 1).cast("int"))
+          < element_at(lum, (k1 + 2).cast("int")),
+        call_function("shiftleft", lit(1L), b.cast("int")))
+        .otherwise(lit(0L))
+    })
+
+  /** Perceptual near-duplicate pairs over the multimodal surface
+    * (VERDICT r9 #4): exact binary dedup (q_m5) catches only identical
+    * blobs; real multimodal curation needs near-dup on DECODED content.
+    * Each blob stub-decodes to a luminance grid, hashes to a 32-bit
+    * dHash, and pairs within Hamming distance `maxHamming` are found by
+    * the L3 SimHash banding machinery: 4 bands of 8 bits, a pair
+    * agreeing on ≥1 band meets in a band-keyed equi-join bucket
+    * ([[NearDup.bucketPairs]] — never an all-pairs product), then the
+    * TRUE Hamming distance filters the candidates. By pigeonhole a
+    * pair within Hamming 3 cannot differ in all 4 bands, so for
+    * `maxHamming` ≤ 3 the result EQUALS the exhaustive all-pairs scan
+    * — q_m6's oracle replays exactly that. `maxBucketSize` is the
+    * usual banding skew valve; at the default it never triggers on the
+    * gate corpora (hottest band bucket: 217 ids at sf0.1).
+    *
+    * 100 TB shape: the corpus shuffles 12-byte (id, band, key) rows —
+    * never blobs; candidate expansion is bounded per bucket; the
+    * hamming filter touches only banded candidates. */
+  def perceptualNearDup(df: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 3, maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming breaks the 4-band exactness guarantee")
+    NearDup.materialized { cache =>
+      val h = cache(df
+        .filter(col(idCol).isNotNull && col("content").isNotNull)
+        .select(col(idCol).cast("long").as("id"),
+          dHash32(luminanceGrid(col("content").cast("string"), 36))
+            .as("ph")))
+      val bands = h.select(col("id"), col("ph"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .select(col("band"),
+          call_function("shiftright", col("ph"), (col("band") * 8)
+            .cast("int")).bitwiseAND(lit(255L)).as("key"),
+          col("id"))
+      val pairs = NearDup.bucketPairs(bands, maxBucketSize)
+      pairs
+        .join(h.select(col("id").as("id_a"), col("ph").as("pha")), "id_a")
+        .join(h.select(col("id").as("id_b"), col("ph").as("phb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("pha").bitwiseXOR(col("phb"))).cast("int")
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
   }
 
   /** Metadata-only profile per group — demonstrates that blob-free queries

@@ -497,6 +497,15 @@ object LlmPipeline {
           max(col("meta.n_bytes")).as("n_bytes"))
         .orderBy(col("keeper"))
     }),
+    "q_m6_perceptual_neardup" -> ((s, dir) =>
+      // perceptual near-dup on the multimodal surface (r10, VERDICT r9
+      // #4): blobs stub-decode to a 36-cell luminance grid, hash to a
+      // 32-bit dHash, and Hamming-≤3 pairs are found via 4-band
+      // SimHash blocking — by pigeonhole that EQUALS the exhaustive
+      // all-pairs scan, which is exactly what the oracle replays
+      Multimodal.perceptualNearDup(
+          Multimodal.packBinary(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy(col("id_a"), col("id_b"))),
     "q_m1_multimodal_profile" -> ((s, dir) =>
       Multimodal.metaProfile(
           Multimodal.packBinary(t(s, dir, "documents"), "doc_id", "text",
@@ -2057,6 +2066,34 @@ object LlmPipeline {
                 CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes
          FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
          GROUP BY md5(text) ORDER BY keeper""",
+    // q_m6: exhaustive all-pairs replay of the banded engine result —
+    // same stub luminance decode (slice floor-means of the UTF-8 code
+    // points), same 4×9 dHash, true Hamming ≤ 3; COALESCE guards the
+    // sub-grid-length blob edge (empty slice reads luminance 0, as the
+    // engine's `when(end > start)` branch does)
+    "q_m6_perceptual_neardup" ->
+      """WITH l AS (SELECT doc_id, list_transform(range(0, 36), k ->
+              CAST(COALESCE(list_sum(list_transform(
+                  range((k * length(text)) // 36,
+                        ((k + 1) * length(text)) // 36),
+                  i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0)
+                // greatest(((k + 1) * length(text)) // 36
+                           - (k * length(text)) // 36, 1) AS BIGINT))
+              AS lum
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          h AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 32), b ->
+                CASE WHEN lum[CAST((b // 8) * 9 + (b % 8) + 1 AS INTEGER)]
+                        < lum[CAST((b // 8) * 9 + (b % 8) + 2 AS INTEGER)]
+                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+                AS BIGINT) AS ph
+            FROM l)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         ORDER BY id_a, id_b""",
     "q_m1_multimodal_profile" ->
       """SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -66,6 +66,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // plain-Scala reference of the stub decode + dHash (r10, q_m6)
+  private def refHash(text: String): Long = {
+    val n = text.length
+    val lum = Array.tabulate(36) { k =>
+      val start = k * n / 36; val end = (k + 1) * n / 36
+      if (end <= start) 0L
+      else Math.floorDiv(
+        text.substring(start, end).map(_.toInt.toLong).sum, end - start)
+    }
+    (0 until 32).map { b =>
+      val k1 = b / 8 * 9 + b % 8
+      if (lum(k1) < lum(k1 + 1)) 1L << b else 0L
+    }.sum
+  }
+
+  test("dHash expression matches the plain-Scala reference") {
+    val texts = Seq("", "x", "short", "a" * 36, "ab" * 50,
+      "The quick brown fox jumps over the lazy dog. " * 3) ++
+      docs.select("text").as[String].take(20).toSeq
+    val got = texts.toDF("text")
+      .select(Multimodal.dHash32(
+        Multimodal.luminanceGrid(col("text"), 36)).as("h"))
+      .as[Long].collect().toSeq
+    assert(got === texts.map(refHash))
+  }
+
+  test("perceptual near-dup: banding equals the exhaustive scan; " +
+      "a local edit stays within Hamming 3") {
+    val base = "The quick brown fox jumps over the lazy dog again and " +
+      "again until the corpus repeats itself for forty lines or so."
+    val rows = Seq(
+      1L -> base,
+      2L -> base.replace("quick", "quack"), // one local edit
+      3L -> base,                           // exact dup
+      4L -> base.reverse,                   // far away
+      5L -> ("z" * 120))
+    val packed = Multimodal.packBinary(rows.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = Multimodal.perceptualNearDup(packed)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Int)].collect().toSeq
+    // exhaustive reference over the same hashes
+    val hs = rows.map { case (id, t) => id -> refHash(t) }
+    val want = for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 3
+    } yield (a, b, hd)
+    assert(got === want.sortBy(p => (p._1, p._2)))
+    assert(got.contains((1L, 3L, 0)), "exact dup must be Hamming 0")
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L),
+      "a one-word edit must stay within the Hamming threshold")
+    assert(!got.exists(p => p._2 == 4L || p._2 == 5L),
+      "unrelated content must not pair")
+  }
+
   test("metaProfile prunes the blob column out of the scan") {
     val tmp = tmpDir("mm")
     Multimodal.packBinary(docs, "doc_id", "text", keep = Seq("source"))
