@@ -71,6 +71,15 @@ object LlmPipeline {
     * deploying a trained filter runs. */
   @volatile private var trainedT20: Option[QualityClassifier.Model] = None
 
+  /** Merge sequence learned by the q_t28 run, consumed by
+    * [[dynamicOracles]] — same legality argument as [[trainedT20]]:
+    * learning is a deterministic function of the input table (exact
+    * integer counts, total-order tie-break), and Verify runs every
+    * query before dumping oracle_sql.json. The oracle does NOT echo
+    * the sequence: it recomputes each round's argmax from its own pair
+    * counts ([[BpeLearn.oracleSql]]). */
+  @volatile private var learnedT28: Option[Seq[BpeLearn.Merge]] = None
+
   // Shared tokenizer fragment for DuckDB oracles.
   private val duckToks =
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
@@ -901,6 +910,19 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "q_t28_bpe_learn" -> ((s, dir) => {
+      // distributed BPE merge LEARNING (r10, VERDICT r9 #5): 12 rounds
+      // of one map-side-combinable pair aggregation + a 1-row argmax —
+      // the training loop scripts/learn_bpe.py ran driver-side, now on
+      // the cluster over the distinct-word table. The learned sequence
+      // is stashed and [[dynamicOracles]] generates a DuckDB replay
+      // that recomputes every round's pair counts and argmax itself
+      // (q_t20's discipline — verified, not echoed).
+      import s.implicits._
+      val merges = BpeLearn.learn(t(s, dir, "documents"), "text", 12)
+      learnedT28 = Some(merges)
+      merges.toDF().orderBy(col("rank"))
+    }),
     "q_t21_heavy_phrases" -> ((s, dir) =>
       // sketch-screened exact heavy hitters (r7, L53): 3-token phrases
       // occurring >= 6 times corpus-wide — the boilerplate-candidate
@@ -3051,7 +3073,11 @@ object LlmPipeline {
     * the query's deterministic training fit. Evaluated by Verify AFTER
     * all queries ran; empty for any query that didn't run (the driver
     * then records its rows-only fallback, never a wrong oracle). */
-  def dynamicOracles: Map[String, String] = trainedT20 match {
+  def dynamicOracles: Map[String, String] = t20Oracle ++
+    learnedT28.map(ms =>
+      "q_t28_bpe_learn" -> BpeLearn.oracleSql(ms)).toMap
+
+  private def t20Oracle: Map[String, String] = trainedT20 match {
     case None => Map.empty
     case Some(m) =>
       // only nonzero weights ride the VALUES CTE; zero-weight buckets
