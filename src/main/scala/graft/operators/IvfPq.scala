@@ -156,6 +156,8 @@ object IvfPq {
     val cLit = typedlit(coarse.centroids.map(_.toSeq))
     val qq = KMeansLloyd.quantize(queries, idCol, vecCol)
       .localCheckpoint(false)
+    pool(qq) // bounded release — repeat bench runs must not accumulate
+             // one query-frame checkpoint per invocation (self-review r10)
     val pdists = transform(sequence(lit(0), lit(coarse.centroids.length - 1)),
       j => struct(
         aggregate(zip_with(col("q"), element_at(cLit, j + 1),
