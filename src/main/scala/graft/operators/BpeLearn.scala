@@ -63,6 +63,19 @@ object BpeLearn {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
+  /** Adjacent-pair counts of the current symbolization, weighted by
+    * word frequency — the round's ONE shuffle, map-side combinable
+    * (plan-pinned in PlanAuditSpec: a corpus-hot pair like ("t","h")
+    * must partial-aggregate, not serialize into one reduce task). */
+  private[graft] def pairCounts(state: DataFrame): DataFrame =
+    state.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+
   /** Learn `nMerges` merges from the corpus. Stops early if no adjacent
     * pair remains (every word fully fused). */
   def learn(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
@@ -74,13 +87,7 @@ object BpeLearn {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     for (r <- 1 to nMerges if !done) {
-      val top = state.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(transform(
-            sequence(lit(0), size(col("syms")) - 2),
-            i => struct(element_at(col("syms"), i + 1).as("l"),
-              element_at(col("syms"), i + 2).as("r")))).as("p"))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum(col("freq")).as("cnt"))
+      val top = pairCounts(state)
         .orderBy(col("cnt").desc, col("lhs").desc, col("rhs").desc)
         .limit(1).collect() // 1 row — the round's winning pair
       if (top.isEmpty) done = true

@@ -275,6 +275,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!d10.contains("NestedLoop"), s"q_d10 anti-join went loop-shaped")
   }
 
+  test("r10 operators: no cross product; BPE pair counts partial-aggregate") {
+    for (name <- Seq("q_m6_perceptual_neardup", "q_t28_bpe_learn",
+        "q_v10_pq_codes")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a cross product")
+    }
+    // the trainer's per-round shape: adjacent-pair counts must carry a
+    // partial HashAggregate (map-side combine) — corpus-wide hot pairs
+    // ("th", "e ") would otherwise serialize into single reduce tasks
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val pairs = graft.operators.BpeLearn.vocab(docs, "text")
+      .select(col("word"), org.apache.spark.sql.functions.split(
+        col("word"), "").as("syms"), col("freq"))
+      .filter(org.apache.spark.sql.functions.size(col("syms")) >= 2)
+    val plan = executedPlan(graft.operators.BpeLearn.pairCounts(pairs))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_sum"),
+      s"BPE pair counting lost its map-side combine:\n${finalPlan.take(1500)}")
+  }
+
   test("k-means final assignment is a narrow projection (no join, no window)") {
     // distance argmin against literal centroids: the PRE-CHECKPOINT
     // assignment frame (fitUncheckpointed — fit()'s own output plans
