@@ -152,6 +152,48 @@ object Multimodal {
         .otherwise(lit(0L))
     })
 
+  /** The scoring-path form of [[luminanceGrid]]+[[dHash32]]: a JIT'd
+    * typed kernel (the [[Similarity.int8Codes]] discipline), one
+    * (id, ph) row per blob. Why not the expression form in the hot
+    * path: [[dHash32]] references its `lum` argument 2×32 times, and
+    * interpreted higher-order-function evaluation INLINES the full
+    * 36-cell grid into every reference — measured 46 ms/row at sf0.1
+    * (230 s for 5000 docs; the innocent-looking `h.count()` probe read
+    * 1.8 s only because count() PRUNES the hash column entirely). The
+    * plain-Scala loop is ~µs/row. Kernel ≡ expression is spec-pinned
+    * (MultimodalSpec), and the DuckDB oracle replays the same spec. */
+  private[graft] def dHashKernel(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = text.length
+          val lum = new Array[Long](36)
+          var k = 0
+          while (k < 36) {
+            val start = k * n / 36; val end = (k + 1) * n / 36
+            if (end > start) {
+              var s = 0L; var i = start
+              while (i < end) { s += text.charAt(i).toLong; i += 1 }
+              lum(k) = Math.floorDiv(s, (end - start).toLong)
+            }
+            k += 1
+          }
+          var ph = 0L
+          var b = 0
+          while (b < 32) {
+            val k1 = b / 8 * 9 + b % 8
+            if (lum(k1) < lum(k1 + 1)) ph |= 1L << b
+            b += 1
+          }
+          (id, ph)
+        }
+      }.toDF("id", "ph")
+  }
+
   /** Perceptual near-duplicate pairs over the multimodal surface
     * (VERDICT r9 #4): exact binary dedup (q_m5) catches only identical
     * blobs; real multimodal curation needs near-dup on DECODED content.
@@ -175,11 +217,10 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming breaks the 4-band exactness guarantee")
     NearDup.materialized { cache =>
-      val h = cache(df
-        .filter(col(idCol).isNotNull && col("content").isNotNull)
-        .select(col(idCol).cast("long").as("id"),
-          dHash32(luminanceGrid(col("content").cast("string"), 36))
-            .as("ph")))
+      val h = cache(dHashKernel(
+        df.filter(col(idCol).isNotNull && col("content").isNotNull)
+          .withColumn("content", col("content").cast("string")),
+        idCol, "content"))
       val bands = h.select(col("id"), col("ph"),
           explode(sequence(lit(0), lit(3))).as("band"))
         .select(col("band"),

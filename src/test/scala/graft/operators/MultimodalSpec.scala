@@ -81,7 +81,7 @@ class MultimodalSpec extends SparkSpec {
     }.sum
   }
 
-  test("dHash expression matches the plain-Scala reference") {
+  test("dHash expression AND kernel match the plain-Scala reference") {
     val texts = Seq("", "x", "short", "a" * 36, "ab" * 50,
       "The quick brown fox jumps over the lazy dog. " * 3) ++
       docs.select("text").as[String].take(20).toSeq
@@ -90,6 +90,12 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.luminanceGrid(col("text"), 36)).as("h"))
       .as[Long].collect().toSeq
     assert(got === texts.map(refHash))
+    // the JIT'd scoring-path kernel must agree with the expression form
+    // (which is what the DuckDB oracle replays)
+    val kernel = Multimodal.dHashKernel(
+        texts.zipWithIndex.map(_.swap).toDF("id", "text"), "id", "text")
+      .orderBy(col("id")).as[(Long, Long)].collect().toSeq.map(_._2)
+    assert(kernel === texts.map(refHash))
   }
 
   test("perceptual near-dup: banding equals the exhaustive scan; " +
