@@ -194,6 +194,18 @@ object Multimodal {
       }.toDF("id", "ph")
   }
 
+  /** The 4×8-bit band rows of a (id, ph) hash frame — (band, key, id),
+    * one row per band. Shared by the batch operator and
+    * [[graft.streaming.StreamingPerceptualDedup]] so the two banding
+    * derivations cannot drift (the NearDup.bandKeyRows discipline). */
+  private[graft] def phashBands(h: DataFrame): DataFrame =
+    h.select(col("id"), col("ph"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("band"),
+        call_function("shiftright", col("ph"), (col("band") * 8)
+          .cast("int")).bitwiseAND(lit(255L)).as("key"),
+        col("id"))
+
   /** Perceptual near-duplicate pairs over the multimodal surface
     * (VERDICT r9 #4): exact binary dedup (q_m5) catches only identical
     * blobs; real multimodal curation needs near-dup on DECODED content.
@@ -221,13 +233,7 @@ object Multimodal {
         df.filter(col(idCol).isNotNull && col("content").isNotNull)
           .withColumn("content", col("content").cast("string")),
         idCol, "content"))
-      val bands = h.select(col("id"), col("ph"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .select(col("band"),
-          call_function("shiftright", col("ph"), (col("band") * 8)
-            .cast("int")).bitwiseAND(lit(255L)).as("key"),
-          col("id"))
-      val pairs = NearDup.bucketPairs(bands, maxBucketSize)
+      val pairs = NearDup.bucketPairs(phashBands(h), maxBucketSize)
       pairs
         .join(h.select(col("id").as("id_a"), col("ph").as("pha")), "id_a")
         .join(h.select(col("id").as("id_b"), col("ph").as("phb")), "id_b")

@@ -506,6 +506,27 @@ object LlmPipeline {
           max(col("meta.n_bytes")).as("n_bytes"))
         .orderBy(col("keeper"))
     }),
+    "q_m7_perceptual_delta" -> ((s, dir) => {
+      // incremental (delta) PERCEPTUAL ingestion (r10) — q_d6's two-phase
+      // admit protocol on the multimodal surface: blobs < 250 build the
+      // admitted history through the streaming batch kernel, blobs >= 250
+      // arrive as the new batch and are admitted only if within Hamming 3
+      // of neither an admitted history doc nor a smaller-id batch doc
+      // (conservative family drop). The oracle replays both phases
+      // exhaustively over the same dHashes.
+      val hist = s"${System.getProperty("java.io.tmpdir")}/graft_m7_hist_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val docs = t(s, dir, "documents")
+      graft.streaming.StreamingPerceptualDedup.dedupBatch(
+        docs.filter(col("doc_id") < 250), hist, batchId = 0L)
+      graft.streaming.StreamingPerceptualDedup.dedupBatch(
+        docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
+      val admitted = s.read.parquet(s"$hist/hashes")
+        .select(col("id").as("doc_id")).localCheckpoint()
+      val p = new Path(hist)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      admitted.orderBy(col("doc_id"))
+    }),
     "q_m6_perceptual_neardup" -> ((s, dir) =>
       // perceptual near-dup on the multimodal surface (r10, VERDICT r9
       // #4): blobs stub-decode to a 36-cell luminance grid, hash to a
@@ -2088,6 +2109,41 @@ object LlmPipeline {
                 CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes
          FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
          GROUP BY md5(text) ORDER BY keeper""",
+    // q_m7: sequential replay of the two-phase perceptual admit over the
+    // same dHashes as q_m6's oracle — a1 = phase-1 docs with no
+    // smaller-id Hamming-3 partner, a2 = phase-2 docs blocked by neither
+    // an ADMITTED history doc nor a smaller-id phase-2 doc (admitted or
+    // not — conservative family drop, the q_d6 formulation)
+    "q_m7_perceptual_delta" ->
+      """WITH l AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 36), k ->
+              CAST(COALESCE(list_sum(list_transform(
+                  range((k * length(text)) // 36,
+                        ((k + 1) * length(text)) // 36),
+                  i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0)
+                // greatest(((k + 1) * length(text)) // 36
+                           - (k * length(text)) // 36, 1) AS BIGINT))
+              AS lum
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          h AS MATERIALIZED (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 32), b ->
+                CASE WHEN lum[CAST((b // 8) * 9 + (b % 8) + 1 AS INTEGER)]
+                        < lum[CAST((b // 8) * 9 + (b % 8) + 2 AS INTEGER)]
+                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+                AS BIGINT) AS ph
+            FROM l),
+          p AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+          a1 AS (SELECT d.doc_id FROM h d WHERE d.doc_id < 250
+            AND NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = d.doc_id)),
+          a2 AS (SELECT d.doc_id FROM h d WHERE d.doc_id >= 250
+            AND NOT EXISTS (SELECT 1 FROM p JOIN a1 ON p.id_a = a1.doc_id
+                            WHERE p.id_b = d.doc_id)
+            AND NOT EXISTS (SELECT 1 FROM p
+                            WHERE p.id_b = d.doc_id AND p.id_a >= 250))
+         SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2
+         ORDER BY doc_id""",
     // q_m6: exhaustive all-pairs replay of the banded engine result —
     // same stub luminance decode (slice floor-means of the UTF-8 code
     // points), same 4×9 dHash, true Hamming ≤ 3; COALESCE guards the

@@ -73,7 +73,7 @@ object StreamingNearDup {
     * pairs. The same JIT'd-flatMap + pre-repartition discipline as
     * NearDup.bucketPairs (AQE would coalesce the tiny bucket table to ~1
     * task and serialize the quadratic expansion). */
-  private def taggedBucketPairs(hist: DataFrame, batch: DataFrame,
+  private[streaming] def taggedBucketPairs(hist: DataFrame, batch: DataFrame,
       maxBucketSize: Int): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
