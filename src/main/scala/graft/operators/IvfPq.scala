@@ -73,12 +73,40 @@ object IvfPq {
     * (block, cluster, dim)-keyed aggregation over the corpus instead
     * of m scans. */
   def fitPq(df: DataFrame, idCol: String, vecCol: String, m: Int,
-      ksub: Int, rounds: Int): PqModel = {
+      ksub: Int, rounds: Int): PqModel =
+    fitPqQuantized(KMeansLloyd.quantize(df, idCol, vecCol), m, ksub, rounds)
+
+  /** PQ over coarse RESIDUALS (the paper's IVFADC form): codebooks fit
+    * on `x − coarse_centroid(x)` — residuals concentrate near the
+    * origin so the same ksub spends its codes on a much smaller cell,
+    * cutting quantization error vs raw-vector PQ at identical storage.
+    * All integer-exact: the residual is an elementwise BIGINT
+    * subtraction of the quantized vector and its (quantized-integer)
+    * coarse centroid, so the fit still replays digit-for-digit
+    * ([[residualOracleSql]] chains the coarse centroid replay into the
+    * per-block recurrences). */
+  def fitPqResidual(df: DataFrame, idCol: String, vecCol: String,
+      coarse: KMeansLloyd.Model, m: Int, ksub: Int,
+      rounds: Int): PqModel = {
+    val cLit = typedlit(coarse.centroids.map(_.toSeq))
+    val rq = KMeansLloyd.quantize(df, idCol, vecCol)
+      .join(coarse.assign.select(col("vec_id").as("id"), col("cluster")),
+        "id")
+      .select(col("id"),
+        zip_with(col("q"), element_at(cLit, col("cluster") + 1),
+          (a, b) => a - b).as("q"))
+    fitPqQuantized(rq, m, ksub, rounds)
+  }
+
+  /** The fused all-blocks trainer over an already-quantized (id, q)
+    * frame — the body shared by [[fitPq]] and [[fitPqResidual]]. */
+  private def fitPqQuantized(qdf: DataFrame, m: Int, ksub: Int,
+      rounds: Int): PqModel = {
     require(m >= 1 && m <= 64, s"m must be in [1, 64], got $m")
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
     require(rounds >= 0 && rounds <= 100,
       s"rounds must be in [0, 100], got $rounds")
-    val q = KMeansLloyd.quantize(df, idCol, vecCol).localCheckpoint(false)
+    val q = qdf.localCheckpoint(false)
     val seeds = q.orderBy(col("id")).limit(ksub).collect()
     require(seeds.nonEmpty, "PQ fit over an empty corpus")
     val dim = seeds.head.getSeq[Long](1).length
@@ -145,6 +173,7 @@ object IvfPq {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, coarseRounds: Int = 2,
       m: Int = 4, ksub: Int = 8, pqRounds: Int = 2, rerank: Int = 32,
+      residual: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundTo: Int = 6): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
@@ -164,21 +193,38 @@ object IvfPq {
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x),
         j.cast("int")))
       .cast("array<struct<dist:bigint,cluster:int>>")
-    val probes = qq
-      .select(col("id").as("query_id"),
+    // probes keep the residual form's per-(query, cluster) residual
+    // behind a checkpoint BARRIER: `rq` is a 64-element zip_with, and
+    // the LUT below references its source m×ksub times — without the
+    // barrier CollapseProject inlines the subtraction into every
+    // reference and interpreted HOF evaluation recomputes it 64× per
+    // probe row (the q_m6 pathology). Bounded: |queries| × nprobe rows.
+    val probesR = qq
+      .select(col("id").as("query_id"), col("q"),
         explode(slice(array_sort(pdists), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("p.cluster").as("cluster"))
-    val candidates = lists.join(probes, "cluster")
-      .select(col("query_id"), col("neighbor_id"))
-    // product quantizer + per-query ADC lookup tables
-    val pq = fitPq(corpus, idCol, vecCol, m, ksub, pqRounds)
+      .select(col("query_id"), col("p.cluster").as("cluster"),
+        (if (residual)
+           zip_with(col("q"), element_at(cLit, col("p.cluster") + 1),
+             (a, b) => a - b)
+         else col("q")).as("rq"))
+      .localCheckpoint(false)
+    pool(probesR)
+    val candidates = lists
+      .join(probesR.select(col("query_id"), col("cluster")), "cluster")
+      .select(col("query_id"), col("neighbor_id"), col("cluster"))
+    // product quantizer + per-(query, probed-list) ADC lookup tables
+    val pq =
+      if (residual) fitPqResidual(corpus, idCol, vecCol, coarse, m, ksub,
+        pqRounds)
+      else fitPq(corpus, idCol, vecCol, m, ksub, pqRounds)
     val sub = pq.books.head.head.length
     val bookLit = typedlit(pq.books.map(_.map(_.toSeq)))
     val lutCol = transform(sequence(lit(0), lit(m - 1)), j =>
       transform(element_at(bookLit, j + 1), cent =>
-        aggregate(zip_with(slice(col("q"), j * sub + 1, lit(sub)), cent,
+        aggregate(zip_with(slice(col("rq"), j * sub + 1, lit(sub)), cent,
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)))
-    val luts = qq.select(col("id").as("query_id"), lutCol.as("lut"))
+    val luts = probesR.select(col("query_id"), col("cluster"),
+      lutCol.as("lut"))
     val packed = pq.packed
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     // the volume-path sum is UNROLLED over the m blocks (m is a plan-time
@@ -194,7 +240,11 @@ object IvfPq {
         element_at(element_at(col("lut"), j + 1),
           element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val adc = candidates.join(luts, "query_id").join(packed, "neighbor_id")
+    // LUT join keys on (query, LIST): in residual mode a neighbor's
+    // codes encode its residual vs ITS list's centroid, so the matching
+    // LUT is the query's residual vs that same centroid (IVFADC)
+    val adc = candidates.join(luts, Seq("query_id", "cluster"))
+      .join(packed, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id"))
@@ -235,6 +285,45 @@ object IvfPq {
     }
     blocks.mkString("SELECT vec_id, block, code, dist_q FROM (\n",
       "\nUNION ALL\n", "\n) ORDER BY vec_id, block")
+  }
+
+  /** The generated DuckDB replay of [[fitPqResidual]]: the coarse
+    * assignment AND final coarse centroids replay first (two nested
+    * [[KMeansLloyd.oracleCtes]]/[[KMeansLloyd.oracleCentroidCtes]]
+    * chains over the full-dim quantized vectors), the integer residual
+    * v − centroid_val derives from them, and each block then replays
+    * its own Lloyd recurrence over the residual slice — the whole
+    * two-stage fit is one generated statement sharing every parameter
+    * with the engine call. */
+  def residualOracleSql(nlist: Int, coarseRounds: Int, m: Int, sub: Int,
+      ksub: Int, rounds: Int): String = {
+    val qf =
+      """qf AS MATERIALIZED (SELECT vec_id, i AS dim,
+            CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS v
+          FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"""
+    val ca = s"""ca AS MATERIALIZED (SELECT * FROM (
+          WITH q AS (SELECT * FROM qf),
+          ${KMeansLloyd.oracleCtes(nlist, coarseRounds)}))"""
+    val cc = s"""cc AS MATERIALIZED (SELECT * FROM (
+          WITH q AS (SELECT * FROM qf),
+          ${KMeansLloyd.oracleCentroidCtes(nlist, coarseRounds)}))"""
+    val rq =
+      """rq AS MATERIALIZED (SELECT qf.vec_id, qf.dim, qf.v - cc.val AS v
+          FROM qf JOIN ca USING (vec_id)
+          JOIN cc ON cc.cluster = ca.cluster AND cc.dim = qf.dim)"""
+    val blocks = (0 until m).map { j =>
+      s"""SELECT CAST($j AS INTEGER) AS block, vec_id, cluster AS code,
+            dist_q
+          FROM (WITH q AS (SELECT vec_id, dim - ${j * sub} AS dim, v
+                  FROM rq
+                  WHERE dim >= ${j * sub} AND dim < ${(j + 1) * sub}),
+               ${KMeansLloyd.oracleCtes(ksub, rounds)})"""
+    }
+    Seq("WITH " + qf, ca, cc, rq).mkString(",\n") +
+      blocks.mkString("\nSELECT vec_id, block, code, dist_q FROM (\n",
+        "\nUNION ALL\n", "\n) ORDER BY vec_id, block")
   }
 
   // bounded live-result pool, the KMeansLloyd discipline: repeat-run

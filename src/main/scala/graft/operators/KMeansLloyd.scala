@@ -213,4 +213,18 @@ object KMeansLloyd {
        FROM dF GROUP BY vec_id ORDER BY vec_id"""
     (Seq(head) ++ steps).mkString(",\n") + ",\n" + tail
   }
+
+  /** The same unrolled recurrence, but yielding the FINAL CENTROIDS
+    * (cluster, dim, val) instead of the assignment — what a consumer
+    * chaining this fit into a later stage needs (IvfPq's residual
+    * oracle subtracts these from the vectors before the per-block
+    * replay). Shares [[oracleCtes]]'s CTE chain verbatim up to
+    * `c<rounds>`. */
+  def oracleCentroidCtes(k: Int, rounds: Int): String = {
+    val chain = oracleCtes(k, rounds)
+    // drop the assignment tail (dF + final SELECT); emit the centroids
+    val cut = chain.lastIndexOf("dF AS")
+    chain.take(cut).trim.stripSuffix(",") + s"""
+       SELECT cluster, CAST(dim AS INTEGER) AS dim, val FROM c$rounds"""
+  }
 }

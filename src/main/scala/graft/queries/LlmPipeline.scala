@@ -470,13 +470,31 @@ object LlmPipeline {
       // by ADC lookup tables, float rerank of the top 64. Floor 5 of 15
       // sits under measured hits 11/10/7 at sf0.001/0.01/0.1 (isotropic
       // worst case; AnnRecallProbe reproduces). The codebook fit itself
-      // is digit-exact replayed by q_v10's generated oracle.
+      // is digit-exact replayed by q_v10's generated oracle. Residual
+      // (IVFADC) encoding since r10's second pass: codes encode
+      // x − coarse_centroid, lifting the worst-case gate hits from
+      // 11/10/7 (raw) to 9/10/11 across sf0.001/0.01/0.1 — the floor
+      // keeps its margin at every scale; the residual fit replays in
+      // q_v11's generated oracle.
       val e = t(s, dir, "embeddings")
       annRecallReport(s,
         IvfPq.ivfPqTopK(
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-          k = 3, nlist = 16, nprobe = 8, m = 8, rerank = 64),
+          k = 3, nlist = 16, nprobe = 8, m = 8, rerank = 64,
+          residual = true),
         e, minHits = 5L)
+    }),
+    "q_v11_pq_residual_codes" -> ((s, dir) => {
+      // the residual (IVFADC) code table (r10): coarse KMeansLloyd
+      // assignment → integer residual → per-block Lloyd — the whole
+      // two-stage fit replayed by IvfPq.residualOracleSql from the
+      // same (nlist, coarseRounds, m, sub, ksub, rounds)
+      val emb = t(s, dir, "embeddings")
+      val coarse = KMeansLloyd.fitModel(emb, "vec_id", "embedding",
+        k = 8, rounds = 2)
+      IvfPq.fitPqResidual(emb, "vec_id", "embedding", coarse,
+          m = 8, ksub = 8, rounds = 2)
+        .codes.orderBy(col("vec_id"), col("block"))
     }),
     "q_v10_pq_codes" -> ((s, dir) =>
       // the product-quantizer code table (r10): m=8 blocks × ksub=8
@@ -2096,6 +2114,11 @@ object LlmPipeline {
     // recurrence and its oracle cannot drift (VERDICT r9 #3)
     "q_v10_pq_codes" ->
       IvfPq.pqOracleSql(m = 8, sub = 8, ksub = 8, rounds = 2),
+    // q_v11: the two-stage residual fit — coarse replay chains into the
+    // per-block residual recurrences, all from the engine's parameters
+    "q_v11_pq_residual_codes" ->
+      IvfPq.residualOracleSql(nlist = 8, coarseRounds = 2, m = 8,
+        sub = 8, ksub = 8, rounds = 2),
     "q_v3_norm_stats" ->
       s"""SELECT label,
             ROUND(AVG(sqrt(${duckNormSq("embedding")})), 4) AS avg_norm,

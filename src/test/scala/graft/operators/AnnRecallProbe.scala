@@ -72,14 +72,16 @@ object AnnRecallProbe {
     val gc = corpus.filter(col("vec_id") >= 5)
     val gateTruth = Similarity.bruteForceTopK(gq, gc, 3)
       .select(col("query_id"), col("neighbor_id"))
-    for ((nlist, nprobe, m, rerank) <- Seq((8, 2, 4, 32), (8, 4, 4, 48),
-        (8, 4, 8, 48), (16, 8, 8, 64))) {
+    for ((nlist, nprobe, m, rerank, res) <- Seq(
+        (8, 2, 4, 32, false), (8, 4, 4, 48, false),
+        (8, 4, 8, 48, false), (16, 8, 8, 64, false),
+        (16, 8, 8, 64, true), (8, 4, 8, 48, true), (16, 8, 4, 64, true))) {
       val gateHits = IvfPq.ivfPqTopK(gq, gc, k = 3, nlist, nprobe,
-          m = m, rerank = rerank)
+          m = m, rerank = rerank, residual = res)
         .select(col("query_id"), col("neighbor_id"))
         .join(gateTruth, Seq("query_id", "neighbor_id")).count()
       println(s"ivfpq gate hits (of 15) nlist=$nlist nprobe=$nprobe " +
-        s"m=$m rerank=$rerank: $gateHits")
+        s"m=$m rerank=$rerank residual=$res: $gateHits")
     }
     spark.stop()
   }

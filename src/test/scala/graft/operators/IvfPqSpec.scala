@@ -36,21 +36,57 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("fitPqResidual is digit-identical to per-block fits on the residuals") {
+    val m = 4; val ksub = 8; val rounds = 2
+    val dim = 64; val sub = dim / m; val nlist = 8
+    val coarse = KMeansLloyd.fitModel(emb, "vec_id", "embedding", nlist, 2)
+    val pq = IvfPq.fitPqResidual(emb, "vec_id", "embedding", coarse,
+      m, ksub, rounds)
+    val got = pq.codes.orderBy(col("vec_id"), col("block"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    // residuals computed independently driver-side from the model
+    val assign = coarse.assign.select(col("vec_id"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    val quant = KMeansLloyd.quantize(emb, "vec_id", "embedding")
+      .as[(Long, Seq[Long])].collect().toSeq
+    val spark2 = spark; import spark2.implicits._
+    val resid = quant.map { case (id, q) =>
+      val c = coarse.centroids(assign(id))
+      (id, q.zipWithIndex.map { case (v, i) => v - c(i) })
+    }
+    val want = (0 until m).flatMap { j =>
+      // per-block KMeansLloyd over the residual slice, scaled back to
+      // floats so quantize() reproduces the integers exactly (q/1e6
+      // double-folds to the same value for these magnitudes)
+      KMeansLloyd.fit(
+          resid.map { case (id, r) =>
+            (id, r.slice(j * sub, (j + 1) * sub).map(_ / 1e6).toArray) }
+            .toDF("vec_id", "embedding"),
+          "vec_id", "embedding", ksub, rounds)
+        .as[(Long, Int, Long)].collect().toSeq
+        .map { case (id, c, d) => (id, j, c, d) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+  }
+
   test("full probe + corpus-wide rerank equals brute force exactly") {
     // with every list probed and rerank covering the corpus, the PQ
     // stage is a pure candidate pass-through and the exact float
     // rerank must reproduce bruteForceTopK digit-for-digit
     val queries = emb.filter(col("vec_id") < 5)
     val corpus = emb.filter(col("vec_id") >= 5)
-    val got = IvfPq.ivfPqTopK(queries, corpus, k = 3,
-        nlist = 8, nprobe = 8, rerank = 1000)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
-      .as[(Long, Long, Double, Int)].collect().toSeq
     val want = Similarity.bruteForceTopK(queries, corpus, k = 3)
       .orderBy(col("query_id"), col("rank"))
       .as[(Long, Long, Double, Int)].collect().toSeq
-    assert(got === want)
+    for (res <- Seq(false, true)) {
+      val got = IvfPq.ivfPqTopK(queries, corpus, k = 3,
+          nlist = 8, nprobe = 8, rerank = 1000, residual = res)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(got === want, s"residual=$res")
+    }
   }
 
   test("ADC selection matches a plain-Scala PQ reimplementation") {
