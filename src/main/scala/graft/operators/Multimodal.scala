@@ -223,7 +223,19 @@ object Multimodal {
     *
     * 100 TB shape: the corpus shuffles 12-byte (id, band, key) rows —
     * never blobs; candidate expansion is bounded per bucket; the
-    * hamming filter touches only banded candidates. */
+    * hamming filter touches only banded candidates.
+    *
+    * Scaling law (the bits-~-log n rule every banding operator here
+    * documents, stated honestly for THIS preset): an 8-bit band has
+    * only 256 values, so band buckets grow ~n/256 and candidate pairs
+    * ~n²/256 per band — fine at gate scale (hottest bucket 217 ids at
+    * sf0.1), a capacity wall around n ≈ 10⁶. Beyond that the hash must
+    * widen (a 64-bit dHash over a finer grid with 16-bit bands holds
+    * to ~10⁹; band width ~log₂(n) − 8) and `maxHamming`'s pigeonhole
+    * band count scales with it — the same growth path the LSH family's
+    * `bits`/`tables` presets document. `maxBucketSize` then degrades
+    * over-capacity buckets to recall loss rather than a quadratic
+    * stall, exactly like the LSH valves. */
   def perceptualNearDup(df: DataFrame, idCol: String = "doc_id",
       maxHamming: Int = 3, maxBucketSize: Int = 1 << 20): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
