@@ -1193,6 +1193,26 @@ object LlmPipeline {
         .orderBy(col("id"))
     }),
 
+    "q_g5_label_prop" -> ((s, dir) => {
+      // synchronous label propagation (r10, L85): community detection
+      // over the same co-activity graph — 4 deterministic plurality
+      // updates (ties to the smallest label), the oracle replays the
+      // identical unrolled rounds from the same parameter
+      // (LabelProp.oracleCtes, the KCore generator discipline)
+      val ev = t(s, dir, "events")
+      val buckets = ev.select(col("event_type").as("band"),
+          call_function("div", Tables.epochMicros(ev, "ts"),
+            lit(60000000L)).as("key"),
+          col("user_id").as("id"))
+        .filter(col("band").isNotNull && col("key").isNotNull &&
+          col("id").isNotNull)
+        .distinct()
+      LabelProp.communities(
+          NearDup.bucketPairs(buckets, maxBucketSize = 10000),
+          "id_a", "id_b", rounds = 4)
+        .orderBy(col("id"))
+    }),
+
     "q_g4_assortativity" -> ((s, dir) => {
       // degree assortativity (r8): Newman's r over the same co-activity
       // graph — exact integer moments (the a13 discipline on degrees),
@@ -2848,6 +2868,21 @@ object LlmPipeline {
                   ON x.event_type = y.event_type AND x.m = y.m
                  AND x.user_id < y.user_id),
           ${KCore.oracleCtes(k = 2, rounds = 8)}""",
+    // q_g5 (graph family): the unrolled plurality-update chain is
+    // GENERATED from the same rounds by LabelProp.oracleCtes
+    "q_g5_label_prop" ->
+      s"""WITH b AS MATERIALIZED (SELECT DISTINCT event_type,
+                epoch_us(ts) // 60000000 AS m, user_id
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL),
+          e0 AS MATERIALIZED (SELECT DISTINCT
+                  least(x.user_id, y.user_id) AS a,
+                  greatest(x.user_id, y.user_id) AS b
+                FROM b x JOIN b y
+                  ON x.event_type = y.event_type AND x.m = y.m
+                 AND x.user_id < y.user_id),
+          ${LabelProp.oracleCtes(rounds = 4)}""",
     // q_g4: same co-activity edges + a13's moment replay on degrees
     "q_g4_assortativity" ->
       """WITH b AS (SELECT DISTINCT event_type,

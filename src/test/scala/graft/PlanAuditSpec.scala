@@ -297,6 +297,33 @@ class PlanAuditSpec extends SparkSpec {
       s"BPE pair counting lost its map-side combine:\n${finalPlan.take(1500)}")
   }
 
+  test("label propagation round: no window, plurality counts partial-aggregate") {
+    // q_g5's scale claim: the per-round argmax is a struct-max
+    // AGGREGATE, not a row_number window (a hot vertex's label multiset
+    // would sort in one task), and the (vertex, label) plurality count
+    // carries a map-side combine. Pin the PRE-checkpoint round frame.
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = spark.range(0, 1000).select(
+      (col("id") % 97).as("src"), (col("id") % 89).as("dst"))
+    val labels = spark.range(0, 97).select(
+      col("id").as("v"), col("id").as("lbl"))
+    val out = graft.operators.LabelProp.roundUpdate(dir, labels)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"),
+      s"label-prop argmax went window-shaped:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count"),
+      s"plurality count lost its map-side combine:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"label-prop round contains a cross product")
+    val g5 = executedPlan(q("q_g5_label_prop"))
+    assert(!g5.contains("CartesianProduct") &&
+      !g5.contains("BroadcastNestedLoopJoin"),
+      "q_g5 plan contains a cross product")
+  }
+
   test("k-means final assignment is a narrow projection (no join, no window)") {
     // distance argmin against literal centroids: the PRE-CHECKPOINT
     // assignment frame (fitUncheckpointed — fit()'s own output plans

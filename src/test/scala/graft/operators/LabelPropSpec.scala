@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LabelPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], rounds: Int = 4) =
+    LabelProp.communities(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+        rounds)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+
+  // driver reference: the same synchronous plurality update, plain Scala
+  private def reference(edges: Seq[(Long, Long)], rounds: Int) = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lbl = nbrs.map { case (v, ns) =>
+        val counts = ns.map(lbl).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }
+    }
+    lbl.toSeq.sortBy(_._1)
+  }
+
+  test("hand case: two triangles joined by one bridge split into two communities") {
+    // triangle {1,2,3} + triangle {10,11,12} + bridge 3-10: plurality
+    // keeps each triangle on its own min label; the bridge is one vote
+    // against two, so it never merges the sides
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    val got = run(g)
+    assert(got === reference(g, 4))
+    val byCommunity = got.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(byCommunity === Set(Set(1L, 2L, 3L), Set(10L, 11L, 12L)))
+  }
+
+  test("ties break to the smallest label (two-vertex graph is the pure tie)") {
+    // 1-2: each vertex sees exactly one neighbor vote; round 1 takes the
+    // neighbor's label, so labels SWAP unless the tie rule bites — here
+    // each has one candidate so both converge to... the swap. Round 2
+    // swaps back. A fixed EVEN round count pins the even-phase labeling;
+    // the plain-Scala reference agrees round for round.
+    val g = Seq((1L, 2L))
+    for (r <- 1 to 4) assert(run(g, rounds = r) === reference(g, r))
+    // triangle + pendant: vertex 4 hangs off 3 — by round 2 the triangle
+    // is uniform at label 1 and the pendant follows it
+    val g2 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(run(g2) === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("property: engine matches the plain-Scala reference on random graphs (seeded)") {
+    val rnd = new scala.util.Random(85)
+    for (trial <- 1 to 5) {
+      val n = rnd.nextInt(25) + 8
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.15
+      } yield (a, b)).toSeq
+      for (r <- Seq(1, 4)) {
+        assert(run(edges, r) === reference(edges, r),
+          s"trial $trial rounds=$r edges=$edges")
+      }
+    }
+  }
+
+  test("hygiene: self-loops, duplicates, reversed edges and nulls collapse") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (null, 1L), (2L, null))
+      .toDF("id_a", "id_b")
+    val got = LabelProp.communities(df, "id_a", "id_b", rounds = 2)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // only the 1-2 edge survives hygiene; vertex 3's self-loop drops it
+    assert(got === reference(Seq((1L, 2L)), 2))
+  }
+}
