@@ -1373,6 +1373,18 @@ object LlmPipeline {
       // token granularity), exact BIGINT rollup
       SourceDivergence.report(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))),
+    "q_qr11_ks_drift" -> ((s, dir) =>
+      // exact two-sample KS per source vs rest-of-corpus (r10, L87):
+      // the parameter-free member of the drift panel (PSI needs
+      // buckets, KL a smoothing constant) — exact BIGINT sup numerator
+      // evaluated only at each source's OWN jump points (no
+      // source×value grid; the oracle builds the grid at oracle
+      // scale), corpus CDF via partition-offset prefix sum (no
+      // single-task global window)
+      KsDrift.perGroup(t(s, dir, "documents"), "source", "n_chars")
+        .select(col("g").as("source"), col("n1"), col("n2"),
+          col("ks_num"), col("ks"))
+        .orderBy(col("source"))),
     "q_qr10_divergent_tokens" -> ((s, dir) =>
       // the WHICH behind q_qr9's HOW MUCH: top-3 over-represented
       // tokens per source, deterministic (contribution DESC, token ASC)
@@ -1935,6 +1947,14 @@ object LlmPipeline {
          SELECT source, MIN(ttot) AS n_tokens,
                 CAST(SUM(kl_term_e9) AS BIGINT) AS kl_e9
          FROM term GROUP BY source ORDER BY source""",
+    // q_qr11: the grid form of the same exact-integer KS numerator —
+    // source × distinct-value CROSS JOIN (oracle scale), two cumulative
+    // windows, one double division (KsDrift.oracleSql)
+    "q_qr11_ks_drift" ->
+      s"""WITH d AS MATERIALIZED (
+             SELECT source AS g, n_chars AS v FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+          ${KsDrift.oracleSql.replace("SELECT c.g,", "SELECT c.g AS source,")}""",
     "q_qr10_divergent_tokens" ->
       s"""WITH $duckDivergenceTerms
          SELECT source, rank, token, kl_term_e9 FROM (

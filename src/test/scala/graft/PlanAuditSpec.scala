@@ -324,6 +324,29 @@ class PlanAuditSpec extends SparkSpec {
       "q_g5 plan contains a cross product")
   }
 
+  test("KS drift: no grid cross-join, no single-task global window") {
+    // the operator's whole scale claim is what it does NOT do: the
+    // oracle's source×value CROSS JOIN grid, and a partition-less
+    // window for the corpus CDF. Pin the PRE-checkpoint build.
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val (out, chain) = graft.operators.KsDrift.buildUncheckpointed(
+      docs, "source", "n_chars", cdfPartitions = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"KS drift grew the grid cross product:\n${plan.take(1500)}")
+    // every window must carry a partition spec: windowspecdefinition's
+    // first arg is the partition column list — a GLOBAL window renders
+    // as windowspecdefinition(<order>#... ASC, i.e. no partition cols
+    val globalWindows = "windowspecdefinition\\(\\w+#\\d+L? ASC".r
+      .findAllIn(plan).toSeq
+    assert(globalWindows.isEmpty,
+      s"KS drift grew a partition-less global window: $globalWindows")
+    chain.foreach(graft.operators.Checkpoints.release)
+  }
+
   test("k-means final assignment is a narrow projection (no join, no window)") {
     // distance argmin against literal centroids: the PRE-CHECKPOINT
     // assignment frame (fitUncheckpointed — fit()'s own output plans
