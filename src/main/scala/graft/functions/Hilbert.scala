@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hilbert-curve index — the space-filling layout key with strictly
+  * better locality than Z-order (L81): consecutive Hilbert indices are
+  * ALWAYS grid neighbors (|Δx|+|Δy| = 1, proved in HilbertSpec by
+  * exhaustive walk), where the Morton curve jumps across half the
+  * square every time a high bit flips. For file layout that means a
+  * file owning a contiguous index range covers a tighter rectangle on
+  * average — fewer files touched by a box predicate at the same file
+  * count (measured in HilbertSpec against the Z-order layout on the
+  * identical table/box).
+  *
+  * Algorithm: the classic per-level quadrant walk (Hilbert 1891;
+  * iterative xy2d form as in Warren, Hacker's Delight §16 / the
+  * Wikipedia reference implementation): from the top bit down, take
+  * the quadrant number ((3·rx) xor ry), then rotate/reflect the
+  * remaining square so every quadrant is traversed in child order.
+  * Each level is one projection of pure bitwise/CASE column
+  * expressions — codegen'd, no UDF, no shuffle.
+  *
+  * Plan-shape note (why a per-level COLUMN chain, not one nested
+  * expression): each level reads its predecessor's (x, y) two-to-three
+  * times; nesting would square the expression tree per level (3^bits
+  * leaves by the bottom — the interpreted-HOF lesson's codegen
+  * sibling). Emitting each level as a `select` over plain attributes
+  * keeps the tree linear in `bits`; the multi-referenced aliases also
+  * stop CollapseProject from re-inlining them.
+  *
+  * Declared domain: 0 ≤ x, y < 2^bits (required at the Layout entry
+  * point — the ZOrder negative-key lesson, ADVICE r9). bits ≤ 24 keeps
+  * d = Σ s²·q < 2^50 comfortably inside BIGINT for both engines. */
+object Hilbert {
+
+  val MaxBits = 24
+
+  private val Helpers = Seq("__hx", "__hy", "__hd")
+
+  /** `df` plus column `out` = Hilbert index of (xCol, yCol) on the
+    * 2^bits × 2^bits grid. */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String,
+      out: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= MaxBits,
+      s"bits $bits outside [1, $MaxBits]")
+    for (h <- Helpers)
+      require(!df.columns.contains(h),
+        s"input already has reserved column $h")
+    val n1 = (1L << bits) - 1L
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (level <- (bits - 1) to 0 by -1) {
+      val s = 1L << level
+      val rx = col("__hx").bitwiseAND(lit(s)) =!= 0L
+      val ry = col("__hy").bitwiseAND(lit(s)) =!= 0L
+      val q = when(rx && !ry, 3L).when(rx, 2L).when(ry, 1L)
+        .otherwise(0L)
+      val keep = cur.columns.filterNot(Helpers.contains).map(col(_))
+      cur = cur.select(keep ++ Seq(
+        when(!ry, when(rx, lit(n1) - col("__hy"))
+            .otherwise(col("__hy")))
+          .otherwise(col("__hx")).as("__hx"),
+        when(!ry, when(rx, lit(n1) - col("__hx"))
+            .otherwise(col("__hx")))
+          .otherwise(col("__hy")).as("__hy"),
+        (col("__hd") + lit(s * s) * q).as("__hd")): _*)
+    }
+    cur.withColumn(out, col("__hd")).drop(Helpers: _*)
+  }
+
+  /** The oracle's unrolled level chain: CTEs `r<b>/h<i>` continuing
+    * from a caller-supplied `h0(<carry>, hx, hy, hd)` down to
+    * `h<bits>` — generated from the same `bits` so engine and oracle
+    * cannot drift (the KCore generator discipline). Every reference is
+    * table-qualified: DuckDB resolves same-SELECT lateral aliases, and
+    * an unqualified `hx` next to `... AS hx` must not bind to the new
+    * alias. */
+  private[graft] def oracleCtes(carry: Seq[String], bits: Int): String = {
+    val n1 = (1L << bits) - 1L
+    val cols = carry.mkString(", ")
+    (1 to bits).map { i =>
+      val s = 1L << (bits - i)
+      val ss = s * s
+      s"""r$i AS (SELECT $cols, hx, hy, hd,
+              ((hx & $s) <> 0) AS rx, ((hy & $s) <> 0) AS ry
+            FROM h${i - 1}),
+          h$i AS (SELECT $cols,
+              CASE WHEN NOT r.ry THEN
+                (CASE WHEN r.rx THEN $n1 - r.hy ELSE r.hy END)
+              ELSE r.hx END AS hx,
+              CASE WHEN NOT r.ry THEN
+                (CASE WHEN r.rx THEN $n1 - r.hx ELSE r.hx END)
+              ELSE r.hy END AS hy,
+              r.hd + CAST($ss AS BIGINT) * (CASE
+                WHEN r.rx AND NOT r.ry THEN 3
+                WHEN r.rx THEN 2 WHEN r.ry THEN 1 ELSE 0 END) AS hd
+            FROM r$i r)"""
+    }.mkString(",\n")
+  }
+}

@@ -48,6 +48,35 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` Hilbert-ordered on (c1, c2) into `path` as `files`
+    * files — the tighter-locality sibling of [[zorderWrite]]
+    * ([[graft.functions.Hilbert]]): consecutive curve indices are
+    * always grid neighbors, so a file owning a contiguous index range
+    * covers a tighter rectangle than the Morton curve's (measured in
+    * HilbertSpec on the identical table and box predicate). Domain
+    * check mirrors the zorderWrite negative-key guard (ADVICE r9):
+    * keys must sit in [0, 2^bits) or the top-level quadrant walk is
+    * meaningless. */
+  def hilbertWrite(df: DataFrame, c1: String, c2: String, path: String,
+      files: Int, bits: Int = graft.functions.Hilbert.MaxBits): Unit = {
+    require(files >= 1, s"files $files must be positive")
+    require(!df.columns.contains("__h"),
+      "input already has reserved column __h")
+    val r = df.agg(min(col(c1).cast("long")), max(col(c1).cast("long")),
+      min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
+    val lim = 1L << bits
+    for ((idx, name) <- Seq(0 -> c1, 2 -> c2)) {
+      require(r.isNullAt(idx) ||
+        (r.getLong(idx) >= 0L && r.getLong(idx + 1) < lim),
+        s"hilbertWrite: $name keys outside [0, 2^$bits)")
+    }
+    graft.functions.Hilbert.withHilbert(df, c1, c2, "__h", bits)
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file footprint of a written table: (file, min1, max1, min2,
     * max2) — what min/max stat pruning sees. */
   def footprints(spark: SparkSession, path: String, c1: String,

@@ -699,6 +699,18 @@ object Relational {
             .zValue(col("l_orderkey"), col("l_partkey")).as("z"))
         .orderBy(col("z").desc, col("l_orderkey"), col("l_partkey"))
         .limit(50)),
+    "q_x15_hilbert" -> ((s, dir) =>
+      // Hilbert index (r10, L88): the tighter-locality layout key next
+      // to q_x14's Morton — the full per-level quadrant walk (24
+      // levels, pure bitwise/CASE projections, no UDF) is replayed by
+      // a GENERATED unrolled oracle (Hilbert.oracleCtes, the KCore
+      // discipline); same top-50 shape and raw-key tiebreak as q_x14
+      graft.functions.Hilbert.withHilbert(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")).distinct(),
+          "l_orderkey", "l_partkey", "h", bits = 24)
+        .orderBy(col("h").desc, col("l_orderkey"), col("l_partkey"))
+        .limit(50)),
     "q_x13_regexp_extract_all" -> ((s, dir) =>
       // X-series completion (r8): multi-match regex extraction — count,
       // first hit, and the full pipe-joined match stream per document
@@ -1232,6 +1244,20 @@ object Relational {
                 FROM b5)
          SELECT l_orderkey, l_partkey, z FROM z
          ORDER BY z DESC, l_orderkey, l_partkey LIMIT 50""",
+    // q_x15: the per-level Hilbert quadrant walk unrolled (GENERATED
+    // from the same bits by Hilbert.oracleCtes); every reference
+    // table-qualified so DuckDB's lateral-alias resolution cannot bind
+    // a new `hx` alias where the engine read the old column
+    "q_x15_hilbert" ->
+      s"""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          h0 AS (SELECT l_orderkey, l_partkey,
+                CAST(l_orderkey AS BIGINT) AS hx,
+                CAST(l_partkey AS BIGINT) AS hy,
+                CAST(0 AS BIGINT) AS hd FROM p),
+          ${graft.functions.Hilbert.oracleCtes(
+            Seq("l_orderkey", "l_partkey"), bits = 24)}
+         SELECT l_orderkey, l_partkey, hd AS h FROM h24
+         ORDER BY h DESC, l_orderkey, l_partkey LIMIT 50""",
     // len() is BIGINT (Spark size() is int) and a no-match
     // array_to_string surfaces NULL — both coerced to the engine's form
     "q_x13_regexp_extract_all" ->

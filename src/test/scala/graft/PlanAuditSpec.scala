@@ -324,6 +324,19 @@ class PlanAuditSpec extends SparkSpec {
       "q_g5 plan contains a cross product")
   }
 
+  test("Hilbert walk stays codegen'd; top-50 is TakeOrdered, not a global sort") {
+    // 24 levels of bitwise/CASE projections must fuse into whole-stage
+    // codegen (no UDF, no interpreted expression), and the ORDER BY h
+    // DESC LIMIT 50 must plan as a top-k heap, never a full sort
+    val plan = executedPlan(q("q_x15_hilbert"))
+    assert(plan.contains("*("),
+      s"hilbert projection chain fell out of codegen:\n${plan.take(1200)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_x15 top-50 planned as a global sort:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "q_x15 plan grew a join")
+  }
+
   test("KS drift: no grid cross-join, no single-task global window") {
     // the operator's whole scale claim is what it does NOT do: the
     // oracle's source×value CROSS JOIN grid, and a partition-less
