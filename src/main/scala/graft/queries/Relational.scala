@@ -529,6 +529,16 @@ object Relational {
           Tables.epochMicros(ev, "ts"))
         .orderBy(col("event_type"))
     }),
+    "q_a16_mann_kendall" -> ((s, dir) => {
+      // monotone-trend significance (r10, L89): Mann–Kendall S + the
+      // tie-adjusted 18·Var(S) over the same daily series as q_a15 —
+      // outlier-robust where OLS is spike-dominated, exact BIGINT end
+      // to end; pairs are quadratic in DAYS per group, never in rows
+      val ev = t(s, dir, "events")
+      Trend.dailyVolumeMannKendall(ev, "event_type",
+          Tables.epochMicros(ev, "ts"))
+        .orderBy(col("event_type"))
+    }),
     "q_a14_approx_quantile_verdict" -> ((s, dir) => {
       // approx_percentile (GK sketch) is THE one-pass mergeable quantile
       // path at 100 TB — A8/A9's exact rank-select costs a second
@@ -1042,6 +1052,39 @@ object Relational {
                          CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE), 6) END
                   AS icept6
          FROM m ORDER BY event_type""",
+    // q_a16: the pair replay — same day floor as q_a15; SUMs cast from
+    // HUGEINT to BIGINT; a 1-day group's empty-pair SUM is NULL in
+    // DuckDB, COALESCEd to the engine's 0 (the q_g2 lesson)
+    "q_a16_mann_kendall" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          s AS (SELECT event_type,
+                  (us - ((us % 86400000000 + 86400000000) % 86400000000))
+                    // 86400000000 AS x,
+                  COUNT(*) AS y
+                FROM e GROUP BY 1, 2),
+          p AS (SELECT a.event_type,
+                  CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+                FROM s a JOIN s b
+                  ON a.event_type = b.event_type AND a.x < b.x),
+          sp AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat
+                 FROM p GROUP BY event_type),
+          tv AS (SELECT event_type, y, COUNT(*) AS t
+                 FROM s GROUP BY event_type, y),
+          ti AS (SELECT event_type,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                     AS tie_sum
+                 FROM tv GROUP BY event_type),
+          nd AS (SELECT event_type, COUNT(*) AS n_days
+                 FROM s GROUP BY event_type)
+         SELECT nd.event_type, nd.n_days,
+                COALESCE(sp.s_stat, 0) AS s_stat,
+                nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                  - ti.tie_sum AS var18
+         FROM nd JOIN ti ON nd.event_type = ti.event_type
+         LEFT JOIN sp ON nd.event_type = sp.event_type
+         ORDER BY nd.event_type""",
     // q_a14: the sketch value is accuracy-dependent — the oracle pins
     // the exact group counts and expects the engine's rank-interval
     // verdict to hold (the q_a2y sketch-gating pattern)

@@ -57,4 +57,55 @@ class TrendSpec extends SparkSpec {
     assert(math.abs(got.head._4.get - r6(slope)) < 1e-12)
     assert(math.abs(got.head._5.get - r6(icept)) < 1e-12)
   }
+
+  private def runMk(rows: Seq[(String, Long)]) =
+    Trend.dailyVolumeMannKendall(rows.toDF("g", "us"), "g", col("us"))
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+
+  // driver reference: brute-force S and tie-adjusted 18·Var(S)
+  private def mkReference(counts: Map[Long, Long]) = {
+    val xs = counts.keys.toSeq.sorted
+    val s = (for (i <- xs.indices; j <- i + 1 until xs.size)
+      yield java.lang.Long.signum(counts(xs(j)) - counts(xs(i))).toLong)
+      .sum
+    val n = xs.size.toLong
+    val tieSum = counts.values.groupBy(identity).values
+      .map(g => g.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    (n, s, n * (n - 1) * (2 * n + 5) - tieSum)
+  }
+
+  test("Mann–Kendall: monotone ramp gives S = n(n-1)/2, full-tie variance 0") {
+    // strictly increasing daily counts, no ties: every pair votes +1
+    val up = for (d <- 0L to 4L; i <- 0L to d)
+      yield ("up", d * Day + i)
+    assert(runMk(up) === Seq(("up", 5L, 10L, 5L * 4 * 15)))
+    // all-equal counts: S = 0 and the tie adjustment cancels Var to 0
+    val flat = for (d <- 0L until 4L) yield ("flat", d * Day)
+    assert(runMk(flat) === Seq(("flat", 4L, 0L, 0L)))
+  }
+
+  test("Mann–Kendall: outlier robustness vs OLS, 1-day group, seeded parity") {
+    // a single 100× spike day: |S| moves by at most n-1 from the flat 0
+    val spiky = (for (d <- 0L until 9L) yield ("s", d * Day)) ++
+      (1 to 100).map(_ => ("s", 4L * Day + 7L))
+    val (_, sGot, _) = mkReference(Map((0L until 9L).map(d =>
+      d -> (if (d == 4L) 101L else 1L)): _*))
+    assert(math.abs(sGot) <= 8L)
+    assert(runMk(spiky) === Seq(("s", 9L, sGot,
+      mkReference(Map((0L until 9L).map(d =>
+        d -> (if (d == 4L) 101L else 1L)): _*))._3)))
+    // 1-day group: no pairs, S = 0, var18 = 0 (n(n-1)(2n+5) = 0 = ties)
+    assert(runMk(Seq(("one", Day), ("one", Day + 3L))) ===
+      Seq(("one", 1L, 0L, 0L)))
+    // seeded irregular series with ties: engine ≡ brute force
+    val rnd = new scala.util.Random(21)
+    val rows = for (d <- 0L until 30L; _ <- 0 until (1 + rnd.nextInt(4)))
+      yield ("g", d * Day + rnd.nextInt(100000).toLong)
+    val counts = rows.groupBy(_._2 / Day).view
+      .mapValues(_.size.toLong).toMap
+    val (n, s, v) = mkReference(counts)
+    assert(runMk(rows) === Seq(("g", n, s, v)))
+  }
 }
