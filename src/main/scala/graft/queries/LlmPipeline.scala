@@ -363,6 +363,34 @@ object LlmPipeline {
         .select(col("doc_id"), col("n_units"), col("n_kept"),
           md5(col("text").cast("binary")).as("dedup_md5"))
         .orderBy(col("doc_id"))),
+    "q_d11_cdc_chunk_dedup" -> ((s, dir) => {
+      // content-defined chunk dedup (r10, L90): corpus ∪ a 7-char
+      // prefix-edited copy of every doc — doc-level dedup (q_d1/q_m5)
+      // sees 2× distinct documents; CDC boundaries re-synchronize
+      // right after the edit, so the shared-chunk stats expose the
+      // duplication chunk-exactly. Only 16-byte digests shuffle.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val corpus = docs.unionAll(docs.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("EDITED:"), col("text")).as("text")))
+      val ch = CdcChunk.chunks(corpus, "doc_id", "text")
+      val counts = ch.groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("id")).as("n_docs"))
+      ch.join(counts, Seq("chunk_md5"))
+        .filter(col("id") < 100000L)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+            .as("shared_chunks"),
+          sum(when(col("n_docs") >= 2, col("chunk_len")).otherwise(0L))
+            .as("shared_chars"))
+        .select(col("id").as("doc_id"), col("n_chunks"),
+          col("shared_chunks"), col("shared_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_d10_exact_substr" -> ((s, dir) =>
       // corpus-global ExactSubstr dedup (r9, L76; Lee et al. 2022,
       // arXiv:2107.06499): every duplicated >= 8-token run is removed
@@ -2044,6 +2072,27 @@ object LlmPipeline {
     // keys on sha2(unit) — identical absent a SHA-256 collision, which
     // would be a finding, not noise), docs rebuilt from survivors in
     // order; NULL agg (zero kept) and unit-less docs coalesce to ''
+    // q_d11: the same corpus construction + the GENERATED chunk CTEs
+    // (CdcChunk.oracleCtes — Horner window hash unrolled term-for-term
+    // from the same W/B/M/D); SUMs cast from HUGEINT
+    "q_d11_cdc_chunk_dedup" ->
+      s"""WITH docs AS (
+             SELECT doc_id AS id, text FROM documents
+             WHERE text IS NOT NULL
+             UNION ALL
+             SELECT doc_id + 100000 AS id, 'EDITED:' || text
+             FROM documents WHERE text IS NOT NULL),
+          ${CdcChunk.oracleCtes},
+          cnt AS (SELECT chunk_md5, COUNT(DISTINCT id) AS n_docs
+                  FROM chunks GROUP BY chunk_md5)
+         SELECT c.id AS doc_id, COUNT(*) AS n_chunks,
+            CAST(SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS shared_chunks,
+            CAST(SUM(CASE WHEN cnt.n_docs >= 2 THEN c.chunk_len
+              ELSE 0 END) AS BIGINT) AS shared_chars
+         FROM chunks c JOIN cnt USING (chunk_md5)
+         WHERE c.id < 100000
+         GROUP BY c.id ORDER BY doc_id""",
     // q_d10: the coverage semantics replayed exhaustively — same
     // sliding 8-grams (inclusive list slice [i+1:i+8]), winner = corpus
     // -min (doc_id, pos) encoded as doc_id*1e6+pos (equivalent to the

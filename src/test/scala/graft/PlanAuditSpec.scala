@@ -277,7 +277,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("r10 operators: no cross product; BPE pair counts partial-aggregate") {
     for (name <- Seq("q_m6_perceptual_neardup", "q_t28_bpe_learn",
-        "q_v10_pq_codes")) {
+        "q_v10_pq_codes", "q_d11_cdc_chunk_dedup",
+        "q_a16_mann_kendall")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"),
