@@ -52,6 +52,16 @@ object Similarity {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** Native raw inner product (graft.expressions.DotProduct) — same
+    * codegen tier and fold order as [[cosineNative]]; the MIPS scoring
+    * function, where magnitude carries salience and normalizing would
+    * change the ranking. */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest rows of
     * `corpus` by cosine (descending, id ascending on ties of the ROUNDED
     * similarity — rounding makes the ordering stable across fp noise).
@@ -175,19 +185,8 @@ object Similarity {
       tables: Int = 8, bits: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundTo: Int = 6): DataFrame = {
-    val allPlanes = hyperplanes(tables * bits, dim)
-    val c = bucketRows(corpus, allPlanes, tables, bits, idCol, vecCol,
-        probe1bit = false)
-      .select(col("id").as("neighbor_id"), col("t"), col("b"))
-    val q = bucketRows(queries, allPlanes, tables, bits, idCol, vecCol,
-        probe1bit = true)
-      .select(col("id").as("query_id"), col("t"), col("b"))
-    // bucket equi-join per table on narrow (id, t, b) triples; the pair
-    // dedup shuffles ids only, then ONE join per side re-attaches vectors
-    // to the (small) deduped candidate set (VERDICT r2 #3).
-    val candidates = c.join(q, Seq("t", "b"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct() // same pair may meet in several tables/probes
+    val candidates = lshCandidates(queries, corpus, tables, bits, dim,
+      idCol, vecCol)
     val qv = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
@@ -199,6 +198,95 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Exact MIPS top-k: for each query, the `k` corpus rows maximizing
+    * the raw inner product q·x (rounded, id ascending on ties) — the
+    * brute-force baseline of the MIPS family, same broadcast shape as
+    * [[bruteForceTopK]]. Output: (query_id, neighbor_id, score,
+    * rank). */
+  def mipsBruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotNative(col("qv"), col("cv")), roundTo).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction to cosine
+    * (Neyshabur & Srebro 2015 "SIMPLE-LSH", arXiv:1410.5518): scale
+    * the corpus into the unit ball by its max norm M and append one
+    * coordinate x̂ = [x/M, √(1 − ‖x/M‖²)], q̂ = [q, 0] — then
+    * cos(q̂, x̂) = (q·x)/(‖q‖·M) is MONOTONE in the inner product for
+    * each fixed query (‖x̂‖ = 1 exactly), so a cosine sign-LSH over the
+    * augmented (dim+1)-space is a correct MIPS filter (the monotone
+    * equivalence is spec-pinned, not assumed). Candidates come from
+    * the SAME multi-table bucket machinery as [[lshTopK]]; final
+    * scoring uses the RAW inner product on the ORIGINAL vectors — the
+    * augmentation exists only at candidate-generation time, so the
+    * reported scores carry no M-dependence and the augmented arrays
+    * never shuffle (they live inside the bucket projection).
+    *
+    * M is one map-side-combinable max aggregate collected as a scalar
+    * (the bounded-collect class); an all-zero corpus degrades to
+    * scale 1. */
+  def mipsLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val mRow = corpus
+      .agg(max(sqrt(dotNative(col(vecCol), col(vecCol))))).head()
+    val m = if (mRow.isNullAt(0) || mRow.getDouble(0) <= 0.0) 1.0
+      else mRow.getDouble(0)
+    def scaled(v: Column): Column =
+      transform(v, x => (x.cast("double") / lit(m)).cast("float"))
+    val augC = corpus.select(col(idCol), concat(
+      scaled(col(vecCol)),
+      array(sqrt(greatest(lit(0.0),
+          lit(1.0) - dotNative(col(vecCol), col(vecCol)) / lit(m * m)))
+        .cast("float"))).as("__aug"))
+    val augQ = queries.select(col(idCol), concat(col(vecCol),
+      array(lit(0.0f))).as("__aug"))
+    val candidates = lshCandidates(augQ, augC, tables, bits, dim + 1,
+      idCol, "__aug")
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = candidates.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotNative(col("qv"), col("cv")), roundTo).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The multi-table sign-LSH candidate set (query_id, neighbor_id) —
+    * the bucket equi-join per table on narrow (id, t, b) triples; the
+    * pair dedup shuffles ids only, then the CALLER re-attaches vectors
+    * with one join per side (VERDICT r2 #3). Shared by the cosine path
+    * ([[lshTopK]]) and the MIPS path ([[mipsLshTopK]], which buckets
+    * the norm-augmented space). */
+  private def lshCandidates(queries: DataFrame, corpus: DataFrame,
+      tables: Int, bits: Int, dim: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val allPlanes = hyperplanes(tables * bits, dim)
+    val c = bucketRows(corpus, allPlanes, tables, bits, idCol, vecCol,
+        probe1bit = false)
+      .select(col("id").as("neighbor_id"), col("t"), col("b"))
+    val q = bucketRows(queries, allPlanes, tables, bits, idCol, vecCol,
+        probe1bit = true)
+      .select(col("id").as("query_id"), col("t"), col("b"))
+    c.join(q, Seq("t", "b"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // same pair may meet in several tables/probes
   }
 
   /** Canonical-emission rule for both-sides-probing LSH (see

@@ -62,6 +62,28 @@ object LlmPipeline {
       .orderBy(col("query_id"))
   }
 
+  /** The MIPS twin of [[annRecallReport]]: exact baseline =
+    * [[Similarity.mipsBruteForceTopK]] (raw inner product), same
+    * corpus-level floor verdict over the |queries|-row report. */
+  private def mipsRecallReport(s: SparkSession, ann: DataFrame,
+      emb: DataFrame, minHits: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = Similarity.mipsBruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 3)
+    val perQuery = ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    exact.filter(col("rank") === 3)
+      .select(col("query_id"), col("score").as("exact_kth_score"))
+      .join(perQuery, Seq("query_id"), "left")
+      .withColumn("recall_ok",
+        sum(coalesce(col("__hits"), lit(0L)))
+          .over(Window.partitionBy()) >= minHits)
+      .select(col("query_id"), col("exact_kth_score"), col("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** Model fitted by the q_t20 query run, consumed by [[dynamicOracles]].
     * Training is bit-exact under any partitioning (QualityClassifierSpec),
     * so the weights are a pure function of the input table — Verify runs
@@ -510,6 +532,22 @@ object LlmPipeline {
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
           k = 3, nlist = 16, nprobe = 8, m = 8, rerank = 64,
           residual = true),
+        e, minHits = 5L)
+    }),
+    "q_v12_ann_mips" -> ((s, dir) => {
+      // MIPS (r10, L91): retrieval by RAW inner product — the scoring
+      // of un-normalized learned embeddings, where cosine's
+      // normalization changes the ranking. Candidates via the
+      // norm-augmentation reduction (SIMPLE-LSH): corpus lifted onto
+      // the unit sphere with one extra coordinate, bucketed by the
+      // SAME sign-LSH machinery as q_v2, scored by the raw dot on the
+      // original vectors (augmentation never leaves candidate-gen).
+      // Floor 5/15 under measured hits (see SURVEY L91 row).
+      val e = t(s, dir, "embeddings")
+      mipsRecallReport(s,
+        Similarity.mipsLshTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+          k = 3),
         e, minHits = 5L)
     }),
     "q_v11_pq_residual_codes" -> ((s, dir) => {
@@ -1698,6 +1736,23 @@ object LlmPipeline {
        SELECT query_id, sim AS exact_kth_sim, TRUE AS recall_ok
        FROM e WHERE rank = 3 ORDER BY query_id"""
 
+  // q_v12: the MIPS twin of annRecallOracle — the exact baseline ranks
+  // by RAW inner product (no normalization; magnitude is the point)
+  private lazy val mipsRecallOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                   FROM embeddings WHERE vec_id >= 5),
+             s AS (SELECT query_id, neighbor_id,
+                     ROUND($duckDot, 6) AS score
+                   FROM c CROSS JOIN q),
+             e AS (SELECT query_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rank
+                   FROM s)
+       SELECT query_id, score AS exact_kth_score, TRUE AS recall_ok
+       FROM e WHERE rank = 3 ORDER BY query_id"""
+
   private val duckDot =
     "list_sum(list_transform(range(1, len(qv) + 1), " +
       "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))"
@@ -2198,6 +2253,7 @@ object LlmPipeline {
     "q_v4_ann_ivf" -> annRecallOracle,
     "q_v6_ann_ivf_quantized" -> annRecallOracle,
     "q_v9_ann_ivfpq" -> annRecallOracle,
+    "q_v12_ann_mips" -> mipsRecallOracle,
     // q_v10: generated per-block Lloyd replay of the PQ codebook fit —
     // same (m, sub, ksub, rounds) as the engine call, so the training
     // recurrence and its oracle cannot drift (VERDICT r9 #3)

@@ -50,7 +50,7 @@ class PlanAuditSpec extends SparkSpec {
     // pinned by auditing the raw index operators separately below.
     for (name <- Seq("q_d2_minhash_neardup", "q_d3_neardup_ensemble",
         "q_v2_ann_lsh", "q_d4x_embedding_neardup_lsh", "q_v4_ann_ivf",
-        "q_lp_training_prep")) {
+        "q_v12_ann_mips", "q_lp_training_prep")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("CartesianProduct"),
         s"$name plan contains a shuffle cartesian")

@@ -360,4 +360,88 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(mse - want) < 1e-9, s"vec $id mse mismatch")
     }
   }
+
+  test("dotNative: bitwise-equal to the composed HOF fold, plain-Scala parity") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = e.filter(col("vec_id") < 6).select(col("embedding").as("a"))
+      .crossJoin(e.filter(col("vec_id").between(6, 11))
+        .select(col("embedding").as("b")))
+    val viol = pairs.filter(
+      Similarity.dotNative(col("a"), col("b")) =!=
+        Similarity.dot(col("a"), col("b")))
+    assert(viol.count() === 0)
+    val row = e.filter(col("vec_id") < 2).select(col("embedding"))
+      .as[Seq[Float]].collect()
+    val want = row(0).zip(row(1))
+      .foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val got = e.filter(col("vec_id") === 0).select(col("embedding").as("a"))
+      .crossJoin(e.filter(col("vec_id") === 1)
+        .select(col("embedding").as("b")))
+      .select(Similarity.dotNative(col("a"), col("b")))
+      .as[Double].head()
+    assert(got === want)
+  }
+
+  test("MIPS reduction: augmented-cosine ordering is exactly the inner-product ordering") {
+    // the SIMPLE-LSH theorem this operator rests on: with x̂ = [x/M,
+    // √(1−‖x/M‖²)] and q̂ = [q, 0], cos(q̂, x̂) = (q·x)/(‖q‖·M) — for a
+    // fixed query, ORDER BY augmented cosine ≡ ORDER BY raw dot. Pin it
+    // per-query on the driver data rather than assuming the algebra.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c = e.filter(col("vec_id") >= 5).select(col("vec_id"),
+      col("embedding")).as[(Long, Seq[Float])].collect()
+    val qs = e.filter(col("vec_id") < 5).select(col("vec_id"),
+      col("embedding")).as[(Long, Seq[Float])].collect()
+    val m = c.map(v => math.sqrt(
+      v._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))).max
+    def dotP(a: Seq[Float], b: Seq[Float]) = a.zip(b)
+      .foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    for ((_, q) <- qs) {
+      val aug = c.map { case (id, x) =>
+        val scaledX = x.map(v => (v / m).toFloat)
+        val tail = math.sqrt(math.max(0.0,
+          1.0 - dotP(scaledX, scaledX))).toFloat
+        val qn = math.sqrt(dotP(q, q))
+        val cosAug = dotP(q, scaledX) / (qn * 1.0) // ‖x̂‖ = 1
+        (id, cosAug, dotP(q, x))
+      }
+      val byAug = aug.sortBy { case (id, ca, _) => (-ca, id) }.map(_._1)
+      val byDot = aug.sortBy { case (id, _, d) => (-d, id) }.map(_._1)
+      assert(byAug.toSeq === byDot.toSeq)
+    }
+  }
+
+  test("MIPS: brute force matches plain Scala; LSH recall measured, no cross product") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    val exact = Similarity.mipsBruteForceTopK(q, c, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    // plain-Scala reference with the same rounded ordering
+    val cv = c.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val qv = q.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    def dotP(a: Seq[Float], b: Seq[Float]) = a.zip(b)
+      .foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = qv.flatMap { case (qid, qvec) =>
+      cv.map { case (cid, cvec) => (qid, cid, r6(dotP(qvec, cvec))) }
+        .sortBy { case (_, cid, s) => (-s, cid) }.take(3).zipWithIndex
+        .map { case ((_, cid, _), i) => (qid, cid, i + 1) }
+    }.toSet
+    assert(exact.toSet === want)
+    // approximate path: no cross product, recall measured vs exact
+    val approxDf = Similarity.mipsLshTopK(q, c, k = 3)
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoop"),
+      "MIPS-LSH plan must not contain a cross product")
+    val approx = approxDf.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val hits = (exact.map(t => (t._1, t._2)).toSet & approx).size
+    assert(hits >= 7, s"MIPS-LSH hits $hits of 15 below the spec floor")
+  }
 }
