@@ -109,6 +109,10 @@ object IvfPq {
     val q = qdf.localCheckpoint(false)
     val seeds = q.orderBy(col("id")).limit(ksub).collect()
     require(seeds.nonEmpty, "PQ fit over an empty corpus")
+    // a corpus with < ksub vectors seeds fewer codebook rows; scan the
+    // ACTUAL seed count like KMeansLloyd, never index past the literal
+    // (ADVICE r10 — element_at past the end errors under ANSI)
+    val kEff = seeds.length
     val dim = seeds.head.getSeq[Long](1).length
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
     val sub = dim / m
@@ -123,7 +127,7 @@ object IvfPq {
       // select would re-evaluate the interpreted argmin per EXPLODED row)
       val sums = q
         .select(transform(sequence(lit(0), lit(m - 1)),
-            j => blockArgmin(bookLit, j, sub, ksub).getField("cluster"))
+            j => blockArgmin(bookLit, j, sub, kEff).getField("cluster"))
           .as("ac"), col("q"))
         .select(col("ac"), posexplode(col("q")).as(Seq("d", "v")))
         .select((col("d") / sub).cast("int").as("block"),
@@ -142,7 +146,7 @@ object IvfPq {
     }
     val bookLit = typedlit(books.map(_.map(_.toSeq)))
     val fa = transform(sequence(lit(0), lit(m - 1)),
-      j => blockArgmin(bookLit, j, sub, ksub))
+      j => blockArgmin(bookLit, j, sub, kEff))
     val codes = q.select(col("id").as("vec_id"), fa.as("fa"))
       .select(col("vec_id"), posexplode(col("fa")).as(Seq("block", "s")))
       .select(col("vec_id"), col("block").cast("int").as("block"),

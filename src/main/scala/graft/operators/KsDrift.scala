@@ -87,8 +87,8 @@ object KsDrift {
   /** Per-group exact KS vs rest-of-corpus: (g, n1, n2, ks_num, ks)
     * where ks = ks_num / (n1·n2) ∈ [0, 1]. Null groups/values drop
     * (the battery's hygiene contract). Requires ≥2 groups for the
-    * rest-side to be nonempty (ks is NULL-safe either way: a lone
-    * group scores ks_num 0). */
+    * rest-side to be nonempty (a lone group scores ks_num 0 and
+    * ks 0.0 — the division is guarded, never 0/0). */
   def perGroup(df: DataFrame, groupCol: String, valueCol: String,
       cdfPartitions: Int = 32): DataFrame = {
     val (out, chain) = buildUncheckpointed(df, groupCol, valueCol,
@@ -153,8 +153,12 @@ object KsDrift {
       .agg(max(greatest(col("t1"), col("t2"), col("t0"))).as("ks_num"))
       .select(col("g"), col("n1"), (lit(nTotal) - col("n1")).as("n2"),
         col("ks_num"),
-        (col("ks_num").cast("double") /
-          (col("n1") * (lit(nTotal) - col("n1"))).cast("double"))
+        // a lone group has n2 = 0: its CDF is compared against itself,
+        // sup deviation 0 by definition — guard the division or 0/0
+        // yields NaN (ADVICE r10)
+        when(lit(nTotal) === col("n1"), lit(0.0))
+          .otherwise(col("ks_num").cast("double") /
+            (col("n1") * (lit(nTotal) - col("n1"))).cast("double"))
           .as("ks"))
     (out, chain.toSeq)
   }
@@ -179,8 +183,9 @@ object KsDrift {
        SELECT c.g, c.n1, t.n - c.n1 AS n2,
          CAST(MAX(ABS(c.ca * (t.n - c.n1) - (c.call - c.ca) * c.n1))
               AS BIGINT) AS ks_num,
-         CAST(MAX(ABS(c.ca * (t.n - c.n1) - (c.call - c.ca) * c.n1))
-              AS DOUBLE) / (c.n1 * (t.n - c.n1)) AS ks
+         CASE WHEN t.n = c.n1 THEN 0.0
+              ELSE CAST(MAX(ABS(c.ca * (t.n - c.n1) - (c.call - c.ca) * c.n1))
+                   AS DOUBLE) / (c.n1 * (t.n - c.n1)) END AS ks
        FROM cum c CROSS JOIN tot t
        GROUP BY c.g, c.n1, t.n
        ORDER BY c.g"""

@@ -237,14 +237,17 @@ object Multimodal {
     * over-capacity buckets to recall loss rather than a quadratic
     * stall, exactly like the LSH valves. */
   def perceptualNearDup(df: DataFrame, idCol: String = "doc_id",
-      maxHamming: Int = 3, maxBucketSize: Int = 1 << 20): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1 << 20,
+      contentCol: String = "content"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming breaks the 4-band exactness guarantee")
+    require(df.columns.contains(contentCol),
+      s"blob column '$contentCol' not in [${df.columns.mkString(", ")}]")
     NearDup.materialized { cache =>
       val h = cache(dHashKernel(
-        df.filter(col(idCol).isNotNull && col("content").isNotNull)
-          .withColumn("content", col("content").cast("string")),
-        idCol, "content"))
+        df.filter(col(idCol).isNotNull && col(contentCol).isNotNull)
+          .withColumn(contentCol, col(contentCol).cast("string")),
+        idCol, contentCol))
       val pairs = NearDup.bucketPairs(phashBands(h), maxBucketSize)
       pairs
         .join(h.select(col("id").as("id_a"), col("ph").as("pha")), "id_a")

@@ -394,6 +394,12 @@ object LlmPipeline {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .filter(col("text").isNotNull)
+      // the +100000 edited-copy id space must be disjoint from the
+      // originals — engine and oracle share the literal, so a colliding
+      // corpus would pass the gate silently (ADVICE r10): fail loudly
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 100000L,
+        s"q_d11 doubled-corpus offset collides: max doc_id $maxId >= 100000")
       val corpus = docs.unionAll(docs.select(
         (col("doc_id") + 100000L).as("doc_id"),
         concat(lit("EDITED:"), col("text")).as("text")))

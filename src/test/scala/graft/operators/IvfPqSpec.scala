@@ -36,6 +36,18 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("fitPq on a corpus smaller than ksub adapts the codebook size") {
+    // ADVICE r10: ksub=8 over 3 vectors used to seed 3 codebook rows
+    // but scan indices 0..7 — element_at past the literal's end is a
+    // runtime error under ANSI. The effective k must follow the seed
+    // count, same as KMeansLloyd.
+    val tiny = emb.orderBy(col("vec_id")).limit(3)
+    val pq = IvfPq.fitPq(tiny, "vec_id", "embedding", 4, 8, 2)
+    assert(pq.books.head.length === 3)
+    val codes = pq.codes.select(col("code")).as[Int].collect()
+    assert(codes.nonEmpty && codes.forall(c => c >= 0 && c < 3))
+  }
+
   test("fitPqResidual is digit-identical to per-block fits on the residuals") {
     val m = 4; val ksub = 8; val rounds = 2
     val dim = 64; val sub = dim / m; val nlist = 8

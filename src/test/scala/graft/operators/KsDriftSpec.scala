@@ -85,6 +85,11 @@ class KsDriftSpec extends SparkSpec {
     }
   }
 
+  test("a lone group scores ks 0.0, not NaN (ADVICE r10 division guard)") {
+    val got = run(Seq("only" -> 1L, "only" -> 2L, "only" -> 3L))
+    assert(got === Seq(("only", 3L, 0L, 0L, 0.0)))
+  }
+
   test("hygiene: null groups and null values drop") {
     val df = Seq[(String, java.lang.Long)](
       ("a", 1L), ("a", 2L), (null, 3L), ("b", null), ("b", 5L))
