@@ -18,16 +18,18 @@ import org.apache.spark.sql.functions._
   * Wikipedia reference implementation): from the top bit down, take
   * the quadrant number ((3·rx) xor ry), then rotate/reflect the
   * remaining square so every quadrant is traversed in child order.
-  * Each level is one projection of pure bitwise/CASE column
-  * expressions — codegen'd, no UDF, no shuffle.
   *
-  * Plan-shape note (why a per-level COLUMN chain, not one nested
-  * expression): each level reads its predecessor's (x, y) two-to-three
-  * times; nesting would square the expression tree per level (3^bits
-  * leaves by the bottom — the interpreted-HOF lesson's codegen
-  * sibling). Emitting each level as a `select` over plain attributes
-  * keeps the tree linear in `bits`; the multi-referenced aliases also
-  * stop CollapseProject from re-inlining them.
+  * Plan-shape note (r11): the shipped form is ONE native codegen'd
+  * expression looping over the levels ([[graft.expressions
+  * .HilbertIndex]]). The r10 per-level COLUMN chain (kept below as
+  * [[withHilbertChain]], the spec reference) solved the tree-size
+  * problem — nesting would go ~3^bits leaves, a linear select chain
+  * does not — but whole-stage codegen then fuses all 24 projections
+  * into one 21 KB-bytecode method that HotSpot refuses to JIT
+  * (8 KB HugeMethodLimit): the chain ran INTERPRETED at ~5.7 µs/row.
+  * The loop form is a few hundred bytes, JITs, and measured 0.08 s vs
+  * the chain's 3.88 s on q_x15's 600k-row input (HilbertProbe) —
+  * Z-order parity (0.06 s).
   *
   * Declared domain: 0 ≤ x, y < 2^bits (required at the Layout entry
   * point — the ZOrder negative-key lesson, ADVICE r9). bits ≤ 24 keeps
@@ -39,9 +41,31 @@ object Hilbert {
   private val Helpers = Seq("__hx", "__hy", "__hd")
 
   /** `df` plus column `out` = Hilbert index of (xCol, yCol) on the
-    * 2^bits × 2^bits grid. */
+    * 2^bits × 2^bits grid — the native-expression form (one O(bits)
+    * codegen'd loop, [[graft.expressions.HilbertIndex]]). The per-level
+    * column chain below is the reference form it is spec-pinned
+    * against; the chain's single fused whole-stage method measured
+    * 21 KB of bytecode on the q_x15 plan — past the JIT's 8 KB
+    * HugeMethodLimit, so it ran INTERPRETED at ~5.7 µs/row
+    * (HilbertProbe, VERDICT r10 #2). */
   def withHilbert(df: DataFrame, xCol: String, yCol: String,
       out: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= MaxBits,
+      s"bits $bits outside [1, $MaxBits]")
+    df.withColumn(out, org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.HilbertIndex(
+        org.apache.spark.sql.GraftBridge.expression(
+          col(xCol).cast("long")),
+        org.apache.spark.sql.GraftBridge.expression(
+          col(yCol).cast("long")),
+        bits)))
+  }
+
+  /** The original per-level projection chain — kept as the REFERENCE
+    * implementation the native expression is pinned against (and the
+    * shape the generated oracle CTEs mirror level for level). */
+  private[graft] def withHilbertChain(df: DataFrame, xCol: String,
+      yCol: String, out: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= MaxBits,
       s"bits $bits outside [1, $MaxBits]")
     for (h <- Helpers)

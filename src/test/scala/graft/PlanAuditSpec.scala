@@ -326,10 +326,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("Hilbert walk stays codegen'd; top-50 is TakeOrdered, not a global sort") {
-    // 24 levels of bitwise/CASE projections must fuse into whole-stage
-    // codegen (no UDF, no interpreted expression), and the ORDER BY h
-    // DESC LIMIT 50 must plan as a top-k heap, never a full sort
-    val plan = executedPlan(q("q_x15_hilbert"))
+    // r11: the walk is ONE native expression (graft_hilbert) inside a
+    // codegen'd project — the r10 24-projection chain fused into a 21KB
+    // whole-stage method HotSpot refused to JIT (HilbertProbe); the
+    // loop form must stay both present and inside codegen. Top-50 must
+    // plan as a top-k heap, never a full sort.
+    val df = q("q_x15_hilbert")
+    // the physical toString elides aggregate result expressions, so the
+    // native-expression presence pins on the optimized plan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_hilbert"),
+      s"q_x15 no longer uses the native hilbert expression:\n${opt.take(1200)}")
+    val plan = executedPlan(df)
     assert(plan.contains("*("),
       s"hilbert projection chain fell out of codegen:\n${plan.take(1200)}")
     assert(plan.contains("TakeOrderedAndProject"),

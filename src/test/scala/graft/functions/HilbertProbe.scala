@@ -56,14 +56,18 @@ object HilbertProbe {
     consume(base.withColumn("h", col("l_orderkey")))
 
     val tSmall = time(f"bits=24 chain, $nSmall%d rows", 5) {
-      consume(Hilbert.withHilbert(small, "l_orderkey", "l_partkey", "h", 24))
+      consume(Hilbert.withHilbertChain(small, "l_orderkey", "l_partkey", "h", 24))
     }
     val tFull = time(f"bits=24 chain, $nFull%d rows", 5) {
-      consume(Hilbert.withHilbert(base, "l_orderkey", "l_partkey", "h", 24))
+      consume(Hilbert.withHilbertChain(base, "l_orderkey", "l_partkey", "h", 24))
     }
     val tHalf = time(f"bits=12 chain, $nFull%d rows", 5) {
-      consume(Hilbert.withHilbert(base, "l_orderkey", "l_partkey", "h", 12))
+      consume(Hilbert.withHilbertChain(base, "l_orderkey", "l_partkey", "h", 12))
     }
+    val tExpr = time(f"bits=24 native expr, $nFull%d rows", 5) {
+      consume(Hilbert.withHilbert(base, "l_orderkey", "l_partkey", "h", 24))
+    }
+    println(f"native-expression form: $tExpr%.2f s (chain $tFull%.2f s)")
     val perRow = (tFull - tSmall) / (nFull - nSmall) * 1e6
     println(f"intercept (compile+fixed) ~ $tSmall%.2f s; " +
       f"slope ~ $perRow%.3f us/row; " +
@@ -75,6 +79,18 @@ object HilbertProbe {
         ZOrder.zValue(col("l_orderkey"), col("l_partkey"))))
     }
     println(f"zorder reference: $tZ%.2f s")
+
+    // does the 24-level chain actually stay inside whole-stage codegen,
+    // and how big is the generated method? (debugCodegen reports max
+    // bytecode size per subtree — the JIT refuses methods > 8 KB)
+    import org.apache.spark.sql.execution.debug._
+    println("--- hilbert chain debugCodegen header ---")
+    val hdf = Hilbert.withHilbertChain(base, "l_orderkey", "l_partkey", "h", 24)
+    println(hdf.queryExecution.debug.codegenToSeq()
+      .map { case (subtree, code, stats) =>
+        subtree.linesIterator.next() + s"  [codeLen=${code.length} " +
+          s"maxMethod=${stats.maxMethodCodeSize}]" }
+      .mkString("\n"))
     spark.stop()
   }
 }

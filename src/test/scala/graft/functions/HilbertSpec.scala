@@ -51,6 +51,23 @@ class HilbertSpec extends SparkSpec {
       assert(got((x, y)) === xy2d(24, x, y), s"($x, $y)")
   }
 
+  test("native expression == per-level chain on seeded points (all bit widths)") {
+    // the shipped O(bits) codegen loop against the r10 reference chain
+    // (and both against xy2d above) — the three-way pin that lets the
+    // expression replace the 21KB-method chain without oracle drift
+    val rnd = new scala.util.Random(41)
+    for (bits <- Seq(1, 3, 8, 24)) {
+      val pts = Seq.fill(120)(
+        (rnd.nextLong(1L << bits), rnd.nextLong(1L << bits)))
+      val df = pts.toDF("x", "y")
+      val expr = Hilbert.withHilbert(df, "x", "y", "h", bits)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val chain = Hilbert.withHilbertChain(df, "x", "y", "h", bits)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(expr === chain, s"bits=$bits")
+    }
+  }
+
   test("measured: Hilbert layout touches no more files than Z-order on the same box") {
     // identical table, file count and box predicate; the curve with
     // tighter per-file rectangles must prune at least as well. Keys are
@@ -85,7 +102,9 @@ class HilbertSpec extends SparkSpec {
       Hilbert.withHilbert(df, "x", "y", "h", bits = 25)
     }
     intercept[IllegalArgumentException] {
-      Hilbert.withHilbert(df.withColumn("__hx",
+      // the reserved-column guard belongs to the CHAIN form (the
+      // native expression uses no helper columns)
+      Hilbert.withHilbertChain(df.withColumn("__hx",
         org.apache.spark.sql.functions.lit(1L)), "x", "y", "h", 8)
     }
     intercept[IllegalArgumentException] {
