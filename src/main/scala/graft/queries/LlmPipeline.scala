@@ -1354,6 +1354,28 @@ object LlmPipeline {
           Seq("dup", "spark", "vector"), k = 20)
         .orderBy(col("score_e6").desc, col("doc_id"))),
 
+    "q_t29_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval by reciprocal-rank fusion (r11, L92; VERDICT
+      // r10 #3): the q_t22 lexical top-20 and a dense cosine top-20
+      // (query = vec_id 0's embedding vs the rest of the corpus) fuse
+      // by Σ floor(1e6/(60+rank)) — ranks only, no score calibration;
+      // absent ranks surface as 0. Both inputs are 20-row pages, the
+      // join is grid-sized, the corpus is never reshuffled.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_e6").desc, col("doc_id"))
+      val lex = Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "spark", "vector"), k = 20)
+        .withColumn("rank", row_number().over(w))
+        .select(col("doc_id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 0), e.filter(col("vec_id") >= 1),
+          k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Rrf.fuseTwo(lex, dense, "doc_id", k0 = 60)
+        .orderBy(col("rank"))
+    }),
+
     "q_qr3x_fuzzy_diff" -> ((s, dir) => {
       // fuzzy snapshot diff (r8, L56): q_qr3's snapshots with a second
       // mutation class — ids divisible by 11 are REPLACED wholesale
@@ -3121,6 +3143,61 @@ object LlmPipeline {
                 FROM c GROUP BY doc_id)
          SELECT doc_id, score_e6 FROM s
          ORDER BY score_e6 DESC, doc_id LIMIT 20""",
+    // q_t29: replays BOTH rankings end-to-end — the q_t22 BM25 page
+    // (identical CTEs and fp operation order) and the q_v1-style exact
+    // cosine page for query vec_id 0 — then the fused floor(1e6/(60+r))
+    // sum and the deterministic (score desc, id) page order
+    "q_t29_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, $duckToks AS tk, len($duckToks) AS dl
+              FROM documents WHERE doc_id IS NOT NULL),
+          stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM d),
+          m AS (SELECT doc_id, dl,
+                  unnest(list_filter(tk,
+                    t -> t IN ('dup', 'spark', 'vector'))) AS t
+                FROM d),
+          tf AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM m
+                 GROUP BY doc_id, dl, t),
+          dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+          c AS (SELECT tf.doc_id,
+                  CAST(FLOOR(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                    ((tf * (1.2 + 1.0)) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total / n))))
+                    * 1000000 + 0.5) AS BIGINT) AS c_e6
+                FROM tf JOIN dft USING (t) CROSS JOIN stats),
+          sc AS (SELECT doc_id, CAST(SUM(c_e6) AS BIGINT) AS score_e6
+                 FROM c GROUP BY doc_id),
+          lex AS (SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id)
+                      AS rank_a
+                  FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20),
+          qv0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cvs AS (SELECT vec_id AS doc_id, embedding AS cv
+                  FROM embeddings WHERE vec_id >= 1),
+          ds AS (SELECT doc_id,
+                   ROUND(CASE WHEN sqrt(${duckNormSq("qv")}) = 0
+                                OR sqrt(${duckNormSq("cv")}) = 0 THEN 0.0
+                         ELSE $duckDot / (sqrt(${duckNormSq("qv")})
+                                          * sqrt(${duckNormSq("cv")})) END,
+                         6) AS sim
+                 FROM cvs CROSS JOIN qv0),
+          den AS (SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_b
+                  FROM ds ORDER BY sim DESC, doc_id LIMIT 20),
+          f AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+                  COALESCE(l.rank_a, 0) AS rank_a,
+                  COALESCE(r.rank_b, 0) AS rank_b
+                FROM lex l FULL OUTER JOIN den r ON l.doc_id = r.doc_id),
+          g AS (SELECT doc_id, rank_a, rank_b,
+                  CAST((CASE WHEN rank_a = 0 THEN 0
+                        ELSE FLOOR(1000000.0 / (60 + rank_a)) END) +
+                       (CASE WHEN rank_b = 0 THEN 0
+                        ELSE FLOOR(1000000.0 / (60 + rank_b)) END)
+                    AS BIGINT) AS rrf_e6
+                FROM f)
+         SELECT doc_id, rank_a, rank_b, rrf_e6,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id)
+             AS INTEGER) AS rank
+         FROM g ORDER BY rank""",
     // q_qr3x: replays q_qr3's status derivation, then re-scores the
     // changed ids with the same exact integer Jaccard compare over
     // literal trigram lists (the engine rides 64-bit hashes — the

@@ -346,6 +346,27 @@ class PlanAuditSpec extends SparkSpec {
       "q_x15 plan grew a join")
   }
 
+  test("RRF fusion: page-sized inputs, the only cross product is the 1-query broadcast") {
+    // the fusion must join two TOP-K PAGES (TakeOrdered/limit frames),
+    // never corpora: the BM25 page plans as TakeOrderedAndProject, the
+    // dense page's only nested-loop is the deliberate corpus × ONE-ROW
+    // broadcast of the query vector (bruteForceTopK's scoring shape),
+    // and no unbroadcast cartesian appears anywhere
+    val plan = executedPlan(q("q_t29_hybrid_rrf"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_t29 lexical page lost its top-k heap:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"),
+      "q_t29 plan contains an unbroadcast cartesian")
+    // AQE's toString repeats the tree (Final + Initial) — count the
+    // final section only; the two permitted nested-loops are 1-row
+    // broadcasts by construction (BM25's corpus stats, the dense
+    // query vector)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).length
+    assert(bnlj <= 2,
+      s"q_t29 grew $bnlj nested-loop joins (expected only the two 1-row broadcasts)")
+  }
+
   test("KS drift: no grid cross-join, no single-task global window") {
     // the operator's whole scale claim is what it does NOT do: the
     // oracle's source×value CROSS JOIN grid, and a partition-less
