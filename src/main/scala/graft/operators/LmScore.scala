@@ -51,22 +51,6 @@ object LmScore {
   def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
       reference: Option[DataFrame] = None): DataFrame = {
     val ref = reference.getOrElse(df)
-
-    // per-doc bigram rows with the token-hash staging discipline: tk is
-    // its own projection so the position lambda reads a materialized
-    // array (TextAnalysis.positionalShingleHashesFromTokens's lesson)
-    // outer + null filter (the q_t6 lesson): plain explode would
-    // rebuild the bigram array inside the inferred size()>0 filter
-    def bigrams(d: DataFrame, id: String, text: String): DataFrame =
-      d.select(col(id).as("__id"), TextAnalysis.tokens(col(text)).as("tk"))
-        .select(col("__id"), explode_outer(when(size(col("tk")) < 2,
-            array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
-            i => struct(element_at(col("tk"), i).as("w1"),
-              element_at(col("tk"), i + 1).as("w2"))))).as("bg"))
-        .filter(col("bg").isNotNull)
-        .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-
     val refBg = bigrams(ref, idCol, textCol)
     val c2 = refBg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
@@ -88,6 +72,100 @@ object LmScore {
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_e4"))
 
+    perDoc(df, idCol, scored)
+  }
+
+  /** Interpolated Kneser–Ney bigram perplexity — the smoothing the
+    * actual CCNet/KenLM fluency filter runs (Kneser & Ney 1995; Chen &
+    * Goodman 1998 §2.7; Heafield et al. 2013, the KenLM estimator;
+    * Wenzek et al. 2019 §3.2). Where add-one ([[bigramPerplexity]])
+    * hands every unseen bigram the SAME uniform mass — overcharging
+    * fluent text that merely uses rare-but-valid continuations — KN
+    * discounts each seen bigram by a fixed `D` and redistributes that
+    * mass by CONTINUATION probability: how many distinct contexts a
+    * word follows, not how often it occurs ("Francisco" is frequent
+    * but only ever follows "San", so it gets little unseen-context
+    * mass). Per position:
+    *
+    *   pc(w2)    = (N1+(·,w2) + 1) / (T + V)       — continuation prob,
+    *     add-one smoothed over the T distinct bigram types so unseen
+    *     words keep nonzero mass (the open-vocabulary guard standing in
+    *     for KenLM's <unk>; documented deviation from closed-vocab KN)
+    *   seen ctx:   p = (max(c2 − D, 0) + D·N1+(w1,·)·pc) / c1
+    *   unseen ctx: p = pc
+    *
+    * All model quantities are exact integers (c2, c1, the two distinct-
+    * neighbor counts, T, V); the per-position float pipeline is fixed
+    * operation order both engines replay, quantized ONCE to integer
+    * 1e-4 nats (the L43 discipline) — downstream is exact BIGINT.
+    *
+    * Scale shape — identical to add-one plus two aggregations that are
+    * SMALLER than the ones already paid: both distinct-neighbor counts
+    * and T come off the (w1, w2) count table (grid-sized, already
+    * reduced), not the corpus; scoring is the same per-position
+    * equi-join with two extra narrow model joins. */
+  def knBigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      reference: Option[DataFrame] = None,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val ref = reference.getOrElse(df)
+    val refBg = bigrams(ref, idCol, textCol)
+    val c2t = refBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // context table: c1 = Σ c2 (occurrences as left side), n1p = the
+    // distinct-continuation count — both off the reduced type table
+    val ctx = c2t.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = c2t.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+    val types = c2t.agg(count(lit(1)).as("t"))
+    val vocab = ref
+      .select(explode_outer(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .agg(count_distinct(col("tok")).as("v"))
+    val stats = types.crossJoin(vocab) // 1 row × 1 row
+
+    val d = lit(discount)
+    // fixed fp operation order, mirrored token-for-token in the oracle
+    val pc = (coalesce(col("n1c"), lit(0L)) + lit(1.0)) /
+      (col("t") + col("v"))
+    val seen = (greatest(coalesce(col("c2"), lit(0L)) - d, lit(0.0)) +
+      d * col("n1p") * pc) / col("c1")
+    val scored = bigrams(df, idCol, textCol)
+      .join(c2t, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(stats)) // 1 row — (T, V)
+      .select(col("__id"),
+        // quantize HERE, once per position (negative log, half-up)
+        floor(log(when(col("c1").isNull, pc).otherwise(seen)) *
+          lit(-10000.0) + lit(0.5)).as("nll"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_e4"))
+
+    perDoc(df, idCol, scored)
+  }
+
+  /** Per-doc bigram rows with the token-hash staging discipline: tk is
+    * its own projection so the position lambda reads a materialized
+    * array (TextAnalysis.positionalShingleHashesFromTokens's lesson)
+    * outer + null filter (the q_t6 lesson): plain explode would
+    * rebuild the bigram array inside the inferred size()>0 filter */
+  private def bigrams(d: DataFrame, id: String, text: String): DataFrame =
+      d.select(col(id).as("__id"), TextAnalysis.tokens(col(text)).as("tk"))
+        .select(col("__id"), explode_outer(when(size(col("tk")) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"),
+              element_at(col("tk"), i + 1).as("w2"))))).as("bg"))
+        .filter(col("bg").isNotNull)
+        .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Re-attach per-doc aggregates to EVERY input row (docs without a
+    * bigram keep 0/0/NULL) and derive the perplexity from the exact
+    * integer totals. */
+  private def perDoc(df: DataFrame, idCol: String,
+      scored: DataFrame): DataFrame =
     df.select(col(idCol).as("__id"))
       .join(scored, Seq("__id"), "left")
       .select(col("__id").as(idCol),
@@ -97,5 +175,4 @@ object LmScore {
           floor(exp(col("nll_e4").cast("double") / lit(10000.0) /
             col("n_bigrams")) * lit(1000.0) + lit(0.5)))
           .as("ppl_milli"))
-  }
 }

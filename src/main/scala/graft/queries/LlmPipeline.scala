@@ -888,6 +888,19 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t30_kn_perplexity" -> ((s, dir) => {
+      // interpolated Kneser–Ney perplexity (r11, L93; VERDICT r10 #4):
+      // the actual KenLM/CCNet fluency smoothing — discounted seen
+      // mass redistributed by CONTINUATION count, not frequency. Model
+      // trains on the even-doc_id half and scores EVERY doc, so the
+      // unseen-context and unseen-continuation paths both execute on
+      // the gate corpus; the oracle retrains the identical model
+      // (the q_t16 discipline) with the same fixed fp operation order
+      val docs = t(s, dir, "documents")
+      LmScore.knBigramPerplexity(docs, "doc_id", "text",
+          reference = Some(docs.filter(col("doc_id") % 2 === 0)))
+        .orderBy(col("doc_id"))
+    }),
     "q_t17_ccnet_buckets" -> ((s, dir) => {
       // CCNet's head/middle/tail corpus split (r7): bin every document by
       // which perplexity TERCILE it lands in. Boundaries are the exact
@@ -2674,6 +2687,59 @@ object LlmPipeline {
       s"""WITH $duckLmPerplexity
           SELECT doc_id, n_bigrams, nll_e4, ppl_milli FROM ppl
           ORDER BY doc_id""",
+    // q_t30: retrains the identical interpolated-KN model from the
+    // even-doc_id half — all model quantities exact integers off the
+    // (w1, w2) type table; the per-position float pipeline is the same
+    // fixed operation order as the engine (0.75 cast to DOUBLE — a bare
+    // DuckDB decimal literal would compute in DECIMAL, not IEEE), one
+    // half-up 1e-4 floor per position, BIGINT downstream
+    "q_t30_kn_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+          bgAll AS (SELECT doc_id,
+                         struct_extract(s, 'w1') AS w1,
+                         struct_extract(s, 'w2') AS w2
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, len(tk)),
+                                 i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
+                        FROM toks WHERE len(tk) >= 2)),
+          bgRef AS (SELECT * FROM bgAll WHERE doc_id % 2 = 0),
+          c2t AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                  FROM bgRef GROUP BY w1, w2),
+          ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+                         CAST(COUNT(*) AS BIGINT) AS n1p
+                  FROM c2t GROUP BY w1),
+          cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1c
+                   FROM c2t GROUP BY w2),
+          st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c2t) AS t,
+                        (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+                         FROM (SELECT unnest(tk) AS tok FROM toks
+                               WHERE doc_id % 2 = 0)) AS v),
+          sc AS (SELECT b.doc_id,
+                   CAST(floor(ln(CASE WHEN ctx.c1 IS NULL
+                       THEN (COALESCE(cont.n1c, 0) + 1.0) / (st.t + st.v)
+                       ELSE (GREATEST(COALESCE(c2t.c2, 0)
+                               - CAST(0.75 AS DOUBLE), 0.0)
+                             + CAST(0.75 AS DOUBLE) * ctx.n1p *
+                               ((COALESCE(cont.n1c, 0) + 1.0)
+                                / (st.t + st.v))) / ctx.c1
+                       END) * -10000.0 + 0.5) AS BIGINT) AS nll
+                 FROM bgAll b
+                 LEFT JOIN c2t ON b.w1 = c2t.w1 AND b.w2 = c2t.w2
+                 LEFT JOIN ctx ON b.w1 = ctx.w1
+                 LEFT JOIN cont ON b.w2 = cont.w2
+                 CROSS JOIN st),
+          agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                         CAST(SUM(nll) AS BIGINT) AS nll_e4
+                  FROM sc GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+                COALESCE(agg.nll_e4, 0) AS nll_e4,
+                CASE WHEN agg.n_bigrams > 0 THEN
+                  CAST(floor(exp(agg.nll_e4::DOUBLE / 10000.0
+                    / agg.n_bigrams) * 1000.0 + 0.5) AS BIGINT)
+                END AS ppl_milli
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
     // q_t17: terciles of the SAME per-doc integer perplexity; boundary
     // values are exact rank floor(p*(n-1)) picks over the scoreable docs
     // (matching MedianImpute.exactQuantiles), labeling is a plain

@@ -367,6 +367,21 @@ class PlanAuditSpec extends SparkSpec {
       s"q_t29 grew $bnlj nested-loop joins (expected only the two 1-row broadcasts)")
   }
 
+  test("KN perplexity: model joins are equi-joins, the only cross is the 1-row stats") {
+    // the KN additions over add-one (continuation + context tables) must
+    // enter as hash equi-joins off the reduced type table — the only
+    // nested-loop is the deliberate (T, V) 1-row broadcast
+    val plan = executedPlan(q("q_t30_kn_perplexity"))
+    assert(!plan.contains("CartesianProduct"),
+      "q_t30 plan contains an unbroadcast cartesian")
+    // two permitted 1-row nested-loops: T × V (1-row × 1-row) and the
+    // (T, V) broadcast onto the scored positions
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).length
+    assert(bnlj <= 2,
+      s"q_t30 grew $bnlj nested-loop joins (expected only the two 1-row stats crosses)")
+  }
+
   test("KS drift: no grid cross-join, no single-task global window") {
     // the operator's whole scale claim is what it does NOT do: the
     // oracle's source×value CROSS JOIN grid, and a partition-less
