@@ -1548,6 +1548,15 @@ object LlmPipeline {
       Privacy.groupReport(t(s, dir, "customer"),
           Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 12, l = 10)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+    "q_p6_dp_counts" -> ((s, dir) =>
+      // seeded ε-DP noisy count release (r11, L94; VERDICT r10 #5):
+      // per-(lang, source) document counts + discrete Laplace noise —
+      // two md5-derived geometric draws per CELL (never per corpus
+      // row), ε=1, Δ=1; the oracle replays uniforms and inverse CDF
+      // bit-for-bit. True counts never appear in the output.
+      Privacy.dpCounts(t(s, dir, "documents"), Seq("lang", "source"),
+          eps = 1.0, seed = "r11")
+        .orderBy(col("lang"), col("source"))),
 
     // -------------------------------------- composed end-to-end pipeline
     "q_lp_training_prep" -> ((s, dir) =>
@@ -3389,6 +3398,28 @@ object LlmPipeline {
                   END AS l_ok
          FROM customer GROUP BY c_nationkey, c_mktsegment
          ORDER BY c_nationkey, c_mktsegment""",
+    // q_p6: the release replayed bit-for-bit — same '|'-joined null-
+    // sentinel group key, same md5 52-bit dyadic uniforms ((h+0.5)/2^52,
+    // the q_e10 form), same inverse-CDF geometric floor with
+    // ln α written as -(ε/Δ) = -1.0 exactly; eps CAST to DOUBLE (a bare
+    // DuckDB 1.0 is DECIMAL)
+    "q_p6_dp_counts" ->
+      """WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+                COALESCE(CAST(lang AS VARCHAR), ' ') || '|' ||
+                COALESCE(CAST(source AS VARCHAR), ' ') AS gk
+              FROM documents GROUP BY lang, source),
+          u AS (SELECT lang, source, n,
+                 (CAST(concat('0x', substr(md5('dpl:1:r11:' || gk), 1, 13))
+                    AS BIGINT) + 0.5) / 4503599627370496.0 AS u1,
+                 (CAST(concat('0x', substr(md5('dpl:2:r11:' || gk), 1, 13))
+                    AS BIGINT) + 0.5) / 4503599627370496.0 AS u2
+                FROM g)
+         SELECT lang, source,
+                CAST(n + CAST(FLOOR(ln(u1) / -1.0) AS BIGINT)
+                       - CAST(FLOOR(ln(u2) / -1.0) AS BIGINT)
+                  AS BIGINT) AS noisy_n,
+                CAST(1.0 AS DOUBLE) AS eps, CAST(1 AS INTEGER) AS sensitivity
+         FROM u ORDER BY lang, source""",
     "q_qr2_corpus_card" ->
       s"""WITH d AS (SELECT source, lang,
               len($duckToks) AS nt,
