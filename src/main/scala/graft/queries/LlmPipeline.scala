@@ -419,6 +419,26 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "q_d12_cdc_delta" -> ((s, dir) => {
+      // streaming CDC delta dedup (r11, L95; VERDICT r10 #6): q_m7's
+      // two-phase admit protocol at CHUNK granularity — docs < 250 seed
+      // the digest history through the batch kernel, docs >= 250 are
+      // admitted only if >= 50% of their distinct chunk digests are
+      // unseen (history + conservative smaller-id batch owners). The
+      // oracle replays both phases from the generated Horner chunk CTEs.
+      val hist = s"${System.getProperty("java.io.tmpdir")}/graft_d12_hist_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val docs = t(s, dir, "documents")
+      graft.streaming.StreamingCdcDedup.dedupBatch(
+        docs.filter(col("doc_id") < 250), hist, batchId = 0L)
+      graft.streaming.StreamingCdcDedup.dedupBatch(
+        docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
+      val admitted = s.read.parquet(s"$hist/admitted")
+        .select(col("id").as("doc_id")).localCheckpoint()
+      val p = new Path(hist)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      admitted.orderBy(col("doc_id"))
+    }),
     "q_d10_exact_substr" -> ((s, dir) =>
       // corpus-global ExactSubstr dedup (r9, L76; Lee et al. 2022,
       // arXiv:2107.06499): every duplicated >= 8-token run is removed
@@ -2198,6 +2218,38 @@ object LlmPipeline {
          FROM chunks c JOIN cnt USING (chunk_md5)
          WHERE c.id < 100000
          GROUP BY c.id ORDER BY doc_id""",
+    // q_d12: the two-phase chunk-novelty replay over the same generated
+    // Horner chunk CTEs as q_d11 — phase 1 admits by in-phase smallest-
+    // owner novelty, its admitted digests become the history phase 2
+    // probes; SEEN = in history OR smaller-id phase-2 owner (the
+    // conservative family rule); admit = exact integer novel*1000 >=
+    // 500*total over DISTINCT digests
+    "q_d12_cdc_delta" ->
+      s"""WITH docs AS (SELECT doc_id AS id, text FROM documents
+             WHERE text IS NOT NULL),
+          ${CdcChunk.oracleCtes},
+          dd AS (SELECT DISTINCT id, chunk_md5 FROM chunks),
+          d1 AS (SELECT * FROM dd WHERE id < 250),
+          o1 AS (SELECT chunk_md5, MIN(id) AS own FROM d1
+                 GROUP BY chunk_md5),
+          s1 AS (SELECT d.id, COUNT(*) AS total,
+                   SUM(CASE WHEN o1.own = d.id THEN 1 ELSE 0 END) AS novel
+                 FROM d1 d JOIN o1 USING (chunk_md5) GROUP BY d.id),
+          a1 AS (SELECT id FROM s1 WHERE novel * 1000 >= 500 * total),
+          h1 AS (SELECT DISTINCT chunk_md5 FROM d1 JOIN a1 USING (id)),
+          d2 AS (SELECT * FROM dd WHERE id >= 250),
+          o2 AS (SELECT chunk_md5, MIN(id) AS own FROM d2
+                 GROUP BY chunk_md5),
+          s2 AS (SELECT d.id, COUNT(*) AS total,
+                   SUM(CASE WHEN o2.own = d.id AND h1.chunk_md5 IS NULL
+                       THEN 1 ELSE 0 END) AS novel
+                 FROM d2 d JOIN o2 USING (chunk_md5)
+                 LEFT JOIN h1 ON d.chunk_md5 = h1.chunk_md5
+                 GROUP BY d.id),
+          a2 AS (SELECT id FROM s2 WHERE novel * 1000 >= 500 * total)
+         SELECT id AS doc_id FROM a1
+         UNION ALL SELECT id AS doc_id FROM a2
+         ORDER BY doc_id""",
     // q_d10: the coverage semantics replayed exhaustively — same
     // sliding 8-grams (inclusive list slice [i+1:i+8]), winner = corpus
     // -min (doc_id, pos) encoded as doc_id*1e6+pos (equivalent to the
