@@ -41,7 +41,8 @@ object Bench {
     * are legitimately variable and min-of-`repeat` already covers them). */
   private[graft] val IoBound = Set("q_j3_idempotent_append", "q_s4_csv",
     "q_s7_empty_shortcircuit", "q_d6_delta_neardup", "q_s9_jsonl",
-    "q_s10_orc", "q_s12_schema_evolution", "q_m7_perceptual_delta")
+    "q_s10_orc", "q_s12_schema_evolution", "q_m7_perceptual_delta",
+    "q_s13_avro", "q_d12_cdc_delta")
 
   /** Re-run factor: a first-pass measurement over `factor` × the
     * previous round's cal-normalized time is a stall suspect. 3× sits
