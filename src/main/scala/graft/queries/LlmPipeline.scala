@@ -500,6 +500,15 @@ object LlmPipeline {
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_v13_pca_pc1" -> ((s, dir) =>
+      // distributed PCA, top principal component (r11, L96): exact
+      // integer second-moment grid in ONE kernel pass, centered scatter
+      // + 8 power iterations on the driver's 64×64 grid, per-doc
+      // projection onto the resulting axis. The oracle recomputes the
+      // moments and unrolls the identical iteration recurrence.
+      Pca.projectPc1(t(s, dir, "embeddings"), "vec_id", "embedding",
+          rounds = 8)
+        .orderBy(col("vec_id"))),
     // ANN recall reports (r8, VERDICT r7 #4): each approximate index is
     // now DRIVER-gated, not just spec-measured. Output per query:
     // (query_id, exact_kth_sim, recall_ok) — exact_kth_sim is the k-th
@@ -2366,6 +2375,13 @@ object LlmPipeline {
     "q_v11_pq_residual_codes" ->
       IvfPq.residualOracleSql(nlist = 8, coarseRounds = 2, m = 8,
         sub = 8, ksub = 8, rounds = 2),
+    // q_v13: the full PCA replay GENERATED from the same rounds — exact
+    // quantize/moment/scatter arithmetic, the identical 1e6 rescale and
+    // per-round max-normalized matvec (every float op a pinned double
+    // inside a half-up floor), then the integer projection
+    "q_v13_pca_pc1" ->
+      s"""WITH ${Pca.oracleCtes(rounds = 8)}
+          SELECT vec_id, proj FROM proj ORDER BY vec_id""",
     "q_v3_norm_stats" ->
       s"""SELECT label,
             ROUND(AVG(sqrt(${duckNormSq("embedding")})), 4) AS avg_norm,

@@ -382,6 +382,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q_t30 grew $bnlj nested-loop joins (expected only the two 1-row stats crosses)")
   }
 
+  test("PCA projection: the component rides as a literal — no join, no shuffle") {
+    // fitPc1's corpus work is one kernel pass + one grid aggregation;
+    // the projection the battery materializes must be a NARROW
+    // projection over the scan (pc enters as a literal) — any Join or
+    // Exchange here means the model round-tripped through a shuffle
+    val plan = executedPlan(q("q_v13_pca_pc1"))
+    assert(!plan.contains("Join"), s"q_v13 projection grew a join:\n" +
+      plan.take(1200))
+    // the only exchange is the battery's ORDER BY vec_id range sort —
+    // no hash shuffle means no hidden aggregation/join in the scoring
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("hashpartitioning"),
+      s"q_v13 projection hash-shuffles:\n${finalPlan.take(1200)}")
+    assert(finalPlan.contains("aggregate(zip_with"),
+      "q_v13 lost the literal-component dot projection")
+  }
+
   test("KS drift: no grid cross-join, no single-task global window") {
     // the operator's whole scale claim is what it does NOT do: the
     // oracle's source×value CROSS JOIN grid, and a partition-less
