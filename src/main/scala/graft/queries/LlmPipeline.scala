@@ -1509,6 +1509,27 @@ object LlmPipeline {
       // token granularity), exact BIGINT rollup
       SourceDivergence.report(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))),
+    "q_qr12_cms_heavy" -> ((s, dir) => {
+      // count-min sketch frequency estimates (r11, L97): the fixed-
+      // memory sibling of the exact heavy-hitter path — a 4×1024
+      // md5-hashed counter grid built in one aggregation, point
+      // estimates = min over rows. Output: exact top-20 tokens with
+      // both the exact count and the sketch estimate; the oracle
+      // rebuilds the identical grid, so even the approximation error
+      // is hash-gated.
+      val toks = t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text")))
+          .as("token"))
+        .filter(col("token").isNotNull)
+      val exact = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(20)
+      val sk = Cms.sketch(toks, "token")
+      Cms.estimate(sk, exact.select(col("token")), "token")
+        .join(exact, Seq("token"))
+        .select(col("token"), col("exact_n"), col("est").as("est_n"))
+        .orderBy(col("exact_n").desc, col("token"))
+    }),
     "q_qr11_ks_drift" -> ((s, dir) =>
       // exact two-sample KS per source vs rest-of-corpus (r10, L87):
       // the parameter-free member of the drift panel (PSI needs
@@ -2109,6 +2130,37 @@ object LlmPipeline {
          SELECT source, MIN(ttot) AS n_tokens,
                 CAST(SUM(kl_term_e9) AS BIGINT) AS kl_e9
          FROM term GROUP BY source ORDER BY source""",
+    // q_qr12: rebuilds the identical 4×1024 grid — same md5 52-bit
+    // cell derivation ("cms:r:token", the L47 integer form), same
+    // min-over-rows estimate; the sketch is deterministic so the
+    // approximation error itself hash-compares
+    "q_qr12_cms_heavy" ->
+      s"""WITH t2 AS MATERIALIZED (
+             SELECT t.token FROM (SELECT unnest($duckToks) AS token
+                                  FROM documents) t
+             WHERE t.token IS NOT NULL),
+          ex AS MATERIALIZED (
+             SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+             FROM t2 GROUP BY token
+             ORDER BY exact_n DESC, token LIMIT 20),
+          rr AS (SELECT unnest(range(0, 4)) AS r),
+          cells AS MATERIALIZED (
+             SELECT rr.r,
+                    CAST(concat('0x', substr(md5('cms:' ||
+                        CAST(rr.r AS VARCHAR) || ':' || t2.token), 1, 13))
+                      AS BIGINT) % 1024 AS c,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM t2 CROSS JOIN rr GROUP BY 1, 2),
+          est AS (SELECT e.token, MIN(COALESCE(cells.n, 0)) AS est_n
+                  FROM ex e CROSS JOIN rr
+                  LEFT JOIN cells ON cells.r = rr.r
+                    AND cells.c = CAST(concat('0x', substr(md5('cms:' ||
+                          CAST(rr.r AS VARCHAR) || ':' || e.token), 1, 13))
+                        AS BIGINT) % 1024
+                  GROUP BY e.token)
+         SELECT e.token, e.exact_n, CAST(est.est_n AS BIGINT) AS est_n
+         FROM ex e JOIN est USING (token)
+         ORDER BY exact_n DESC, token""",
     // q_qr11: the grid form of the same exact-integer KS numerator —
     // source × distinct-value CROSS JOIN (oracle scale), two cumulative
     // windows, one double division (KsDrift.oracleSql)
