@@ -50,7 +50,11 @@ object Cms {
 
   /** (key, est) point estimates for `probes(keyCol)` against a sketch
     * built with the same (d, w): est = min over the d counters, 0 for
-    * a never-seen cell. The sketch is grid-sized — broadcast join. */
+    * a never-seen cell. The sketch is grid-sized — broadcast join.
+    * (d, w) must MATCH the sketch's build parameters — a mismatch
+    * reads wrong cells silently (the cell derivation is pure, so there
+    * is nothing in the grid to detect it with); callers that persist
+    * sketches should persist the parameters beside them. */
   def estimate(sk: DataFrame, probes: DataFrame, keyCol: String,
       d: Int = 4, w: Int = 1024): DataFrame = {
     require(d >= 1 && d <= 8, s"d $d outside [1, 8]")

@@ -111,8 +111,14 @@ object LmScore {
       s"discount must be in (0, 1), got $discount")
     val ref = reference.getOrElse(df)
     val refBg = bigrams(ref, idCol, textCol)
+    // the reduced type table feeds FOUR frames (scoring join, context,
+    // continuation, T) — checkpoint it or the reference corpus
+    // re-tokenizes once per consumer (the ExactSubstr r9 lesson);
+    // pooled so repeat bench runs release old checkpoints
     val c2t = refBg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    pool(c2t)
     // context table: c1 = Σ c2 (occurrences as left side), n1p = the
     // distinct-continuation count — both off the reduced type table
     val ctx = c2t.groupBy(col("w1"))
@@ -160,6 +166,15 @@ object LmScore {
               element_at(col("tk"), i + 1).as("w2"))))).as("bg"))
         .filter(col("bg").isNotNull)
         .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  // bounded live-result pool (the KMeansLloyd/IvfPq discipline)
+  private val MaxLiveResults = 8
+  private val liveResults = new java.util.ArrayDeque[DataFrame]()
+  private def pool(df: DataFrame): Unit = liveResults.synchronized {
+    liveResults.addLast(df)
+    if (liveResults.size > MaxLiveResults)
+      Checkpoints.release(liveResults.removeFirst())
+  }
 
   /** Re-attach per-doc aggregates to EVERY input row (docs without a
     * bigram keep 0/0/NULL) and derive the perplexity from the exact

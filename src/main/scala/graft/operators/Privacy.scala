@@ -123,6 +123,10 @@ object Privacy {
     require(eps > 0.0 && eps <= 20.0, s"eps $eps outside (0, 20]")
     require(sensitivity >= 1, s"sensitivity $sensitivity must be >= 1")
     val lnAlpha = -(eps / sensitivity) // = ln e^(−ε/Δ), exact by identity
+    // '|'-joined null-sentinel key: a quasi VALUE containing '|' could
+    // alias two groups' noise streams (correlated noise, never a wrong
+    // oracle compare — both engines share the key) — acceptable for
+    // grouping columns, which are categorical by nature
     val groupKey = concat_ws("|",
       quasiCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
     val twoPow52 = lit(4503599627370496.0)

@@ -31,7 +31,11 @@ object Rrf {
     * ranks 1..k — into (idCol, rank_a, rank_b, rrf_e6, rank): absent
     * ranks surface as 0 and contribute nothing; `rrf_e6` is the exact
     * integer fused score; `rank` the fused page order (score desc, id
-    * asc). */
+    * asc). Preconditions (self-review r11): ids must be UNIQUE within
+    * each list (a duplicate would fan out through the full-outer join)
+    * and ranks must be ≥ 1 — 0 is the RESERVED absent marker, so a
+    * caller-supplied 0 would silently zero that entry's contribution.
+    * Both hold by construction for any top-k page (row_number output). */
   def fuseTwo(a: DataFrame, b: DataFrame, idCol: String,
       k0: Int = 60, rankCol: String = "rank"): DataFrame = {
     require(k0 >= 1, s"k0 must be >= 1, got $k0")
