@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for LLM training-data pipelines
@@ -369,4 +369,55 @@ object TextAnalysis {
     * replacement (scrubPii's URL-first order). */
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  // ------------------------------------------------- checksum-validated PII
+
+  /** Contiguous digit runs of payment-card length. Deliberately
+    * separator-free (no embedded spaces/dashes): a separator-tolerant
+    * greedy class would swallow the gap BETWEEN two adjacent numbers,
+    * and RE2-family engines offer no lookahead to stop it — runs of
+    * > 19 digits match their first 19 on both engines (leftmost-first
+    * greedy, the q_x13 parity class). */
+  val CardRunPattern = "[0-9]{13,19}"
+
+  /** Luhn mod-10 checksum of a digit-run string (ISO/IEC 7812-1;
+    * Luhn 1960, US patent 2,950,048): from the RIGHT, double every
+    * second digit folding > 9 back by −9, sum, valid ⇔ ≡ 0 (mod 10).
+    * The precision gate regex-only PII detection lacks: a random
+    * 16-digit run passes the length test but Luhn only 1 time in 10 —
+    * validating drops ~90% of the false positives while keeping every
+    * real card number (all issued PANs carry the check digit).
+    * Pure column arithmetic (ascii/substr/fold), replayed verbatim by
+    * the oracle; evaluates once per CANDIDATE row (bounded per doc),
+    * never per corpus row × pattern. */
+  def luhnValid(d: Column): Column = {
+    val n = length(d)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val digit = ascii(d.substr(n - i + 1, lit(1))) - lit(48)
+      acc + when(pmod(i, lit(2)) === 0,
+        when(digit * 2 > 9, digit * 2 - 9).otherwise(digit * 2))
+        .otherwise(digit)
+    })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** Per-document card audit: (idCol, n_digit_runs, n_valid_cards) —
+    * how many card-length digit runs the text carries, and how many
+    * survive the Luhn gate. Every input row appears (0/0 for no
+    * candidates); null text reads as empty. */
+  def cardAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = df
+      .select(col(idCol).as("__id"),
+        explode_outer(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit(CardRunPattern), lit(0))).as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_digit_runs"),
+        sum(luhnValid(col("s")).cast("long")).as("n_valid_cards"))
+    df.select(col(idCol).as("__id"))
+      .join(cands, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_digit_runs"), lit(0L)).as("n_digit_runs"),
+        coalesce(col("n_valid_cards"), lit(0L)).as("n_valid_cards"))
+  }
 }

@@ -917,6 +917,25 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t31_luhn_audit" -> ((s, dir) => {
+      // checksum-validated card-number PII audit (r11, L98): docs get
+      // seeded card-length digit runs appended — one VALID test PAN
+      // (4111…1111), one single-digit typo of it, one valid Amex test
+      // PAN — and the audit must separate them: the regex alone counts
+      // all runs, the Luhn gate keeps only the two real check digits.
+      // Exactly the precision step regex-only PII scrubbing lacks.
+      val aug = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" card 4111111111111111 ok")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit(" typo 4111111111111112 bad")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" amex 378282246310005 fine")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.cardAudit(aug, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q_t30_kn_perplexity" -> ((s, dir) => {
       // interpolated Kneser–Ney perplexity (r11, L93; VERDICT r10 #4):
       // the actual KenLM/CCNet fluency smoothing — discounted seen
@@ -2816,6 +2835,45 @@ object LlmPipeline {
       s"""WITH $duckLmPerplexity
           SELECT doc_id, n_bigrams, nll_e4, ppl_milli FROM ppl
           ORDER BY doc_id""",
+    // q_t31: same augmented fixture, same RE2-safe digit-run pattern,
+    // the Luhn fold replayed digit-for-digit (ascii/substr from the
+    // right, double-every-second with the −9 fold, mod 10)
+    "q_t31_luhn_audit" ->
+      """WITH d AS (SELECT doc_id, COALESCE(text, '')
+              || CASE WHEN doc_id % 3 = 0
+                 THEN ' card 4111111111111111 ok' ELSE '' END
+              || CASE WHEN doc_id % 4 = 0
+                 THEN ' typo 4111111111111112 bad' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                 THEN ' amex 378282246310005 fine' ELSE '' END AS text
+            FROM documents WHERE doc_id < 200),
+          c AS (SELECT doc_id,
+                  unnest(regexp_extract_all(text, '[0-9]{13,19}')) AS s
+                FROM d),
+          v AS (SELECT doc_id,
+                  CASE WHEN CAST(list_sum(list_transform(
+                      range(1, length(s) + 1), i ->
+                      CASE WHEN i % 2 = 0 THEN
+                        CASE WHEN 2 * (ascii(substr(s,
+                              CAST(length(s) - i + 1 AS INTEGER), 1)) - 48) > 9
+                             THEN 2 * (ascii(substr(s,
+                                  CAST(length(s) - i + 1 AS INTEGER), 1)) - 48)
+                                  - 9
+                             ELSE 2 * (ascii(substr(s,
+                                  CAST(length(s) - i + 1 AS INTEGER), 1)) - 48)
+                        END
+                      ELSE ascii(substr(s,
+                             CAST(length(s) - i + 1 AS INTEGER), 1)) - 48
+                      END)) AS BIGINT) % 10 = 0
+                  THEN 1 ELSE 0 END AS ok
+                FROM c),
+          a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_digit_runs,
+                       CAST(SUM(ok) AS BIGINT) AS n_valid_cards
+                FROM v GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(a.n_digit_runs, 0) AS n_digit_runs,
+                COALESCE(a.n_valid_cards, 0) AS n_valid_cards
+         FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
     // q_t30: retrains the identical interpolated-KN model from the
     // even-doc_id half — all model quantities exact integers off the
     // (w1, w2) type table; the per-position float pipeline is the same
