@@ -80,6 +80,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * batch-construction step — Karpukhin et al. 2020, arXiv:2004.04906
+    * §4.2; Gao et al. 2021, arXiv:2104.08821): per anchor, the
+    * POSITIVE is its nearest neighbor at or above `posThreshold`
+    * (a near-duplicate — same semantic content) and the HARD NEGATIVE
+    * is its nearest neighbor strictly BELOW it (maximally confusable
+    * without being a duplicate — the negatives that actually teach the
+    * model; random negatives are trivially separable). Anchors lacking
+    * either side drop (inner-join semantics — a triplet needs all
+    * three legs). Output: (query_id, pos_id, pos_sim, neg_id, neg_sim).
+    *
+    * Deterministic: similarities are the rounded exact cosine (q_v1's
+    * contract) and each side is ONE struct-extreme per anchor —
+    * max(struct(sim, −neighbor_id)), i.e. best sim then smallest id —
+    * a map-side-combinable aggregation, no per-anchor window. This
+    * brute-force form is the ORACLE-CHECKABLE baseline over bounded
+    * anchor sets; at corpus scale the candidate generation swaps to
+    * the ANN family (IVF-PQ top-k feeds the same threshold split)
+    * without changing the selection rule. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      posThreshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineNative(col("qv"), col("cv")), roundTo).as("sim"))
+    def best(cond: Column, prefix: String): DataFrame =
+      scored.filter(cond)
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("sim"), (-col("neighbor_id")).as("nn")))
+          .as("b"))
+        .select(col("query_id"),
+          (-col("b.nn")).as(s"${prefix}_id"),
+          col("b.sim").as(s"${prefix}_sim"))
+    best(col("sim") >= posThreshold, "pos")
+      .join(best(col("sim") < posThreshold, "neg"), Seq("query_id"))
+  }
+
   // ------------------------------------------------------------------ LSH
 
   /** Deterministic pseudo-random unit-free hyperplane weights via splitmix64

@@ -500,6 +500,19 @@ object LlmPipeline {
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_v14_hard_negatives" -> ((s, dir) => {
+      // contrastive triplet mining (r11, L99): per anchor (vec_id <
+      // 50), the nearest ≥0.45 neighbor is the positive and the
+      // nearest <0.45 neighbor the hard negative — the DPR/SimCSE
+      // batch-construction step; 0.45 is the battery's proven-parity
+      // dedup threshold, so pos = near-duplicate, neg = maximally
+      // confusable non-duplicate. One struct-extreme per side, no
+      // per-anchor window.
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") < 50), e,
+          posThreshold = 0.45)
+        .orderBy(col("query_id"))
+    }),
     "q_v13_pca_pc1" -> ((s, dir) =>
       // distributed PCA, top principal component (r11, L96): exact
       // integer second-moment grid in ONE kernel pass, centered scatter
@@ -2446,6 +2459,32 @@ object LlmPipeline {
     "q_v11_pq_residual_codes" ->
       IvfPq.residualOracleSql(nlist = 8, coarseRounds = 2, m = 8,
         sub = 8, ksub = 8, rounds = 2),
+    // q_v14: exhaustive replay — same rounded exact cosine, the two
+    // threshold sides ranked (sim DESC, neighbor ASC) and rank-1 picked,
+    // inner join so anchors missing either leg drop
+    "q_v14_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 50),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                FROM embeddings),
+          s AS (SELECT query_id, neighbor_id,
+                  ROUND(CASE WHEN sqrt(${duckNormSq("qv")}) = 0
+                               OR sqrt(${duckNormSq("cv")}) = 0 THEN 0.0
+                        ELSE $duckDot / (sqrt(${duckNormSq("qv")})
+                                         * sqrt(${duckNormSq("cv")})) END,
+                        6) AS sim
+                FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+          p AS (SELECT query_id, neighbor_id AS pos_id, sim AS pos_sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+                FROM s WHERE sim >= 0.45),
+          n AS (SELECT query_id, neighbor_id AS neg_id, sim AS neg_sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+                FROM s WHERE sim < 0.45)
+         SELECT p.query_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+         FROM p JOIN n USING (query_id)
+         WHERE p.rn = 1 AND n.rn = 1 ORDER BY query_id""",
     // q_v13: the full PCA replay GENERATED from the same rounds — exact
     // quantize/moment/scatter arithmetic, the identical 1e6 rescale and
     // per-round max-normalized matvec (every float op a pinned double

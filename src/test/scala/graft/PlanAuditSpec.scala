@@ -399,6 +399,17 @@ class PlanAuditSpec extends SparkSpec {
       "q_v13 lost the literal-component dot projection")
   }
 
+  test("hard negatives: struct-extreme aggregation, not a per-anchor window") {
+    // both triplet legs must come from map-side-combinable max(struct)
+    // aggregations (the L79 hot-group lesson) — a window row_number
+    // here would serialize each anchor's candidate list into one task
+    val plan = executedPlan(q("q_v14_hard_negatives"))
+    assert(!plan.contains("Window"),
+      s"q_v14 selection regressed to a window:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"),
+      "q_v14 plan contains an unbroadcast cartesian")
+  }
+
   test("KS drift: no grid cross-join, no single-task global window") {
     // the operator's whole scale claim is what it does NOT do: the
     // oracle's source×value CROSS JOIN grid, and a partition-less
