@@ -410,6 +410,40 @@ class PlanAuditSpec extends SparkSpec {
       "q_v14 plan contains an unbroadcast cartesian")
   }
 
+  test("DP counts: one aggregation, noise as narrow projection — no join at all") {
+    // the release must be the grouped count plus per-GROUP-row md5/ln
+    // arithmetic: any Join/Window means noise round-tripped through a
+    // second shuffle
+    val plan = executedPlan(q("q_p6_dp_counts"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"q_p6 grew a join or window:\n${plan.take(1200)}")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(finalPlan).length <= 2,
+      s"q_p6 aggregates more than the one partial+final count:\n" +
+        finalPlan.take(1200))
+  }
+
+  test("CMS: estimates broadcast-join the grid-sized sketch") {
+    // the sketch is ≤ d·w rows — estimate lookups must broadcast it,
+    // never sort-merge the probe side against it
+    val plan = executedPlan(q("q_qr12_cms_heavy"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_qr12 estimate lost the broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"),
+      "q_qr12 plan contains a cartesian")
+  }
+
+  test("Luhn audit: per-candidate fold, single scan family, no cartesian") {
+    // candidates explode from the regex ONCE; the Luhn fold evaluates
+    // per candidate row (bounded per doc) and the only join is the
+    // LEFT join-back of the per-doc aggregate
+    val plan = executedPlan(q("q_t31_luhn_audit"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_t31 plan contains a cross product:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"), "q_t31 grew a window")
+  }
+
   test("KS drift: no grid cross-join, no single-task global window") {
     // the operator's whole scale claim is what it does NOT do: the
     // oracle's source×value CROSS JOIN grid, and a partition-less
