@@ -539,6 +539,17 @@ object Relational {
           Tables.epochMicros(ev, "ts"))
         .orderBy(col("event_type"))
     }),
+    "q_a17_mad_anomaly" -> ((s, dir) => {
+      // pointwise volume anomaly (r11, L100): Hampel identifier over
+      // the shared daily series — 7-day trailing lower-median/MAD,
+      // exact integer |y−med|·1000 > 3000·mad verdict, NULL warm-up.
+      // The POINTWISE member of the volume panel next to q_a15's slope
+      // and q_a16's trend significance.
+      val ev = t(s, dir, "events")
+      Trend.dailyVolumeMadAnomaly(ev, "event_type",
+          Tables.epochMicros(ev, "ts"))
+        .orderBy(col("event_type"), col("x"))
+    }),
     "q_a14_approx_quantile_verdict" -> ((s, dir) => {
       // approx_percentile (GK sketch) is THE one-pass mergeable quantile
       // path at 100 TB — A8/A9's exact rank-select costs a second
@@ -1063,6 +1074,35 @@ object Relational {
     // q_a16: the pair replay — same day floor as q_a15; SUMs cast from
     // HUGEINT to BIGINT; a 1-day group's empty-pair SUM is NULL in
     // DuckDB, COALESCEd to the engine's 0 (the q_g2 lesson)
+    // q_a17: same day-floored series, the trailing frame as a window
+    // list, the identical lower-median index (arr[(w+1)/2], 1-based)
+    // on values and absolute deviations, exact integer verdict
+    "q_a17_mad_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          s AS (SELECT event_type,
+                  (us - ((us % 86400000000 + 86400000000) % 86400000000))
+                    // 86400000000 AS x,
+                  CAST(COUNT(*) AS BIGINT) AS y
+                FROM e GROUP BY 1, 2),
+          w AS (SELECT event_type, x, y,
+                  list_sort(list(y) OVER (PARTITION BY event_type
+                    ORDER BY x ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+                    AS arr
+                FROM s),
+          m AS (SELECT event_type, x, y,
+                  CASE WHEN len(arr) = 7 THEN arr[4] END AS med, arr
+                FROM w),
+          d AS (SELECT event_type, x, y, med,
+                  CASE WHEN med IS NOT NULL THEN
+                    list_sort(list_transform(arr, v -> abs(v - med)))[4]
+                  END AS mad
+                FROM m)
+         SELECT event_type, x, y, med, mad,
+                CASE WHEN med IS NULL THEN NULL
+                     WHEN abs(y - med) * 1000 > 3000 * mad THEN 1
+                     ELSE 0 END AS anom
+         FROM d ORDER BY event_type, x""",
     "q_a16_mann_kendall" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
                WHERE event_type IS NOT NULL AND ts IS NOT NULL),

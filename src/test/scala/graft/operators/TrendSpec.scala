@@ -108,4 +108,67 @@ class TrendSpec extends SparkSpec {
     val (n, s, v) = mkReference(counts)
     assert(runMk(rows) === Seq(("g", n, s, v)))
   }
+
+  // ------------------------------------------------- MAD anomaly (L100)
+
+  /** Events with `counts(d)` records on day d for one group. */
+  private def series(counts: Seq[Long]): Seq[(String, Long)] =
+    counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c.toInt)(("g", d * Day + 1000L)) }
+
+  private def runMad(rows: Seq[(String, Long)], window: Int = 7) =
+    Trend.dailyVolumeMadAnomaly(rows.toDF("g", "us"), "g", col("us"),
+        window = window)
+      .orderBy(col("x"))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Int])]
+      .collect().toSeq
+
+  /** Plain-Scala Hampel reference: trailing-window lower median/MAD. */
+  private def madReference(counts: Seq[Long], window: Int,
+      kMilli: Long = 3000L) =
+    counts.zipWithIndex.map { case (y, d) =>
+      if (d < window) (d.toLong, y, None, None, None)
+      else {
+        val arr = counts.slice(d - window, d).sorted
+        val med = arr((window + 1) / 2 - 1)
+        val mad = arr.map(v => math.abs(v - med))
+          .sorted.apply((window + 1) / 2 - 1)
+        (d.toLong, y, Some(med), Some(mad),
+          Some(if (math.abs(y - med) * 1000 > kMilli * mad) 1 else 0))
+      }
+    }
+
+  test("MAD anomaly: a spike is flagged, its window neighbors are not") {
+    // 10 steady days at 5, a 50-spike on day 10, steady again
+    val counts = Seq.fill(10)(5L) ++ Seq(50L) ++ Seq.fill(5)(5L)
+    val got = runMad(series(counts))
+    assert(got.size === 16)
+    // warm-up: first 7 days NULL
+    got.take(7).foreach(r => assert(r._4.isEmpty && r._6.isEmpty))
+    assert(got(10)._6 === Some(1), s"spike unflagged: ${got(10)}")
+    (11 to 15).foreach(d => assert(got(d)._6 === Some(0),
+      s"post-spike day $d misflagged: ${got(d)}"))
+  }
+
+  test("MAD anomaly: an earlier spike inside the window cannot mask a second") {
+    // the Hampel point: day 12's spike keeps being flagged even though
+    // day 10's spike sits in its trailing window (median moves one
+    // rank; a mean/sigma detector would swallow it)
+    val counts = Seq.fill(10)(5L) ++ Seq(50L, 5L, 50L) ++ Seq.fill(3)(5L)
+    val got = runMad(series(counts))
+    assert(got(10)._6 === Some(1) && got(12)._6 === Some(1), s"$got")
+    // and the zero-MAD constant window flags ANY deviation
+    val flat = Seq.fill(8)(4L) ++ Seq(5L)
+    assert(runMad(series(flat)).last._6 === Some(1))
+  }
+
+  test("MAD anomaly: engine matches the plain-Scala reference (seeded)") {
+    val rnd = new scala.util.Random(83)
+    val counts = Seq.fill(30)(1L + rnd.nextInt(8).toLong)
+    val got = runMad(series(counts))
+      .map { case (_, x, y, med, mad, a) => (x, y, med, mad, a) }
+    val want = madReference(counts, 7)
+      .map { case (x, y, med, mad, a) => (x, y, med, mad, a) }
+    assert(got === want)
+  }
 }
