@@ -120,6 +120,45 @@ object Similarity {
       .join(best(col("sim") < posThreshold, "neg"), Seq("query_id"))
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning", arXiv:2205.13147): how much of the
+    * exact cosine top-k neighbor structure survives truncating the
+    * embedding to its first `dim` coordinates — the measurement behind
+    * the standard storage/latency trade (serve prefix dims, rerank
+    * with full ones). Per (truncation dim, query): `n_overlap` = |top-k
+    * under the truncated cosine ∩ top-k under the full cosine|.
+    *
+    * Both rankings are the [[bruteForceTopK]] contract (rounded exact
+    * cosine, id tie-break) so the audit is deterministic and the
+    * oracle replays it exhaustively; the truncated ranking scores
+    * `slice(embedding, 1, dim)` — a narrow projection, no extra
+    * storage. Brute force is the oracle-checkable baseline over
+    * bounded query sets; the corpus-scale form runs the same audit
+    * over ANN candidates. `dims` must be plan-time constants (one
+    * TopK pass per dim, unioned). */
+  def matryoshkaAudit(queries: DataFrame, corpus: DataFrame, k: Int,
+      dims: Seq[Int], idCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims $dims")
+    val full = bruteForceTopK(queries, corpus, k, idCol, vecCol, roundTo)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = queries.select(col(idCol).as("query_id")).distinct()
+    dims.map { d =>
+      def cut(df: DataFrame): DataFrame =
+        df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val overlap = bruteForceTopK(cut(queries), cut(corpus), k, idCol,
+          vecCol, roundTo)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      // zero-overlap queries still report (a 0 IS the finding)
+      qs.join(overlap, Seq("query_id"), "left")
+        .select(lit(d).as("trunc_dim"), col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    }.reduce(_ unionAll _)
+  }
+
   // ------------------------------------------------------------------ LSH
 
   /** Deterministic pseudo-random unit-free hyperplane weights via splitmix64

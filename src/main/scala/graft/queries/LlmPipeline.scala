@@ -500,6 +500,17 @@ object LlmPipeline {
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_v15_matryoshka_audit" -> ((s, dir) => {
+      // Matryoshka truncation audit (r11, L101): top-5 neighbor
+      // overlap between prefix-truncated cosine (dims 8/16/32) and the
+      // full 64-dim ranking — the measurement behind serve-truncated /
+      // rerank-full deployments. Exhaustively replayed per dim.
+      val e = t(s, dir, "embeddings")
+      Similarity.matryoshkaAudit(
+          e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+          k = 5, dims = Seq(8, 16, 32))
+        .orderBy(col("trunc_dim"), col("query_id"))
+    }),
     "q_v14_hard_negatives" -> ((s, dir) => {
       // contrastive triplet mining (r11, L99): per anchor (vec_id <
       // 50), the nearest ≥0.45 neighbor is the positive and the
@@ -2459,6 +2470,62 @@ object LlmPipeline {
     "q_v11_pq_residual_codes" ->
       IvfPq.residualOracleSql(nlist = 8, coarseRounds = 2, m = 8,
         sub = 8, ksub = 8, rounds = 2),
+    // q_v15: GENERATED per truncation dim — each block slices qv/cv to
+    // the prefix, replays the identical rounded-cosine rank-(sim DESC,
+    // id) top-5, semi-joins the full ranking and LEFT-joins the query
+    // list so zero overlap reports as 0
+    "q_v15_matryoshka_audit" -> {
+      val full =
+        s"""fs AS MATERIALIZED (SELECT query_id, neighbor_id,
+                  ROUND(CASE WHEN sqrt(${duckNormSq("qv")}) = 0
+                               OR sqrt(${duckNormSq("cv")}) = 0 THEN 0.0
+                        ELSE $duckDot / (sqrt(${duckNormSq("qv")})
+                                         * sqrt(${duckNormSq("cv")})) END,
+                        6) AS sim
+                FROM c CROSS JOIN q),
+          fr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+                FROM fs) WHERE rn <= 5)"""
+      val blocks = Seq(8, 16, 32).map { d =>
+        s"""t${d}s AS MATERIALIZED (SELECT query_id, neighbor_id,
+                  ROUND(CASE WHEN sqrt(${duckNormSq(s"qv[1:$d]")}) = 0
+                               OR sqrt(${duckNormSq(s"cv[1:$d]")}) = 0
+                        THEN 0.0
+                        ELSE list_sum(list_transform(range(1, $d + 1),
+                               i -> CAST(qv[i] AS DOUBLE)
+                                    * CAST(cv[i] AS DOUBLE)))
+                             / (sqrt(${duckNormSq(s"qv[1:$d]")})
+                                * sqrt(${duckNormSq(s"cv[1:$d]")})) END,
+                        6) AS sim
+                FROM c CROSS JOIN q),
+          t${d}r AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+                FROM t${d}s) WHERE rn <= 5),
+          t${d}o AS (SELECT r.query_id, COUNT(*) AS n_overlap
+                FROM t${d}r r JOIN fr USING (query_id, neighbor_id)
+                GROUP BY r.query_id),
+          t${d}f AS (SELECT CAST($d AS INTEGER) AS trunc_dim,
+                  q2.query_id,
+                  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap
+                FROM (SELECT DISTINCT query_id FROM q) q2
+                LEFT JOIN t${d}o o USING (query_id))"""
+      }.mkString(",\n")
+      val union = Seq(8, 16, 32).map(d => s"SELECT * FROM t${d}f")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS MATERIALIZED (SELECT vec_id AS query_id,
+                  embedding AS qv
+                FROM embeddings WHERE vec_id < 20),
+          c AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding AS cv
+                FROM embeddings WHERE vec_id >= 20),
+          $full,
+          $blocks
+         SELECT trunc_dim, query_id, n_overlap FROM ($union)
+         ORDER BY trunc_dim, query_id"""
+    },
     // q_v14: exhaustive replay — same rounded exact cosine, the two
     // threshold sides ranked (sim DESC, neighbor ASC) and rank-1 picked,
     // inner join so anchors missing either leg drop
