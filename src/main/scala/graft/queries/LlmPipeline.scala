@@ -1350,6 +1350,31 @@ object LlmPipeline {
         .orderBy(col("id"))
     }),
 
+    "q_g6_link_predict" -> ((s, dir) => {
+      // Adamic–Adar link prediction (r11, L104): non-adjacent pairs of
+      // the co-activity graph ranked by shared-neighbor evidence, each
+      // neighbor's 1/ln(deg) quantized once to 1e-6 — the candidate
+      // generator next to L67's census; top-100 with a total tiebreak.
+      // 5-minute buckets (vs the g3/g5 minute): link prediction needs
+      // BOTH present and absent edges to rank — probed per SF: the
+      // minute graph has zero edges at sf0.001 and zero non-adjacent
+      // wedge pairs where it is dense; 5-minute co-activity yields
+      // 22/7.4k/1.0M candidate pairs at sf0.001/0.01/0.1
+      val ev = t(s, dir, "events")
+      val buckets = ev.select(col("event_type").as("band"),
+          call_function("div", Tables.epochMicros(ev, "ts"),
+            lit(300000000L)).as("key"),
+          col("user_id").as("id"))
+        .filter(col("band").isNotNull && col("key").isNotNull &&
+          col("id").isNotNull)
+        .distinct()
+      LinkPredict.adamicAdar(
+          NearDup.bucketPairs(buckets, maxBucketSize = 10000),
+          "id_a", "id_b")
+        .orderBy(col("aa_e6").desc, col("cn").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
     "q_g5_label_prop" -> ((s, dir) => {
       // synchronous label propagation (r10, L85): community detection
       // over the same co-activity graph — 4 deterministic plurality
@@ -3396,6 +3421,38 @@ object LlmPipeline {
                  AND x.user_id < y.user_id),
           ${LabelProp.oracleCtes(rounds = 4)}""",
     // q_g4: same co-activity edges + a13's moment replay on degrees
+    // q_g6 (graph family): the wedge replay — same co-activity edges,
+    // degree weights quantized inside the identical half-up floor, the
+    // non-adjacency via NOT EXISTS, the same total ORDER BY + LIMIT
+    "q_g6_link_predict" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT event_type,
+                epoch_us(ts) // 300000000 AS m, user_id
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL),
+          e0 AS MATERIALIZED (SELECT DISTINCT
+                  least(x.user_id, y.user_id) AS a,
+                  greatest(x.user_id, y.user_id) AS b
+                FROM b x JOIN b y
+                  ON x.event_type = y.event_type AND x.m = y.m
+                 AND x.user_id < y.user_id),
+          adj AS MATERIALIZED (SELECT a AS z, b AS u FROM e0
+                UNION ALL SELECT b AS z, a AS u FROM e0),
+          deg AS (SELECT z,
+                    CAST(floor(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE))
+                               + 0.5) AS BIGINT) AS w_e6
+                  FROM adj GROUP BY z HAVING COUNT(*) > 1),
+          w AS (SELECT p.u AS a, q.u AS b, p.z
+                FROM adj p JOIN adj q ON p.z = q.z AND p.u < q.u),
+          nw AS (SELECT w.a, w.b, w.z FROM w
+                 WHERE NOT EXISTS (SELECT 1 FROM e0
+                                   WHERE e0.a = w.a AND e0.b = w.b)),
+          sc AS (SELECT nw.a, nw.b, COUNT(*) AS cn,
+                   CAST(SUM(deg.w_e6) AS BIGINT) AS aa_e6
+                 FROM nw JOIN deg ON nw.z = deg.z
+                 GROUP BY nw.a, nw.b)
+         SELECT a, b, cn, aa_e6 FROM sc
+         ORDER BY aa_e6 DESC, cn DESC, a, b LIMIT 100""",
     "q_g4_assortativity" ->
       """WITH b AS (SELECT DISTINCT event_type,
                 epoch_us(ts) // 60000000 AS m, user_id

@@ -354,6 +354,36 @@ object Relational {
         .select(col("user_id"), col("session_idx"), col("burst_idx"))
         .orderBy(col("user_id"), col("session_idx"), col("burst_idx"))
     }),
+    "q_j12_cdc_apply" -> ((s, dir) => {
+      // CDC changelog apply (r11, L102): a deterministic multi-version
+      // changelog derived from orders — keys %4==0 are inserts (seq 2k),
+      // %3==0 updates (+100 cents, seq 2k+1), %6==0 deletes (seq 2k+2),
+      // so one key can carry I→U→D in a single batch; the base is every
+      // other key. Compaction is one struct-max agg (NO window), apply
+      // is one full-outer key join. Price quantized to cents ONCE so
+      // both engines merge identical integers.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * lit(100) + lit(0.5))
+            .cast("long").as("price_c"))
+      val base = o.filter(pmod(col("k"), lit(4)) =!= 0)
+        .select(col("k"), col("status"), col("price_c"))
+      val ins = o.filter(pmod(col("k"), lit(4)) === 0)
+        .select(col("k"), (col("k") * 2).as("seq"), lit("I").as("op"),
+          col("status"), col("price_c"))
+      val upd = o.filter(pmod(col("k"), lit(3)) === 0)
+        .select(col("k"), (col("k") * 2 + 1).as("seq"), lit("U").as("op"),
+          col("status"), (col("price_c") + 100).as("price_c"))
+      val del = o.filter(pmod(col("k"), lit(6)) === 0)
+        .select(col("k"), (col("k") * 2 + 2).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("status"),
+          lit(null).cast("long").as("price_c"))
+      CdcApply(base, ins.unionAll(upd).unionAll(del),
+          "k", "seq", "op", Seq("status", "price_c"))
+        .orderBy(col("k"))
+    }),
     "q_j4_join_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       // dim side: let AQE pick broadcast from runtime stats — a forced
@@ -945,6 +975,40 @@ object Relational {
       """SELECT c.c_name, COUNT(*) AS cnt, ROUND(SUM(o.o_totalprice), 2) AS total
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY c.c_name ORDER BY total DESC, c.c_name LIMIT 10""",
+    // q_j11: the changelog replay — identical derived base/changelog
+    // (orderkeys are positive, so % matches the engine's pmod), latest
+    // per key via ROW_NUMBER over the unique-by-construction seq, then
+    // the same latest-wins FULL OUTER merge with D dropped
+    "q_j12_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+              FROM orders WHERE o_orderkey IS NOT NULL),
+          base AS (SELECT k, status, price_c FROM o WHERE k % 4 <> 0),
+          chg AS (
+            SELECT k, 2*k AS seq, 'I' AS op, status, price_c
+            FROM o WHERE k % 4 = 0
+            UNION ALL
+            SELECT k, 2*k+1 AS seq, 'U' AS op, status, price_c + 100
+            FROM o WHERE k % 3 = 0
+            UNION ALL
+            SELECT k, 2*k+2 AS seq, 'D' AS op, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT)
+            FROM o WHERE k % 6 = 0),
+          last AS (SELECT k, seq, op, status, price_c,
+                     ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+                       AS rn
+                   FROM chg),
+          l1 AS (SELECT k, seq, op, status, price_c FROM last WHERE rn = 1),
+          j AS (SELECT COALESCE(b.k, c.k) AS k,
+                       b.status AS bs, b.price_c AS bp,
+                       c.op, c.seq, c.status AS cs, c.price_c AS cp
+                FROM base b FULL OUTER JOIN l1 c ON b.k = c.k)
+         SELECT k,
+                CASE WHEN op IS NOT NULL THEN cs ELSE bs END AS status,
+                CASE WHEN op IS NOT NULL THEN cp ELSE bp END AS price_c,
+                seq AS last_seq, op AS last_op
+         FROM j WHERE op IS NULL OR op <> 'D'
+         ORDER BY k""",
     "q_a1_count" -> "SELECT COUNT(*) AS n FROM lineitem",
     "q_a2_count_distinct" ->
       "SELECT COUNT(DISTINCT o_custkey) AS u FROM orders",

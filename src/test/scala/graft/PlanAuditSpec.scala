@@ -496,4 +496,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins.isEmpty,
       s"interleave joined what it should have folded: $joins")
   }
+
+  test("CDC apply: struct-max compaction, no window, top not a global sort") {
+    // the changelog compaction must stay a map-side-combinable
+    // max(struct) aggregate — a row_number window over a hot key would
+    // serialize that key's whole version history into one task
+    val plan = executedPlan(q("q_j12_cdc_apply"))
+    assert(!plan.contains("Window"),
+      s"q_j12 compaction regressed to a window:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q_j12 plan contains a cross product")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_max") ||
+      finalPlan.contains("partial_finalmerge_max") ||
+      "partial.*max".r.findFirstIn(finalPlan).nonEmpty,
+      s"q_j12 compaction lost its map-side combine:\n${finalPlan.take(1200)}")
+  }
+
+  test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
+    val plan = executedPlan(q("q_g6_link_predict"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_g6 top-k became a global sort:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q_g6 plan contains a cross product")
+    assert(!plan.contains("Window"),
+      s"q_g6 grew a window:\n${plan.take(1200)}")
+  }
 }
