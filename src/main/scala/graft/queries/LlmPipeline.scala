@@ -1236,6 +1236,36 @@ object LlmPipeline {
           maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_e19_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry preference strengths (r11, L105): pairwise
+      // judgments synthesized deterministically from events — for each
+      // (user, day), every event-type pair the user touched compares by
+      // activity count (ties skipped) — then 10 quantized MM rounds on
+      // the items² grid (the PCA/CMS bounded-grid pattern); the oracle
+      // replays the identical unrolled rounds from the same parameters
+      val ev = t(s, dir, "events")
+      val c = ev
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("user_id"),
+          call_function("div", Tables.epochMicros(ev, "ts"),
+            lit(86400000000L)).as("d"),
+          col("event_type"))
+        .groupBy(col("user_id"), col("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val cmp = c.as("x").join(c.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.d") === col("y.d")
+            && col("x.event_type") < col("y.event_type")
+            && col("x.n") =!= col("y.n"))
+        .select(
+          when(col("x.n") > col("y.n"), col("x.event_type"))
+            .otherwise(col("y.event_type")).as("winner"),
+          when(col("x.n") > col("y.n"), col("y.event_type"))
+            .otherwise(col("x.event_type")).as("loser"))
+      BradleyTerry.fit(cmp, "winner", "loser", rounds = 10, lambda = 1L)
+        .orderBy(col("item"))
+    }),
+
     "q_e18_interleave" -> ((s, dir) =>
       // deterministic proportional interleave (r9, L79): the training
       // data-loader ORDER — weighted fair queueing over sources with
@@ -2750,6 +2780,27 @@ object LlmPipeline {
                 FROM dsir)
          SELECT doc_id, gumbel_key_e4 FROM g
          ORDER BY gumbel_key_e4 DESC, doc_id LIMIT 50""",
+    // q_e19: the unrolled-MM replay is GENERATED from the same
+    // (rounds, lambda) by BradleyTerry.oracleCtes — engine and oracle
+    // cannot drift on the round count or smoothing
+    "q_e19_bradley_terry" ->
+      s"""WITH c AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                       event_type, COUNT(*) AS n
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND user_id IS NOT NULL
+                GROUP BY 1, 2, 3),
+          cmp AS MATERIALIZED (
+                SELECT CASE WHEN x.n > y.n THEN x.event_type
+                            ELSE y.event_type END AS winner,
+                       CASE WHEN x.n > y.n THEN y.event_type
+                            ELSE x.event_type END AS loser
+                FROM c x JOIN c y
+                  ON x.user_id = y.user_id AND x.d = y.d
+                 AND x.event_type < y.event_type
+                WHERE x.n <> y.n),
+          ${BradleyTerry.oracleCtes(rounds = 10, lambda = 1L)}""",
     // q_e18: the engine computes positions in closed form; the oracle
     // is the DEFINITION — rank under the (virtual time, source, r)
     // sort, virtual time exact-integered by the lcm-6 trick

@@ -514,6 +514,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q_j12 compaction lost its map-side combine:\n${finalPlan.take(1200)}")
   }
 
+  test("Bradley-Terry: iterations never touch Spark — result is a local table") {
+    // the corpus collapses to the items² grid in one aggregation inside
+    // fit(); the 10 MM rounds are driver arithmetic, so the RESULT frame
+    // must be a literal local table with no corpus lineage (the PCA
+    // zero-jobs-per-round discipline)
+    val plan = executedPlan(q("q_e19_bradley_terry"))
+    assert(plan.contains("LocalTableScan"),
+      s"q_e19 result is not a driver-materialized grid:\n${plan.take(800)}")
+    assert(!plan.contains("FileScan"),
+      s"q_e19 re-reads the corpus per round:\n${plan.take(800)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
