@@ -19,6 +19,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_cosine takes 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    // graft_nfc: Unicode NFC normalization (L103) — the dedup-key
+    // normalization pass, SQL-callable for parity with the Column form
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(
+        classOf[graft.expressions.NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_nfc takes 1 argument")
+        graft.expressions.NfcNormalize(children.head)
+      }))
     // graft_jaccard: the battery's set-similarity kernel
     // (TextAnalysis.jaccard) as a SQL function — built from stock
     // codegen'd catalyst nodes, so the SQL form rides whole-stage

@@ -941,6 +941,22 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t32_nfc_dedup" -> ((s, dir) => {
+      // Unicode NFC dedup gain (r11, L103): every doc arrives twice —
+      // once suffixed precomposed (U+00E9), once with the canonically
+      // equivalent decomposition (e + U+0301) — byte-different, so raw
+      // md5 keeps both; the graft_nfc codegen'd normalization merges
+      // them. merged == distinct-text count per source, by construction
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("text"))
+      val doubled = d.select(col("source"),
+          concat(col("text"), lit(" caf\u00e9")).as("text"))   // NFC
+        .unionAll(d.select(col("source"),
+          concat(col("text"), lit(" cafe\u0301")).as("text"))) // NFD
+      Normalize.nfcDedupGain(doubled, "text", "source")
+        .orderBy(col("grp"))
+    }),
     "q_t31_luhn_audit" -> ((s, dir) => {
       // checksum-validated card-number PII audit (r11, L98): docs get
       // seeded card-length digit runs appended — one VALID test PAN
@@ -3020,6 +3036,25 @@ object LlmPipeline {
     // q_t31: same augmented fixture, same RE2-safe digit-run pattern,
     // the Luhn fold replayed digit-for-digit (ascii/substr from the
     // right, double-every-second with the −9 fold, mod 10)
+    // q_t32: suffixes built via chr() so the oracle file stays pure
+    // ASCII — chr(233)=U+00E9 precomposed, chr(769)=U+0301 combining;
+    // DuckDB's nfc_normalize implements the same UAX #15 the engine's
+    // graft_nfc (JDK Normalizer) does, md5 hashes the UTF-8 bytes in
+    // both engines
+    "q_t32_nfc_dedup" ->
+      """WITH d AS (SELECT source, text FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL),
+          v AS (SELECT source, text || ' caf' || chr(233) AS t FROM d
+                UNION ALL
+                SELECT source, text || ' cafe' || chr(769) AS t FROM d),
+          f AS (SELECT source AS grp, md5(t) AS raw_fp,
+                       md5(nfc_normalize(t)) AS nfc_fp
+                FROM v)
+         SELECT grp, COUNT(*) AS n_rows,
+                COUNT(DISTINCT raw_fp) AS raw_distinct,
+                COUNT(DISTINCT nfc_fp) AS nfc_distinct,
+                COUNT(DISTINCT raw_fp) - COUNT(DISTINCT nfc_fp) AS merged
+         FROM f GROUP BY grp ORDER BY grp""",
     "q_t31_luhn_audit" ->
       """WITH d AS (SELECT doc_id, COALESCE(text, '')
               || CASE WHEN doc_id % 3 = 0
