@@ -941,6 +941,15 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t33_zipf_slope" -> ((s, dir) =>
+      // Zipf rank-frequency slope (r11, L106): per-source OLS of
+      // ln(freq) on ln(rank) over the top-100 token ranks — the
+      // vocabulary-health data-card number (natural text ≈ −1;
+      // boilerplate flattens it); each ln quantized once, exact BIGINT
+      // moments, one rounded division (the a13/a15 discipline)
+      Zipf.slopeByGroup(t(s, dir, "documents"), "text", "source",
+          TextAnalysis.tokens, topRanks = 100)
+        .orderBy(col("source"))),
     "q_t32_nfc_dedup" -> ((s, dir) => {
       // Unicode NFC dedup gain (r11, L103): every doc arrives twice —
       // once suffixed precomposed (U+00E9), once with the canonically
@@ -3036,6 +3045,36 @@ object LlmPipeline {
     // q_t31: same augmented fixture, same RE2-safe digit-run pattern,
     // the Luhn fold replayed digit-for-digit (ascii/substr from the
     // right, double-every-second with the −9 fold, mod 10)
+    // q_t33: same tokenizer CTE, same window tie-break, the lns inside
+    // the identical half-up floor, exact BIGINT moments, one round(…, 6)
+    "q_t33_zipf_slope" ->
+      s"""WITH tk AS (SELECT source, unnest($duckToks) AS tok
+              FROM documents
+              WHERE source IS NOT NULL AND text IS NOT NULL),
+          tf AS (SELECT source, tok, COUNT(*) AS n
+                 FROM tk GROUP BY 1, 2),
+          rk AS (SELECT source, tok, n,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY n DESC, tok) AS r
+                 FROM tf),
+          q AS (SELECT source,
+                  CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5)
+                       AS BIGINT) AS x,
+                  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                       AS BIGINT) AS y
+                FROM rk WHERE r <= 100),
+          m AS (SELECT source, COUNT(*) AS m,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx
+                FROM q GROUP BY source)
+         SELECT source, m AS n_ranks,
+                CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                     ELSE round(CAST(m * sxy - sx * sy AS DOUBLE) /
+                                CAST(m * sxx - sx * sx AS DOUBLE), 6)
+                END AS slope6
+         FROM m ORDER BY source""",
     // q_t32: suffixes built via chr() so the oracle file stays pure
     // ASCII — chr(233)=U+00E9 precomposed, chr(769)=U+0301 combining;
     // DuckDB's nfc_normalize implements the same UAX #15 the engine's

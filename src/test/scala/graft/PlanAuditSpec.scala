@@ -526,6 +526,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q_e19 re-reads the corpus per round:\n${plan.take(800)}")
   }
 
+  test("Zipf slope: per-source ranking runs as WindowGroupLimit, not a full sort") {
+    // the rank<=k filter must push into WindowGroupLimit so each map
+    // partition keeps only top-k per source before the shuffle — a
+    // plain window would sort the whole vocabulary per source
+    val plan = executedPlan(q("q_t33_zipf_slope"))
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_t33 ranking lost its group-limit pushdown:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"),
+      "q_t33 plan contains a cross product")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
