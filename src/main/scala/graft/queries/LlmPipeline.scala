@@ -941,6 +941,22 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t34_bleu" -> ((s, dir) => {
+      // corpus BLEU-2 (r11, L107): candidate = the doc with every 4th
+      // token dropped, reference = the doc — p1 is exactly 1 (the
+      // candidate is a sub-multiset), deletion-spanning bigrams pull
+      // p2 below 1, and the shortened candidate exercises the brevity
+      // penalty; all counts exact BIGINT, the one exp/ln surface in a
+      // single half-up floor
+      val tk = TextAnalysis.tokens(col("text"))
+      val cand = filter(tk,
+        (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          pmod(i + 1, lit(4)) =!= 0)
+      Bleu.corpusBleu(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "source", "doc_id", cand, tk)
+        .orderBy(col("grp"))
+    }),
     "q_t33_zipf_slope" -> ((s, dir) =>
       // Zipf rank-frequency slope (r11, L106): per-source OLS of
       // ln(freq) on ln(rank) over the top-100 token ranks — the
@@ -3045,6 +3061,63 @@ object LlmPipeline {
     // q_t31: same augmented fixture, same RE2-safe digit-run pattern,
     // the Luhn fold replayed digit-for-digit (ascii/substr from the
     // right, double-every-second with the −9 fold, mod 10)
+    // q_t34: same tokenizer, candidate rebuilt with DuckDB's 1-BASED
+    // indexed list_filter (engine uses 0-based i+1), bigrams via the
+    // q_t27 list-index pattern, the exp/ln surface replayed inside the
+    // identical floor
+    "q_t34_bleu" ->
+      s"""WITH base AS (SELECT source, doc_id, $duckToks AS rt,
+                list_filter($duckToks, (x, i) -> i % 4 != 0) AS ct
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL
+                AND doc_id IS NOT NULL),
+          g AS (
+            SELECT source, doc_id, 1 AS n, unnest(ct) AS gram, 'c' AS side
+            FROM base
+            UNION ALL
+            SELECT source, doc_id, 2 AS n,
+                   ct[CAST(i AS INTEGER)] || ' ' ||
+                   ct[CAST(i + 1 AS INTEGER)] AS gram, 'c' AS side
+            FROM base, unnest(range(1, len(ct))) AS t(i)
+            UNION ALL
+            SELECT source, doc_id, 1 AS n, unnest(rt) AS gram, 'r' AS side
+            FROM base
+            UNION ALL
+            SELECT source, doc_id, 2 AS n,
+                   rt[CAST(i AS INTEGER)] || ' ' ||
+                   rt[CAST(i + 1 AS INTEGER)] AS gram, 'r' AS side
+            FROM base, unnest(range(1, len(rt))) AS t(i)),
+          pc AS (SELECT source, doc_id, n, gram,
+                   COUNT(*) FILTER (WHERE side = 'c') AS c,
+                   COUNT(*) FILTER (WHERE side = 'r') AS r
+                 FROM g GROUP BY 1, 2, 3, 4),
+          s AS (SELECT source AS grp,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE n = 1), 0)
+                       AS BIGINT) AS c_len,
+                  CAST(COALESCE(SUM(r) FILTER (WHERE n = 1), 0)
+                       AS BIGINT) AS r_len,
+                  CAST(COALESCE(SUM(LEAST(c, r)) FILTER (WHERE n = 1), 0)
+                       AS BIGINT) AS match1,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE n = 1), 0)
+                       AS BIGINT) AS total1,
+                  CAST(COALESCE(SUM(LEAST(c, r)) FILTER (WHERE n = 2), 0)
+                       AS BIGINT) AS match2,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE n = 2), 0)
+                       AS BIGINT) AS total2
+                FROM pc GROUP BY source)
+         SELECT grp, c_len, r_len, match1, total1, match2, total2,
+                CASE WHEN total1 = 0 OR total2 = 0
+                       OR match1 = 0 OR match2 = 0 THEN 0
+                     ELSE CAST(floor(exp(
+                            LEAST(0.0, 1.0 - CAST(r_len AS DOUBLE)
+                                             / CAST(c_len AS DOUBLE))
+                            + 0.5 * (ln(CAST(match1 AS DOUBLE)
+                                        / CAST(total1 AS DOUBLE))
+                                   + ln(CAST(match2 AS DOUBLE)
+                                        / CAST(total2 AS DOUBLE))))
+                            * 1000000.0 + 0.5) AS BIGINT)
+                END AS bleu_e6
+         FROM s ORDER BY grp""",
     // q_t33: same tokenizer CTE, same window tie-break, the lns inside
     // the identical half-up floor, exact BIGINT moments, one round(…, 6)
     "q_t33_zipf_slope" ->
