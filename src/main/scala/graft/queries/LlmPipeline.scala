@@ -1277,6 +1277,17 @@ object LlmPipeline {
           maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_v16_jl_distortion" -> ((s, dir) =>
+      // JL Rademacher projection audit (r11, L108): 64→16 dims via the
+      // md5-derived ±1 matrix (both engines recompute the matrix from
+      // the seed), per-pair ‖Sa−Sb‖²/k vs ‖a−b‖² distortion over the
+      // fixed 100-vector pair set; projection is a native codegen loop
+      // (JlProject), distances share the DotProduct fold contract
+      JlAudit.distortionPairs(
+          t(s, dir, "embeddings").filter(col("vec_id") < 100),
+          "vec_id", "embedding", seed = "jl42", dims = 64, k = 16)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_e19_bradley_terry" -> ((s, dir) => {
       // Bradley–Terry preference strengths (r11, L105): pairwise
       // judgments synthesized deterministically from events — for each
@@ -2530,6 +2541,43 @@ object LlmPipeline {
          SELECT label, CAST(dim AS INTEGER) AS dim, n,
                 (s - ((s % n + n) % n)) // n AS mean_e6
          FROM g ORDER BY label, dim""",
+    // q_v16: the oracle RECOMPUTES the sign matrix from the seed —
+    // md5('jl42-<d>') hex digit j, odd → −1 (nothing rides as
+    // literals); list_sum is the same left fold as the codegen loops
+    "q_v16_jl_distortion" ->
+      """WITH e AS (SELECT vec_id AS id, embedding AS v
+              FROM embeddings
+              WHERE vec_id < 100 AND vec_id IS NOT NULL
+                AND embedding IS NOT NULL),
+          p AS MATERIALIZED (SELECT id, v,
+                 list_transform(range(1, 17), j ->
+                   list_sum(list_transform(range(1, 65), i ->
+                     CAST(v[CAST(i AS INTEGER)] AS DOUBLE) *
+                     (CASE WHEN strpos('13579bdf',
+                        substr(md5('jl42-' || CAST(i - 1 AS VARCHAR)),
+                               CAST(j AS INTEGER), 1)) > 0
+                      THEN -1.0 ELSE 1.0 END)))) AS pv
+               FROM e),
+          d AS (SELECT a.id AS id_a, b.id AS id_b,
+                  list_sum(list_transform(range(1, 65), i ->
+                    (CAST(a.v[CAST(i AS INTEGER)] AS DOUBLE)
+                     - CAST(b.v[CAST(i AS INTEGER)] AS DOUBLE))
+                    * (CAST(a.v[CAST(i AS INTEGER)] AS DOUBLE)
+                       - CAST(b.v[CAST(i AS INTEGER)] AS DOUBLE))))
+                    AS fullsq,
+                  list_sum(list_transform(range(1, 17), i ->
+                    (a.pv[CAST(i AS INTEGER)] - b.pv[CAST(i AS INTEGER)])
+                    * (a.pv[CAST(i AS INTEGER)]
+                       - b.pv[CAST(i AS INTEGER)]))) AS projsq
+                FROM p a JOIN p b ON a.id < b.id)
+         SELECT id_a, id_b,
+                ROUND(fullsq, 6) AS dist_full6,
+                ROUND(projsq, 6) AS dist_proj6,
+                CASE WHEN fullsq = 0 THEN NULL
+                     ELSE CAST(floor((projsq / 16.0) / fullsq * 1000000.0
+                                     + 0.5) AS BIGINT)
+                END AS ratio_e6
+         FROM d ORDER BY id_a, id_b""",
     "q_v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 5),
