@@ -33,26 +33,36 @@ object Bleu {
       (a, b) => concat(a, lit(" "), b))
   }
 
-  /** Corpus BLEU-2 per group over (candidate, reference) token-array
-    * pairs. Output: (groupCol, c_len, r_len, match1, total1, match2,
-    * total2, bleu_e6), all counts exact. */
-  def corpusBleu(pairs: DataFrame, groupCol: String, idCol: String,
+  /** Per-pair clipped gram counts `(grp, id, n, g, c, r)` for n = 1, 2
+    * on both sides from ONE tagged explode — shared by [[corpusBleu]]
+    * and [[Rouge.rougeN]] so the two metrics cannot drift on gram
+    * extraction. */
+  private[operators] def perPairGramCounts(pairs: DataFrame,
+      groupCol: String, idCol: String,
       candToks: Column, refToks: Column): DataFrame = {
     def tagged(side: String, n: Int, grams: Column): Column =
       transform(grams, g =>
         struct(lit(side).as("side"), lit(n).as("n"), g.as("g")))
-    val exploded = pairs
+    pairs
       .filter(col(groupCol).isNotNull && col(idCol).isNotNull)
       .select(col(groupCol).as("grp"), col(idCol).as("id"),
         explode(concat(
           tagged("c", 1, candToks), tagged("c", 2, bigrams(candToks)),
           tagged("r", 1, refToks), tagged("r", 2, bigrams(refToks))))
           .as("t"))
-    val perPair = exploded
       .groupBy(col("grp"), col("id"), col("t.n").as("n"),
         col("t.g").as("g"))
       .agg(count(when(col("t.side") === "c", 1)).as("c"),
         count(when(col("t.side") === "r", 1)).as("r"))
+  }
+
+  /** Corpus BLEU-2 per group over (candidate, reference) token-array
+    * pairs. Output: (groupCol, c_len, r_len, match1, total1, match2,
+    * total2, bleu_e6), all counts exact. */
+  def corpusBleu(pairs: DataFrame, groupCol: String, idCol: String,
+      candToks: Column, refToks: Column): DataFrame = {
+    val perPair = perPairGramCounts(pairs, groupCol, idCol,
+      candToks, refToks)
     val pooled = perPair.groupBy(col("grp")).agg(
       sum(when(col("n") === 1, col("c"))).as("c_len"),
       sum(when(col("n") === 1, col("r"))).as("r_len"),

@@ -941,6 +941,20 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t35_rouge" -> ((s, dir) => {
+      // corpus ROUGE-1/2 (r11, L109): same candidate construction as
+      // q_t34 — recall-oriented twin, and FULLY exact: P, R and the
+      // micro F1 (= 2m/(c+r), algebraically float-free) are all floor
+      // divisions the gate compares digit-for-digit
+      val tk = TextAnalysis.tokens(col("text"))
+      val cand = filter(tk,
+        (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          pmod(i + 1, lit(4)) =!= 0)
+      Rouge.rougeN(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "source", "doc_id", cand, tk)
+        .orderBy(col("grp"), col("n"))
+    }),
     "q_t34_bleu" -> ((s, dir) => {
       // corpus BLEU-2 (r11, L107): candidate = the doc with every 4th
       // token dropped, reference = the doc — p1 is exactly 1 (the
@@ -1659,6 +1673,19 @@ object LlmPipeline {
       // token granularity), exact BIGINT rollup
       SourceDivergence.report(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))),
+    "q_qr13_isotonic" -> ((s, dir) => {
+      // isotonic calibration (r11, L110): price-bucket "scores" vs the
+      // F-status outcome — fit(b) = max_{j≤b} min_{k≥b} of the exact
+      // quantized interval means (the minimax characterization; PAV's
+      // sequential pooling replays in no SQL), all floor division
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull &&
+          col("o_orderstatus").isNotNull)
+        .select(
+          least(floor(col("o_totalprice") / 30000), lit(9L)).as("bin"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      Isotonic.calibrate(o, "bin", "y").orderBy(col("bin"))
+    }),
     "q_qr12_cms_heavy" -> ((s, dir) => {
       // count-min sketch frequency estimates (r11, L97): the fixed-
       // memory sibling of the exact heavy-hitter path — a 4×1024
@@ -2284,6 +2311,34 @@ object LlmPipeline {
     // cell derivation ("cms:r:token", the L47 integer form), same
     // min-over-rows estimate; the sketch is deterministic so the
     // approximation error itself hash-compares
+    // q_qr13: the minimax replay — same bins, every interval mean one
+    // exact floor division, the same nested max-of-min over integers
+    "q_qr13_isotonic" ->
+      """WITH r AS (SELECT LEAST(CAST(floor(o_totalprice / 30000)
+                                  AS BIGINT), 9) AS bin,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+          bins AS (SELECT bin, COUNT(*) AS w, CAST(SUM(y) AS BIGINT) AS s
+                   FROM r GROUP BY bin),
+          iv AS (SELECT a.bin AS j, b.bin AS k,
+                   CAST(SUM(t.s) AS BIGINT) * 1000000
+                     // CAST(SUM(t.w) AS BIGINT) AS rate_e6
+                 FROM bins a JOIN bins b ON a.bin <= b.bin
+                 JOIN bins t ON t.bin BETWEEN a.bin AND b.bin
+                 GROUP BY 1, 2),
+          im AS (SELECT bins.bin, iv.j, MIN(iv.rate_e6) AS mn
+                 FROM iv JOIN bins
+                   ON iv.j <= bins.bin AND bins.bin <= iv.k
+                 GROUP BY 1, 2),
+          fit AS (SELECT bin, CAST(MAX(mn) AS BIGINT) AS fit_e6
+                  FROM im GROUP BY bin)
+         SELECT bins.bin, bins.w, bins.s,
+                CAST(bins.s * 1000000 // bins.w AS BIGINT) AS raw_e6,
+                fit.fit_e6
+         FROM bins JOIN fit ON bins.bin = fit.bin
+         ORDER BY bins.bin""",
     "q_qr12_cms_heavy" ->
       s"""WITH t2 AS MATERIALIZED (
              SELECT t.token FROM (SELECT unnest($duckToks) AS token
@@ -3109,6 +3164,47 @@ object LlmPipeline {
     // q_t31: same augmented fixture, same RE2-safe digit-run pattern,
     // the Luhn fold replayed digit-for-digit (ascii/substr from the
     // right, double-every-second with the −9 fold, mod 10)
+    // q_t35: the q_t34 gram CTEs, pooled per (source, n); P/R/F1 are
+    // pure integer floor divisions (micro F1 = 2m/(ct+rt))
+    "q_t35_rouge" ->
+      s"""WITH base AS (SELECT source, doc_id, $duckToks AS rt,
+                list_filter($duckToks, (x, i) -> i % 4 != 0) AS ct
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL
+                AND doc_id IS NOT NULL),
+          g AS (
+            SELECT source, doc_id, 1 AS n, unnest(ct) AS gram, 'c' AS side
+            FROM base
+            UNION ALL
+            SELECT source, doc_id, 2 AS n,
+                   ct[CAST(i AS INTEGER)] || ' ' ||
+                   ct[CAST(i + 1 AS INTEGER)] AS gram, 'c' AS side
+            FROM base, unnest(range(1, len(ct))) AS t(i)
+            UNION ALL
+            SELECT source, doc_id, 1 AS n, unnest(rt) AS gram, 'r' AS side
+            FROM base
+            UNION ALL
+            SELECT source, doc_id, 2 AS n,
+                   rt[CAST(i AS INTEGER)] || ' ' ||
+                   rt[CAST(i + 1 AS INTEGER)] AS gram, 'r' AS side
+            FROM base, unnest(range(1, len(rt))) AS t(i)),
+          pc AS (SELECT source, doc_id, n, gram,
+                   COUNT(*) FILTER (WHERE side = 'c') AS c,
+                   COUNT(*) FILTER (WHERE side = 'r') AS r
+                 FROM g GROUP BY 1, 2, 3, 4),
+          s AS (SELECT source AS grp, n,
+                  CAST(SUM(LEAST(c, r)) AS BIGINT) AS m,
+                  CAST(SUM(c) AS BIGINT) AS ct,
+                  CAST(SUM(r) AS BIGINT) AS rt
+                FROM pc GROUP BY 1, 2)
+         SELECT grp, n, m, ct, rt,
+                CASE WHEN ct = 0 THEN NULL
+                     ELSE m * 1000000 // ct END AS p_e6,
+                CASE WHEN rt = 0 THEN NULL
+                     ELSE m * 1000000 // rt END AS r_e6,
+                CASE WHEN ct + rt = 0 THEN NULL
+                     ELSE 2 * m * 1000000 // (ct + rt) END AS f1_e6
+         FROM s ORDER BY grp, n""",
     // q_t34: same tokenizer, candidate rebuilt with DuckDB's 1-BASED
     // indexed list_filter (engine uses 0-based i+1), bigrams via the
     // q_t27 list-index pattern, the exp/ln surface replayed inside the
