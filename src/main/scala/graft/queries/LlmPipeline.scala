@@ -1282,6 +1282,31 @@ object LlmPipeline {
       ClusterTerms.topTerms(t(s, dir, "documents"), "source", "text", k = 5)
         .orderBy(col("source"), col("rank"))),
 
+    "q_j13_record_linkage" -> ((s, dir) => {
+      // Fellegi–Sunter EM linkage (r11, L111): candidate pairs blocked
+      // on (nation, custkey%5), three 0/1 agreement fields (segment,
+      // acctbal-band, name-last-char), 8 quantized EM rounds on the
+      // 2³-pattern grid; the oracle replays the unrolled rounds from
+      // the same (fields, rounds) via RecordLinkage.oracleCtes
+      val c = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull && col("c_nationkey").isNotNull
+          && col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull
+          && col("c_name").isNotNull)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+          pmod(col("c_custkey"), lit(5)).as("blk"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).as("bal"),
+          expr("substr(c_name, length(c_name), 1)").as("lc"))
+      val pr = c.as("a").join(c.as("b"),
+          col("a.nat") === col("b.nat") && col("a.blk") === col("b.blk")
+            && col("a.k") < col("b.k"))
+        .select(
+          when(col("a.seg") === col("b.seg"), 1).otherwise(0).as("g1"),
+          when(col("a.bal") === col("b.bal"), 1).otherwise(0).as("g2"),
+          when(col("a.lc") === col("b.lc"), 1).otherwise(0).as("g3"))
+      RecordLinkage.emPatterns(pr, Seq("g1", "g2", "g3"), rounds = 8)
+        .orderBy(col("g1"), col("g2"), col("g3"))
+    }),
     "q_j10_fuzzy_match" -> ((s, dir) =>
       // exact edit-distance entity matching (r8, L69): SymSpell
       // deletion-neighborhood blocking (lossless for lev ≤ d, the L63
@@ -3570,6 +3595,25 @@ object LlmPipeline {
                 COUNT(DISTINCT o_custkey) AS exact_u, 1 AS err_ok
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // q_j11: exhaustive cross join over the normalized key space
+    // q_j13: the unrolled-EM replay is GENERATED from the same
+    // (fields=3, rounds=8) by RecordLinkage.oracleCtes; custkeys are
+    // positive so % matches the engine's pmod
+    "q_j13_record_linkage" ->
+      s"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+                c_custkey % 5 AS blk, c_mktsegment AS seg,
+                CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal,
+                substr(c_name, length(c_name), 1) AS lc
+              FROM customer
+              WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+                AND c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+                AND c_name IS NOT NULL),
+          pr AS MATERIALIZED (SELECT
+                CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g1,
+                CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS g2,
+                CASE WHEN a.lc = b.lc THEN 1 ELSE 0 END AS g3
+              FROM c a JOIN c b
+                ON a.nat = b.nat AND a.blk = b.blk AND a.k < b.k),
+          ${RecordLinkage.oracleCtes(fields = 3, rounds = 8)}""",
     "q_j11_fuzzy_link" ->
       """SELECT c.c_custkey AS left_id, s.s_suppkey AS right_id,
                 CAST(levenshtein(

@@ -537,6 +537,17 @@ class PlanAuditSpec extends SparkSpec {
       "q_t33 plan contains a cross product")
   }
 
+  test("record linkage: EM never touches Spark — result is a local table") {
+    // the pair corpus collapses to the 2^3 pattern grid in one
+    // aggregation inside emPatterns(); 8 EM rounds are driver
+    // arithmetic (the BT/PCA discipline)
+    val plan = executedPlan(q("q_j13_record_linkage"))
+    assert(plan.contains("LocalTableScan"),
+      s"q_j13 result is not a driver-materialized grid:\n${plan.take(800)}")
+    assert(!plan.contains("FileScan"),
+      s"q_j13 re-reads the corpus per round:\n${plan.take(800)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
