@@ -580,6 +580,16 @@ object Relational {
           Tables.epochMicros(ev, "ts"))
         .orderBy(col("event_type"), col("x"))
     }),
+    "q_a18_ewma" -> ((s, dir) => {
+      // smoothed volume level (r11, L112): exact windowed EWMA (α=1/2
+      // kernel over the trailing 8 observed days, renormalized so
+      // warm-up is exact) — the SMOOTHED member of the volume panel
+      // next to a15's slope, a16's significance and a17's anomaly
+      val ev = t(s, dir, "events")
+      Trend.dailyVolumeEwma(ev, "event_type",
+          Tables.epochMicros(ev, "ts"))
+        .orderBy(col("event_type"), col("x"))
+    }),
     "q_a14_approx_quantile_verdict" -> ((s, dir) => {
       // approx_percentile (GK sketch) is THE one-pass mergeable quantile
       // path at 100 TB — A8/A9's exact rank-select costs a second
@@ -1141,6 +1151,34 @@ object Relational {
     // q_a17: same day-floored series, the trailing frame as a window
     // list, the identical lower-median index (arr[(w+1)/2], 1-based)
     // on values and absolute deviations, exact integer verdict
+    // q_a18: same day-floored series; the window list is chronological
+    // (ROWS frame order), weights double with the 1-based lambda index,
+    // one exact floor division per row
+    "q_a18_ewma" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          s AS (SELECT event_type,
+                  (us - ((us % 86400000000 + 86400000000) % 86400000000))
+                    // 86400000000 AS x,
+                  CAST(COUNT(*) AS BIGINT) AS y
+                FROM e GROUP BY 1, 2),
+          w AS (SELECT event_type, x, y,
+                  list(y) OVER (PARTITION BY event_type ORDER BY x
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+                FROM s),
+          c AS (SELECT event_type, x, y,
+                  CAST(len(arr) AS INTEGER) AS k,
+                  CAST(list_sum(list_transform(arr,
+                    (v, i) -> v * (CAST(1 AS BIGINT) << (i - 1))))
+                    AS BIGINT) AS num
+                FROM w)
+         SELECT event_type, x, y, k,
+                CAST(num * 1000000 // ((CAST(1 AS BIGINT) << k) - 1)
+                     AS BIGINT) AS ewma_e6,
+                CAST(y * 1000000
+                     - num * 1000000 // ((CAST(1 AS BIGINT) << k) - 1)
+                     AS BIGINT) AS dev_e6
+         FROM c ORDER BY event_type, x""",
     "q_a17_mad_anomaly" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
                WHERE event_type IS NOT NULL AND ts IS NOT NULL),

@@ -171,4 +171,48 @@ class TrendSpec extends SparkSpec {
       .map { case (x, y, med, mad, a) => (x, y, med, mad, a) }
     assert(got === want)
   }
+
+  // ------------------------------------------------- EWMA level (L112)
+
+  private def runEwma(rows: Seq[(String, Long)], window: Int = 8) =
+    Trend.dailyVolumeEwma(rows.toDF("g", "us"), "g", col("us"),
+        window = window)
+      .orderBy(col("x"))
+      .as[(String, Long, Long, Int, Long, Long)]
+      .collect().toSeq
+
+  test("EWMA: constant series is the constant, warm-up included") {
+    val got = runEwma(series(Seq(5L, 5L, 5L, 5L)))
+    got.foreach { case (_, _, y, _, ewma, dev) =>
+      assert(ewma === y * 1000000L && dev === 0L)
+    }
+    assert(got.head._4 === 1 && got.last._4 === 4) // k grows through warm-up
+  }
+
+  test("EWMA: hand-computed two-day case") {
+    // y = [4, 8]: day 1 → 4e6; day 2 → (4·1 + 8·2)·1e6 DIV 3 = 6666666
+    val got = runEwma(series(Seq(4L, 8L)))
+    assert(got.map(_._5) === Seq(4000000L, 6666666L))
+    assert(got.last._6 === 8000000L - 6666666L)
+  }
+
+  test("EWMA: newest observation dominates (vs the arithmetic mean)") {
+    // (zero-count days never appear in an observed series, so the step
+    // uses low counts): y = [1,1,1,13] → mean 4e6, ewma well above
+    val got2 = runEwma(series(Seq(1L, 1L, 1L, 13L)))
+    val last = got2.last
+    assert(last._5 > 4000000L, s"not newest-weighted: $last") // mean = 4e6
+  }
+
+  test("EWMA: matches a plain-Scala reference on a seeded series") {
+    val rnd = new scala.util.Random(31)
+    val counts = (1 to 30).map(_ => rnd.nextInt(20).toLong + 1)
+    val got = runEwma(series(counts))
+    val want = counts.zipWithIndex.map { case (_, d) =>
+      val win = counts.slice(math.max(0, d - 7), d + 1)
+      val num = win.zipWithIndex.map { case (v, i) => v << i }.sum
+      Math.floorDiv(num * 1000000L, (1L << win.size) - 1L)
+    }
+    assert(got.map(_._5) === want)
+  }
 }
