@@ -1327,6 +1327,18 @@ object LlmPipeline {
           "vec_id", "embedding", seed = "jl42", dims = 64, k = 16)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_e20_negative_sampling" -> ((s, dir) => {
+      // smoothed-unigram negative sampling (r11, L113): 5 deterministic
+      // md5 draws per anchor doc from P(w) ∝ count^0.75 — the
+      // contrastive-training staple; vocab cumulative via the shared
+      // L87 prefix sum, lookup via L39's point-in-interval join
+      val docs = t(s, dir, "documents")
+      NegativeSampling.sample(docs, "text", TextAnalysis.tokens,
+          docs.filter(col("doc_id") < 200)
+            .select(col("doc_id")).distinct(),
+          "doc_id", k = 5, seed = "neg:42")
+        .orderBy(col("anchor"), col("j"))
+    }),
     "q_e19_bradley_terry" -> ((s, dir) => {
       // Bradley–Terry preference strengths (r11, L105): pairwise
       // judgments synthesized deterministically from events — for each
@@ -2949,6 +2961,34 @@ object LlmPipeline {
                 FROM dsir)
          SELECT doc_id, gumbel_key_e4 FROM g
          ORDER BY gumbel_key_e4 DESC, doc_id LIMIT 50""",
+    // q_e20: the ^0.75 weight inside the identical half-up floor, the
+    // cumulative as one ordered SUM OVER (DuckDB replays the global
+    // order the engine builds by partition-offset), md5 draws via the
+    // established '0x'||hex ≡ conv(…,16,10) equivalence
+    "q_e20_negative_sampling" ->
+      s"""WITH tf AS (SELECT t AS token, COUNT(*) AS cnt
+              FROM (SELECT unnest($duckToks) AS t FROM documents
+                    WHERE text IS NOT NULL) x
+              GROUP BY 1),
+          wv AS (SELECT token,
+                   CAST(floor(pow(CAST(cnt AS DOUBLE), 0.75) * 10000
+                              + 0.5) AS BIGINT) AS w
+                 FROM tf),
+          cum AS (SELECT token, w,
+                    CAST(SUM(w) OVER (ORDER BY token) AS BIGINT) AS c
+                  FROM wv),
+          tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM wv),
+          dr AS (SELECT d.doc_id AS anchor, CAST(r.j AS INTEGER) AS j,
+                   CAST(concat('0x', substr(md5('neg:42:'
+                     || CAST(d.doc_id AS VARCHAR) || ':'
+                     || CAST(r.j AS VARCHAR)), 1, 13)) AS BIGINT)
+                     % tot.t AS u
+                 FROM (SELECT DISTINCT doc_id FROM documents
+                       WHERE doc_id < 200 AND doc_id IS NOT NULL) d,
+                      tot, unnest(range(1, 6)) AS r(j))
+         SELECT anchor, j, cum.token AS neg_token, u
+         FROM dr JOIN cum ON dr.u BETWEEN cum.c - cum.w AND cum.c - 1
+         ORDER BY anchor, j""",
     // q_e19: the unrolled-MM replay is GENERATED from the same
     // (rounds, lambda) by BradleyTerry.oracleCtes — engine and oracle
     // cannot drift on the round count or smoothing
