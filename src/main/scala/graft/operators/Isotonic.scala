@@ -30,6 +30,39 @@ object Isotonic {
   /** Interval-count guard: B² intervals must stay grid-sized. */
   val MaxBins = 64
 
+  /** Reliability diagram + expected calibration error (Naeini et al.
+    * 2015 ECE; Guo et al. 2017) — the MEASUREMENT this family's
+    * [[calibrate]] is the fix for: per confidence bin, the claimed
+    * confidence vs the empirical accuracy, and
+    * `ECE = Σ_b n_b·|acc_b − conf_b| / N`. Exact: `acc_e6` quantizes
+    * once by floor division, the gap is integer, and the corpus-level
+    * ECE is one more floor division; `confE6` maps the bin id to its
+    * claimed confidence (a pure function, shared with the oracle).
+    * Plan: ONE map-side-combinable (bin) aggregation, then grid-sized
+    * arithmetic — a 1-row total broadcast puts `ece_e6` on every bin
+    * row (documented: same value each row, the corpus scalar). */
+  def reliability(df: DataFrame, binCol: String, labelCol: String,
+      confE6: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val bins = df
+      .filter(col(binCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(binCol).cast("long").as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      .select(col("bin"), col("n"), col("s"),
+        confE6(col("bin")).as("conf_e6"),
+        expr("s * 1000000L DIV n").as("acc_e6"))
+      .withColumn("gap_contrib",
+        col("n") * abs(col("acc_e6") - col("conf_e6")))
+    val tot = bins.agg(sum(col("n")).as("nn"),
+      sum(col("gap_contrib")).as("gg"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("s"), col("conf_e6"),
+        col("acc_e6"), col("gap_contrib"),
+        expr("gg DIV nn").as("ece_e6"))
+  }
+
   /** `(bin, w, s, raw_e6, fit_e6)` per observed bin: weight, positive
     * count, the raw rate, and the isotonic (monotone non-decreasing)
     * calibrated rate — exact integers throughout. Bins with no rows do

@@ -1710,6 +1710,22 @@ object LlmPipeline {
       // token granularity), exact BIGINT rollup
       SourceDivergence.report(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))),
+    "q_qr14_ece" -> ((s, dir) => {
+      // reliability diagram + ECE (r11, L110's measurement half): the
+      // q_qr13 bins read as confidence claims (bin midpoint
+      // (2b+1)·1e6/20) vs the empirical F-rate; ECE is the n-weighted
+      // mean absolute gap — all floor division, rides on every row as
+      // the corpus scalar
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull &&
+          col("o_orderstatus").isNotNull)
+        .select(
+          least(floor(col("o_totalprice") / 30000), lit(9L)).as("bin"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      Isotonic.reliability(o, "bin", "y",
+          b => (b * 2 + 1) * lit(50000L)) // midpoint ·1e6/20, exact
+        .orderBy(col("bin"))
+    }),
     "q_qr13_isotonic" -> ((s, dir) => {
       // isotonic calibration (r11, L110): price-bucket "scores" vs the
       // F-status outcome — fit(b) = max_{j≤b} min_{k≥b} of the exact
@@ -2348,6 +2364,31 @@ object LlmPipeline {
     // cell derivation ("cms:r:token", the L47 integer form), same
     // min-over-rows estimate; the sketch is deterministic so the
     // approximation error itself hash-compares
+    // q_qr14: same bins, midpoint confidence (2b+1)·50000, acc and ECE
+    // as exact floor divisions
+    "q_qr14_ece" ->
+      """WITH r AS (SELECT LEAST(CAST(floor(o_totalprice / 30000)
+                                  AS BIGINT), 9) AS bin,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+          bins AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s
+                   FROM r GROUP BY bin),
+          b2 AS (SELECT bin, n, s,
+                   (bin * 2 + 1) * 50000 AS conf_e6,
+                   CAST(s * 1000000 // n AS BIGINT) AS acc_e6
+                 FROM bins),
+          b3 AS (SELECT bin, n, s, conf_e6, acc_e6,
+                   n * abs(acc_e6 - conf_e6) AS gap_contrib
+                 FROM b2),
+          tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                        CAST(SUM(gap_contrib) AS BIGINT) AS gg
+                 FROM b3)
+         SELECT bin, n, s, conf_e6, acc_e6,
+                CAST(gap_contrib AS BIGINT) AS gap_contrib,
+                CAST(gg // nn AS BIGINT) AS ece_e6
+         FROM b3, tt ORDER BY bin""",
     // q_qr13: the minimax replay — same bins, every interval mean one
     // exact floor division, the same nested max-of-min over integers
     "q_qr13_isotonic" ->

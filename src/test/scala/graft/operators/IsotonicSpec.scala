@@ -56,6 +56,29 @@ class IsotonicSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("bin", "y"), "bin", "y").count() === 0L)
   }
 
+  test("ECE: perfectly calibrated bins score exactly 0") {
+    // bin b claims (2b+1)/20; give it exactly that empirical rate
+    val rows = expand(Seq((0L, 20, 1), (1L, 20, 3), (2L, 20, 5)))
+    val out = Isotonic.reliability(rows.toDF("bin", "y"), "bin", "y",
+        b => (b * 2 + 1) * org.apache.spark.sql.functions.lit(50000L))
+      .orderBy("bin").collect()
+    out.foreach { r =>
+      assert(r.getLong(4) === r.getLong(3)) // acc == conf
+      assert(r.getLong(6) === 0L)
+    }
+  }
+
+  test("ECE: hand-computed weighted gap, scalar identical on every row") {
+    // bin0: conf 50000, acc 0 (gap 50000, n 10); bin1: conf 150000,
+    // acc 500000 (gap 350000, n 10) → ECE = (10·50000+10·350000)/20
+    val rows = expand(Seq((0L, 10, 0), (1L, 10, 5)))
+    val out = Isotonic.reliability(rows.toDF("bin", "y"), "bin", "y",
+        b => (b * 2 + 1) * org.apache.spark.sql.functions.lit(50000L))
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(5)).toSeq === Seq(500000L, 3500000L))
+    assert(out.map(_.getLong(6)).distinct.toSeq === Seq(200000L))
+  }
+
   test("bin-cardinality guard refuses unbucketed scores") {
     val many = (0L until 100L).map(b => (b, 1L))
     val e = intercept[IllegalArgumentException] {
