@@ -1710,6 +1710,15 @@ object LlmPipeline {
       // token granularity), exact BIGINT rollup
       SourceDivergence.report(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))),
+    "q_qr15_quantile_norm" -> ((s, dir) => {
+      // quantile normalization (r11, L114): every event value replaced
+      // by the pooled order statistic at its within-type quantile —
+      // integer index arithmetic, value pass-through (bit-identical
+      // doubles), prefix-sum + interval-join machinery
+      QuantileNormalize.toPooled(t(s, dir, "events"),
+          "event_id", "event_type", "value")
+        .orderBy(col("id"))
+    }),
     "q_qr14_ece" -> ((s, dir) => {
       // reliability diagram + ECE (r11, L110's measurement half): the
       // q_qr13 bins read as confidence claims (bin midpoint
@@ -2364,6 +2373,31 @@ object LlmPipeline {
     // cell derivation ("cms:r:token", the L47 integer form), same
     // min-over-rows estimate; the sketch is deterministic so the
     // approximation error itself hash-compares
+    // q_qr15: ranks and pooled order statistics replayed with windows,
+    // the integer index map, the same BETWEEN lookup
+    "q_qr15_quantile_norm" ->
+      """WITH e AS (SELECT event_id AS id, event_type AS g, value AS v
+              FROM events
+              WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL),
+          rk AS (SELECT id, g, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id)
+                     AS r,
+                   COUNT(*) OVER (PARTITION BY g) AS ng
+                 FROM e),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+          pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM e GROUP BY v),
+          pc AS (SELECT v AS target_v, c,
+                   CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum
+                 FROM pv),
+          ix AS (SELECT id, g, v,
+                   ((r - 1) * nn.n) // ng + 1 AS idx
+                 FROM rk, nn)
+         SELECT ix.id, ix.g, ix.v, pc.target_v
+         FROM ix JOIN pc
+           ON ix.idx BETWEEN pc.cum - pc.c + 1 AND pc.cum
+         ORDER BY ix.id""",
     // q_qr14: same bins, midpoint confidence (2b+1)·50000, acc and ECE
     // as exact floor divisions
     "q_qr14_ece" ->
