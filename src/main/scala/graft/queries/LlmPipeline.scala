@@ -941,6 +941,19 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t36_chrf" -> ((s, dir) => {
+      // chrF2 (r11, L115): the tokenization-free member of the eval
+      // trio — char 1..4-grams over whitespace-stripped text, same
+      // candidate construction as q_t34/35; Fβ=2 collapses to
+      // 5m/(4r+c), exact floor division per order
+      val tk = TextAnalysis.tokens(col("text"))
+      val cand = array_join(filter(tk,
+        (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          pmod(i + 1, lit(4)) =!= 0), " ")
+      ChrF.chrF(t(s, dir, "documents").filter(col("text").isNotNull),
+          "source", "doc_id", cand, col("text"), maxN = 4, beta = 2)
+        .orderBy(col("grp"), col("n"))
+    }),
     "q_t35_rouge" -> ((s, dir) => {
       // corpus ROUGE-1/2 (r11, L109): same candidate construction as
       // q_t34 — recall-oriented twin, and FULLY exact: P, R and the
@@ -3304,6 +3317,47 @@ object LlmPipeline {
     // q_t31: same augmented fixture, same RE2-safe digit-run pattern,
     // the Luhn fold replayed digit-for-digit (ascii/substr from the
     // right, double-every-second with the −9 fold, mod 10)
+    // q_t36: char grams via correlated lateral unnests (order × start
+    // position), whitespace stripped with the 'g' flag (DuckDB
+    // replaces first-only by default; Spark replaces all), the same
+    // exact Fβ floor division
+    "q_t36_chrf" ->
+      s"""WITH base AS (SELECT source, doc_id,
+                regexp_replace(text, '\\s+', '', 'g') AS rs,
+                regexp_replace(array_to_string(
+                  list_filter($duckToks, (x, i) -> i % 4 != 0), ' '),
+                  '\\s+', '', 'g') AS cs
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL
+                AND doc_id IS NOT NULL),
+          g AS (
+            SELECT source, doc_id, CAST(o.n AS INTEGER) AS n,
+                   substr(cs, CAST(p.i AS INTEGER), CAST(o.n AS INTEGER))
+                     AS gram, 'c' AS side
+            FROM base, unnest(range(1, 5)) o(n),
+                 unnest(range(1, greatest(length(cs) - o.n + 1, 0) + 1))
+                   p(i)
+            UNION ALL
+            SELECT source, doc_id, CAST(o.n AS INTEGER) AS n,
+                   substr(rs, CAST(p.i AS INTEGER), CAST(o.n AS INTEGER))
+                     AS gram, 'r' AS side
+            FROM base, unnest(range(1, 5)) o(n),
+                 unnest(range(1, greatest(length(rs) - o.n + 1, 0) + 1))
+                   p(i)),
+          pc AS (SELECT source, doc_id, n, gram,
+                   COUNT(*) FILTER (WHERE side = 'c') AS c,
+                   COUNT(*) FILTER (WHERE side = 'r') AS r
+                 FROM g GROUP BY 1, 2, 3, 4),
+          s AS (SELECT source AS grp, n,
+                  CAST(SUM(LEAST(c, r)) AS BIGINT) AS m,
+                  CAST(SUM(c) AS BIGINT) AS ct,
+                  CAST(SUM(r) AS BIGINT) AS rt
+                FROM pc GROUP BY 1, 2)
+         SELECT grp, n, m, ct, rt,
+                CASE WHEN ct + rt = 0 THEN NULL
+                     ELSE 5 * m * 1000000 // (4 * rt + ct)
+                END AS f2_e6
+         FROM s ORDER BY grp, n""",
     // q_t35: the q_t34 gram CTEs, pooled per (source, n); P/R/F1 are
     // pure integer floor divisions (micro F1 = 2m/(ct+rt))
     "q_t35_rouge" ->
