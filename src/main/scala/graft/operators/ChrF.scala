@@ -31,8 +31,13 @@ object ChrF {
       beta: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN $maxN outside [1, 8]")
     require(beta >= 1 && beta <= 10, s"beta $beta outside [1, 10]")
-    def tagged(side: String, n: Int, s: Column): Column = {
-      val stripped = regexp_replace(s, "\\s+", "")
+    // assign-before-explode (the dHash/q_m6 lesson, bench-caught here
+    // too): the stripped string must be a MATERIALIZED column before
+    // the gram lambdas touch it — an expression subtree inside an
+    // interpreted HOF lambda re-executes per ELEMENT, so embedding the
+    // regexp_replace re-stripped the whole document once per gram
+    // position (measured 23.6 s → 1.1 s on the identical input)
+    def tagged(side: String, n: Int, stripped: Column): Column = {
       // when-guard, not greatest(…, 0): Spark's sequence(1, 0) yields
       // the DESCENDING [1, 0], not empty — a string shorter than n
       // would emit two bogus partial grams (spec-caught)
@@ -43,12 +48,15 @@ object ChrF {
         i => struct(lit(side).as("side"), lit(n).as("n"),
           stripped.substr(i, lit(n)).as("g")))
     }
-    val arms = (1 to maxN).flatMap(n =>
-      Seq(tagged("c", n, candText), tagged("r", n, refText)))
-    val perPair = pairs
+    val prepared = pairs
       .filter(col(groupCol).isNotNull && col(idCol).isNotNull)
       .select(col(groupCol).as("grp"), col(idCol).as("id"),
-        explode(concat(arms: _*)).as("t"))
+        regexp_replace(candText, "\\s+", "").as("__c"),
+        regexp_replace(refText, "\\s+", "").as("__r"))
+    val arms = (1 to maxN).flatMap(n =>
+      Seq(tagged("c", n, col("__c")), tagged("r", n, col("__r"))))
+    val perPair = prepared
+      .select(col("grp"), col("id"), explode(concat(arms: _*)).as("t"))
       .groupBy(col("grp"), col("id"), col("t.n").as("n"),
         col("t.g").as("g"))
       .agg(count(when(col("t.side") === "c", 1)).as("c"),

@@ -945,12 +945,17 @@ object LlmPipeline {
       // chrF2 (r11, L115): the tokenization-free member of the eval
       // trio — char 1..4-grams over whitespace-stripped text, same
       // candidate construction as q_t34/35; Fβ=2 collapses to
-      // 5m/(4r+c), exact floor division per order
+      // 5m/(4r+c), exact floor division per order. Runs on the FIXED
+      // eval slice (doc_id < 1000, the L101 bounded-measurement
+      // pattern): char-gram volume is ~8× text bytes, and chrF is an
+      // eval-set metric, not a corpus sweep — unbounded at sf0.1 it
+      // exploded 112M gram rows for 133 s (bench-caught)
       val tk = TextAnalysis.tokens(col("text"))
       val cand = array_join(filter(tk,
         (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
           pmod(i + 1, lit(4)) =!= 0), " ")
-      ChrF.chrF(t(s, dir, "documents").filter(col("text").isNotNull),
+      ChrF.chrF(t(s, dir, "documents")
+            .filter(col("text").isNotNull && col("doc_id") < 1000),
           "source", "doc_id", cand, col("text"), maxN = 4, beta = 2)
         .orderBy(col("grp"), col("n"))
     }),
@@ -3329,7 +3334,7 @@ object LlmPipeline {
                   '\\s+', '', 'g') AS cs
               FROM documents
               WHERE text IS NOT NULL AND source IS NOT NULL
-                AND doc_id IS NOT NULL),
+                AND doc_id IS NOT NULL AND doc_id < 1000),
           g AS (
             SELECT source, doc_id, CAST(o.n AS INTEGER) AS n,
                    substr(cs, CAST(p.i AS INTEGER), CAST(o.n AS INTEGER))
