@@ -1345,6 +1345,15 @@ object LlmPipeline {
           "vec_id", "embedding", seed = "jl42", dims = 64, k = 16)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_e21_unimax" -> ((s, dir) =>
+      // UniMax waterfilling (r11, L116): budget = 1.95× the corpus
+      // token total, caps at 2 epochs — small sources cap out, the
+      // rest share the level with the remainder going to the smallest
+      // uncapped caps; every step integer floor arithmetic
+      UniMax.allocate(t(s, dir, "documents"), "source",
+          TextAnalysis.tokenCount(col("text")),
+          budgetNum = 39, budgetDen = 20, maxEpochs = 2)
+        .orderBy(col("source"))),
     "q_e20_negative_sampling" -> ((s, dir) => {
       // smoothed-unigram negative sampling (r11, L113): 5 deterministic
       // md5 draws per anchor doc from P(w) ∝ count^0.75 — the
@@ -3054,6 +3063,43 @@ object LlmPipeline {
                 FROM dsir)
          SELECT doc_id, gumbel_key_e4 FROM g
          ORDER BY gumbel_key_e4 DESC, doc_id LIMIT 50""",
+    // q_e21: the waterfill replay — capped sources are a PREFIX of the
+    // (cap, source) order (the statistic P_i + c_i·(n−i) is
+    // nondecreasing in i), level and remainder as floor division/mod
+    "q_e21_unimax" ->
+      s"""WITH tc AS (SELECT source,
+                CAST(SUM(len($duckToks)) AS BIGINT) AS avail
+              FROM documents WHERE source IS NOT NULL
+              GROUP BY source HAVING SUM(len($duckToks)) > 0),
+          g AS (SELECT source, avail, avail * 2 AS cap FROM tc),
+          r AS (SELECT source, avail, cap,
+                  ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+                  CAST(SUM(cap) OVER (ORDER BY cap, source) AS BIGINT)
+                    AS p
+                FROM g),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                       CAST(SUM(avail) AS BIGINT) AS tot FROM g),
+          s1 AS (SELECT r.*, t.nn, tot * 39 // 20 AS budget FROM r, t),
+          s2 AS (SELECT s1.*,
+                   (p + cap * (nn - i) <= budget) AS capped FROM s1),
+          pool AS (SELECT
+                CAST(COALESCE(SUM(cap) FILTER (WHERE capped), 0)
+                     AS BIGINT) AS pk,
+                CAST(COUNT(*) FILTER (WHERE capped) AS BIGINT) AS k
+              FROM s2),
+          f AS (SELECT s2.source, s2.avail, s2.cap,
+                  CASE WHEN pool.k = s2.nn THEN s2.cap
+                       WHEN s2.capped THEN s2.cap
+                       ELSE LEAST(s2.cap,
+                         (s2.budget - pool.pk) // (s2.nn - pool.k) +
+                         CASE WHEN (s2.i - pool.k) <=
+                              (s2.budget - pool.pk) % (s2.nn - pool.k)
+                              THEN 1 ELSE 0 END)
+                  END AS alloc
+                FROM s2, pool)
+         SELECT source, avail, cap, CAST(alloc AS BIGINT) AS alloc,
+                CAST(alloc * 1000000 // avail AS BIGINT) AS epochs_e6
+         FROM f ORDER BY source""",
     // q_e20: the ^0.75 weight inside the identical half-up floor, the
     // cumulative as one ordered SUM OVER (DuckDB replays the global
     // order the engine builds by partition-offset), md5 draws via the
