@@ -580,6 +580,17 @@ object Relational {
           Tables.epochMicros(ev, "ts"))
         .orderBy(col("event_type"), col("x"))
     }),
+    "q_a19_cusum" -> ((s, dir) => {
+      // sequential change detection (r11, L117): one-sided CUSUM over
+      // the daily series via the exact prefix identity
+      // S = P − min(0, running-min P) — the recurrence no SQL window
+      // computes; baseline = first-7-day mean as a numerator, all
+      // deviations ×7 so everything stays integer
+      val ev = t(s, dir, "events")
+      Trend.dailyVolumeCusum(ev, "event_type",
+          Tables.epochMicros(ev, "ts"))
+        .orderBy(col("event_type"), col("x"))
+    }),
     "q_a18_ewma" -> ((s, dir) => {
       // smoothed volume level (r11, L112): exact windowed EWMA (α=1/2
       // kernel over the trailing 8 observed days, renormalized so
@@ -1151,6 +1162,44 @@ object Relational {
     // q_a17: same day-floored series, the trailing frame as a window
     // list, the identical lower-median index (arr[(w+1)/2], 1-based)
     // on values and absolute deviations, exact integer verdict
+    // q_a19: the same day-floored series; the CUSUM recurrence replays
+    // through the prefix identity — running sum + running min, the
+    // identical integer scaling
+    "q_a19_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          s AS (SELECT event_type,
+                  (us - ((us % 86400000000 + 86400000000) % 86400000000))
+                    // 86400000000 AS x,
+                  CAST(COUNT(*) AS BIGINT) AS y
+                FROM e GROUP BY 1, 2),
+          r1 AS (SELECT event_type, x, y,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY x) AS rn
+                 FROM s),
+          r2 AS (SELECT event_type, x, y, rn,
+                   CAST(SUM(CASE WHEN rn <= 7 THEN y END)
+                     OVER (PARTITION BY event_type) AS BIGINT) AS base,
+                   MAX(rn) OVER (PARTITION BY event_type) AS nd
+                 FROM r1),
+          r3 AS (SELECT event_type, x, y,
+                   CASE WHEN rn > 7 AND nd > 7
+                        THEN y * 7 - base - 14 END AS d
+                 FROM r2),
+          r4 AS (SELECT event_type, x, y, d,
+                   CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY x)
+                        AS BIGINT) AS p
+                 FROM r3),
+          r5 AS (SELECT event_type, x, y,
+                   CASE WHEN d IS NOT NULL THEN
+                     p - LEAST(CAST(MIN(p) OVER (PARTITION BY event_type
+                           ORDER BY x) AS BIGINT), 0)
+                   END AS s_w
+                 FROM r4)
+         SELECT event_type, x, y, s_w,
+                CASE WHEN s_w IS NOT NULL
+                     THEN CAST(s_w > 70 AS INTEGER) END AS alarm
+         FROM r5 ORDER BY event_type, x""",
     // q_a18: same day-floored series; the window list is chronological
     // (ROWS frame order), weights double with the 1-based lambda index,
     // one exact floor division per row

@@ -204,6 +204,45 @@ class TrendSpec extends SparkSpec {
     assert(last._5 > 4000000L, s"not newest-weighted: $last") // mean = 4e6
   }
 
+  // ------------------------------------------------- CUSUM (L117)
+
+  private def runCusum(counts: Seq[Long]) =
+    Trend.dailyVolumeCusum(series(counts).toDF("g", "us"), "g", col("us"))
+      .orderBy(col("x"))
+      .as[(String, Long, Long, Option[Long], Option[Int])]
+      .collect().toSeq
+
+  test("CUSUM: prefix identity matches the textbook recurrence (seeded)") {
+    val rnd = new scala.util.Random(43)
+    val counts = (1 to 40).map(_ => rnd.nextInt(12).toLong + 4)
+    val got = runCusum(counts)
+    val base = counts.take(7).sum
+    var s = 0L
+    val want = counts.zipWithIndex.map { case (y, i) =>
+      if (i < 7) None
+      else { s = math.max(0L, s + y * 7 - base - 14); Some(s) }
+    }
+    assert(got.map(_._4) === want)
+  }
+
+  test("CUSUM: a persistent small shift alarms; a single spike does not") {
+    // baseline 10/day; +4/day from day 8 → drift 14/step, alarm (>70)
+    // on the 6th shifted day
+    val shifted = runCusum(Seq.fill(7)(10L) ++ Seq.fill(8)(14L))
+    val alarms = shifted.drop(7).map(_._5.get)
+    assert(alarms === Seq(0, 0, 0, 0, 0, 1, 1, 1))
+    // one +20 spike contributes 56 < 70, then decays at −14/day
+    val spike = runCusum(Seq.fill(7)(10L) ++ Seq(20L) ++ Seq.fill(5)(10L))
+    assert(spike.drop(7).forall(_._5.get === 0))
+    assert(spike(7)._4.get === 56L && spike(9)._4.get === 28L)
+  }
+
+  test("CUSUM: warm-up rows and short groups report NULL") {
+    val got = runCusum(Seq(5L, 6L, 7L))
+    assert(got.forall(r => r._4.isEmpty && r._5.isEmpty))
+    assert(runCusum(Seq.fill(9)(5L)).take(7).forall(_._4.isEmpty))
+  }
+
   test("EWMA: matches a plain-Scala reference on a seeded series") {
     val rnd = new scala.util.Random(31)
     val counts = (1 to 30).map(_ => rnd.nextInt(20).toLong + 1)
