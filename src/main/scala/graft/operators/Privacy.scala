@@ -142,4 +142,58 @@ object Privacy {
         lit(eps).as("eps"),
         lit(sensitivity).cast("int").as("sensitivity")): _*)
   }
+
+  /** Sparse vector technique — AboveThreshold, the c-release form
+    * (Dwork & Roth 2014 §3.6 Alg. 2; Lyu, Su & Li 2017 SVT): stream
+    * the group-count queries in deterministic key order, answer only
+    * "is this count above T" with noise on BOTH the threshold and each
+    * query, and HALT after the c-th above — the mechanism that lets an
+    * analyst probe many queries while paying ε only for the hits. The
+    * classic accounting: ε/2 on the one threshold draw (scale 2Δ/ε₁),
+    * ε/2 across the c possible releases (per-query scale 4cΔ/ε₂).
+    *
+    * Same determinism contract as [[dpCounts]] (seeded md5 dyadic
+    * uniforms, discrete Laplace as a geometric difference, ln α written
+    * exactly) — a seeded release is the pipeline-testing form. True
+    * counts never leave: the output is (quasi cols, `answer` 0/1) for
+    * the ANSWERED prefix only (evaluation stops with the c-th above,
+    * exactly the textbook halting rule).
+    *
+    * Scale shape: one map-side-combinable groupBy, a narrow md5
+    * projection per GROUP row, one group-grid window for the halting
+    * prefix — no corpus-row noise work, no second corpus shuffle. */
+  def svtAboveThreshold(df: DataFrame, quasiCols: Seq[String],
+      threshold: Long, eps: Double, c: Int, seed: String,
+      sensitivity: Int = 1): DataFrame = {
+    require(eps > 0.0 && eps <= 20.0, s"eps $eps outside (0, 20]")
+    require(c >= 1, s"c $c must be >= 1")
+    require(sensitivity >= 1, s"sensitivity $sensitivity must be >= 1")
+    val lnAlphaT = -(eps / 2.0) / (2.0 * sensitivity)
+    val lnAlphaQ = -(eps / 2.0) / (4.0 * c * sensitivity)
+    val groupKey = concat_ws("|",
+      quasiCols.map(cc => coalesce(col(cc).cast("string"), lit(" "))): _*)
+    val twoPow52 = lit(4503599627370496.0)
+    def u(tag: String, key: Column): Column =
+      (conv(substring(md5(concat(lit(s"svt:$tag:$seed:"), key)
+          .cast("binary")), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+        twoPow52
+    def geom(tag: String, key: Column, lnAlpha: Double): Column =
+      floor(log(u(tag, key)) / lit(lnAlpha)).cast("long")
+    // ONE threshold draw (constant key) shared by every query row
+    val noisyT = lit(threshold) +
+      geom("t1", lit("T"), lnAlphaT) - geom("t2", lit("T"), lnAlphaT)
+    val flagged = grouped(df, quasiCols, None)
+      .select(quasiCols.map(col) :+
+        (col("n") + geom("q1", groupKey, lnAlphaQ)
+          - geom("q2", groupKey, lnAlphaQ) >= noisyT)
+          .cast("int").as("answer"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(quasiCols.map(col): _*)
+    flagged
+      .withColumn("__prior",
+        coalesce(sum(col("answer")).over(w), lit(0L)) - col("answer"))
+      .filter(col("__prior") < c) // halt AFTER the c-th above answers
+      .select(quasiCols.map(col) :+ col("answer") :+
+        lit(eps).as("eps") :+ lit(c).cast("int").as("c"): _*)
+  }
 }

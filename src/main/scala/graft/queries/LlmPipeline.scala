@@ -1737,6 +1737,19 @@ object LlmPipeline {
       // token granularity), exact BIGINT rollup
       SourceDivergence.report(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))),
+    "q_p7_svt" -> ((s, dir) => {
+      // sparse vector technique (r11, L94's iterative sibling): stream
+      // the per-source count queries in key order, answer only
+      // above/below the average-count threshold (derived from the same
+      // scan both engines see), halt after the 5th above — the
+      // mechanism that pays ε only for hits; seeded md5 discrete
+      // Laplace on threshold and every query
+      val d = t(s, dir, "documents").filter(col("source").isNotNull)
+      val thr = d.count() / 20
+      Privacy.svtAboveThreshold(d, Seq("source"), thr,
+          eps = 1.0, c = 5, seed = "svt:r11")
+        .orderBy(col("source"))
+    }),
     "q_qr15_quantile_norm" -> ((s, dir) => {
       // quantile normalization (r11, L114): every event value replaced
       // by the pooled order statistic at its within-type quantile —
@@ -2400,6 +2413,43 @@ object LlmPipeline {
     // cell derivation ("cms:r:token", the L47 integer form), same
     // min-over-rows estimate; the sketch is deterministic so the
     // approximation error itself hash-compares
+    // q_p7: the SVT replay — same md5 dyadic uniforms, ln α written as
+    // the same arithmetic expressions (−0.5/2 and −0.5/20), the same
+    // key-ordered halting window
+    "q_p7_svt" ->
+      """WITH d AS (SELECT source FROM documents
+              WHERE source IS NOT NULL),
+          t AS (SELECT COUNT(*) // 20 AS thr FROM d),
+          g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM d GROUP BY source),
+          nt AS (SELECT thr
+              + CAST(floor(ln((CAST(concat('0x',
+                  substr(md5('svt:t1:svt:r11:T'), 1, 13)) AS BIGINT)
+                  + 0.5) / 4503599627370496.0) / (-(0.5) / 2.0))
+                  AS BIGINT)
+              - CAST(floor(ln((CAST(concat('0x',
+                  substr(md5('svt:t2:svt:r11:T'), 1, 13)) AS BIGINT)
+                  + 0.5) / 4503599627370496.0) / (-(0.5) / 2.0))
+                  AS BIGINT) AS noisy_t
+             FROM t),
+          f AS (SELECT g.source,
+                  CAST((g.n
+                    + CAST(floor(ln((CAST(concat('0x',
+                        substr(md5('svt:q1:svt:r11:' || g.source), 1, 13))
+                        AS BIGINT) + 0.5) / 4503599627370496.0)
+                        / (-(0.5) / 20.0)) AS BIGINT)
+                    - CAST(floor(ln((CAST(concat('0x',
+                        substr(md5('svt:q2:svt:r11:' || g.source), 1, 13))
+                        AS BIGINT) + 0.5) / 4503599627370496.0)
+                        / (-(0.5) / 20.0)) AS BIGINT)
+                    >= nt.noisy_t) AS INTEGER) AS answer
+                FROM g, nt),
+          h AS (SELECT source, answer,
+                  CAST(SUM(answer) OVER (ORDER BY source) AS BIGINT)
+                    - answer AS prior
+                FROM f)
+         SELECT source, answer, 1.0 AS eps, 5 AS c
+         FROM h WHERE prior < 5 ORDER BY source""",
     // q_qr15: ranks and pooled order statistics replayed with windows,
     // the integer index map, the same BETWEEN lookup
     "q_qr15_quantile_norm" ->

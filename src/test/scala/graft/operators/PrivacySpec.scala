@@ -89,4 +89,45 @@ class PrivacySpec extends SparkSpec {
       assert(got === want, s"k=$k")
     }
   }
+
+  // ---------------------------------------------------- SVT (q_p7)
+
+  private def svtRows(counts: Map[String, Int]) =
+    counts.toSeq.flatMap { case (g, n) => Seq.fill(n)(Tuple1(g)) }
+      .toDF("g")
+
+  test("SVT halts exactly after the c-th above") {
+    // 12 groups far above T=5, c=3 with near-zero noise (eps 20):
+    // output ends with the 3rd above; later groups are never evaluated
+    val df = svtRows((1 to 12).map(i => f"g$i%02d" -> 100).toMap)
+    val out = Privacy.svtAboveThreshold(df, Seq("g"), 5L, 20.0, 3, "s1")
+      .orderBy("g").collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getInt(1) === 1))
+    assert(out.map(_.getString(0)).toSeq === Seq("g01", "g02", "g03"))
+  }
+
+  test("SVT with near-zero noise matches the exact comparison") {
+    // eps 20 => noise magnitude ~0 with overwhelming probability under
+    // the seeded draws; far-from-threshold counts answer exactly
+    val counts = Map("a" -> 2, "b" -> 50, "c" -> 3, "d" -> 60, "e" -> 1)
+    val out = Privacy.svtAboveThreshold(svtRows(counts), Seq("g"),
+        20L, 20.0, 2, "s2")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // key order a..e: aboves at b and d; halt after d
+    assert(out === Map("a" -> 0, "b" -> 1, "c" -> 0, "d" -> 1))
+  }
+
+  test("SVT is deterministic under repartitioning and seed-sensitive") {
+    val df = svtRows((1 to 10).map(i => s"g$i" -> (i * 7)).toMap)
+    val a = Privacy.svtAboveThreshold(df, Seq("g"), 35L, 1.0, 4, "s3")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Privacy.svtAboveThreshold(df.repartition(5), Seq("g"),
+        35L, 1.0, 4, "s3")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a === b)
+    val c = Privacy.svtAboveThreshold(df, Seq("g"), 35L, 1.0, 4, "s4")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a !== c) // different seed, different noise stream
+  }
 }
