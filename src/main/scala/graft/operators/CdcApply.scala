@@ -40,6 +40,10 @@ object CdcApply {
   def compact(changelog: DataFrame, keyCol: String, seqCol: String,
       opCol: String, valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "CDC compaction needs value columns")
+    // a value column named seq/op would duplicate a struct field; the
+    // output names are fixed contract (Reserved guard, ADVICE class)
+    Reserved.guard(valueCols :+ keyCol,
+      Seq("seq", "op", "__last", "last_seq", "last_op"), "CdcApply")
     val st = struct(
       col(seqCol).cast("long").as("seq") +: col(opCol).as("op") +:
         valueCols.map(col): _*)

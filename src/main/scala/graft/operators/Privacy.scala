@@ -168,6 +168,8 @@ object Privacy {
     require(eps > 0.0 && eps <= 20.0, s"eps $eps outside (0, 20]")
     require(c >= 1, s"c $c must be >= 1")
     require(sensitivity >= 1, s"sensitivity $sensitivity must be >= 1")
+    Reserved.guard(quasiCols, Seq("answer", "eps", "c", "__prior"),
+      "svtAboveThreshold")
     val lnAlphaT = -(eps / 2.0) / (2.0 * sensitivity)
     val lnAlphaQ = -(eps / 2.0) / (4.0 * c * sensitivity)
     val groupKey = concat_ws("|",

@@ -48,6 +48,7 @@ object RecordLinkage {
       s"1..$MaxFields agreement fields, got ${agreementCols.size}")
     require(rounds >= 1 && rounds <= 100,
       s"rounds must be in [1, 100], got $rounds")
+    Reserved.guard(agreementCols, Seq("n", "w_e6", "__g"), "RecordLinkage")
     val spark = pairs.sparkSession
     import spark.implicits._
     val f = agreementCols.size

@@ -38,6 +38,9 @@ object UniMax {
     require(budgetNum > 0 && budgetDen > 0, "budget ratio must be positive")
     require(maxEpochs >= 1 && maxEpochs <= 1000,
       s"maxEpochs $maxEpochs outside [1, 1000]")
+    Reserved.guard(Seq(groupCol),
+      Seq("avail", "cap", "alloc", "epochs_e6", "i", "p", "nn", "tot",
+        "budget", "capped", "pk", "k", "n2", "b2", "unc_rank"), "UniMax")
     val grid = corpus
       .filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol))

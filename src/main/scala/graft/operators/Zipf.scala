@@ -32,6 +32,9 @@ object Zipf {
   def slopeByGroup(docs: DataFrame, textCol: String, groupCol: String,
       tokens: Column => Column, topRanks: Int = 100): DataFrame = {
     require(topRanks >= 2, s"need >= 2 ranks for a slope, got $topRanks")
+    Reserved.guard(Seq(groupCol),
+      Seq("tok", "n", "r", "x", "y", "m", "sx", "sy", "sxy", "sxx",
+        "n_ranks", "slope6"), "Zipf")
     val tf = docs
       .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
       .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))

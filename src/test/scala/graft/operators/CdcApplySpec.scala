@@ -91,6 +91,16 @@ class CdcApplySpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("reserved-name guard: a value column named 'seq' is rejected") {
+    // the Reserved.guard class fix — one representative test; every
+    // new r11 operator with fixed output names carries the same guard
+    val bad = Seq((1L, 2L, "U", 3L)).toDF("k", "seqno", "op2", "seq")
+    val e = intercept[IllegalArgumentException] {
+      CdcApply(base, bad, "k", "seqno", "op2", Seq("seq"))
+    }
+    assert(e.getMessage.contains("reserves column name"))
+  }
+
   test("compaction plan is a struct-max aggregate, not a window") {
     val plan = CdcApply(base, chg, "k", "seq", "op", Seq("s", "v"))
       .queryExecution.executedPlan.toString
