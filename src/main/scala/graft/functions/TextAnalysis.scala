@@ -420,4 +420,31 @@ object TextAnalysis {
         coalesce(col("n_digit_runs"), lit(0L)).as("n_digit_runs"),
         coalesce(col("n_valid_cards"), lit(0L)).as("n_valid_cards"))
   }
+
+  /** Good–Turing unseen-mass estimate per group (Good 1953; Gale &
+    * Sampson 1995 simple GT): the probability mass of UNSEEN vocabulary
+    * ≈ N₁/N (hapax share of tokens) — the data-card answer to "how much
+    * more vocabulary would more data buy" — plus the
+    * frequency-of-frequencies counts (N₁, N₂) and the hapax share of
+    * the vocabulary. All exact floor divisions over ONE (group, token)
+    * map-side-combinable aggregation + one per-group rollup. Output:
+    * (groupCol, n_tokens, v_types, n1, n2, p_unseen_e6,
+    * hapax_share_e6). */
+  def goodTuring(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val tf = df
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+    tf.groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        count(when(col("__n") === 1, 1)).as("n1"),
+        count(when(col("__n") === 2, 1)).as("n2"))
+      .select(col(groupCol), col("n_tokens"), col("v_types"),
+        col("n1"), col("n2"),
+        expr("n1 * 1000000L DIV n_tokens").as("p_unseen_e6"),
+        expr("n1 * 1000000L DIV v_types").as("hapax_share_e6"))
+  }
 }

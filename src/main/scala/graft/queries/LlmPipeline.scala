@@ -941,6 +941,17 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t37_good_turing" -> ((s, dir) => {
+      // Good–Turing unseen-mass estimate (r11, L119; Good 1953, Gale &
+      // Sampson 1995): per source, the probability mass of UNSEEN
+      // vocabulary ≈ N1/N (hapax share of tokens) — the data-card
+      // answer to "how much more vocabulary would more data buy";
+      // plus hapax/dis-legomena counts and the hapax share of the
+      // vocabulary. All exact floor divisions over one (source, token)
+      // aggregation.
+      TextAnalysis.goodTuring(t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source"))
+    }),
     "q_t36_chrf" -> ((s, dir) => {
       // chrF2 (r11, L115): the tokenization-free member of the eval
       // trio — char 1..4-grams over whitespace-stripped text, same
@@ -3418,6 +3429,24 @@ object LlmPipeline {
     // q_t31: same augmented fixture, same RE2-safe digit-run pattern,
     // the Luhn fold replayed digit-for-digit (ascii/substr from the
     // right, double-every-second with the −9 fold, mod 10)
+    // q_t37: same tokenizer, the frequency-of-frequencies counts and
+    // two exact floor divisions
+    "q_t37_good_turing" ->
+      s"""WITH tk AS (SELECT source, unnest($duckToks) AS tok
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL),
+          tf AS (SELECT source, tok, COUNT(*) AS n
+                 FROM tk GROUP BY 1, 2),
+          g AS (SELECT source,
+                  CAST(SUM(n) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS v_types,
+                  CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS n1,
+                  CAST(COUNT(*) FILTER (WHERE n = 2) AS BIGINT) AS n2
+                FROM tf GROUP BY source)
+         SELECT source, n_tokens, v_types, n1, n2,
+                CAST(n1 * 1000000 // n_tokens AS BIGINT) AS p_unseen_e6,
+                CAST(n1 * 1000000 // v_types AS BIGINT) AS hapax_share_e6
+         FROM g ORDER BY source""",
     // q_t36: char grams via correlated lateral unnests (order × start
     // position), whitespace stripped with the 'g' flag (DuckDB
     // replaces first-only by default; Spark replaces all), the same
