@@ -1345,6 +1345,35 @@ object LlmPipeline {
           maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_v17_mmr" -> ((s, dir) => {
+      // MMR diversification (r11, L120): re-rank each q_v1 query's
+      // top-20 page with λ=0.7 greedy relevance-vs-redundancy picks —
+      // the stage between retrieval and consumption; rel and pairwise
+      // sims are the q_v1 rounded cosines quantized to 1e-6 ints, the
+      // oracle replays the unrolled greedy rounds from the same (k, λ)
+      val emb = t(s, dir, "embeddings")
+      val top = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 20)
+      val cand = top.select(col("query_id"), col("neighbor_id"),
+        floor(col("sim") * lit(1000000) + lit(0.5)).cast("long")
+          .as("rel_e6"))
+      val pr = top.as("a").join(top.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.neighbor_id") < col("b.neighbor_id"))
+        .select(col("a.query_id").as("query_id"),
+          col("a.neighbor_id").as("id_a"), col("b.neighbor_id").as("id_b"))
+      val ea = emb.select(col("vec_id").as("id_a"),
+        col("embedding").as("av"))
+      val eb = emb.select(col("vec_id").as("id_b"),
+        col("embedding").as("bv"))
+      val sims = pr.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+        .select(col("query_id"), col("id_a"), col("id_b"),
+          floor(round(Similarity.cosineNative(col("av"), col("bv")), 6)
+            * lit(1000000) + lit(0.5)).cast("long").as("sim_e6"))
+      Mmr.rerank(cand, sims, k = 5, lamE1 = 7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_v16_jl_distortion" -> ((s, dir) =>
       // JL Rademacher projection audit (r11, L108): 64→16 dims via the
       // md5-derived ±1 matrix (both engines recompute the matrix from
@@ -2796,6 +2825,56 @@ object LlmPipeline {
          SELECT label, CAST(dim AS INTEGER) AS dim, n,
                 (s - ((s % n + n) % n)) // n AS mean_e6
          FROM g ORDER BY label, dim""",
+    // q_v17: the page replay (q_v1's rank CTE at k=20), pairwise
+    // cosines in the same rounded-then-floored quantization, then the
+    // unrolled greedy rounds GENERATED from the same (k=5, λ=7/10)
+    "q_v17_mmr" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                FROM embeddings WHERE vec_id >= 5),
+          s AS (SELECT query_id, neighbor_id,
+                  ROUND(CASE WHEN sqrt(${duckNormSq("qv")}) = 0
+                               OR sqrt(${duckNormSq("cv")}) = 0 THEN 0.0
+                        ELSE $duckDot / (sqrt(${duckNormSq("qv")})
+                                         * sqrt(${duckNormSq("cv")})) END,
+                        6) AS sim
+                FROM c CROSS JOIN q),
+          top AS MATERIALIZED (
+                SELECT query_id, neighbor_id, sim
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+                WHERE rank <= 20),
+          cand AS MATERIALIZED (
+                SELECT query_id, neighbor_id,
+                       CAST(floor(sim * 1000000 + 0.5) AS BIGINT)
+                         AS rel_e6
+                FROM top),
+          pr AS (SELECT a.query_id, a.neighbor_id AS ia,
+                        b.neighbor_id AS ib
+                 FROM top a JOIN top b
+                   ON a.query_id = b.query_id
+                  AND a.neighbor_id < b.neighbor_id),
+          pv AS (SELECT pr.query_id, pr.ia, pr.ib,
+                        ea.embedding AS av, eb.embedding AS bv
+                 FROM pr JOIN embeddings ea ON ea.vec_id = pr.ia
+                      JOIN embeddings eb ON eb.vec_id = pr.ib),
+          ps AS (SELECT query_id, ia, ib,
+                   CAST(floor(ROUND(CASE
+                     WHEN sqrt(${duckNormSq("av")}) = 0
+                       OR sqrt(${duckNormSq("bv")}) = 0 THEN 0.0
+                     ELSE list_sum(list_transform(range(1, len(av) + 1),
+                            i -> CAST(av[i] AS DOUBLE)
+                                 * CAST(bv[i] AS DOUBLE)))
+                          / (sqrt(${duckNormSq("av")})
+                             * sqrt(${duckNormSq("bv")})) END, 6)
+                     * 1000000 + 0.5) AS BIGINT) AS sim_e6
+                 FROM pv),
+          ss AS MATERIALIZED (
+                SELECT query_id, ia, ib, sim_e6 FROM ps
+                UNION ALL
+                SELECT query_id, ib AS ia, ia AS ib, sim_e6 FROM ps),
+          ${Mmr.oracleCtes(k = 5, lamE1 = 7)}""",
     // q_v16: the oracle RECOMPUTES the sign matrix from the seed —
     // md5('jl42-<d>') hex digit j, odd → −1 (nothing rides as
     // literals); list_sum is the same left fold as the codegen loops
