@@ -941,6 +941,38 @@ object LlmPipeline {
       LmScore.bigramPerplexity(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_t38_pmi" -> ((s, dir) => {
+      // PMI collocations (r11, L121; Church & Hanks 1990): adjacent
+      // token pairs scored by ln(n_ab·N / (n_a·n_b)) — the classic
+      // collocation extractor (multiword expressions, tokenizer-merge
+      // candidates); min-count 5 kills the rare-pair PMI explosion,
+      // the one ln quantized once, top-30 with a total tie-break
+      val tk = TextAnalysis.tokens(col("text"))
+      val len = greatest(size(tk) - 1, lit(0))
+      val bg = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(zip_with(
+          slice(tk, lit(1), len), slice(tk, lit(2), len),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pair = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val uni = bg.select(explode(array(col("w1"), col("w2"))).as("w"))
+        .groupBy(col("w")).agg((count(lit(1))).as("n_w"))
+      val tot = bg.agg(count(lit(1)).as("n_tot"))
+      pair
+        .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")),
+          Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")),
+          Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("n_ab"),
+          floor(log((col("n_ab") * col("n_tot")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("pmi_e6"))
+        .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
     "q_t37_good_turing" -> ((s, dir) => {
       // Good–Turing unseen-mass estimate (r11, L119; Good 1953, Gale &
       // Sampson 1995): per source, the probability mass of UNSEEN
@@ -3508,6 +3540,29 @@ object LlmPipeline {
     // q_t31: same augmented fixture, same RE2-safe digit-run pattern,
     // the Luhn fold replayed digit-for-digit (ascii/substr from the
     // right, double-every-second with the −9 fold, mod 10)
+    // q_t38: the q_t27 bigram pattern, unigram marginals over BOTH
+    // slots, the single ln inside the identical half-up floor
+    "q_t38_pmi" ->
+      s"""WITH tk AS (SELECT $duckToks AS tk FROM documents
+              WHERE text IS NOT NULL),
+          bg AS (SELECT tk[CAST(i AS INTEGER)] AS w1,
+                        tk[CAST(i + 1 AS INTEGER)] AS w2
+                 FROM tk, unnest(range(1, len(tk))) AS t(i)),
+          pair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+                   FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+          uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+                  FROM (SELECT w1 AS w FROM bg
+                        UNION ALL SELECT w2 FROM bg) u
+                  GROUP BY w),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM bg)
+         SELECT p.w1, p.w2, p.n_ab,
+                CAST(floor(ln(CAST(p.n_ab * tot.n_tot AS DOUBLE)
+                              / CAST(a.n_w * b.n_w AS DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT) AS pmi_e6
+         FROM pair p
+         JOIN uni a ON a.w = p.w1
+         JOIN uni b ON b.w = p.w2, tot
+         ORDER BY pmi_e6 DESC, p.w1, p.w2 LIMIT 30""",
     // q_t37: same tokenizer, the frequency-of-frequencies counts and
     // two exact floor divisions
     "q_t37_good_turing" ->
