@@ -2520,7 +2520,7 @@ object LlmPipeline {
                   CAST(SUM(answer) OVER (ORDER BY source) AS BIGINT)
                     - answer AS prior
                 FROM f)
-         SELECT source, answer, 1.0 AS eps, 5 AS c
+         SELECT source, answer, CAST(1.0 AS DOUBLE) AS eps, 5 AS c
          FROM h WHERE prior < 5 ORDER BY source""",
     // q_qr15: ranks and pooled order statistics replayed with windows,
     // the integer index map, the same BETWEEN lookup
