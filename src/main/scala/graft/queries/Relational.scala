@@ -461,6 +461,32 @@ object Relational {
             .as("corr6"))
         .orderBy(col("flag"))
     }),
+    "q_a20_trimmed_mean" -> ((s, dir) => {
+      // 10%-trimmed mean (r11, L122; Tukey's robust location next to
+      // a12's fences): per flag, drop the lowest and highest n DIV 10
+      // ranks of l_quantity and average the rest — rank ties need no
+      // tie-break because boundary ties have EQUAL values, so the kept
+      // multiset is partition-invariant; doubles under the house
+      // round-4 convention
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull &&
+          col("l_returnflag").isNotNull)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").as("v"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("flag"))
+      li.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("flag"))
+        .agg(first(col("n")).as("n"),
+          count(when(col("r") > expr("n DIV 10") &&
+            col("r") <= col("n") - expr("n DIV 10"), 1)).as("n_kept"),
+          round(avg(col("v")), 4).as("mean4"),
+          round(avg(when(col("r") > expr("n DIV 10") &&
+            col("r") <= col("n") - expr("n DIV 10"), col("v"))), 4)
+            .as("trimmed4"))
+        .orderBy(col("flag"))
+    }),
     "q_a12_iqr_outliers" -> ((s, dir) => {
       // statistical QC composed from q_a11's primitive (r8): per-type
       // Tukey fences q1/q3 ± 1.5·IQR — quantiles are exact data values
@@ -1079,6 +1105,24 @@ object Relational {
                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr6
          FROM m ORDER BY flag""",
+    // q_a20: the same rank machinery; boundary ties carry equal values
+    // so the kept multiset — and the rounded averages — are exact
+    "q_a20_trimmed_mean" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_quantity AS v
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_returnflag IS NOT NULL),
+          r AS (SELECT flag, v,
+                  ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS r,
+                  COUNT(*) OVER (PARTITION BY flag) AS n
+                FROM li)
+         SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+                CAST(COUNT(*) FILTER (WHERE r > n // 10
+                     AND r <= n - n // 10) AS BIGINT) AS n_kept,
+                ROUND(AVG(v), 4) AS mean4,
+                ROUND(AVG(v) FILTER (WHERE r > n // 10
+                      AND r <= n - n // 10), 4) AS trimmed4
+         FROM r GROUP BY flag ORDER BY flag""",
     // q_a12: q_a11's rank machinery + identical IEEE fence arithmetic
     "q_a12_iqr_outliers" ->
       """WITH e AS (SELECT event_type, value FROM events
