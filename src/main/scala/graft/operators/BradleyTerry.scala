@@ -74,10 +74,19 @@ object BradleyTerry {
     val bigW = items.map { i =>
       i -> (rawWins.getOrElse(i, 0L) + lambda * opponents(i))
     }.toMap
+    // Both factors of the 10^12-scale products must fit a long:
+    // bigW(i)·10¹² (numerator) and n·10¹² (per-pair denominator term)
+    // overflow past ~9.2e6, so BOTH are bounded at 9.0e6 — not 9.0e9.
     bigW.foreach { case (i, w) =>
-      require(w <= 9000000L * 1000L,
+      require(w <= 9000000L,
         s"item $i has $w smoothed wins — beyond the 10^12-scale long " +
           "capacity (~9.2e6/item); drop the scale or fit per shard")
+    }
+    undirected.foreach { case ((a, b), n) =>
+      require(n <= 9000000L,
+        s"pair ($a, $b) has $n smoothed comparisons — beyond the " +
+          "10^12-scale long capacity (~9.2e6/pair); drop the scale or " +
+          "fit per shard")
     }
     // symmetric pair list with smoothed totals
     val pt: Seq[(String, String, Long)] = undirected.toSeq.flatMap {

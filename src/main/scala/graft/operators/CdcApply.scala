@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   *
   * Preconditions: sequence numbers unique per key (ties fall through to
   * the struct's lexicographic op/value comparison — still total and
-  * deterministic, but no longer "latest by time"); null keys and null
-  * sequence numbers are dropped from the changelog, null base keys from
-  * the base (a keyless row can't participate in a keyed merge). */
+  * deterministic, but no longer "latest by time"); null keys, null
+  * sequence numbers and null OPS are dropped from the changelog
+  * (ADVICE r11: a null latest op would make `op =!= deleteOp` NULL and
+  * silently delete the key — a malformed row must not masquerade as a
+  * tombstone), null base keys from the base (a keyless row can't
+  * participate in a keyed merge). */
 object CdcApply {
 
   /** Latest operation per key: `(keyCol, __last struct(seq, op,
@@ -48,7 +51,8 @@ object CdcApply {
       col(seqCol).cast("long").as("seq") +: col(opCol).as("op") +:
         valueCols.map(col): _*)
     changelog
-      .filter(col(keyCol).isNotNull && col(seqCol).isNotNull)
+      .filter(col(keyCol).isNotNull && col(seqCol).isNotNull &&
+        col(opCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(max(st).as("__last"))
   }

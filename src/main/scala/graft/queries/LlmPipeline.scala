@@ -429,15 +429,20 @@ object LlmPipeline {
       val hist = s"${System.getProperty("java.io.tmpdir")}/graft_d12_hist_" +
         java.util.UUID.randomUUID().toString.take(8)
       val docs = t(s, dir, "documents")
-      graft.streaming.StreamingCdcDedup.dedupBatch(
-        docs.filter(col("doc_id") < 250), hist, batchId = 0L)
-      graft.streaming.StreamingCdcDedup.dedupBatch(
-        docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
-      val admitted = s.read.parquet(s"$hist/admitted")
-        .select(col("id").as("doc_id")).localCheckpoint()
-      val p = new Path(hist)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      admitted.orderBy(col("doc_id"))
+      // finally-guarded so a failed phase can't leak the staging dir
+      // into tmp across repeated bench/verify runs (ADVICE r11)
+      try {
+        graft.streaming.StreamingCdcDedup.dedupBatch(
+          docs.filter(col("doc_id") < 250), hist, batchId = 0L)
+        graft.streaming.StreamingCdcDedup.dedupBatch(
+          docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
+        s.read.parquet(s"$hist/admitted")
+          .select(col("id").as("doc_id")).localCheckpoint()
+          .orderBy(col("doc_id"))
+      } finally {
+        val p = new Path(hist)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }),
     "q_d10_exact_substr" -> ((s, dir) =>
       // corpus-global ExactSubstr dedup (r9, L76; Lee et al. 2022,
@@ -463,17 +468,21 @@ object LlmPipeline {
       val hist = s"${System.getProperty("java.io.tmpdir")}/graft_d6_hist_" +
         java.util.UUID.randomUUID().toString.take(8)
       val docs = t(s, dir, "documents")
-      graft.streaming.StreamingNearDup.dedupBatch(
-        docs.filter(col("doc_id") < 250), hist, batchId = 0L)
-      graft.streaming.StreamingNearDup.dedupBatch(
-        docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
       // pin the tiny id set in memory, then drop the staging dir so a
-      // repeat-run bench doesn't accumulate history copies in tmp
-      val admitted = s.read.parquet(s"$hist/shingles")
-        .select(col("id").as("doc_id")).localCheckpoint()
-      val p = new Path(hist)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      admitted.orderBy(col("doc_id"))
+      // repeat-run bench doesn't accumulate history copies in tmp —
+      // finally-guarded so a failed phase can't leak it either
+      try {
+        graft.streaming.StreamingNearDup.dedupBatch(
+          docs.filter(col("doc_id") < 250), hist, batchId = 0L)
+        graft.streaming.StreamingNearDup.dedupBatch(
+          docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
+        s.read.parquet(s"$hist/shingles")
+          .select(col("id").as("doc_id")).localCheckpoint()
+          .orderBy(col("doc_id"))
+      } finally {
+        val p = new Path(hist)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }),
 
     // --------------------------------------------------------- similarity
@@ -660,15 +669,19 @@ object LlmPipeline {
       val hist = s"${System.getProperty("java.io.tmpdir")}/graft_m7_hist_" +
         java.util.UUID.randomUUID().toString.take(8)
       val docs = t(s, dir, "documents")
-      graft.streaming.StreamingPerceptualDedup.dedupBatch(
-        docs.filter(col("doc_id") < 250), hist, batchId = 0L)
-      graft.streaming.StreamingPerceptualDedup.dedupBatch(
-        docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
-      val admitted = s.read.parquet(s"$hist/hashes")
-        .select(col("id").as("doc_id")).localCheckpoint()
-      val p = new Path(hist)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      admitted.orderBy(col("doc_id"))
+      // finally-guarded staging-dir drop (the q_d6/q_d12 convention)
+      try {
+        graft.streaming.StreamingPerceptualDedup.dedupBatch(
+          docs.filter(col("doc_id") < 250), hist, batchId = 0L)
+        graft.streaming.StreamingPerceptualDedup.dedupBatch(
+          docs.filter(col("doc_id") >= 250), hist, batchId = 1L)
+        s.read.parquet(s"$hist/hashes")
+          .select(col("id").as("doc_id")).localCheckpoint()
+          .orderBy(col("doc_id"))
+      } finally {
+        val p = new Path(hist)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }),
     "q_m6_perceptual_neardup" -> ((s, dir) =>
       // perceptual near-dup on the multimodal surface (r10, VERDICT r9

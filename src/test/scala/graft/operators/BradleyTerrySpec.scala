@@ -72,4 +72,20 @@ class BradleyTerrySpec extends SparkSpec {
       ("B", null)))
     assert(w.keySet === Set("A", "B") && w("A") > w("B"))
   }
+
+  test("overflow guard rejects past ~9.2e6, not 9.2e9 (ADVICE r11)") {
+    // bigW(i)·10¹² must fit a long ⇒ the guard bites at 9.0e6 smoothed
+    // wins. λ inflates smoothed counts without materializing 9e6 rows:
+    // bigW(A) = 1 + λ·1 = 1e7 + 1 > 9e6 — the old ·1000 guard passed
+    // this and the MM update silently overflowed.
+    val df = Seq(("A", "B")).toDF("winner", "loser")
+    val e = intercept[IllegalArgumentException] {
+      BradleyTerry.fit(df, "winner", "loser", lambda = 10000000L)
+    }
+    assert(e.getMessage.contains("capacity"))
+    // just under the line still fits: λ = 4e6 ⇒ bigW = 4000001,
+    // pair n = 1 + 2λ = 8000001 — both inside 9e6, fit succeeds
+    val ok = BradleyTerry.fit(df, "winner", "loser", lambda = 4000000L)
+    assert(ok.count() === 2L)
+  }
 }

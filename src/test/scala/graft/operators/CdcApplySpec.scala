@@ -61,6 +61,22 @@ class CdcApplySpec extends SparkSpec {
     assert(out === clean) // key 1 keeps its base image: the null-seq U is dropped
   }
 
+  test("a null latest op is dropped, not treated as a delete (ADVICE r11)") {
+    // key 1's only changelog row has op = NULL at the HIGHEST seq: if
+    // compact kept it, `op =!= deleteOp` would go NULL and the filter
+    // would silently delete key 1 — the malformed row must instead be
+    // dropped so the base image rides through untouched
+    val dirtyChg = chg.unionAll(Seq(
+      (Option(1L), Option(99L), Option.empty[String], Option("x"), Option(1L))
+    ).toDF("k", "seq", "op", "s", "v"))
+    val out = CdcApply(base, dirtyChg, "k", "seq", "op", Seq("s", "v"))
+      .orderBy("k").collect().toSeq
+    val clean = CdcApply(base, chg, "k", "seq", "op", Seq("s", "v"))
+      .orderBy("k").collect().toSeq
+    assert(out === clean)
+    assert(out.exists(r => r.getLong(0) == 1L)) // key 1 survives
+  }
+
   test("matches a plain-Scala latest-wins fold on a randomized batch") {
     val rnd = new scala.util.Random(42)
     val baseRows = (1L to 50L).map(k => (k, s"s$k", k * 10))
