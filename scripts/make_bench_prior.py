@@ -28,9 +28,23 @@ def main() -> None:
         qs = {k: v / 100.0 for k, v in line["queries_cs"].items()}
     out = {"cal_cs": line["cal_cs"], "queries": qs}
     path = "src/main/resources/graft/bench_prior.json"
+    # Carry forward the documented swing bands (VERDICT r11 #1): the
+    # io_bound protocol queries (s10/d6/m7/d12/j3) legitimately swing
+    # with host I/O — a reading inside its band is NOT a regression and
+    # should not consume an A/B slot. Bands are hand-maintained from
+    # measured history (SCALE.md), not regenerated per round.
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        for k in ("bands_sec", "bands_note"):
+            if k in prev:
+                out[k] = prev[k]
+    except (OSError, json.JSONDecodeError):
+        pass
     with open(path, "w") as f:
         json.dump(out, f, separators=(",", ":"))
-    print(f"wrote {path}: {len(qs)} queries, cal_cs={out['cal_cs']}")
+    print(f"wrote {path}: {len(qs)} queries, cal_cs={out['cal_cs']}, "
+          f"bands={len(out.get('bands_sec', {}))}")
 
 
 if __name__ == "__main__":
