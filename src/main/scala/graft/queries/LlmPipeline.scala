@@ -986,6 +986,25 @@ object LlmPipeline {
         .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
         .limit(30)
     }),
+    "q_t39_html_extract" -> ((s, dir) =>
+      // HTML-to-text extraction + boilerplate removal (r12, L123;
+      // VERDICT r11 #2; Pomikálek 2011 jusText, Barbaresi 2021
+      // trafilatura): the curation FRONT — deterministic synthetic
+      // crawl pages (each doc's words re-flowed into <p> blocks inside
+      // real chrome: head/style/script, link-dense nav + share bar,
+      // short subscribe box, stopword-free footer), then the rule
+      // battery: chrome strip, block segmentation on closing tags,
+      // per-block link-density / stopword-density / length
+      // classification, content reassembly. All four block classes are
+      // live at battery scale; md5 pins the exact extracted text. The
+      // oracle rebuilds the SAME pages and replays the same rules.
+      HtmlExtract.extract(
+          HtmlExtract.synthesize(t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "html")
+        .select(col("doc_id"), col("n_blocks"), col("n_short"),
+          col("n_link"), col("n_low_stop"), col("n_content"),
+          col("content_chars"), col("extract_md5"))
+        .orderBy(col("doc_id"))),
     "q_t37_good_turing" -> ((s, dir) => {
       // Good–Turing unseen-mass estimate (r11, L119; Good 1953, Gale &
       // Sampson 1995): per source, the probability mass of UNSEEN
@@ -3576,6 +3595,78 @@ object LlmPipeline {
          JOIN uni a ON a.w = p.w1
          JOIN uni b ON b.w = p.w2, tot
          ORDER BY pmi_e6 DESC, p.w1, p.w2 LIMIT 30""",
+    // q_t39: the synthetic crawl page rebuilt literal-for-literal from
+    // the same template, then the same rule chain — head/script/style
+    // strip ('g' flag: Spark replaces all by default), the same
+    // closing-tag split (string_split_regex keeps the trailing
+    // fragment, matching Spark's limit=-1), per-block tag strip /
+    // anchor-text extraction / stopword filter, the identical
+    // integer-compare classification ladder, ORDER BY pos reassembly
+    "q_t39_html_extract" ->
+      """WITH pages AS (
+          SELECT doc_id,
+            '<html><head><title>Doc ' || doc_id ||
+            '</title><style>body{margin:0}</style><script>var t=1;</script></head><body>'
+            || '<nav><a href="/">Home</a> <a href="/news">News</a> <a href="/about">About</a> <a href="/contact">Contact</a> <a href="/archive">Archive</a> <a href="/subscribe">Subscribe</a></nav>'
+            || '<div><a href="/subscribe">Subscribe</a> <a href="/signin">Sign in</a></div>'
+            || array_to_string(list_transform(
+                 range(0, CAST((len(string_split(text, ' ')) + 11) // 12
+                          AS INTEGER)),
+                 i -> '<p>' || array_to_string(string_split(text, ' ')
+                        [CAST(i*12+1 AS INTEGER):CAST(i*12+12 AS INTEGER)],
+                        ' ') || '</p>'), '')
+            || '<div>Share: <a href="/t">Tweet</a> <a href="/f">Share</a> <a href="/l">Like</a> <a href="/fo">Follow</a> <a href="/p">Pin</a></div>'
+            || '<footer>Copyright 2026 Example Corp <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>'
+            AS html
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        cleaned AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(html,
+            '<head>.*?</head>', ' ', 'g'),
+            '<script[^>]*>.*?</script>', ' ', 'g'),
+            '<style[^>]*>.*?</style>', ' ', 'g') AS c
+          FROM pages),
+        arrs AS (SELECT doc_id,
+            string_split_regex(c, '</(?:p|div|li|nav|footer|h1|h2|h3)>')
+              AS arr
+          FROM cleaned),
+        blocks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            arr[CAST(i AS INTEGER)] AS block
+          FROM arrs, unnest(range(1, len(arr) + 1)) AS t(i)),
+        measured AS (SELECT doc_id, pos,
+          trim(regexp_replace(regexp_replace(block,
+            '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS btxt,
+          length(array_to_string(regexp_extract_all(block,
+            '<a [^>]*>([^<]*)</a>', 1), '')) AS link_chars
+          FROM blocks),
+        m2 AS (SELECT doc_id, pos, btxt, length(btxt) AS text_chars,
+          link_chars, len(string_split(btxt, ' ')) AS n_words,
+          len(list_filter(string_split(btxt, ' '),
+            w -> list_contains(
+              ['a','an','and','in','is','of','the','to'], w))) AS n_stop
+          FROM measured),
+        cls AS (SELECT doc_id, pos, btxt, text_chars,
+          CASE WHEN text_chars < 25 THEN 'short'
+               WHEN link_chars * 2 >= text_chars THEN 'link'
+               WHEN n_stop * 20 < n_words AND text_chars < 200
+                 THEN 'low_stop'
+               ELSE 'content' END AS cls
+          FROM m2),
+        agg AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_blocks,
+          CAST(COUNT(*) FILTER (WHERE cls='short') AS BIGINT) AS n_short,
+          CAST(COUNT(*) FILTER (WHERE cls='link') AS BIGINT) AS n_link,
+          CAST(COUNT(*) FILTER (WHERE cls='low_stop') AS BIGINT)
+            AS n_low_stop,
+          CAST(COUNT(*) FILTER (WHERE cls='content') AS BIGINT)
+            AS n_content,
+          CAST(COALESCE(SUM(text_chars) FILTER (WHERE cls='content'), 0)
+            AS BIGINT) AS content_chars,
+          COALESCE(string_agg(btxt, chr(10) ORDER BY pos)
+            FILTER (WHERE cls='content'), '') AS text
+          FROM cls GROUP BY doc_id)
+        SELECT doc_id, n_blocks, n_short, n_link, n_low_stop, n_content,
+               content_chars, md5(text) AS extract_md5
+        FROM agg ORDER BY doc_id""",
     // q_t37: same tokenizer, the frequency-of-frequencies counts and
     // two exact floor divisions
     "q_t37_good_turing" ->

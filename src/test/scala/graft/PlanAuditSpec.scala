@@ -548,6 +548,21 @@ class PlanAuditSpec extends SparkSpec {
       s"q_j13 re-reads the corpus per round:\n${plan.take(800)}")
   }
 
+  test("HTML extraction: join-free, window-free, UDF-free — pure scan+explode+agg") {
+    // the 100 TB contract for the curation front: one codegen'd string
+    // chain per page, one posexplode, one hash aggregation — nothing
+    // that shuffles twice or serializes a hot key
+    val plan = executedPlan(q("q_t39_html_extract"))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q_t39 grew a join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"q_t39 grew a window:\n${plan.take(1200)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"q_t39 fell off codegen into a UDF:\n${plan.take(1200)}")
+    assert(plan.contains("Generate"),
+      s"q_t39 lost its block explode:\n${plan.take(1200)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
