@@ -26,9 +26,16 @@ final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
   * iterator per partition, library handles (a real decoder, a model) would
   * be initialized once per partition, rows streamed through.
   *
-  * The decode is a clearly-marked STUB (deterministic fake derived from the
-  * bytes); the Spark-side plumbing — schema, encoders, partition-iterator
-  * batch shape, column pruning — is real and tested. */
+  * Decode status (r12): IMAGE decode is REAL — [[decodeImage]] /
+  * [[imageDHashKernel]] decode PNG/BMP/GIF/JPEG with the JDK's headless
+  * `javax.imageio` into the same 4×9 luminance grid the hash machinery
+  * consumes (spec-gated on hand-computed pixel fixtures; DuckDB can't
+  * decode PNG, so no SQL oracle). The TEXT-blob path ([[decodeStub]],
+  * [[luminanceGrid]]) remains the deliberate oracle-paired form — it is
+  * what the battery's q_m* queries run so the DuckDB oracle can replay
+  * them — and audio/video decode stays stubbed (no codecs in the JDK).
+  * The Spark-side plumbing — schema, encoders, partition-iterator batch
+  * shape, column pruning — is real and tested on both paths. */
 object Multimodal {
 
   /** Pack a text table into multimodal shape: content = UTF-8 bytes (stands
@@ -152,6 +159,21 @@ object Multimodal {
         .otherwise(lit(0L))
     })
 
+  /** The 32 dHash comparisons over a 4×9 luminance grid, shared by the
+    * stub kernel and the REAL image kernel so the bit construction
+    * cannot drift between them (and both stay pinned to [[dHash32]]'s
+    * expression spec). */
+  private[graft] def dHashBits(lum: Array[Long]): Long = {
+    var ph = 0L
+    var b = 0
+    while (b < 32) {
+      val k1 = b / 8 * 9 + b % 8
+      if (lum(k1) < lum(k1 + 1)) ph |= 1L << b
+      b += 1
+    }
+    ph
+  }
+
   /** The scoring-path form of [[luminanceGrid]]+[[dHash32]]: a JIT'd
     * typed kernel (the [[Similarity.int8Codes]] discipline), one
     * (id, ph) row per blob. Why not the expression form in the hot
@@ -182,14 +204,93 @@ object Multimodal {
             }
             k += 1
           }
-          var ph = 0L
-          var b = 0
-          while (b < 32) {
-            val k1 = b / 8 * 9 + b % 8
-            if (lum(k1) < lum(k1 + 1)) ph |= 1L << b
-            b += 1
+          (id, dHashBits(lum))
+        }
+      }.toDF("id", "ph")
+  }
+
+  /** A really-decoded image: pixel dimensions plus the 4×9 luminance
+    * grid the perceptual-hash machinery consumes. */
+  final case class DecodedImage(width: Int, height: Int, lum36: Array[Long])
+
+  /** REAL image decode (r12, VERDICT r11 #3 — closes the one
+    * kernel-stub in the multimodal family): decodes PNG/BMP/GIF/JPEG
+    * bytes with the JDK's headless `javax.imageio` (zero new jars;
+    * probed in this container — full reader set available), computes
+    * integer BT.601 luminance per pixel (`(299·R + 587·G + 114·B) DIV
+    * 1000` — exact, alpha ignored/assumed opaque), and box-downsamples
+    * to the SAME 4×9 grid the stub path produces: cell (r, c) covers
+    * pixel rows [r·H/4, (r+1)·H/4) × cols [c·W/9, (c+1)·W/9) (floor
+    * boundaries, the [[luminanceGrid]] slice convention), cell value =
+    * floor-mean. Undecodable bytes (truncated file, not an image)
+    * return None — the kernel drops them rather than hashing garbage.
+    *
+    * Oracle stance: this kernel is SPEC-GATED, not oracled — DuckDB
+    * cannot decode PNG, so the gate is `MultimodalImageSpec`'s
+    * hand-computed reference fixtures (1-pixel-per-cell images where
+    * the grid IS the pixel matrix, block-constant images where the
+    * box mean is exact, PNG ≡ BMP cross-format agreement). The
+    * banding/pairing machinery downstream is UNCHANGED and stays
+    * oracle-covered through q_m6's stub path. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    Headless // force the headless flag before first AWT touch
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val lum = new Array[Long](36)
+      var k = 0
+      while (k < 36) {
+        val r = k / 9; val c = k % 9
+        val y0 = r * h / 4; val y1 = (r + 1) * h / 4
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        if (y1 > y0 && x1 > x0) {
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
+                + 114L * (rgb & 0xff)) / 1000L
+              x += 1
+            }
+            y += 1
           }
-          (id, ph)
+          lum(k) = Math.floorDiv(s, ((y1 - y0).toLong * (x1 - x0)))
+        }
+        k += 1
+      }
+      Some(DecodedImage(w, h, lum))
+    }
+  }
+
+  /** One-time JVM headless flag — PNG/BMP readers never need a display,
+    * but AWT must know before its first class initializes on an
+    * executor. */
+  private lazy val Headless: Unit =
+    System.setProperty("java.awt.headless", "true")
+
+  /** [[dHashKernel]]'s REAL-image sibling: (id, ph) from actually
+    * decoded pixels — decode → BT.601 luminance → 4×9 box mean →
+    * [[dHashBits]] (the construction shared with the stub kernel, so
+    * the two paths cannot drift). Undecodable blobs are dropped.
+    * Same mapPartitions batch shape: decode state is JVM-static
+    * (ImageIO's reader registry), rows stream through, output is
+    * 16 bytes/row no matter the blob size. */
+  def imageDHashKernel(df: DataFrame, idCol: String,
+      contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(idCol).isNotNull && col(contentCol).isNotNull)
+      .select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeImage(bytes).map(d => (id, dHashBits(d.lum36)))
         }
       }.toDF("id", "ph")
   }
@@ -239,15 +340,28 @@ object Multimodal {
   def perceptualNearDup(df: DataFrame, idCol: String = "doc_id",
       maxHamming: Int = 3, maxBucketSize: Int = 1 << 20,
       contentCol: String = "content"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming $maxHamming breaks the 4-band exactness guarantee")
     require(df.columns.contains(contentCol),
       s"blob column '$contentCol' not in [${df.columns.mkString(", ")}]")
-    NearDup.materialized { cache =>
-      val h = cache(dHashKernel(
+    perceptualNearDupFromHashes(
+      dHashKernel(
         df.filter(col(idCol).isNotNull && col(contentCol).isNotNull)
           .withColumn(contentCol, col(contentCol).cast("string")),
-        idCol, contentCol))
+        idCol, contentCol),
+      maxHamming, maxBucketSize)
+  }
+
+  /** The banding + true-Hamming pairing over a precomputed (id, ph)
+    * hash frame — the machinery [[perceptualNearDup]] (stub kernel) and
+    * the REAL [[imageDHashKernel]] path share, so "q_m6's machinery
+    * accepts really-decoded hashes" is true by construction (and
+    * spec-exercised end-to-end on encoded fixtures in
+    * MultimodalImageSpec). */
+  def perceptualNearDupFromHashes(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming breaks the 4-band exactness guarantee")
+    NearDup.materialized { cache =>
+      val h = cache(hashes.select(col("id").cast("long"), col("ph")))
       val pairs = NearDup.bucketPairs(phashBands(h), maxBucketSize)
       pairs
         .join(h.select(col("id").as("id_a"), col("ph").as("pha")), "id_a")
