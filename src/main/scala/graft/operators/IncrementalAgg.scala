@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * add, min/max combine; AVG must be DERIVED from (sum, n) — a stored
   * average is famously non-mergeable. Exact COUNT(DISTINCT) is likewise
   * non-mergeable from these partials by design — that needs either the
-  * sketch path (A2x) or a key-level table; the scaladoc is the fence.
+  * sketch path (A2x at query time; [[Kmv]] for a PERSISTABLE, mergeable
+  * sketch table — the r12 closure of this fence) or a key-level table.
   *
   * Sums run in DECIMAL(38,2) (the q_x12 money convention): partial
   * tables make reassociation EXPLICIT — base+delta orders differ run to

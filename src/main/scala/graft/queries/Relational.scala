@@ -433,6 +433,36 @@ object Relational {
           (col("max_v") * 100).cast("long").as("max_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+    "q_s14_kmv_distinct" -> ((s, dir) => {
+      // KMV mergeable distinct-count sketch (r12, L124; VERDICT r11 #4;
+      // Bar-Yossef et al. 2002, Beyer et al. 2007): closes the fence
+      // IncrementalAgg's scaladoc declares — exact COUNT(DISTINCT) is
+      // non-mergeable across partial-table generations and A2x's HLL
+      // is not persistable as a table. The query runs the MERGE path
+      // (two o_orderkey-split batches, sketched independently, merged
+      // k-smallest-of-union) while the oracle replays the DIRECT
+      // one-pass sketch — so the driver gate itself proves
+      // merge ≡ recompute cross-engine, the q_s11 design. kmv_md5 pins
+      // the entire sketch grid; exact_u rides along so the estimator's
+      // ~1/√k error is transparent, not hidden.
+      val orders = t(s, dir, "orders")
+      val g = Seq("o_orderpriority")
+      val k = 32
+      val s1 = Kmv.sketch(
+        orders.filter(col("o_orderkey") % 4 =!= 0), g, "o_custkey", k)
+      val s2 = Kmv.sketch(
+        orders.filter(col("o_orderkey") % 4 === 0), g, "o_custkey", k)
+      val est = Kmv.estimate(Kmv.merge(s1, s2, g, k), k)
+      val exact = orders.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_u"))
+      est.join(exact, g)
+        .select(col("o_orderpriority"), col("n_kept"), col("kth_min"),
+          col("est_distinct"),
+          md5(array_join(transform(col("kmv"), _.cast("string")), ",")
+            .cast("binary")).as("kmv_md5"),
+          col("exact_u"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "q_a13_grouped_corr" -> ((s, dir) => {
       // exact-moment Pearson correlation per group (r8): both columns
       // quantized ONCE to 2-dp integers, the five moments are exact
@@ -1088,6 +1118,37 @@ object Relational {
                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                      AS BIGINT) AS max_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // q_s14: the DIRECT one-pass KMV sketch the engine's merged batches
+    // must equal — k-smallest of a union are among each side's
+    // k-smallest, so merge ≡ recompute is an identity; the 56-bit hash
+    // is the shared md5 idiom, the estimator the exact long-division
+    // form (M div/mod t — every intermediate BIGINT-safe by k ≤ 64)
+    "q_s14_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS grp,
+                CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+                  1, 14)) AS BIGINT) AS h
+              FROM orders WHERE o_custkey IS NOT NULL),
+          r AS (SELECT grp, h,
+                  dense_rank() OVER (PARTITION BY grp ORDER BY h) AS dr
+                FROM h),
+          kept AS (SELECT grp, h FROM r WHERE dr <= 32),
+          s AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  MAX(h) AS t,
+                  md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h))
+                    AS kmv_md5
+                FROM kept GROUP BY grp),
+          e AS (SELECT o_orderpriority AS grp,
+                  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_u
+                FROM orders GROUP BY 1)
+         SELECT s.grp AS o_orderpriority, s.n_kept,
+                CASE WHEN s.n_kept >= 32 THEN s.t END AS kth_min,
+                CAST(CASE WHEN s.n_kept < 32 THEN s.n_kept
+                     ELSE 31 * (72057594037927936 // s.t)
+                          + (31 * (72057594037927936 % s.t)) // s.t END
+                  AS BIGINT) AS est_distinct,
+                s.kmv_md5, e.exact_u
+         FROM s JOIN e ON e.grp = s.grp
+         ORDER BY o_orderpriority""",
     // q_a13: HUGEINT sums are exact like the engine's decimal sums;
     // one cast-to-double per term at the same spots, same op order
     "q_a13_grouped_corr" ->

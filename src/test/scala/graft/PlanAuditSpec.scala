@@ -548,6 +548,19 @@ class PlanAuditSpec extends SparkSpec {
       s"q_j13 re-reads the corpus per round:\n${plan.take(800)}")
   }
 
+  test("KMV sketch: the per-group k-smallest runs as WindowGroupLimit") {
+    // the scale contract: InferWindowGroupLimit must push the
+    // dense_rank <= k filter into a partial group-limit before the
+    // exchange, so a hot group never serializes its distinct set into
+    // one window task (the L79 lesson, sidestepped by rank pushdown)
+    val plan = executedPlan(q("q_s14_kmv_distinct"))
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_s14 rank filter did not push down:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q_s14 plan contains a cross product")
+  }
+
   test("HTML extraction: join-free, window-free, UDF-free — pure scan+explode+agg") {
     // the 100 TB contract for the curation front: one codegen'd string
     // chain per page, one posexplode, one hash aggregation — nothing
