@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity self-join with prefix filtering — the AllPairs /
@@ -74,29 +74,10 @@ object SetSimJoin {
     NearDup.materialized { cache =>
       val sh = cache(NearDup.hashedShingles(df, idCol, textCol, shingleLen))
       sh.count() // fill the shared cache before branches race on it
-      // outer + null filter (the q_t6 InferFiltersFromGenerate lesson):
-      // plain explode over the computed shingle array would re-evaluate
-      // it inside an inferred size()>0 pushdown
-      val ex = sh.select(col("id"), explode_outer(col("hs")).as("g"))
-        .filter(col("g").isNotNull)
-      // document frequency per shingle hash — `hs` is distinct within a
-      // document, so count(1) IS the number of documents carrying g
-      val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      // per-document global-rarity order; (df, g) is unique within a set,
-      // so sort_array makes the collect_list order irrelevant
-      val ordered = ex.join(dfreq, "g")
-        .groupBy(col("id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
-      // p = n − ⌈t·n⌉ + 1 with the ceil as exact long arithmetic
-      val n = size(col("ord")).cast("long")
-      val ceilT = call_function("div", lit(t6) * n + lit(999999L),
-        lit(1000000L))
-      val prefixRows = ordered
-        .select(col("id"), lit(0).as("band"),
-          explode_outer(slice(transform(col("ord"), _.getField("g")),
-            lit(1), (n - ceilT + lit(1L)).cast("int"))).as("key"))
-        .filter(col("key").isNotNull)
-      val cand = NearDup.bucketPairs(prefixRows, maxTokenGroup)
+      val prefix = prefixRows(sh, t6)
+      val cand = NearDup.bucketPairs(
+        prefix.select(col("id"), lit(0).as("band"), col("key")),
+        maxTokenGroup)
       // size filter: J ≥ t forces min(|A|,|B|)·10⁶ ≥ t₆·max(|A|,|B|);
       // the size table is two slim columns — AQE broadcasts it into
       // both probes when small, and the filter runs before the (more
@@ -110,5 +91,155 @@ object SetSimJoin {
         .select(col("id_a"), col("id_b"))
       NearDup.confirmJaccard(cache(sized), sh, threshold)
     }
+  }
+
+  /** Exploded (id, g) shingle rows — outer + null filter (the q_t6
+    * InferFiltersFromGenerate lesson: plain explode over the computed
+    * shingle array would re-evaluate it inside an inferred size()>0
+    * pushdown). */
+  private def exploded(sh: DataFrame): DataFrame =
+    sh.select(col("id"), explode_outer(col("hs")).as("g"))
+      .filter(col("g").isNotNull)
+
+  /** Per-document rarity-ordered prefix tokens (id, key): order each
+    * set's distinct shingle hashes by corpus document frequency asc then
+    * hash asc (one corpus-wide total order; (df, g) is unique within a
+    * set so sort_array makes collect_list order irrelevant), keep the
+    * first p = n − ⌈t·n⌉ + 1. The SAME prefix length serves both the
+    * symmetric Jaccard join and the asymmetric containment join —
+    * in both cases the required overlap with the prefix-holder A is
+    * ≥ ⌈t·|A|⌉, which is exactly what the pigeonhole needs. */
+  private def prefixRows(sh: DataFrame, t6: Long): DataFrame = {
+    val ex = exploded(sh)
+    // `hs` is distinct within a document, so count(1) IS document freq
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "g")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+    // p = n − ⌈t·n⌉ + 1 with the ceil as exact long arithmetic
+    val n = size(col("ord")).cast("long")
+    val ceilT = call_function("div", lit(t6) * n + lit(999999L),
+      lit(1000000L))
+    ordered
+      .select(col("id"), explode_outer(slice(
+        transform(col("ord"), _.getField("g")),
+        lit(1), (n - ceilT + lit(1L)).cast("int"))).as("key"))
+      .filter(col("key").isNotNull)
+  }
+
+  /** Exact containment-similarity self-join (r12, L125; VERDICT r11 #5;
+    * the prefix filter's containment form — Chaudhuri, Ganti &
+    * Kaushik ICDE'06 SSJoin primitive): every DIRECTED pair (A, B),
+    * A ≠ B, with C(A→B) = |A∩B| / |A| ≥ threshold — the
+    * quote-inclusion / syndication detector. Symmetric Jaccard scores a
+    * short document fully contained in a long one LOW (the union is
+    * large); containment scores it 1.0 — the gap [[pairs]] leaves open.
+    *
+    * Recall proof (100%, by construction): C(A→B) ≥ t ⇒ |A∩B| ≥
+    * ⌈t·|A|⌉; if NONE of A's first |A| − ⌈t·|A|⌉ + 1 rarity-ordered
+    * tokens were in B, the ≥⌈t·|A|⌉ shared tokens would have to fit in
+    * the remaining ⌈t·|A|⌉ − 1 slots — contradiction. So the PROBE
+    * prefix (A, the contained side) joined against the INDEX side's
+    * FULL token list (B carries no prefix: containment puts no lower
+    * bound on B's shared FRACTION, only on its shared COUNT) loses
+    * nothing. The only size condition is the necessary asymmetric one —
+    * |B| ≥ ⌈t·|A|⌉ (since |A∩B| ≤ |B|) — there is NO symmetric
+    * min/max filter, which is precisely why Jaccard machinery cannot
+    * be reused wholesale.
+    *
+    * Scale shape: document frequency + rarity prefixes shared with
+    * [[pairs]]; candidates come from a side-tagged probe×index bucket
+    * expansion (ONE groupBy per token, the taggedBucketPairs
+    * discipline — never a self-join of the corpus); `maxTokenGroup`
+    * caps the INDEX membership of a token bucket (a corpus-stopword
+    * token indexes everyone — the valve trades recall for bounded
+    * cost exactly like the LSH caps; default keeps the join exact).
+    * Confirmation is the melt-join-regroup shape scoring ONLY
+    * candidates. Output: (id_a, id_b, containment) — id_a the
+    * CONTAINED side, both directions reported independently when both
+    * clear the threshold. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.8,
+      maxTokenGroup: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold outside (0, 1] — at 0 every pair qualifies")
+    val t6 = math.round(threshold * 1e6)
+    NearDup.materialized { cache =>
+      val sh = cache(NearDup.hashedShingles(df, idCol, textCol, shingleLen))
+      sh.count() // fill the shared cache before branches race on it
+      val cand = taggedTokenPairs(prefixRows(sh, t6), exploded(sh),
+        maxTokenGroup)
+      // necessary size condition: |A∩B| ≤ |B| forces n_b ≥ ⌈t·n_a⌉
+      val sizes = sh.select(col("id"), size(col("hs")).cast("long").as("n"))
+      val sized = cand
+        .join(sizes.select(col("id").as("id_a"), col("n").as("__na")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("__nb")), "id_b")
+        .filter(col("__nb") * lit(1000000L) >= lit(t6) * col("__na"))
+        .select(col("id_a"), col("id_b"))
+      confirmContainment(cache(sized), sh, t6)
+    }
+  }
+
+  /** Directed probe×index candidate pairs: one bucket per token, probe
+    * rows are prefix tokens (side 1, the CONTAINED candidate = id_a),
+    * index rows are full token lists (side 0 = id_b). The
+    * StreamingNearDup.taggedBucketPairs discipline: ONE groupBy,
+    * JIT'd flatMap expansion, explicit repartition first (AQE would
+    * coalesce the tiny bucket table to ~1 task and serialize the
+    * expansion). Buckets whose INDEX membership exceeds
+    * `maxTokenGroup` contribute no pairs (the skew valve). */
+  private def taggedTokenPairs(probe: DataFrame, index: DataFrame,
+      maxTokenGroup: Int): DataFrame = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val tagged = index.select(col("g").as("key"),
+        col("id").cast("long"), lit(0).as("side"))
+      .unionAll(probe.select(col("key"),
+        col("id").cast("long"), lit(1).as("side")))
+    tagged.groupBy(col("key"))
+      .agg(collect_set(struct(col("side"), col("id"))).as("rows"))
+      .select(col("rows")).as[Array[(Int, Long)]]
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .mapPartitions { buckets =>
+        buckets.flatMap { rows =>
+          val idx = rows.collect { case (0, id) => id }
+          val prb = rows.collect { case (1, id) => id }
+          if (prb.isEmpty || idx.isEmpty || idx.length > maxTokenGroup)
+            Iterator.empty
+          else for {
+            a <- prb.iterator
+            b <- idx
+            if a != b
+          } yield (a, b)
+        }
+      }.toDF("id_a", "id_b").distinct()
+  }
+
+  /** Exact containment confirmation over candidate pairs — the
+    * melt-join-regroup shape of [[NearDup.confirmJaccard]] (pairs side
+    * broadcast by AQE, corpus scanned once, never per role), scoring
+    * C(A→B) = |hs_a ∩ hs_b| / |hs_a| and keeping ≥ t. The THRESHOLD
+    * compare is integer-exact (inter·10⁶ ≥ t₆·n_a — no float at the
+    * decision boundary); the reported score is the family's 6-dp
+    * rounded double. */
+  private def confirmContainment(pairsDf: DataFrame, shingles: DataFrame,
+      t6: Long): DataFrame = {
+    val pairStruct = struct(col("id_a"), col("id_b")).as("pair")
+    val melted = pairsDf
+      .select(col("id_a").as("id"), pairStruct, lit("a").as("role"))
+      .unionAll(pairsDf.select(col("id_b").as("id"), pairStruct,
+        lit("b").as("role")))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+    val na = size(col("hs_a")).cast("long")
+    melted.join(shingles, "id")
+      .groupBy(col("pair"))
+      .agg(
+        first(when(col("role") === "a", col("hs")), ignoreNulls = true)
+          .as("hs_a"),
+        first(when(col("role") === "b", col("hs")), ignoreNulls = true)
+          .as("hs_b"))
+      .filter(na > 0 && inter * lit(1000000L) >= lit(t6) * na)
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
+        round(inter.cast("double") / na, 6).as("containment"))
   }
 }

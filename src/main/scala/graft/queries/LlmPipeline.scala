@@ -444,6 +444,31 @@ object LlmPipeline {
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    "q_d13_containment" -> ((s, dir) => {
+      // containment-similarity join (r12, L125; VERDICT r11 #5): the
+      // asymmetric C(A→B) = |A∩B|/|A| ≥ 0.8 quote-inclusion detector —
+      // symmetric Jaccard (q_d9) scores a short doc inside a long one
+      // LOW; containment scores it 1.0. Fixture makes the gap live via
+      // the q_d11 doubled-corpus trick: every 5th doc contributes a
+      // 15-token "quote" at id+100000 whose shingles are a SUBSET of
+      // its source's — containment exactly 1.0 quote→source, far below
+      // threshold in reverse. The oracle replays the same construction
+      // exhaustively (all directed pairs — quadratic by design, the
+      // q_d2 precedent: skip at sf0.1).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 100000L,
+        s"q_d13 quote-corpus offset collides: max doc_id $maxId >= 100000")
+      val quotes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 15), " ")
+            .as("text"))
+      SetSimJoin.containmentPairs(docs.unionAll(quotes), "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_d10_exact_substr" -> ((s, dir) =>
       // corpus-global ExactSubstr dedup (r9, L76; Lee et al. 2022,
       // arXiv:2107.06499): every duplicated >= 8-token run is removed
@@ -2459,6 +2484,35 @@ object LlmPipeline {
     // q_d9 (L63): the prefix filter is lossless, so the exact join's
     // contract IS the exhaustive all-pairs computation — same oracle
     "q_d9_setsim_exact" -> nearDupOracle,
+    // q_d13: the same quote-corpus construction (every 5th doc's first
+    // 15 tokens at id+100000), then the EXHAUSTIVE directed containment
+    // scan — the decision compare is the identical integer form
+    // (inter·10⁶ ≥ 8·10⁵·|A|), the reported score the family's 6-dp
+    // round. Quadratic by design (the q_d2 precedent — sf0.1 skip).
+    "q_d13_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   array_to_string(($duckToks)[1:15], ' ') AS text
+            FROM base WHERE doc_id % 5 = 0),
+          sh AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len($duckToks) - 2, 0) + 1),
+                     i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
+                 FROM corpus),
+          scored AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(a.sh) AS na
+                 FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+                 WHERE len(a.sh) > 0)
+         SELECT id_a, id_b,
+                round(inter * 1.0 / na, 6) AS containment
+         FROM scored
+         WHERE inter * 1000000 >= 800000 * na
+         ORDER BY id_a, id_b""",
     "q_d5_neardup_clusters" -> clusterOracle,
     "q_d6_delta_neardup" ->
       // sequential replay of the two-phase admit: a1 = batch-1 docs with

@@ -548,6 +548,13 @@ class PlanAuditSpec extends SparkSpec {
       s"q_j13 re-reads the corpus per round:\n${plan.take(800)}")
   }
 
+  test("containment join: no cartesian, no loop join — banded equi-join only") {
+    val plan = executedPlan(q("q_d13_containment"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_d13 plan contains a cross product:\n${plan.take(1500)}")
+  }
+
   test("KMV sketch: the per-group k-smallest runs as WindowGroupLimit") {
     // the scale contract: InferWindowGroupLimit must push the
     // dense_rank <= k filter into a partial group-limit before the

@@ -106,4 +106,83 @@ class SetSimJoinSpec extends SparkSpec {
     assert(run(docs, 0.9).size === 15)
     assert(run(docs, 0.9, maxTokenGroup = 2).isEmpty)
   }
+
+  // ---------------------------------------------- containment (L125, r12)
+
+  /** Exhaustive directed containment reference: C(A→B) = |A∩B|/|A| over
+    * distinct string 3-gram shingles, integer threshold compare, 6-dp
+    * half-up report — the operator's documented semantics replayed. */
+  private def bruteForceContainment(docs: Seq[(Long, String)],
+      threshold: Double): Seq[(Long, Long, Double)] = {
+    def sh(t: String): Set[String] = {
+      val toks = t.trim match {
+        case "" => Array.empty[String]
+        case s  => s.split("\\s+")
+      }
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val t6 = math.round(threshold * 1e6)
+    val sets = docs.map { case (id, t) => id -> sh(t) }
+    (for {
+      (a, sa) <- sets
+      (b, sb) <- sets
+      if a != b && sa.nonEmpty
+      inter = (sa & sb).size.toLong
+      if inter * 1000000L >= t6 * sa.size
+      c = BigDecimal(inter.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield (a, b, c)).sortBy(p => (p._1, p._2))
+  }
+
+  private def runContainment(docs: Seq[(Long, String)], threshold: Double,
+      maxTokenGroup: Int = Int.MaxValue): Seq[(Long, Long, Double)] =
+    SetSimJoin.containmentPairs(docs.toDF("doc_id", "text"), "doc_id",
+        "text", shingleLen = 3, threshold = threshold,
+        maxTokenGroup = maxTokenGroup)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Double)].collect().toSeq
+
+  test("containment: a quote inside a long doc scores 1.0 one way only " +
+      "(the Jaccard gap)") {
+    val long = (1 to 40).map(i => s"t$i").mkString(" ")
+    val quote = (10 to 15).map(i => s"t$i").mkString(" ") // 6 tokens ⊂ long
+    val docs = Seq(1L -> long, 2L -> quote,
+      3L -> "totally unrelated words live here now")
+    val got = runContainment(docs, 0.8)
+    assert(got === Seq((2L, 1L, 1.0))) // quote→long only, never reversed
+    // and the symmetric join at the same threshold misses it entirely
+    assert(run(docs, 0.8).isEmpty)
+  }
+
+  test("containment property: equals the exhaustive directed scan (seeded)") {
+    val rnd = new scala.util.Random(65)
+    for (trial <- 1 to 8) {
+      val vocab = (0 until 12).map(i => s"v$i")
+      val nDocs = rnd.nextInt(20) + 5
+      val base = (1 to nDocs).map { i =>
+        i.toLong -> (0 until rnd.nextInt(15) + 3)
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // planted quotes: token-window slices of random docs, so real
+      // subset-containments exist in every trial
+      val quotes = (1 to 3).map { q =>
+        val (srcId, text) = base(rnd.nextInt(base.size))
+        val toks = text.split(" ")
+        val from = rnd.nextInt(math.max(1, toks.length - 4))
+        (srcId + 1000L * q) -> toks.slice(from, from + 5).mkString(" ")
+      }
+      val docs = base ++ quotes ++ Seq((9000L + trial) -> "")
+      val threshold = Seq(0.5, 0.8, 1.0)(rnd.nextInt(3))
+      val got = runContainment(docs, threshold)
+      val want = bruteForceContainment(docs, threshold)
+      assert(got === want, s"trial $trial threshold=$threshold docs=$docs")
+    }
+  }
+
+  test("containment maxTokenGroup caps the INDEX side: capped run loses pairs") {
+    val docs = (1L to 6L).map(_ -> "a b c d e f g h")
+    // 6 identical docs: 30 directed pairs uncapped, none with cap 2
+    assert(runContainment(docs, 0.9).size === 30)
+    assert(runContainment(docs, 0.9, maxTokenGroup = 2).isEmpty)
+  }
 }
