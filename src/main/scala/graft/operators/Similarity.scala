@@ -120,6 +120,79 @@ object Similarity {
       .join(best(col("sim") < posThreshold, "neg"), Seq("query_id"))
   }
 
+  /** Margin-based bitext mining (r12, L126; VERDICT r11 #6; Artetxe &
+    * Schwenk 2019, arXiv:1812.10464 §3 — the "ratio" margin behind
+    * CCMatrix/LASER bitext extraction): for each source-language query
+    * x, score its forward top-k candidates y by
+    *
+    *   margin(x, y) = cos(x, y) /
+    *     ((Σ_{z∈NNk(x,Y)} cos(x,z)/k_x + Σ_{z∈NNk(y,X)} cos(y,z)/k_y)/2)
+    *
+    * — raw cosine divided by the average of the two neighborhoods'
+    * mean similarity, which cancels the hubness that makes absolute
+    * cosine thresholds unusable across languages — and keep x's
+    * best-margin candidate when its margin clears `marginE6`/10⁶
+    * (the paper's "max" mining strategy; typical thresholds 1.04–1.06).
+    *
+    * Exactness (quantize-once): all cosines are the q_v1 contract
+    * (rounded to `roundTo` dp), re-quantized ONCE to integer 1e-6
+    * (`c6`); neighborhood sums are exact BIGINT; the single division is
+    *   margin_e6 = 2·c6·k_x·k_y·10⁶ div (sum_x·k_y + sum_y·k_x)
+    * — every factor bounded (|c6| ≤ 10⁶, k ≤ 64 ⇒ numerator ≤ 2³·10¹⁵),
+    * identical truncating semantics on both engines. Pairs whose
+    * denominator is ≤ 0 (a non-positive mean-cos neighborhood — no
+    * meaningful ratio) drop, documented. Argmax per query is a
+    * struct-extreme — (margin, −tgt_id) — never a per-query window.
+    *
+    * Scale shape: forward = [[bruteForceTopK]] over the bounded query
+    * slice (broadcast queries, corpus scanned once); BACKWARD top-k is
+    * computed only for the ≤ |queries|·k distinct forward candidates
+    * (semi-join first — never all of Y), against the FULL source
+    * language. At corpus scale both retrievals swap to the ANN family
+    * (IVF-PQ top-k feeds the same margin arithmetic) without changing
+    * the selection rule — the L99 pattern. Output: (src_id, tgt_id,
+    * cos_e6, margin_e6), one row per query whose best margin clears
+    * the threshold. */
+  def bitextMarginMine(srcQueries: DataFrame, srcAll: DataFrame,
+      tgtAll: DataFrame, k: Int, marginE6: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 64, s"k $k outside [1, 64] (BIGINT margin)")
+    require(marginE6 >= 1L, s"marginE6 $marginE6 must be >= 1")
+    def c6(sim: Column): Column =
+      round(sim * lit(1000000.0), 0).cast("long")
+    val fwd = bruteForceTopK(srcQueries, tgtAll, k, idCol, vecCol, roundTo)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), c6(col("sim")).as("cos_e6"))
+    val srcStats = fwd.groupBy(col("src_id"))
+      .agg(sum(col("cos_e6")).as("sum_src"),
+        count(lit(1)).as("k_src"))
+    val candTgt = fwd.select(col("tgt_id").as(idCol)).distinct()
+    val bwd = bruteForceTopK(
+      tgtAll.join(candTgt, Seq(idCol), "left_semi"), srcAll, k,
+      idCol, vecCol, roundTo)
+    val tgtStats = bwd
+      .select(col("query_id").as("tgt_id"), c6(col("sim")).as("bc6"))
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("bc6")).as("sum_tgt"), count(lit(1)).as("k_tgt"))
+    val denom = col("sum_src") * col("k_tgt") + col("sum_tgt") * col("k_src")
+    val margin = call_function("div",
+      lit(2L) * col("cos_e6") * col("k_src") * col("k_tgt") * lit(1000000L),
+      denom)
+    fwd
+      .join(srcStats, "src_id")
+      .join(tgtStats, "tgt_id")
+      .filter(denom > 0)
+      .select(col("src_id"),
+        struct(margin.as("margin_e6"), (-col("tgt_id")).as("nt"),
+          col("cos_e6")).as("m"))
+      .groupBy(col("src_id"))
+      .agg(max(col("m")).as("b"))
+      .filter(col("b.margin_e6") >= marginE6)
+      .select(col("src_id"), (-col("b.nt")).as("tgt_id"),
+        col("b.cos_e6").as("cos_e6"), col("b.margin_e6").as("margin_e6"))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
     * Representation Learning", arXiv:2205.13147): how much of the
     * exact cosine top-k neighbor structure survives truncating the

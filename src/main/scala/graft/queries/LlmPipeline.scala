@@ -545,6 +545,23 @@ object LlmPipeline {
           k = 5, dims = Seq(8, 16, 32))
         .orderBy(col("trunc_dim"), col("query_id"))
     }),
+    "q_v18_bitext_margin" -> ((s, dir) => {
+      // margin-based bitext mining (r12, L126; Artetxe & Schwenk 2019
+      // "ratio" margin — the CCMatrix/LASER extraction rule): the
+      // corpus splits into two "languages" by vec_id parity (the q_t30
+      // split-train trick), queries are the fixed eval slice
+      // (vec_id < 200 — same 100 queries at every SF, the L101
+      // bounded-measurement pattern), k = 4 neighborhoods both
+      // directions, and each query's best-margin candidate is kept
+      // when margin > 1.04 (the paper's operating band). Forward AND
+      // backward top-k are replayed exhaustively by the oracle.
+      val e = t(s, dir, "embeddings")
+      val src = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Similarity.bitextMarginMine(src.filter(col("vec_id") < 200),
+          src, tgt, k = 4, marginE6 = 1040000L)
+        .orderBy(col("src_id"))
+    }),
     "q_v14_hard_negatives" -> ((s, dir) => {
       // contrastive triplet mining (r11, L99): per anchor (vec_id <
       // 50), the nearest ≥0.45 neighbor is the positive and the
@@ -3122,6 +3139,74 @@ object LlmPipeline {
          SELECT trunc_dim, query_id, n_overlap FROM ($union)
          ORDER BY trunc_dim, query_id"""
     },
+    // q_v18: forward AND backward top-4 replayed exhaustively — same
+    // rounded cosine (q_v1 contract) re-quantized once to integer e6,
+    // exact BIGINT neighborhood sums, the single truncating division in
+    // the identical 2·c6·kx·ky·10⁶ / (sx·ky + sy·kx) form, argmax per
+    // query by (margin DESC, tgt ASC), the 1.04 gate. Backward stats
+    // computed only for forward candidates, exactly like the engine.
+    "q_v18_bitext_margin" ->
+      s"""WITH srcq AS MATERIALIZED (SELECT vec_id AS src_id,
+                  embedding AS qv
+                FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 200),
+          srcall AS MATERIALIZED (SELECT vec_id AS src_id,
+                  embedding AS cv
+                FROM embeddings WHERE vec_id % 2 = 0),
+          tgt AS MATERIALIZED (SELECT vec_id AS tgt_id, embedding AS cv
+                FROM embeddings WHERE vec_id % 2 = 1),
+          fs AS (SELECT src_id, tgt_id,
+                   ROUND(CASE WHEN sqrt(${duckNormSq("qv")}) = 0
+                                OR sqrt(${duckNormSq("cv")}) = 0 THEN 0.0
+                         ELSE $duckDot / (sqrt(${duckNormSq("qv")})
+                                          * sqrt(${duckNormSq("cv")})) END,
+                         6) AS sim
+                 FROM srcq CROSS JOIN tgt),
+          fwd AS (SELECT src_id, tgt_id,
+                    CAST(ROUND(sim * 1000000, 0) AS BIGINT) AS c6
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                          ORDER BY sim DESC, tgt_id) AS rk FROM fs)
+                  WHERE rk <= 4),
+          sstat AS (SELECT src_id, CAST(SUM(c6) AS BIGINT) AS sum_src,
+                      CAST(COUNT(*) AS BIGINT) AS k_src
+                    FROM fwd GROUP BY src_id),
+          cand AS (SELECT DISTINCT tgt_id FROM fwd),
+          bs AS (SELECT t.tgt_id, s.src_id,
+                   ROUND(CASE WHEN sqrt(${duckNormSq("t.cv")}) = 0
+                                OR sqrt(${duckNormSq("s.cv")}) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(
+                                range(1, len(t.cv) + 1),
+                                i -> CAST(t.cv[i] AS DOUBLE)
+                                     * CAST(s.cv[i] AS DOUBLE)))
+                              / (sqrt(${duckNormSq("t.cv")})
+                                 * sqrt(${duckNormSq("s.cv")})) END,
+                         6) AS sim
+                 FROM (SELECT tgt.* FROM tgt
+                       JOIN cand USING (tgt_id)) t CROSS JOIN srcall s),
+          bwd AS (SELECT tgt_id,
+                    CAST(ROUND(sim * 1000000, 0) AS BIGINT) AS c6
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                          ORDER BY sim DESC, src_id) AS rk FROM bs)
+                  WHERE rk <= 4),
+          tstat AS (SELECT tgt_id, CAST(SUM(c6) AS BIGINT) AS sum_tgt,
+                      CAST(COUNT(*) AS BIGINT) AS k_tgt
+                    FROM bwd GROUP BY tgt_id),
+          scored AS (SELECT f.src_id, f.tgt_id, f.c6 AS cos_e6,
+                   2 * f.c6 * ss.k_src * ts.k_tgt * 1000000
+                     // (ss.sum_src * ts.k_tgt + ts.sum_tgt * ss.k_src)
+                     AS margin_e6
+                 FROM fwd f
+                 JOIN sstat ss USING (src_id)
+                 JOIN tstat ts USING (tgt_id)
+                 WHERE ss.sum_src * ts.k_tgt + ts.sum_tgt * ss.k_src > 0),
+          best AS (SELECT src_id, tgt_id, cos_e6,
+                     CAST(margin_e6 AS BIGINT) AS margin_e6
+                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                           ORDER BY margin_e6 DESC, tgt_id) AS rk
+                         FROM scored)
+                   WHERE rk = 1)
+         SELECT src_id, tgt_id, cos_e6, margin_e6 FROM best
+         WHERE margin_e6 >= 1040000
+         ORDER BY src_id""",
     // q_v14: exhaustive replay — same rounded exact cosine, the two
     // threshold sides ranked (sim DESC, neighbor ASC) and rank-1 picked,
     // inner join so anchors missing either leg drop

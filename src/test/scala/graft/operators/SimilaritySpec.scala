@@ -444,4 +444,85 @@ class SimilaritySpec extends SparkSpec {
     val hits = (exact.map(t => (t._1, t._2)).toSet & approx).size
     assert(hits >= 7, s"MIPS-LSH hits $hits of 15 below the spec floor")
   }
+
+  // ------------------------------------------ bitext margin (L126, r12)
+
+  test("bitext margin: a true translation pair mines; a hub does not " +
+      "(the ratio margin's whole point)") {
+    // source 0 and target 1 are near-identical (the translation);
+    // target 3 is a HUB — positive cosine to everything — which an
+    // absolute-cosine rule would pair with every query, but whose
+    // neighborhoods' mean similarity is equally high, so its margin
+    // stays ~1. Distractors fill both languages.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),   // src: query
+      (2L, Seq(0.0f, 0.9f, 0.4f, 0.1f)),   // src: distractor
+      (4L, Seq(0.1f, 0.0f, 1.0f, 0.2f)),   // src: distractor
+      (6L, Seq(0.3f, 0.3f, 0.2f, 0.9f)),   // src: distractor
+      (1L, Seq(1.0f, 0.1f, 0.05f, 0.0f)),  // tgt: 0's translation
+      (3L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),   // tgt: hub
+      (5L, Seq(0.0f, 1.0f, 0.3f, 0.0f)),   // tgt: ~2's translation
+      (7L, Seq(0.0f, 0.2f, 0.9f, 0.3f)),   // tgt: ~4's translation
+      (9L, Seq(0.3f, 0.25f, 0.2f, 1.0f))   // tgt: ~6's translation
+    ).toDF("vec_id", "embedding")
+    val src = vecs.filter(col("vec_id") % 2 === 0)
+    val tgt = vecs.filter(col("vec_id") % 2 === 1)
+    val pairs = Similarity.bitextMarginMine(src, src, tgt, k = 3,
+        marginE6 = 1040000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.get(0L) === Some(1L), s"translation not mined: $pairs")
+    // the hub is nobody's best-margin partner even though its raw
+    // cosine to every query is high
+    assert(!pairs.values.toSet.contains(3L), s"hub mined: $pairs")
+  }
+
+  test("bitext margin: equals a plain-Scala replay on seeded vectors") {
+    val rnd = new scala.util.Random(77)
+    val n = 40
+    val dim = 8
+    val data = (0L until n.toLong).map(i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = data.toDF("vec_id", "embedding")
+    val src = df.filter(col("vec_id") % 2 === 0)
+    val tgt = df.filter(col("vec_id") % 2 === 1)
+    val k = 4
+    val got = Similarity.bitextMarginMine(src, src, tgt, k, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    // plain-Scala replay of the documented semantics
+    val m = data.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    def c6(a: Long, b: Long): Long =
+      math.round(BigDecimal(cos(m(a), m(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val srcIds = data.map(_._1).filter(_ % 2 == 0)
+    val tgtIds = data.map(_._1).filter(_ % 2 == 1)
+    def topK(q: Long, pool: Seq[Long]): Seq[Long] =
+      pool.sortBy(p => (-c6(q, p), p)).take(k)
+    val fwd = srcIds.map(s => s -> topK(s, tgtIds)).toMap
+    val sumS = fwd.map { case (s, ns) => s -> ns.map(c6(s, _)).sum }
+    val cand = fwd.values.flatten.toSet
+    val bwdSum = cand.map(t0 =>
+      t0 -> topK(t0, srcIds).map(c6(t0, _)).sum).toMap
+    val want = (for (s <- srcIds) yield {
+      val scoredCands = fwd(s).flatMap { t0 =>
+        val denom = sumS(s) * k + bwdSum(t0) * k
+        if (denom <= 0) None
+        else Some((t0, c6(s, t0),
+          2L * c6(s, t0) * k * k * 1000000L / denom))
+      }
+      if (scoredCands.isEmpty) None
+      else {
+        val (t0, c, mg) = scoredCands.maxBy(x => (x._3, -x._1))
+        if (mg >= 1L) Some((s, t0, c, mg)) else None
+      }
+    }).flatten.toSet
+    assert(got === want)
+  }
 }
