@@ -152,6 +152,116 @@ object LmScore {
     perDoc(df, idCol, scored)
   }
 
+  /** Interpolated trigram Kneser–Ney perplexity (r12, L127; VERDICT r11
+    * #7) — [[knBigramPerplexity]] extended to order 3 with the textbook
+    * interpolated backoff chain (Chen & Goodman 1998 §2.7's recursive
+    * form; order 3 is the KenLM order CCNet actually runs):
+    *
+    *   p1(w3)        = (N1+(·w3) + 1) / (T + V)          — the L93
+    *     continuation unigram, add-one open-vocabulary guard unchanged
+    *     (N1+ off the BIGRAM type table; same documented deviation)
+    *   p2(w3|w2)     = (max(ck(w2,w3) − D, 0) + D·N1+(w2·)·p1) / cks(w2)
+    *     where ck(w2,w3) = N1+(·w2w3) is the CONTINUATION count (distinct
+    *     left contexts of the trigram type) — the Kneser–Ney middle
+    *     layer counts types, never tokens — and cks(w2) = Σ ck(w2,·);
+    *     unseen middle context falls through to p1
+    *   p3(w3|w1w2)   = (max(c3 − D, 0) + D·N1+(w1w2·)·p2) / c12
+    *     with raw trigram counts at the top order (KN discounts raw
+    *     counts only at the highest order); unseen (w1,w2) falls
+    *     through to p2 — and a seen context GUARANTEES cks exists (a
+    *     trigram (w1,w2,x) implies ck(w2,x)), so the fallthrough chain
+    *     is total.
+    *
+    * Same exactness contract as L93: every model quantity is an exact
+    * integer off grid-sized type tables; the per-position float chain
+    * is fixed operation order mirrored token-for-token in the oracle,
+    * quantized ONCE to integer 1e-4 nats. Output per doc: `n_trigrams`,
+    * `nll_e4`, `ppl_milli` (NULL when the doc has no trigram).
+    *
+    * Scale shape: ONE extra corpus-scale aggregation vs L93 (the
+    * trigram type table); everything else — both continuation tables,
+    * contexts, T — reduces off type tables, never the corpus; scoring
+    * is the same per-position equi-join with three narrow model joins
+    * and a 1-row (T, V) broadcast. */
+  def knTrigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      reference: Option[DataFrame] = None,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val ref = reference.getOrElse(df)
+    // trigram type table — feeds the scoring join, ctx3 and the middle
+    // continuation table (checkpoint or the reference re-tokenizes per
+    // consumer — the r11 lesson, same as c2t below)
+    val c3t = trigrams(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(false)
+    pool(c3t)
+    val ctx3 = c3t.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n1p12"))
+    // middle layer: continuation counts ck(w2,w3) = distinct w1, its
+    // context totals — feeds scoring + ctx2, checkpoint too
+    val ck23 = c3t.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ck"))
+      .localCheckpoint(false)
+    pool(ck23)
+    val ctx2 = ck23.groupBy(col("w2"))
+      .agg(sum(col("ck")).as("cks"), count(lit(1)).as("n1p2"))
+    // unigram continuation off the BIGRAM type table (the L93 pc)
+    val c2t = bigrams(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    pool(c2t)
+    val cont = c2t.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+      .select(col("w2").as("w3"), col("n1c"))
+    val types = c2t.agg(count(lit(1)).as("t"))
+    val vocab = ref
+      .select(explode_outer(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .agg(count_distinct(col("tok")).as("v"))
+    val stats = types.crossJoin(vocab) // 1 row × 1 row
+
+    val d = lit(discount)
+    // fixed fp operation order, mirrored token-for-token in the oracle
+    val pc = (coalesce(col("n1c"), lit(0L)) + lit(1.0)) /
+      (col("t") + col("v"))
+    val p2 = when(col("cks").isNull, pc)
+      .otherwise((greatest(coalesce(col("ck"), lit(0L)) - d, lit(0.0)) +
+        d * col("n1p2") * pc) / col("cks"))
+    val p3 = when(col("c12").isNull, p2)
+      .otherwise((greatest(coalesce(col("c3"), lit(0L)) - d, lit(0.0)) +
+        d * col("n1p12") * p2) / col("c12"))
+    val scored = trigrams(df, idCol, textCol)
+      .join(c3t, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"), "left")
+      .join(ck23, Seq("w2", "w3"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(cont, Seq("w3"), "left")
+      .crossJoin(broadcast(stats)) // 1 row — (T, V)
+      .select(col("__id"),
+        // quantize HERE, once per position (negative log, half-up)
+        floor(log(p3) * lit(-10000.0) + lit(0.5)).as("nll"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("nll")).as("nll_e4"))
+
+    perDoc(df, idCol, scored, "n_trigrams")
+  }
+
+  /** Per-doc trigram rows — the [[bigrams]] staging discipline at
+    * order 3. */
+  private def trigrams(d: DataFrame, id: String, text: String): DataFrame =
+    d.select(col(id).as("__id"), TextAnalysis.tokens(col(text)).as("tk"))
+      .select(col("__id"), explode_outer(when(size(col("tk")) < 3,
+          array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2"),
+            element_at(col("tk"), i + 2).as("w3"))))).as("tg"))
+      .filter(col("tg").isNotNull)
+      .select(col("__id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+
   /** Per-doc bigram rows with the token-hash staging discipline: tk is
     * its own projection so the position lambda reads a materialized
     * array (TextAnalysis.positionalShingleHashesFromTokens's lesson)
@@ -177,17 +287,18 @@ object LmScore {
   }
 
   /** Re-attach per-doc aggregates to EVERY input row (docs without a
-    * bigram keep 0/0/NULL) and derive the perplexity from the exact
-    * integer totals. */
-  private def perDoc(df: DataFrame, idCol: String,
-      scored: DataFrame): DataFrame =
+    * scoreable n-gram keep 0/0/NULL) and derive the perplexity from the
+    * exact integer totals. `countName` is the n-gram count column the
+    * caller's aggregation produced (n_bigrams / n_trigrams). */
+  private def perDoc(df: DataFrame, idCol: String, scored: DataFrame,
+      countName: String = "n_bigrams"): DataFrame =
     df.select(col(idCol).as("__id"))
       .join(scored, Seq("__id"), "left")
       .select(col("__id").as(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col(countName), lit(0L)).as(countName),
         coalesce(col("nll_e4"), lit(0L)).as("nll_e4"),
-        when(col("n_bigrams") > 0,
+        when(col(countName) > 0,
           floor(exp(col("nll_e4").cast("double") / lit(10000.0) /
-            col("n_bigrams")) * lit(1000.0) + lit(0.5)))
+            col(countName)) * lit(1000.0) + lit(0.5)))
           .as("ppl_milli"))
 }

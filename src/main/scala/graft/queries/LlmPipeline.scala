@@ -1150,6 +1150,21 @@ object LlmPipeline {
       TextAnalysis.cardAudit(aug, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_t40_kn3_perplexity" -> ((s, dir) => {
+      // interpolated TRIGRAM Kneser–Ney (r12, L127; VERDICT r11 #7):
+      // order 3 is the KenLM order CCNet actually runs — raw-count
+      // discounting at the top order, CONTINUATION counts at the
+      // middle (ck(w2,w3) = distinct left contexts), the L93 add-one
+      // continuation unigram at the bottom. Split-train (even half) so
+      // every backoff path — seen trigram, unseen trigram context,
+      // unseen middle context — executes on the gate corpus; the
+      // oracle retrains the identical model with the same fixed fp
+      // operation order (the retrained-oracle discipline).
+      val docs = t(s, dir, "documents")
+      LmScore.knTrigramPerplexity(docs, "doc_id", "text",
+          reference = Some(docs.filter(col("doc_id") % 2 === 0)))
+        .orderBy(col("doc_id"))
+    }),
     "q_t30_kn_perplexity" -> ((s, dir) => {
       // interpolated Kneser–Ney perplexity (r11, L93; VERDICT r10 #4):
       // the actual KenLM/CCNet fluency smoothing — discounted seen
@@ -4048,6 +4063,93 @@ object LlmPipeline {
                 COALESCE(a.n_digit_runs, 0) AS n_digit_runs,
                 COALESCE(a.n_valid_cards, 0) AS n_valid_cards
          FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
+    // q_t40: retrains the identical trigram-KN chain — trigram types,
+    // (w1,w2) contexts, the (w2,w3) CONTINUATION table and its w2
+    // totals, the L93 bigram-type continuation unigram — and scores
+    // with the same nested CASE fallthrough and fixed fp order
+    "q_t40_kn3_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+          tgAll AS (SELECT doc_id,
+                         struct_extract(s, 'w1') AS w1,
+                         struct_extract(s, 'w2') AS w2,
+                         struct_extract(s, 'w3') AS w3
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, len(tk) - 1),
+                                 i -> {'w1': tk[i], 'w2': tk[i+1],
+                                       'w3': tk[i+2]})) AS s
+                        FROM toks WHERE len(tk) >= 3)),
+          tgRef AS (SELECT * FROM tgAll WHERE doc_id % 2 = 0),
+          c3t AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+                  FROM tgRef GROUP BY w1, w2, w3),
+          ctx3 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12,
+                          CAST(COUNT(*) AS BIGINT) AS n1p12
+                   FROM c3t GROUP BY w1, w2),
+          ck23 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS ck
+                   FROM c3t GROUP BY w2, w3),
+          ctx2 AS (SELECT w2, CAST(SUM(ck) AS BIGINT) AS cks,
+                          CAST(COUNT(*) AS BIGINT) AS n1p2
+                   FROM ck23 GROUP BY w2),
+          bgRef AS (SELECT doc_id,
+                         struct_extract(s, 'w1') AS w1,
+                         struct_extract(s, 'w2') AS w2
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, len(tk)),
+                                 i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
+                        FROM toks
+                        WHERE len(tk) >= 2 AND doc_id % 2 = 0)),
+          c2t AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                  FROM bgRef GROUP BY w1, w2),
+          cont AS (SELECT w2 AS w3, CAST(COUNT(*) AS BIGINT) AS n1c
+                   FROM c2t GROUP BY w2),
+          st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c2t) AS t,
+                        (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+                         FROM (SELECT unnest(tk) AS tok FROM toks
+                               WHERE doc_id % 2 = 0)) AS v),
+          sc AS (SELECT g.doc_id,
+                   CAST(floor(ln(
+                     CASE WHEN ctx3.c12 IS NULL THEN
+                       CASE WHEN ctx2.cks IS NULL
+                         THEN (COALESCE(cont.n1c, 0) + 1.0)
+                              / (st.t + st.v)
+                         ELSE (GREATEST(COALESCE(ck23.ck, 0)
+                                 - CAST(0.75 AS DOUBLE), 0.0)
+                               + CAST(0.75 AS DOUBLE) * ctx2.n1p2 *
+                                 ((COALESCE(cont.n1c, 0) + 1.0)
+                                  / (st.t + st.v))) / ctx2.cks
+                       END
+                     ELSE (GREATEST(COALESCE(c3t.c3, 0)
+                             - CAST(0.75 AS DOUBLE), 0.0)
+                           + CAST(0.75 AS DOUBLE) * ctx3.n1p12 *
+                             (CASE WHEN ctx2.cks IS NULL
+                               THEN (COALESCE(cont.n1c, 0) + 1.0)
+                                    / (st.t + st.v)
+                               ELSE (GREATEST(COALESCE(ck23.ck, 0)
+                                       - CAST(0.75 AS DOUBLE), 0.0)
+                                     + CAST(0.75 AS DOUBLE) * ctx2.n1p2 *
+                                       ((COALESCE(cont.n1c, 0) + 1.0)
+                                        / (st.t + st.v))) / ctx2.cks
+                             END)) / ctx3.c12
+                     END) * -10000.0 + 0.5) AS BIGINT) AS nll
+                 FROM tgAll g
+                 LEFT JOIN c3t ON g.w1 = c3t.w1 AND g.w2 = c3t.w2
+                               AND g.w3 = c3t.w3
+                 LEFT JOIN ctx3 ON g.w1 = ctx3.w1 AND g.w2 = ctx3.w2
+                 LEFT JOIN ck23 ON g.w2 = ck23.w2 AND g.w3 = ck23.w3
+                 LEFT JOIN ctx2 ON g.w2 = ctx2.w2
+                 LEFT JOIN cont ON g.w3 = cont.w3
+                 CROSS JOIN st),
+          agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                         CAST(SUM(nll) AS BIGINT) AS nll_e4
+                  FROM sc GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+                COALESCE(agg.nll_e4, 0) AS nll_e4,
+                CASE WHEN agg.n_trigrams > 0 THEN
+                  CAST(floor(exp(agg.nll_e4::DOUBLE / 10000.0
+                    / agg.n_trigrams) * 1000.0 + 0.5) AS BIGINT)
+                END AS ppl_milli
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
     // q_t30: retrains the identical interpolated-KN model from the
     // even-doc_id half — all model quantities exact integers off the
     // (w1, w2) type table; the per-position float pipeline is the same

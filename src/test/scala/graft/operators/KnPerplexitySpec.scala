@@ -125,4 +125,110 @@ class KnPerplexitySpec extends SparkSpec {
         "doc_id", "text", discount = 1.0)
     }
   }
+
+  // ----------------------------------------- trigram KN (L127, r12)
+
+  private def runKn3(docs: Seq[(Long, String)],
+      ref: Option[Seq[(Long, String)]] = None): Map[Long, Score] =
+    LmScore.knTrigramPerplexity(docs.toDF("doc_id", "text"), "doc_id",
+        "text", reference = ref.map(_.toDF("doc_id", "text")))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map { case (id, n, nll, ppl) => id -> Score(id, n, nll, ppl) }.toMap
+
+  /** The interpolated trigram-KN chain in plain Scala — same fixed fp
+    * operation order as the engine and oracle. */
+  private def reference3(score: Seq[(Long, String)],
+      train: Seq[(Long, String)], d: Double = 0.75): Map[Long, Score] = {
+    def toks(t: String) = {
+      val tr = t.trim
+      if (tr.isEmpty) Seq.empty[String] else tr.split("\\s+").toSeq
+    }
+    def tris(t: String) = toks(t).sliding(3).filter(_.size == 3)
+      .map(w => (w(0), w(1), w(2))).toSeq
+    def bigrams(t: String) = toks(t).sliding(2).filter(_.size == 2)
+      .map(w => (w(0), w(1))).toSeq
+    val refTg = train.flatMap { case (_, t) => tris(t) }
+    val c3 = refTg.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c12 = refTg.groupBy(g => (g._1, g._2)).view.mapValues(_.size).toMap
+    val n1p12 = c3.keys.toSeq.groupBy(g => (g._1, g._2))
+      .map { case (k, v) => k -> v.size }
+    val ck = c3.keys.toSeq.groupBy(g => (g._2, g._3))
+      .map { case (k, v) => k -> v.size } // distinct left contexts
+    val cks = ck.toSeq.groupBy(_._1._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val n1p2 = ck.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val refBg = train.flatMap { case (_, t) => bigrams(t) }
+    val c2 = refBg.groupBy(identity).map { case (k, v) => k -> v.size }
+    val n1c = c2.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val t = c2.size.toLong
+    val v = train.flatMap { case (_, x) => toks(x) }.distinct.size.toLong
+    score.map { case (id, text) =>
+      val gs = tris(text)
+      val nll = gs.map { g =>
+        val pc = (n1c.getOrElse(g._3, 0) + 1.0) / (t + v)
+        val p2 = cks.get(g._2) match {
+          case None => pc
+          case Some(s) =>
+            (math.max(ck.getOrElse((g._2, g._3), 0) - d, 0.0) +
+              d * n1p2(g._2) * pc) / s
+        }
+        val p3 = c12.get((g._1, g._2)) match {
+          case None => p2
+          case Some(cc) =>
+            (math.max(c3.getOrElse(g, 0) - d, 0.0) +
+              d * n1p12((g._1, g._2)) * p2) / cc
+        }
+        math.floor(math.log(p3) * -10000.0 + 0.5).toLong
+      }.sum
+      val n = gs.size.toLong
+      val ppl = if (n > 0)
+        Some(math.floor(math.exp(nll.toDouble / 10000.0 / n) * 1000.0 + 0.5)
+          .toLong)
+      else None
+      id -> Score(id, n, nll, ppl)
+    }.toMap
+  }
+
+  test("kn3: the separation order 2 cannot make — same bigram stats, " +
+      "seen vs unseen trigram") {
+    // train is SYMMETRIC in c/d: every bigram of both scored docs has
+    // count 5, c1(b) = 10, and the continuation tables treat c and d
+    // identically — so bigram KN scores A and B EXACTLY equal. Only the
+    // trigram layer sees that "a b c" is an attested sequence and
+    // "a b d" is a novel recombination.
+    val train = (1 to 5).flatMap(i =>
+      Seq((2L * i) -> "a b c", (2L * i + 1) -> "x b d"))
+    val docs = Seq(500L -> "a b c", 501L -> "a b d")
+    val kn2 = runKn(docs, Some(train))
+    assert(kn2(500L).ppl === kn2(501L).ppl,
+      s"fixture broke: bigram KN no longer ties: $kn2")
+    val kn3 = runKn3(docs, Some(train))
+    assert(kn3(500L).ppl.get < kn3(501L).ppl.get,
+      s"trigram KN failed to separate: $kn3")
+  }
+
+  test("kn3 property: engine matches the plain-Scala chain (split-train, seeded)") {
+    val rnd = new scala.util.Random(54)
+    val vocab = Vector("the", "a", "cat", "dog", "runs", "sat", "zz", "qq",
+      "big", "small", "bird", "flies")
+    val docs = (0L until 40L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val train = docs.filter(_._1 % 2 == 0)
+    val got = runKn3(docs, Some(train))
+    val want = reference3(docs, train)
+    assert(got === want)
+  }
+
+  test("kn3 hygiene: docs under 3 tokens keep 0/0/NULL; self-train default") {
+    val docs = Seq(1L -> "one two", 2L -> "", 3L -> "solo",
+      4L -> "a b a b a")
+    val got = runKn3(docs)
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(got(id).n === 0L && got(id).nll === 0L && got(id).ppl.isEmpty)
+    }
+    assert(got(4L).n === 3L)
+    assert(got === reference3(docs, docs))
+  }
 }
