@@ -103,6 +103,13 @@ object LlmPipeline {
   @volatile private var learnedT28: Option[Seq[BpeLearn.Merge]] = None
 
   // Shared tokenizer fragment for DuckDB oracles.
+  /** q_t41's blocklist — single tokens, multi-word phrases, an
+    * overlapping token/phrase pair and one absent phrase, shared
+    * literal-for-literal with the oracle. */
+  private val BlocklistPatterns = Seq("the", "agg", "agg row",
+    "fast merge", "table", "spark", "stream", "customer query",
+    "forbidden phrase")
+
   private val duckToks =
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
@@ -1028,6 +1035,19 @@ object LlmPipeline {
         .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
         .limit(30)
     }),
+    "q_t41_blocklist_scan" -> ((s, dir) =>
+      // Aho–Corasick multi-pattern blocklist scan (r12, L128; Aho &
+      // Corasick 1975): every (position, pattern) occurrence of the
+      // fixed phrase list counted in ONE automaton pass per doc —
+      // O(len + matches) regardless of pattern count, where the
+      // L15/L23 contains/regex family is O(len × patterns). The list
+      // mixes single tokens, multi-word phrases, an overlapping
+      // token/phrase pair (agg ⊂ agg row — output links live) and an
+      // absent phrase (zero path live); the oracle replays the
+      // per-position substring-equality definition per pattern.
+      BlocklistScan.scan(t(s, dir, "documents"), "doc_id", "text",
+          BlocklistPatterns)
+        .orderBy(col("doc_id"))),
     "q_t39_html_extract" -> ((s, dir) =>
       // HTML-to-text extraction + boilerplate removal (r12, L123;
       // VERDICT r11 #2; Pomikálek 2011 jusText, Barbaresi 2021
@@ -3749,6 +3769,23 @@ object LlmPipeline {
          JOIN uni a ON a.w = p.w1
          JOIN uni b ON b.w = p.w2, tot
          ORDER BY pmi_e6 DESC, p.w1, p.w2 LIMIT 30""",
+    // q_t41: the per-position substring-equality definition replayed
+    // per pattern — O(len × patterns), exactly the asymmetry the
+    // automaton exists to beat, affordable at gate scale
+    "q_t41_blocklist_scan" -> {
+      val lits = BlocklistPatterns.mkString("['", "', '", "']")
+      s"""WITH hits AS (
+            SELECT doc_id, p,
+              len(list_filter(range(1, length(text) - length(p) + 2),
+                i -> substr(text, CAST(i AS INTEGER), length(p)) = p))
+                AS cnt
+            FROM documents, unnest($lits) AS t(p)
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_hits,
+                 CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT)
+                   AS n_patterns
+          FROM hits GROUP BY doc_id ORDER BY doc_id"""
+    },
     // q_t39: the synthetic crawl page rebuilt literal-for-literal from
     // the same template, then the same rule chain — head/script/style
     // strip ('g' flag: Spark replaces all by default), the same
