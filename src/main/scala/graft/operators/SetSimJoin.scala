@@ -192,6 +192,12 @@ object SetSimJoin {
       maxTokenGroup: Int): DataFrame = {
     val spark = probe.sparkSession
     import spark.implicits._
+    // A probe-key semi-join pruning the index explosion was tried and
+    // MEASURED SLOWER at sf0.1 (min-of-3: 3.1 vs 3.9 s) — the rarity-
+    // ordered prefixes collectively touch most of the distinct shingle
+    // mass on a small-vocabulary corpus, so the two extra shuffles buy
+    // no pruning; grouping the full index explosion directly wins.
+    // Revisit on a corpus whose prefix-key set is genuinely sparse.
     val tagged = index.select(col("g").as("key"),
         col("id").cast("long"), lit(0).as("side"))
       .unionAll(probe.select(col("key"),
