@@ -552,6 +552,21 @@ object LlmPipeline {
           k = 5, dims = Seq(8, 16, 32))
         .orderBy(col("trunc_dim"), col("query_id"))
     }),
+    "q_e22_doremi_weights" -> ((s, dir) =>
+      // DoReMi-style domain reweighting (r12, L129; Xie et al. 2023,
+      // arXiv:2305.10429 — the offline static-loss variant): per-source
+      // excess perplexity (the battery's own integer NLL surface) fed
+      // through 4 exponentiated-gradient rounds with Hamilton
+      // renormalization and uniform smoothing, then a token budget
+      // allocated by the final weights. The ONE float per domain (the
+      // exp step multiplier) is quantized immediately; rounds are
+      // BigInt driver arithmetic on the 20-source grid, and the oracle
+      // GENERATED from the same (eta, c, rounds, budget) replays the
+      // identical HUGEINT recurrence (the IvfPq/j13 discipline).
+      Doremi.weights(t(s, dir, "documents"), "source", "doc_id", "text",
+          etaE6 = 3000000L, smoothingE6 = 200000L, rounds = 4,
+          budget = 1000000L)
+        .orderBy(col("source"))),
     "q_v18_bitext_margin" -> ((s, dir) => {
       // margin-based bitext mining (r12, L126; Artetxe & Schwenk 2019
       // "ratio" margin — the CCMatrix/LASER extraction rule): the
@@ -3174,6 +3189,13 @@ object LlmPipeline {
          SELECT trunc_dim, query_id, n_overlap FROM ($union)
          ORDER BY trunc_dim, query_id"""
     },
+    // q_e22: generated from the engine's exact (eta, c, rounds,
+    // budget) — per-source loss off the shared add-one ppl macro, the
+    // one exp quantized in the identical expression, unrolled Hamilton
+    // rounds in HUGEINT
+    "q_e22_doremi_weights" -> Doremi.oracleSql(duckLmPerplexity,
+      "d.source", etaE6 = 3000000L, smoothingE6 = 200000L, rounds = 4,
+      budget = 1000000L),
     // q_v18: forward AND backward top-4 replayed exhaustively — same
     // rounded cosine (q_v1 contract) re-quantized once to integer e6,
     // exact BIGINT neighborhood sums, the single truncating division in

@@ -548,6 +548,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q_j13 re-reads the corpus per round:\n${plan.take(800)}")
   }
 
+  test("DoReMi weights: rounds never touch Spark — result is a local table") {
+    // the corpus pays one perplexity pass; the grid collects under the
+    // MaxDomains require and the MW rounds are BigInt driver math (the
+    // BradleyTerry/record-linkage discipline)
+    val plan = executedPlan(q("q_e22_doremi_weights"))
+    assert(plan.contains("LocalTableScan"),
+      s"q_e22 result is not a driver-materialized grid:\n${plan.take(800)}")
+    assert(!plan.contains("FileScan"),
+      s"q_e22 re-reads the corpus per round:\n${plan.take(800)}")
+  }
+
   test("containment join: no cartesian, no loop join — banded equi-join only") {
     val plan = executedPlan(q("q_d13_containment"))
     assert(!plan.contains("CartesianProduct") &&
