@@ -57,6 +57,24 @@ class KmvSpec extends SparkSpec {
     }
   }
 
+  test("generation-over-generation: 4 sequential merges ≡ the one-shot " +
+      "sketch, schema stable (the L71 sink shape)") {
+    val data = rows(100)
+    val gens = data.grouped(25).toSeq // 4 ingest generations
+    var table = Kmv.sketch(gens.head.toDF("g", "key"), Seq("g"), "key", K)
+    val schema0 = table.schema
+    for (gen <- gens.tail) {
+      table = Kmv.merge(table,
+        Kmv.sketch(gen.toDF("g", "key"), Seq("g"), "key", K), Seq("g"), K)
+      assert(table.schema === schema0) // sink-table schema never drifts
+    }
+    val folded = table
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = Kmv.sketch(data.toDF("g", "key"), Seq("g"), "key", K)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(folded === direct)
+  }
+
   test("merging an empty delta is the identity") {
     val s = Kmv.sketch(rows(40).toDF("g", "key"), Seq("g"), "key", K)
     val empty = s.filter(lit(false))
