@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *      per page);
   *   4. per block: strip all remaining tags, collapse runs of spaces,
   *      trim; measure `text_chars`, `link_chars` (total length of
-  *      `<a …>…</a>` anchor texts BEFORE tag-stripping), `n_words` and
+  *      `<a …>…</a>` anchor texts BEFORE tag-stripping — the pattern
+  *      requires an attribute after `<a `, so a bare attributeless
+  *      `<a>` counts as text, not anchor: a documented rule-battery
+  *      simplification, shared verbatim with the oracle, and real
+  *      crawl anchors carry hrefs), `n_words` and
   *      `n_stop` (members of a fixed function-word list);
   *   5. classify — `short` if text_chars < minTextChars (default 25);
   *      else `link` if 2·link_chars >= text_chars (link density >= 50%,

@@ -81,7 +81,12 @@ object Kmv {
 
   /** The estimator columns over a sketch table: n_kept (sketch size),
     * kth_min (null when the sketch is not full — the group's distinct
-    * count is then EXACTLY n_kept), est_distinct. */
+    * count is then EXACTLY n_kept), est_distinct.
+    *
+    * Division safety (self-review r12): the divisor `t` can never be 0 —
+    * sketch values are DISTINCT nonnegative integers sorted ascending,
+    * so the k-th smallest is ≥ k−1 ≥ 1 under the k ≥ 2 require; no
+    * ANSI divide-by-zero path exists on either engine. */
   def estimate(sketchTable: DataFrame, k: Int): DataFrame = {
     require(k >= 2 && k <= MaxK, s"k $k outside [2, $MaxK]")
     val t = element_at(col("kmv"), k)
