@@ -74,7 +74,7 @@ object SetSimJoin {
     NearDup.materialized { cache =>
       val sh = cache(NearDup.hashedShingles(df, idCol, textCol, shingleLen))
       sh.count() // fill the shared cache before branches race on it
-      val prefix = prefixRows(sh, t6)
+      val prefix = prefixRows(exploded(sh), t6)
       val cand = NearDup.bucketPairs(
         prefix.select(col("id"), lit(0).as("band"), col("key")),
         maxTokenGroup)
@@ -109,9 +109,8 @@ object SetSimJoin {
     * symmetric Jaccard join and the asymmetric containment join —
     * in both cases the required overlap with the prefix-holder A is
     * ≥ ⌈t·|A|⌉, which is exactly what the pigeonhole needs. */
-  private def prefixRows(sh: DataFrame, t6: Long): DataFrame = {
-    val ex = exploded(sh)
-    // `hs` is distinct within a document, so count(1) IS document freq
+  private def prefixRows(ex: DataFrame, t6: Long): DataFrame = {
+    // `ex` carries distinct (id, g) rows, so count(1) IS document freq
     val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfreq, "g")
       .groupBy(col("id"))
@@ -160,23 +159,64 @@ object SetSimJoin {
     * clear the threshold. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, threshold: Double = 0.8,
+      maxTokenGroup: Int = Int.MaxValue): DataFrame =
+    containmentJoin(df, df, idCol, textCol, shingleLen, threshold,
+      maxTokenGroup)
+
+  /** The two-frame form of [[containmentPairs]] (r12): directed pairs
+    * (id_a ∈ probe, id_b ∈ index) with C(A→B) ≥ threshold — the
+    * DECONTAMINATION shape ("which eval items are ≥ t contained in
+    * some training document"), where the probe side is typically a
+    * bounded eval set and the index side the corpus. Ids must share
+    * one id space across both frames (a probe and an index row with
+    * the same id are the same document and never pair — the self-join
+    * case); passing the SAME frame twice IS the self-join:
+    * [[containmentPairs]] delegates here, and the spec's exhaustive
+    * property covers the delegation.
+    *
+    * The rarity order that drives the prefixes is computed over the
+    * distinct (id, token) rows of BOTH frames — the order is a
+    * performance heuristic only (ANY fixed global order preserves the
+    * pigeonhole recall proof), so the cross-frame result is exact
+    * regardless; distinctness makes self-delegation produce literally
+    * the single-frame order. Scale: with |probe| ≪ |index| the
+    * expansion is bounded by probe-prefix mass × per-token index df —
+    * the oracle's exhaustive replay is |probe| × |index| and stays
+    * affordable at EVERY SF when the probe side is a bounded eval
+    * slice (unlike the self-join's quadratic oracle). */
+  def containmentJoin(probe: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 3, threshold: Double = 0.8,
       maxTokenGroup: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold outside (0, 1] — at 0 every pair qualifies")
     val t6 = math.round(threshold * 1e6)
     NearDup.materialized { cache =>
-      val sh = cache(NearDup.hashedShingles(df, idCol, textCol, shingleLen))
-      sh.count() // fill the shared cache before branches race on it
-      val cand = taggedTokenPairs(prefixRows(sh, t6), exploded(sh),
-        maxTokenGroup)
+      val shP = cache(NearDup.hashedShingles(probe, idCol, textCol,
+        shingleLen))
+      val shI = cache(NearDup.hashedShingles(index, idCol, textCol,
+        shingleLen))
+      shP.count(); shI.count() // fill before branches race
+      // one global rarity order over the distinct (id, token) rows of
+      // both frames; prefixes restricted to probe ids
+      val exAll = exploded(shP).unionAll(exploded(shI))
+        .dropDuplicates("id", "g")
+      val prefix = prefixRows(exAll, t6)
+        .join(shP.select(col("id")), Seq("id"), "left_semi")
+      val cand = taggedTokenPairs(prefix, exploded(shI), maxTokenGroup)
       // necessary size condition: |A∩B| ≤ |B| forces n_b ≥ ⌈t·n_a⌉
-      val sizes = sh.select(col("id"), size(col("hs")).cast("long").as("n"))
+      def sizes(sh: DataFrame) =
+        sh.select(col("id"), size(col("hs")).cast("long").as("n"))
       val sized = cand
-        .join(sizes.select(col("id").as("id_a"), col("n").as("__na")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("n").as("__nb")), "id_b")
+        .join(sizes(shP).select(col("id").as("id_a"), col("n").as("__na")),
+          "id_a")
+        .join(sizes(shI).select(col("id").as("id_b"), col("n").as("__nb")),
+          "id_b")
         .filter(col("__nb") * lit(1000000L) >= lit(t6) * col("__na"))
         .select(col("id_a"), col("id_b"))
-      confirmContainment(cache(sized), sh, t6)
+      // one shingle table for the melt-join confirm; shared ids carry
+      // identical sets by the shared-id-space contract
+      val shingles = shP.unionAll(shI).dropDuplicates("id")
+      confirmContainment(cache(sized), shingles, t6)
     }
   }
 

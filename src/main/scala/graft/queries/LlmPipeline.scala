@@ -476,6 +476,32 @@ object LlmPipeline {
           shingleLen = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_d14_eval_decontaminate" -> ((s, dir) => {
+      // containment-based eval decontamination (r12, L130; the Brown
+      // et al. 2020 / Gao et al. n-gram decontamination generalized to
+      // set containment via the L125 machinery's two-frame form): an
+      // eval item is CONTAMINATED when ≥ 80% of its shingles are
+      // contained in some training document. The eval set is
+      // synthesized as 15-token quotes of every 25th doc at id+100000
+      // — leaked items BY CONSTRUCTION, so the detector's recall is
+      // directly visible (every quote must surface against its source,
+      // plus any near-dups of the source). The probe side is bounded,
+      // so the directed oracle is |eval|×|corpus|, NOT quadratic —
+      // fully oracled at all three SFs, unlike q_d13.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 100000L,
+        s"q_d14 eval-id offset collides: max doc_id $maxId >= 100000")
+      val eval = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 15), " ")
+            .as("text"))
+      SetSimJoin.containmentJoin(eval, docs, "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_d10_exact_substr" -> ((s, dir) =>
       // corpus-global ExactSubstr dedup (r9, L76; Lee et al. 2022,
       // arXiv:2107.06499): every duplicated >= 8-token run is removed
@@ -3196,6 +3222,36 @@ object LlmPipeline {
     "q_e22_doremi_weights" -> Doremi.oracleSql(duckLmPerplexity,
       "d.source", etaE6 = 3000000L, smoothingE6 = 200000L, rounds = 4,
       budget = 1000000L),
+    // q_d14: same quote construction (every 25th doc, id+100000), then
+    // the exhaustive DIRECTED eval×corpus containment scan — bounded
+    // probe side makes this |eval|×|corpus|, affordable at every SF;
+    // identical integer decision compare, 6-dp rounded report
+    "q_d14_eval_decontaminate" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          ev AS (SELECT doc_id + 100000 AS doc_id,
+                   array_to_string(($duckToks)[1:15], ' ') AS text
+                 FROM base WHERE doc_id % 25 = 0),
+          shp AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len($duckToks) - 2, 0) + 1),
+                     i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
+                 FROM ev),
+          shi AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len($duckToks) - 2, 0) + 1),
+                     i -> array_to_string(($duckToks)[i:i+2], ' '))) AS sh
+                 FROM base),
+          scored AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(a.sh) AS na
+                 FROM shp a CROSS JOIN shi b
+                 WHERE len(a.sh) > 0)
+         SELECT id_a, id_b,
+                round(inter * 1.0 / na, 6) AS containment
+         FROM scored
+         WHERE inter * 1000000 >= 800000 * na
+         ORDER BY id_a, id_b""",
     // q_v18: forward AND backward top-4 replayed exhaustively — same
     // rounded cosine (q_v1 contract) re-quantized once to integer e6,
     // exact BIGINT neighborhood sums, the single truncating division in

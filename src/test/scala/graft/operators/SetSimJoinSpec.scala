@@ -179,6 +179,39 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin: probe slice against a corpus equals the " +
+      "self-join filtered to probe rows (delegation + restriction)") {
+    val rnd = new scala.util.Random(66)
+    val vocab = (0 until 10).map(i => s"v$i")
+    val docs = (1 to 25).map { i =>
+      i.toLong -> (0 until rnd.nextInt(12) + 4)
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val probeIds = docs.map(_._1).filter(_ % 5 == 0).toSet
+    val probe = docs.filter(d => probeIds(d._1))
+    val cross = SetSimJoin.containmentJoin(probe.toDF("doc_id", "text"),
+        docs.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val selfFiltered = runContainment(docs, 0.5)
+      .filter(p => probeIds(p._1))
+    assert(cross === selfFiltered)
+    // shared-id self-pairs never appear
+    assert(cross.forall(p => p._1 != p._2))
+  }
+
+  test("containmentJoin finds a planted eval leak against the corpus") {
+    val train = Seq(
+      1L -> (1 to 30).map(i => s"t$i").mkString(" "),
+      2L -> "totally different words all the way here now")
+    val eval = Seq(100L -> (5 to 12).map(i => s"t$i").mkString(" "),
+      101L -> "never seen anywhere in training text")
+    val got = SetSimJoin.containmentJoin(eval.toDF("doc_id", "text"),
+        train.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((100L, 1L, 1.0))) // the leak, and only the leak
+  }
+
   test("containment maxTokenGroup caps the INDEX side: capped run loses pairs") {
     val docs = (1L to 6L).map(_ -> "a b c d e f g h")
     // 6 identical docs: 30 directed pairs uncapped, none with cap 2
