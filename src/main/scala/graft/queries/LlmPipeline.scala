@@ -554,6 +554,30 @@ object LlmPipeline {
       KMeansLloyd.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, rounds = 3)
         .orderBy(col("vec_id"))),
+    "q_v19_embedding_outliers" -> ((s, dir) => {
+      // embedding-space outlier audit (r12, L131): the cleaning pass
+      // behind SemDeDup-style curation — per k-means cluster, the exact
+      // p95 of the (already exact-integer) squared distance to the
+      // centroid, and how many vectors sit beyond it. Composes L77's
+      // digit-exact Lloyd assignment with L71-family exact grouped
+      // quantiles (same div(p·(n−1), 1e6) rank convention); dist_q ≤
+      // 2.6e14 so the quantile machinery's double pass-through is exact
+      // (< 2^53). The oracle nests the generated k-means replay and
+      // re-ranks per cluster.
+      val asg = KMeansLloyd.fit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, rounds = 3)
+      val p95 = MedianImpute.groupedQuantiles(asg, "cluster", "dist_q",
+          Seq(950000L))
+        .select(col("cluster"), col("v").cast("long").as("p95_dist_q"))
+      asg.join(p95, "cluster")
+        .groupBy(col("cluster"), col("p95_dist_q"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("dist_q") > col("p95_dist_q"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("cluster"), col("n_vectors"), col("p95_dist_q"),
+          col("n_outliers"))
+        .orderBy(col("cluster"))
+    }),
     "q_v7_class_centroids" -> ((s, dir) =>
       // exact per-label centroids (r8): quantize-once integer floor-means
       // — the engine-portable form of the float mean no engine pair can
@@ -3015,6 +3039,34 @@ object LlmPipeline {
           FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
          ${KMeansLloyd.oracleCtes(k = 8, rounds = 3)}""",
+    // q_v19: the same generated k-means replay nested as a CTE, then
+    // per-cluster exact p95 by the identical div(p·(n−1), 1e6) rank
+    // pick and the value-based outlier count
+    "q_v19_embedding_outliers" ->
+      s"""WITH q AS (SELECT vec_id, i AS dim,
+            CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS v
+          FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         asg AS (WITH ${KMeansLloyd.oracleCtes(k = 8, rounds = 3)}),
+         cnt AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors
+                 FROM asg GROUP BY cluster),
+         rk AS (SELECT cluster, dist_q,
+                  ROW_NUMBER() OVER (PARTITION BY cluster
+                    ORDER BY dist_q) - 1 AS rn
+                FROM asg),
+         thr AS (SELECT r.cluster,
+                   MAX(CASE WHEN r.rn =
+                     (950000 * (c.n_vectors - 1)) // 1000000
+                     THEN r.dist_q END) AS p95_dist_q
+                 FROM rk r JOIN cnt c USING (cluster)
+                 GROUP BY r.cluster)
+        SELECT a.cluster, c.n_vectors, t.p95_dist_q,
+               CAST(COUNT(*) FILTER (WHERE a.dist_q > t.p95_dist_q)
+                 AS BIGINT) AS n_outliers
+        FROM asg a JOIN thr t USING (cluster) JOIN cnt c USING (cluster)
+        GROUP BY a.cluster, c.n_vectors, t.p95_dist_q
+        ORDER BY cluster""",
     // q_v7: same quantize-once integers; DuckDB lists are 1-indexed so
     // the 0-based dim reads embedding[i + 1]. Two portability traps both
     // caught by the gate: (1) DuckDB promotes FLOAT * INTEGER to FLOAT,
