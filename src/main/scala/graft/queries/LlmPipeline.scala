@@ -928,6 +928,18 @@ object LlmPipeline {
         .orderBy(col("step_idx"))
     }),
 
+    "q_e23_event_transitions" -> ((s, dir) => {
+      // event-type transition matrix (r12, L132): the first-order
+      // Markov view of the event stream — per user, adjacent pairs
+      // under the (us, event_id) total order, counts + exact-ppm
+      // row-normalized probabilities. The sequence complement to the
+      // funnel (q_e12) and retention (q_e13) views; oracle replays the
+      // same lead window and floor division.
+      val e = t(s, dir, "events")
+      Transitions.matrix(e, "user_id", Tables.epochMicros(e, "ts"),
+          "event_id", "event_type")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
     "q_e13_retention" -> ((s, dir) => {
       // cohort retention (r8, L58): first-seen day cohorts × day
       // offsets over the 30-day window; offset 0 is the cohort size
@@ -3513,6 +3525,26 @@ object LlmPipeline {
                 md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 16)) AS chunk_md5
          FROM i ORDER BY doc_id, chunk_idx""",
     "q_e1_sessionize" -> sessionizeOracle,
+    // q_e23: the same (us, event_id)-ordered lead window, the same
+    // null drops, the identical n·10⁶ // row_n floor
+    "q_e23_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                epoch_us(ts) AS us
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND event_id IS NOT NULL AND ts IS NOT NULL),
+          p AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS to_type
+                FROM e),
+          c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+                FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n, t.row_n,
+                CAST(c.n * 1000000 // t.row_n AS BIGINT) AS p_ppm
+         FROM c JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
     "q_e1x_sessionize_chunked" -> sessionizeOracle, // same semantics, chunked plan
     "q_e7_token_budget" ->
       // same "budget:" domain-separated md5 order; keep iff the tokens
