@@ -928,6 +928,34 @@ object LlmPipeline {
         .orderBy(col("step_idx"))
     }),
 
+    "q_e24_funnel_ttc" -> ((s, dir) => {
+      // funnel time-to-convert quantiles (r12, L133): for each reached
+      // step past entry, the exact p50/p90 of (step time − ENTRY time)
+      // — the product-analytics question q_e12's counts don't answer
+      // ("how LONG does converting take"). Composes L57's step-times
+      // machinery with the exact grouped-quantile rank pick (same
+      // div(p·(n−1), 1e6) convention); ttc ≤ the 48 h window in micros
+      // (1.7e11 < 2^53) so the quantile machinery's double
+      // pass-through is exact. The oracle extends q_e12's step-wise
+      // CTE chain with the same differences and rank replay.
+      val ev = t(s, dir, "events")
+      val st = Funnel.stepTimes(ev, "user_id",
+        Tables.epochMicros(ev, "ts"), "event_type",
+        Seq("view", "click", "purchase"),
+        windowUs = Some(48L * 3600L * 1000000L))
+      val entry = st.filter(col("step_idx") === 1)
+        .select(col("user_id"), col("t_us").as("__t1"))
+      val ttc = st.filter(col("step_idx") > 1)
+        .join(entry, "user_id")
+        .select(col("step"), (col("t_us") - col("__t1")).as("ttc_us"))
+      val counts = ttc.groupBy(col("step")).agg(count(lit(1)).as("n"))
+      MedianImpute.groupedQuantiles(ttc, "step", "ttc_us",
+          Seq(500000L, 900000L))
+        .join(counts, "step")
+        .select(col("step"), col("n"), col("p_e6"),
+          col("v").cast("long").as("ttc_us"))
+        .orderBy(col("step"), col("p_e6"))
+    }),
     "q_e23_event_transitions" -> ((s, dir) => {
       // event-type transition matrix (r12, L132): the first-order
       // Markov view of the event stream — per user, adjacent pairs
@@ -3790,6 +3818,42 @@ object LlmPipeline {
                   CAST(CAST(SUM(user_id) AS DECIMAL(38,0)) AS VARCHAR)
                 FROM s3 HAVING COUNT(*) > 0)
          SELECT step_idx, step, n, entity_sum FROM u ORDER BY step_idx""",
+    // q_e24: q_e12's step-wise chain carrying t1 through, the same
+    // entry-anchored differences, the identical div(p·(n−1), 1e6)
+    // rank pick per step
+    "q_e24_funnel_ttc" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+              FROM events WHERE user_id IS NOT NULL),
+          s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS t2
+                 FROM e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click' AND e.t > s1.t1
+                   AND e.t <= s1.t1 + 172800000000
+                 GROUP BY e.user_id, s1.t1),
+          s3 AS (SELECT e.user_id, s2.t1, MIN(e.t) AS t3
+                 FROM e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                   AND e.t <= s2.t1 + 172800000000
+                 GROUP BY e.user_id, s2.t1),
+          ttc AS (SELECT 'click' AS step, t2 - t1 AS v FROM s2
+              UNION ALL
+                  SELECT 'purchase' AS step, t3 - t1 FROM s3),
+          cnt AS (SELECT step, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM ttc GROUP BY 1),
+          rk AS (SELECT step, v, ROW_NUMBER() OVER (PARTITION BY step
+                   ORDER BY v) - 1 AS rn
+                 FROM ttc),
+          q AS (SELECT r.step, p.p_e6,
+                  MAX(CASE WHEN r.rn = (p.p_e6 * (c.n - 1)) // 1000000
+                    THEN r.v END) AS ttc_us
+                FROM rk r JOIN cnt c USING (step),
+                     (SELECT UNNEST([500000, 900000]) AS p_e6) p
+                GROUP BY r.step, p.p_e6)
+         SELECT q.step, c.n, CAST(q.p_e6 AS BIGINT) AS p_e6,
+                CAST(q.ttc_us AS BIGINT) AS ttc_us
+         FROM q JOIN cnt c USING (step)
+         ORDER BY step, p_e6""",
     // q_e13: distinct (user, day) activity, min-day cohorts, exact
     // integer day buckets (// ≡ Spark DIV on nonnegative micros)
     "q_e13_retention" ->
