@@ -25,7 +25,22 @@ def main() -> None:
         sys.exit(f"{src}: no parsed bench line with cal_cs")
     qs = line.get("queries")
     if qs is None:  # the centisecond ladder rung
-        qs = {k: v / 100.0 for k, v in line["queries_cs"].items()}
+        qs = {k: v / 100.0 for k, v in line.get("queries_cs", {}).items()}
+    # r12: past ~210 queries the stdout ladder degrades to whole-second
+    # resolution (most sub-second queries read 0). Bench now writes a
+    # full-precision bench_detail.json every run — prefer it whenever
+    # the line's per-query values look degraded or are missing.
+    degraded = not qs or all(float(v).is_integer() for v in qs.values())
+    if degraded:
+        try:
+            with open("bench_detail.json") as f:
+                det = json.load(f)
+            qs = {k: v / 100.0 for k, v in det["queries_cs"].items()}
+            line = {"cal_cs": det["cal_cs"]}
+            print("using bench_detail.json (stdout line was degraded)")
+        except OSError:
+            if not qs:
+                sys.exit(f"{src}: no per-query data and no detail file")
     out = {"cal_cs": line["cal_cs"], "queries": qs}
     path = "src/main/resources/graft/bench_prior.json"
     # Carry forward the documented swing bands (VERDICT r11 #1): the

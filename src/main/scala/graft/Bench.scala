@@ -363,6 +363,23 @@ object Bench {
     val out = ladder.find(_.length <= 1975)
       .getOrElse(line(fmtAt(0), withMessages = false))
     System.err.println(s"[bench] json line length=${out.length}")
+    // FULL-precision per-query detail to a FILE, every run (r12): at
+    // 212 battery queries even the centisecond rung overflows the
+    // 2000-char stdout tail and the ladder degrades to whole seconds —
+    // which zeroes most sub-second queries and destroys the cross-round
+    // per-query diff. The stdout line remains the driver contract
+    // (total/cal/subtotals always survive); the detail file carries
+    // what the line can no longer fit. make_bench_prior.py prefers it.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    try {
+      val detail = lineWith("queries_cs", v => Math.round(v * 100).toString)
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes("UTF-8"))
+      System.err.println(s"[bench] detail written to $detailPath")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] detail write failed: $e")
+    }
     // The one contract line, on stdout, no decoration:
     println(out)
     spark.stop()
