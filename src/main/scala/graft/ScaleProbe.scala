@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOf, ParagraphDedup, Sessions, Skew}
@@ -312,6 +312,55 @@ object ScaleProbe {
     // window row_number formulation, under group skew — the same
     // pathology class the paragraph-dedup section measures, but for an
     // operator whose OUTPUT is the rank (no aggregate escape hatch).
+    if (sections("blocklist")) {
+      import graft.operators.BlocklistScan
+      // The pattern-count axis (L128's claim measured): Aho–Corasick is
+      // O(len + matches) per doc regardless of |patterns|; the naive
+      // family is O(len × patterns). The naive comparator here is the
+      // CHEAPEST member of that family — one codegen'd `contains` flag
+      // per pattern (existence only, not counts — strictly less work
+      // than what matching semantics would need), so every measured gap
+      // UNDERSTATES the real one.
+      val vocab = (0 until 1000).map(i => s"w$i")
+      val nd = 200000
+      val path = s"$base/blocklist_docs"
+      spark.range(0, nd, 1, 64).select(col("id"),
+          concat_ws(" ", (0 until 40).map(j =>
+            element_at(lit(vocab.toArray),
+              (pmod(xxhash64(col("id"), lit(j)), lit(1000L)) + 1)
+                .cast("int"))): _*).as("text"))
+        .write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      val rng = new scala.util.Random(7)
+      for (k <- Seq(16, 128, 1024, 8192)) {
+        val pats = (0 until k).map { i =>
+          if (i % 4 == 0)
+            s"${vocab(rng.nextInt(1000))} ${vocab(rng.nextInt(1000))}"
+          else vocab(rng.nextInt(1000))
+        }.distinct
+        def consumeAc(): Unit =
+          BlocklistScan.scan(docs, "id", "text", pats)
+            .agg(sum(col("n_hits"))).collect()
+        val tAc = timeIt(2)(consumeAc())
+        // a left-deep reduce(_ + _) of the per-pattern flags overflows
+        // the driver stack (Column-node converter recursion) at ~1k
+        // terms — the naive form can't even be EXPRESSED at blocklist
+        // scale without a balanced tree; measured finding, kept here
+        def balSum(cs: Seq[Column]): Column =
+          if (cs.size == 1) cs.head
+          else balSum(cs.grouped(2).map(g =>
+            if (g.size == 2) g(0) + g(1) else g(0)).toSeq)
+        def consumeNaive(): Unit =
+          docs.select(balSum(pats.map(p =>
+              when(col("text").contains(p), 1L).otherwise(0L))).as("f"))
+            .agg(sum(col("f"))).collect()
+        val tN = timeIt(2)(consumeNaive())
+        println(f"| ${pats.size} patterns, 200k docs | blocklist " +
+          f"(naive contains-flags vs Aho–Corasick) | $tN%.1f | $tAc%.1f " +
+          f"| ${tN / tAc}%.1fx | — |")
+      }
+    }
+
     if (sections("ranking")) {
       import graft.operators.Ranking
       for (hotPct <- Seq(0, 50, 90)) {
