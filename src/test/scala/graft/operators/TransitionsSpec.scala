@@ -65,6 +65,28 @@ class TransitionsSpec extends SparkSpec {
     }
   }
 
+  test("chunked ≡ plain on seeded streams including a 90%-hot entity") {
+    val rnd = new scala.util.Random(84)
+    val types = Vector("p", "q", "r", "s")
+    // 90% of rows belong to entity 0 (the hot-key regime the chunked
+    // plan exists for), clustered in time; the rest spread over 8
+    val rows = (0 until 500).map { i =>
+      val e = if (rnd.nextInt(10) < 9) 0L else (1 + rnd.nextInt(8)).toLong
+      (e, rnd.nextInt(1000).toLong, i.toLong, types(rnd.nextInt(types.size)))
+    }
+    val df = rows.toDF("user_id", "us", "event_id", "et")
+    val plain = Transitions.matrix(df, "user_id", col("us"), "event_id",
+        "et").orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    for (width <- Seq(1L, 7L, 100L, 5000L)) { // incl. one-row chunks and
+      val chunked = Transitions.matrixChunked(df, "user_id", col("us"),
+          "event_id", "et", width)                 // one-chunk-fits-all
+        .orderBy("from_type", "to_type")
+        .as[(String, String, Long, Long, Long)].collect().toSeq
+      assert(chunked === plain, s"width=$width")
+    }
+  }
+
   test("matches a plain-Scala replay on seeded streams") {
     val rnd = new scala.util.Random(82)
     val types = Vector("v", "w", "x", "y", "z")
