@@ -47,8 +47,11 @@ object Doremi {
 
   /** Hamilton largest-remainder allocation of `total` proportional to
     * `weights` (BigInt-exact): base share by floor, leftover units to
-    * the largest remainders, ties by ascending index. */
-  private def hamilton(weights: Seq[BigInt], total: BigInt): Seq[BigInt] = {
+    * the largest remainders, ties by ascending index. Shared with
+    * [[Transitions.stationary]] (r12) — one allocation algebra, one
+    * oracle form. */
+  private[operators] def hamilton(weights: Seq[BigInt],
+      total: BigInt): Seq[BigInt] = {
     val s = weights.sum
     require(s > 0, "allocation needs positive total weight")
     val base = weights.map(w => w * total / s)

@@ -111,4 +111,96 @@ object Transitions {
         call_function("div", col("n") * lit(1000000L), col("row_n"))
           .as("p_ppm"))
   }
+
+  /** Max (from, to) matrix cells collected to the driver. */
+  val MaxCells = 100000
+
+  /** Stationary distribution of a [[matrix]] by power iteration (r12,
+    * L134 — "where does the event stream settle"): π ← normalize(π·P),
+    * `rounds` synchronous steps from uniform. Quantize-once +
+    * exact-rational (the Doremi discipline): P enters as the matrix's
+    * ALREADY-quantized integer `p_ppm` cells — no new float — and each
+    * step is raw_j = Σ_i π_i·p_ppm_ij (≤ 10¹² per term, exact BIGINT)
+    * followed by Hamilton renormalization to Σ = 10⁶ (the shared
+    * [[Doremi.hamilton]] algebra — renormalization also reabsorbs the
+    * mass the ppm floors and any dangling rows shed, the
+    * PageRank-without-teleport convention, documented). States that
+    * never appear as a from_type keep rank as targets but emit no
+    * outgoing mass. Iterations are BigInt driver arithmetic on the
+    * ≤ [[MaxCells]] grid (the BradleyTerry class — LocalTableScan
+    * result); a synchronous fixed round count gives identical integers
+    * on any engine, and the oracle unrolls the same rounds in HUGEINT.
+    * Output: (event_type, pi_e6), Σ pi_e6 = 10⁶ exactly. */
+  def stationary(matrixDf: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 100, s"rounds $rounds outside [1, 100]")
+    val spark = matrixDf.sparkSession
+    import spark.implicits._
+    val cells = matrixDf
+      .select(col("from_type").cast("string"), col("to_type").cast("string"),
+        col("p_ppm").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= MaxCells,
+      s"${cells.length} matrix cells exceed $MaxCells — a transition " +
+        "matrix is type-grid-sized; reduce the type vocabulary first")
+    if (cells.isEmpty) {
+      return Seq.empty[(String, Long)].toDF("event_type", "pi_e6")
+    }
+    val types = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val byFrom = cells.groupBy(c => idx(c._1))
+      .map { case (i, cs) => i -> cs.map(c => (idx(c._2), c._3)) }
+    val M = BigInt(1000000)
+    var pi = Doremi.hamilton(Seq.fill(types.length)(BigInt(1)), M)
+    for (_ <- 1 to rounds) {
+      val raw = Array.fill(types.length)(BigInt(0))
+      for ((i, outs) <- byFrom; (j, ppm) <- outs)
+        raw(j) += pi(i) * BigInt(ppm)
+      pi = Doremi.hamilton(raw.toSeq, M)
+    }
+    types.indices.map(i => (types(i), pi(i).toLong))
+      .toDF("event_type", "pi_e6")
+  }
+
+  /** GENERATED DuckDB replay of [[stationary]] over a matrix CTE named
+    * `m(from_type, to_type, p_ppm)` — unrolled rounds, the shared
+    * Hamilton form in HUGEINT (the Doremi oracle discipline). */
+  def stationaryOracleSql(matrixCtes: String, rounds: Int): String = {
+    // one Hamilton round: previous pi CTE (ty, pi) × m → raw per target,
+    // then base/remainder/leftover normalization back to the 1e6 grid
+    def round(prev: String, name: String): String =
+      s"""$name AS (
+           SELECT ty, CAST(base + CASE WHEN ROW_NUMBER()
+               OVER (ORDER BY rem DESC, ty) <= lo THEN 1 ELSE 0 END
+             AS BIGINT) AS pi
+           FROM (
+             SELECT *, 1000000 - SUM(base) OVER () AS lo
+             FROM (
+               SELECT *, CAST(raw * 1000000 // s AS BIGINT) AS base,
+                      (raw * 1000000) % s AS rem
+               FROM (
+                 SELECT t.ty,
+                        COALESCE(SUM(CAST(p.pi AS HUGEINT) * m.p_ppm), 0)
+                          AS raw,
+                        SUM(SUM(CAST(p.pi AS HUGEINT) * m.p_ppm))
+                          OVER () AS s
+                 FROM types t
+                 LEFT JOIN m ON m.to_type = t.ty
+                 LEFT JOIN $prev p ON p.ty = m.from_type
+                 GROUP BY t.ty) rw) bs) lf)"""
+    val roundCtes = (1 to rounds).map(r =>
+      round(if (r == 1) "p0" else s"p${r - 1}", s"p$r")).mkString(",\n")
+    s"""$matrixCtes,
+        types AS (SELECT from_type AS ty FROM m
+                  UNION SELECT to_type FROM m),
+        tk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                      CAST(1000000 AS BIGINT) AS tot FROM types),
+        p0 AS (SELECT ty,
+                 CAST(tk.tot // tk.k + CASE WHEN ROW_NUMBER()
+                   OVER (ORDER BY ty) <= tk.tot % tk.k
+                   THEN 1 ELSE 0 END AS BIGINT) AS pi
+               FROM types, tk),
+        $roundCtes
+       SELECT ty AS event_type, pi AS pi_e6 FROM p$rounds
+       ORDER BY event_type"""
+  }
 }

@@ -956,6 +956,21 @@ object LlmPipeline {
           col("v").cast("long").as("ttc_us"))
         .orderBy(col("step"), col("p_e6"))
     }),
+    "q_e25_stationary_mix" -> ((s, dir) => {
+      // stationary distribution of the transition matrix (r12, L134):
+      // 6 synchronous power-iteration rounds from uniform over the
+      // q_e23 matrix's ALREADY-quantized ppm cells — where the event
+      // stream settles. BigInt driver rounds on the type grid with the
+      // shared Hamilton renormalization; the oracle unrolls the same
+      // rounds in HUGEINT from the same matrix CTEs (the Doremi
+      // discipline). Σ pi_e6 = 1e6 exactly.
+      val e = t(s, dir, "events")
+      Transitions.stationary(
+          Transitions.matrix(e, "user_id", Tables.epochMicros(e, "ts"),
+            "event_id", "event_type"),
+          rounds = 6)
+        .orderBy(col("event_type"))
+    }),
     "q_e23_event_transitions" -> ((s, dir) => {
       // event-type transition matrix (r12, L132): the first-order
       // Markov view of the event stream — per user, adjacent pairs
@@ -3818,6 +3833,27 @@ object LlmPipeline {
                   CAST(CAST(SUM(user_id) AS DECIMAL(38,0)) AS VARCHAR)
                 FROM s3 HAVING COUNT(*) > 0)
          SELECT step_idx, step, n, entity_sum FROM u ORDER BY step_idx""",
+    // q_e25: the q_e23 matrix CTEs feeding the GENERATED unrolled
+    // power-iteration replay (Transitions.stationaryOracleSql) — same
+    // rounds, same Hamilton form, HUGEINT intermediates
+    "q_e25_stationary_mix" -> Transitions.stationaryOracleSql(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                epoch_us(ts) AS us
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND event_id IS NOT NULL AND ts IS NOT NULL),
+          pr AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS to_type
+                FROM e),
+          c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+                 FROM c GROUP BY 1),
+          m AS (SELECT c.from_type, c.to_type,
+                  CAST(c.n * 1000000 // t.row_n AS BIGINT) AS p_ppm
+                FROM c JOIN tt t USING (from_type))""",
+      rounds = 6),
     // q_e24: q_e12's step-wise chain carrying t1 through, the same
     // entry-anchored differences, the identical div(p·(n−1), 1e6)
     // rank pick per step

@@ -87,6 +87,32 @@ class TransitionsSpec extends SparkSpec {
     }
   }
 
+  test("stationary: a 2-cycle splits evenly; a sink absorbs; Σ = 1e6 exactly") {
+    // a <-> b forever: stationary = (1/2, 1/2) exactly
+    val cyc = run2(Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 30L, 3L, "a"), (1L, 40L, 4L, "b"), (1L, 50L, 5L, "a")))
+    val cycPi = Transitions.stationary(cyc, rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cycPi === Map("a" -> 500000L, "b" -> 500000L))
+    // a -> s and s -> s: the sink absorbs everything that iterates
+    val sink = run2(Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "s"),
+      (1L, 30L, 3L, "s"), (1L, 40L, 4L, "s")))
+    val sinkPi = Transitions.stationary(sink, rounds = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sinkPi("s") === 1000000L && sinkPi("a") === 0L)
+    // seeded: the invariant holds whatever the mix
+    val rnd = new scala.util.Random(85)
+    val types = Vector("a", "b", "c", "d")
+    val m = run2((0 until 200).map(i => ((i % 6).toLong,
+      rnd.nextInt(500).toLong, i.toLong, types(rnd.nextInt(4)))))
+    val pi = Transitions.stationary(m, rounds = 6).collect()
+    assert(pi.map(_.getLong(1)).sum === 1000000L)
+  }
+
+  private def run2(rows: Seq[(Long, Long, Long, String)]) =
+    Transitions.matrix(rows.toDF("user_id", "us", "event_id", "et"),
+      "user_id", col("us"), "event_id", "et")
+
   test("matches a plain-Scala replay on seeded streams") {
     val rnd = new scala.util.Random(82)
     val types = Vector("v", "w", "x", "y", "z")
