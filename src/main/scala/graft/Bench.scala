@@ -45,20 +45,27 @@ object Bench {
     "q_s13_avro", "q_d12_cdc_delta")
 
   /** Re-run factor: a first-pass measurement over `factor` × the
-    * previous round's cal-normalized time is a stall suspect. 3× sits
-    * far above the ±40% host swing and the 3-5× phantom band r6
-    * published — real regressions that large re-measure the same and
-    * keep their number; stalls re-measure small and get corrected. */
-  private[graft] val RerunFactor = 3.0
+    * previous round's cal-normalized time is a stall suspect. Was 3.0
+    * through r12; lowered to 2.0 after q_a5 (r12) recorded a 2.53×
+    * host-stall blowup that slipped under the 3× trigger (VERDICT r12
+    * #1 — the judge's min-of-5 A/B restored the 0.72 norm, so the
+    * reading was exactly the stall class the pass exists to catch).
+    * 2× is still well above the observed cal-NORMALIZED noise tail
+    * (≤1.34× in r12, on a degraded host — uniform host shift divides
+    * out through cal), and a false positive costs one extra run of one
+    * query, so the asymmetry favors the lower trigger. */
+  private[graft] val RerunFactor = 2.0
 
   /** Is this first-pass time a stall suspect? `priorNormSec` is the
     * previous round's `sec / cal` for the same query (None ⇒ new query,
-    * never a suspect). The 0.05 floor on the prior keeps sub-15 ms
+    * never a suspect). The 0.075 floor on the prior keeps sub-15 ms
     * queries — where scheduler jitter alone spans 3× — from
-    * hair-triggering re-runs. */
+    * hair-triggering re-runs (floor raised 0.05 → 0.075 alongside the
+    * 3→2 factor drop so the absolute tiny-query threshold is unchanged
+    * at 0.15 cal-normalized seconds). */
   private[graft] def stallSuspect(sec: Double, calSec: Double,
       priorNormSec: Option[Double]): Boolean =
-    priorNormSec.exists(p => sec / calSec > RerunFactor * math.max(p, 0.05))
+    priorNormSec.exists(p => sec / calSec > RerunFactor * math.max(p, 0.075))
 
   /** The adaptive re-measure pass (VERDICT r6 #1), separated from main
     * so the stall path is unit-testable with an injected runner: for

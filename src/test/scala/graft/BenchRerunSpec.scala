@@ -12,17 +12,25 @@ class BenchRerunSpec extends AnyFunSuite {
 
   private val cal = 0.30 // a typical cal_cs=30 host
 
-  test("stallSuspect: fires on a 3x+ blowup, not on normal variance") {
+  test("stallSuspect: fires on a 2x+ blowup, not on normal variance") {
     // r6's real phantom: q_t8 published 1.00 s against a 0.21 s prior
     assert(Bench.stallSuspect(1.00, cal, Some(0.21 / cal)))
+    // r12's miss: q_a5 published 0.53 s against a 0.21 s prior (2.53×
+    // cal-normalized) and the old 3× trigger let it through — the A/B
+    // showed a host stall. The 2× trigger catches it.
+    assert(Bench.stallSuspect(0.53, cal, Some(0.21 / cal)))
     // same query at its true steady state is not a suspect
     assert(!Bench.stallSuspect(0.22, cal, Some(0.21 / cal)))
-    // 2x is inside host-variance territory — never re-run
-    assert(!Bench.stallSuspect(0.42, cal, Some(0.21 / cal)))
+    // the observed cal-normalized noise tail (≤1.34× in r12) never
+    // re-runs — 1.5× is still inside the no-trigger zone
+    assert(!Bench.stallSuspect(0.31, cal, Some(0.21 / cal)))
     // a brand-new query has no prior and is never a suspect
     assert(!Bench.stallSuspect(9.99, cal, None))
     // sub-15 ms priors are floored: 3x jitter on a 10 ms query is noise
+    // (absolute tiny-query threshold unchanged at 0.15 norm-sec)
     assert(!Bench.stallSuspect(0.03, cal, Some(0.01 / cal)))
+    assert(!Bench.stallSuspect(0.04, cal, Some(0.01 / cal)))
+    assert(Bench.stallSuspect(0.05, cal, Some(0.01 / cal)))
   }
 
   test("stallSuspect: normalization makes the check host-speed invariant") {
