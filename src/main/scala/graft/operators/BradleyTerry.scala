@@ -53,11 +53,10 @@ object BradleyTerry {
         col(loserCol).cast("string").as("j"))
       .filter(col("i").isNotNull && col("j").isNotNull && col("i") =!= col("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
-    val grid = dw.collect().map(r =>
-      (r.getString(0), r.getString(1), r.getLong(2)))
-    require(grid.length <= MaxGridRows,
-      s"comparison grid ${grid.length} exceeds $MaxGridRows items² rows — " +
-        "use the per-round join form for corpus-scale item sets")
+    val grid = BoundedGrid.collectBounded(dw, MaxGridRows,
+      "comparison grid (items² rows)",
+      "use the per-round join form for corpus-scale item sets")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     if (grid.isEmpty) {
       import spark.implicits._
       return Seq.empty[(String, Long)].toDF("item", "w_e6")

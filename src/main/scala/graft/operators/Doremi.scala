@@ -82,19 +82,19 @@ object Doremi {
     val spark = df.sparkSession
     import spark.implicits._
     val perDoc = LmScore.bigramPerplexity(df, idCol, textCol)
-    val grid = df.select(col(idCol).as("__did"),
-        col(groupCol).cast("string").as("__g"))
-      .filter(col("__g").isNotNull)
-      .join(perDoc.select(col(idCol).as("__did"), col("n_bigrams"),
-        col("nll_e4")), Seq("__did"))
-      .groupBy(col("__g"))
-      .agg(sum(col("n_bigrams")).as("n"), sum(col("nll_e4")).as("nll"))
-      .filter(col("n") > 0)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val grid = BoundedGrid.collectBounded(
+      df.select(col(idCol).as("__did"),
+          col(groupCol).cast("string").as("__g"))
+        .filter(col("__g").isNotNull)
+        .join(perDoc.select(col(idCol).as("__did"), col("n_bigrams"),
+          col("nll_e4")), Seq("__did"))
+        .groupBy(col("__g"))
+        .agg(sum(col("n_bigrams")).as("n"), sum(col("nll_e4")).as("nll"))
+        .filter(col("n") > 0),
+      MaxDomains, "domain grid",
+      "a mixture grid should be domain-sized; aggregate sources first")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    require(grid.length <= MaxDomains,
-      s"${grid.length} domains exceed $MaxDomains — a mixture grid " +
-        "should be domain-sized; aggregate sources first")
     if (grid.isEmpty) {
       return Seq.empty[(String, Long, Long, Long, Long, Long, Long)]
         .toDF(groupCol, "n_grams", "mean_nll_e4", "excess_e4", "mult_e6",

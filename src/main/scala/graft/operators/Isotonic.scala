@@ -70,17 +70,17 @@ object Isotonic {
   def calibrate(df: DataFrame, binCol: String, labelCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val grid = df
-      .filter(col(binCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(binCol).cast("long").as("bin"),
-        col(labelCol).cast("long").as("y"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("w"), sum(col("y")).as("s"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val grid = BoundedGrid.collectBounded(
+      df.filter(col(binCol).isNotNull && col(labelCol).isNotNull)
+        .select(col(binCol).cast("long").as("bin"),
+          col(labelCol).cast("long").as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("w"), sum(col("y")).as("s")),
+      MaxBins, "score-bin grid",
+      s"the O(B²) interval grid is for bounded score buckets " +
+        s"(≤ $MaxBins); bucket the score first")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    require(grid.length <= MaxBins,
-      s"${grid.length} bins — the O(B²) interval grid is for bounded " +
-        s"score buckets (≤ $MaxBins); bucket the score first")
     if (grid.isEmpty)
       return Seq.empty[(Long, Long, Long, Long, Long)]
         .toDF("bin", "w", "s", "raw_e6", "fit_e6")

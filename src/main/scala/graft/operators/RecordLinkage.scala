@@ -52,10 +52,12 @@ object RecordLinkage {
     val spark = pairs.sparkSession
     import spark.implicits._
     val f = agreementCols.size
-    val grid = pairs
-      .groupBy(agreementCols.map(c => col(c).cast("int")): _*)
-      .agg(count(lit(1)).as("n"))
-      .collect()
+    val grid = BoundedGrid.collectBounded(
+      pairs.groupBy(agreementCols.map(c => col(c).cast("int")): _*)
+        .agg(count(lit(1)).as("n")),
+      1 << f, "agreement-pattern grid",
+      "agreement fields must be 0/1 (a 2^F grid); binarize the " +
+        "comparators first")
       .map(r => ((0 until f).map(r.getInt).toVector, r.getLong(f)))
       .sortBy(_._1.mkString)
     if (grid.isEmpty)

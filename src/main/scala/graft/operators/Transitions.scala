@@ -135,13 +135,13 @@ object Transitions {
     require(rounds >= 1 && rounds <= 100, s"rounds $rounds outside [1, 100]")
     val spark = matrixDf.sparkSession
     import spark.implicits._
-    val cells = matrixDf
-      .select(col("from_type").cast("string"), col("to_type").cast("string"),
-        col("p_ppm").cast("long"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    require(cells.length <= MaxCells,
-      s"${cells.length} matrix cells exceed $MaxCells — a transition " +
-        "matrix is type-grid-sized; reduce the type vocabulary first")
+    val cells = BoundedGrid.collectBounded(
+      matrixDf.select(col("from_type").cast("string"),
+        col("to_type").cast("string"), col("p_ppm").cast("long")),
+      MaxCells, "transition matrix",
+      "a transition matrix is type-grid-sized; reduce the type " +
+        "vocabulary first")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     if (cells.isEmpty) {
       return Seq.empty[(String, Long)].toDF("event_type", "pi_e6")
     }
