@@ -26,16 +26,21 @@ final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
   * iterator per partition, library handles (a real decoder, a model) would
   * be initialized once per partition, rows streamed through.
   *
-  * Decode status (r12): IMAGE decode is REAL — [[decodeImage]] /
+  * Decode status (r13): IMAGE decode is REAL — [[decodeImage]] /
   * [[imageDHashKernel]] decode PNG/BMP/GIF/JPEG with the JDK's headless
   * `javax.imageio` into the same 4×9 luminance grid the hash machinery
   * consumes (spec-gated on hand-computed pixel fixtures; DuckDB can't
-  * decode PNG, so no SQL oracle). The TEXT-blob path ([[decodeStub]],
+  * decode PNG, so no SQL oracle). AUDIO decode is REAL as of r13 —
+  * [[decodeAudio]] / [[audioFingerprintKernel]] decode WAV/AU/AIFF with
+  * `javax.sound.sampled` into a 33-cell integer energy grid and a
+  * 32-bit temporal fingerprint the same banding machinery consumes
+  * (spec-gated the same way). The TEXT-blob path ([[decodeStub]],
   * [[luminanceGrid]]) remains the deliberate oracle-paired form — it is
   * what the battery's q_m* queries run so the DuckDB oracle can replay
-  * them — and audio/video decode stays stubbed (no codecs in the JDK).
-  * The Spark-side plumbing — schema, encoders, partition-iterator batch
-  * shape, column pruning — is real and tested on both paths. */
+  * them — and VIDEO decode stays stubbed (the JDK ships no video
+  * codec; documented at [[decodeAudio]]). The Spark-side plumbing —
+  * schema, encoders, partition-iterator batch shape, column pruning —
+  * is real and tested on all paths. */
 object Multimodal {
 
   /** Pack a text table into multimodal shape: content = UTF-8 bytes (stands
@@ -371,6 +376,168 @@ object Multimodal {
             .as("hamming"))
         .filter(col("hamming") <= maxHamming)
     }
+  }
+
+  /** A really-decoded audio clip: stream parameters plus the 33-cell
+    * integer frame-energy grid the fingerprint machinery consumes. */
+  final case class DecodedAudio(sampleRateHz: Int, channels: Int,
+      nFrames: Long, energy33: Array[Long])
+
+  /** Number of temporal energy cells; 33 cells give the 32 adjacent
+    * comparisons of [[audioFingerprintBits]] — the 1-D analog of the
+    * image path's 4×9-grid/32-bit dHash. */
+  private[graft] val AudioCells = 33
+
+  /** REAL audio decode (r13, VERDICT r12 #3 — the audio half of the
+    * stub→real closure r12 made for images): decodes WAV/AU/AIFF bytes
+    * with the JDK's `javax.sound.sampled` (zero new jars; probed in
+    * this container — WAVE/AU/AIFF readers all present, PCM payloads
+    * round-trip bit-exactly), mixes channels to mono by integer
+    * floor-mean, and box-downsamples |sample| to a 33-cell temporal
+    * energy grid: cell k covers frames [k·n/33, (k+1)·n/33) (floor
+    * boundaries — the [[luminanceGrid]] slice convention), cell value =
+    * floor-mean of absolute amplitude in the 16-bit domain (8-bit
+    * samples scale ×256 first, so an 8-bit render of a tone lands on
+    * the same grid as its 16-bit render). Non-PCM encodings (µ-law,
+    * a-law, 24-bit) go through the JDK's own conversion to 16-bit
+    * signed PCM when it supports them. Undecodable bytes (truncated
+    * file, not audio, unconvertible encoding, zero frames) return None
+    * — the kernel drops them rather than fingerprinting garbage.
+    *
+    * Oracle stance: SPEC-GATED like [[decodeImage]] — DuckDB cannot
+    * parse WAV, so the gate is `MultimodalAudioSpec`'s hand-computed
+    * PCM fixtures (1-frame-per-cell clips where the grid IS the
+    * |sample| vector, block-constant tones where the box mean is
+    * exact, WAV ≡ AIFF ≡ AU cross-format agreement, stereo mix and
+    * 8-bit ≡ 16-bit scale parity). The banding/pairing machinery
+    * downstream is UNCHANGED and stays oracle-covered through q_m6's
+    * stub path.
+    *
+    * VIDEO stays an honest boundary: the JDK ships no video decoder
+    * (no MP4/H.264/VP9 demuxer or codec in `java.*`/`javax.*`), so
+    * video decode remains the documented stub — the frame-sample
+    * PLUMBING ([[sampleChunks]]) is real; a deployment adds a codec
+    * library and slots it into the same mapPartitions batch shape. */
+  def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val base = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f0 = base.getFormat
+      val pcm = f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+        f0.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      val in =
+        if (pcm && (f0.getSampleSizeInBits == 8 || f0.getSampleSizeInBits == 16))
+          base
+        else AudioSystem.getAudioInputStream( // JDK-provided conversion
+          new AudioFormat(f0.getSampleRate, 16, f0.getChannels, true, false),
+          base)
+      val fmt = in.getFormat
+      val data = in.readAllBytes()
+      val mono = pcmMono(data, fmt.getSampleSizeInBits, fmt.getChannels,
+        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
+        fmt.isBigEndian)
+      if (mono.isEmpty) None
+      else Some(DecodedAudio(math.round(fmt.getSampleRate),
+        fmt.getChannels, mono.length.toLong, energyGrid(mono)))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // unconvertible encoding
+    }
+  }
+
+  /** Raw PCM frames → mono samples in the signed 16-bit domain.
+    * 16-bit: signed, either endianness. 8-bit: scaled ×256 (signed
+    * shifts; unsigned re-centers at 128 first). Channels mix by
+    * integer floor-mean. Trailing partial frames are dropped (a
+    * truncated stream yields the frames it holds). */
+  private[graft] def pcmMono(data: Array[Byte], bits: Int, channels: Int,
+      unsigned: Boolean, bigEndian: Boolean): Array[Long] = {
+    if (bits != 8 && bits != 16) return Array.empty
+    if (channels < 1) return Array.empty
+    val bps = bits / 8
+    val frame = channels * bps
+    val n = data.length / frame
+    val mono = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var s = 0L
+      var c = 0
+      while (c < channels) {
+        val o = i * frame + c * bps
+        s += (if (bits == 16) {
+          val lo = if (bigEndian) data(o + 1) else data(o)
+          val hi = if (bigEndian) data(o) else data(o + 1)
+          ((hi.toInt << 8) | (lo.toInt & 0xff)).toLong
+        } else if (unsigned) ((data(o).toInt & 0xff) - 128).toLong << 8
+        else data(o).toLong << 8)
+        c += 1
+      }
+      mono(i) = Math.floorDiv(s, channels.toLong)
+      i += 1
+    }
+    mono
+  }
+
+  /** 33-cell absolute-amplitude box means over a mono sample vector —
+    * floor boundaries and floor-means, the house slice convention.
+    * Empty slices (clip shorter than the grid) read energy 0. */
+  private[graft] def energyGrid(mono: Array[Long]): Array[Long] = {
+    val n = mono.length
+    val g = new Array[Long](AudioCells)
+    var k = 0
+    while (k < AudioCells) {
+      val start = k * n / AudioCells
+      val end = (k + 1) * n / AudioCells
+      if (end > start) {
+        var s = 0L
+        var i = start
+        while (i < end) { s += math.abs(mono(i)); i += 1 }
+        g(k) = Math.floorDiv(s, (end - start).toLong)
+      }
+      k += 1
+    }
+    g
+  }
+
+  /** 32-bit temporal difference fingerprint over the 33-cell energy
+    * grid: bit b = 1 iff cell b is quieter than cell b+1 — the 1-D
+    * analog of [[dHashBits]]'s darker-than-right-neighbor construction
+    * (adjacent comparisons, so a local edit flips a couple of bits
+    * instead of shifting every one — the property the Hamming-banding
+    * machinery needs). */
+  private[graft] def audioFingerprintBits(energy: Array[Long]): Long = {
+    var ph = 0L
+    var b = 0
+    while (b < 32) {
+      if (energy(b) < energy(b + 1)) ph |= 1L << b
+      b += 1
+    }
+    ph
+  }
+
+  /** [[imageDHashKernel]]'s audio sibling: (id, ph) from actually
+    * decoded PCM — decode → mono mix → 33-cell energy grid →
+    * [[audioFingerprintBits]]. Undecodable blobs are dropped. Same
+    * mapPartitions batch shape (decode state is JVM-static —
+    * AudioSystem's reader registry), output 16 bytes/row no matter the
+    * clip size, and the output frame feeds
+    * [[perceptualNearDupFromHashes]] UNCHANGED — audio near-dup rides
+    * the exact banding + true-Hamming machinery q_m6 oracles. */
+  def audioFingerprintKernel(df: DataFrame, idCol: String,
+      contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(idCol).isNotNull && col(contentCol).isNotNull)
+      .select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeAudio(bytes).map(d => (id, audioFingerprintBits(d.energy33)))
+        }
+      }.toDF("id", "ph")
   }
 
   /** Metadata-only profile per group — demonstrates that blob-free queries
