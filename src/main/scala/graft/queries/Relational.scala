@@ -463,6 +463,50 @@ object Relational {
           col("exact_u"))
         .orderBy(col("o_orderpriority"))
     }),
+    "q_s15_quantile_sketch" -> ((s, dir) => {
+      // Mergeable quantile sketch (r13, L135; VERDICT r12 #4): the KMV
+      // companion for quantiles — L71's fence and the a11/a14 family
+      // give query-time quantiles, but nothing persistable/mergeable as
+      // a table. Bottom-k rows by md5(cents|orderkey) are a uniform
+      // sample; the query runs the MERGE path (two o_orderkey-split
+      // batches, sketched independently, merged k-smallest-by-hash)
+      // while the oracle replays the DIRECT one-pass sketch — the
+      // driver gate itself proves merge ≡ recompute cross-engine, the
+      // q_s11/q_s14 design. sk_md5 pins the entire (h, v) sample in
+      // hash order; v_exact (the full-data rank-select in the SAME
+      // lower-quantile convention) rides along so the sample's ~1/√k
+      // rank error is transparent, not hidden.
+      val orders = t(s, dir, "orders")
+      val cents = orders
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("o_orderkey"))
+      val g = Seq("o_orderpriority")
+      val k = 48
+      val ps = Seq(250000L, 500000L, 750000L)
+      val s1 = QuantileSketch.sketch(
+        cents.filter(col("o_orderkey") % 4 =!= 0), g, "cents",
+        "o_orderkey", k)
+      val s2 = QuantileSketch.sketch(
+        cents.filter(col("o_orderkey") % 4 === 0), g, "cents",
+        "o_orderkey", k)
+      val merged = QuantileSketch.merge(s1, s2, g, k)
+        .withColumn("sk_md5", md5(array_join(transform(col("qs"), x =>
+          concat(x.getField("h").cast("string"), lit(":"),
+            x.getField("v").cast("string"))), ",").cast("binary")))
+      val est = QuantileSketch.estimateQuantiles(merged, ps)
+      val exact = MedianImpute.groupedQuantiles(cents, "o_orderpriority",
+          "cents", ps)
+        .select(col("o_orderpriority").as("__g"), col("p_e6").as("__p"),
+          col("v").cast("long").as("v_exact"))
+      est.join(exact, col("o_orderpriority") === col("__g")
+          && col("p_e6") === col("__p"))
+        .select(col("o_orderpriority"), col("p_e6"), col("n_sample"),
+          col("v_est"), col("v_exact"), col("sk_md5"))
+        .orderBy(col("o_orderpriority"), col("p_e6"))
+    }),
     "q_a13_grouped_corr" -> ((s, dir) => {
       // exact-moment Pearson correlation per group (r8): both columns
       // quantized ONCE to 2-dp integers, the five moments are exact
@@ -1149,6 +1193,52 @@ object Relational {
                 s.kmv_md5, e.exact_u
          FROM s JOIN e ON e.grp = s.grp
          ORDER BY o_orderpriority""",
+    // q_s15: the DIRECT one-pass quantile sketch the engine's merged
+    // batches must equal — the k hash-smallest rows of a union are
+    // among each side's k hash-smallest, so merge ≡ recompute is an
+    // identity; per-ROW md5(v|id) hashing (vs q_s14's per-value) so
+    // duplicates keep their multiplicity; v_est is the sample's lower
+    // quantile and v_exact the full-data one, both at 0-based rank
+    // p·(n−1) DIV 1e6 (p_e6 cast BIGINT — the INT32 product trap)
+    "q_s15_quantile_sketch" ->
+      """WITH c AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS v
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+          h AS (SELECT g, v, CAST(concat('0x',
+                  substr(md5(CAST(v AS VARCHAR) || '|'
+                    || CAST(id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+                FROM c),
+          r AS (SELECT g, v, h,
+                  row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM h),
+          kept AS (SELECT g, v, h FROM r WHERE rn <= 48),
+          s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sample,
+                  md5(string_agg(CAST(h AS VARCHAR) || ':'
+                    || CAST(v AS VARCHAR), ',' ORDER BY h)) AS sk_md5
+                FROM kept GROUP BY g),
+          sv AS (SELECT g, v,
+                  row_number() OVER (PARTITION BY g ORDER BY v, h) AS vr
+                FROM kept),
+          p AS (SELECT CAST(p_e6 AS BIGINT) AS p_e6
+                FROM (VALUES (250000), (500000), (750000)) AS t(p_e6)),
+          est AS (SELECT sv.g, p.p_e6, s.n_sample, s.sk_md5,
+                    sv.v AS v_est
+                  FROM sv JOIN s ON s.g = sv.g
+                  JOIN p ON sv.vr
+                    = (p.p_e6 * (s.n_sample - 1)) // 1000000 + 1),
+          xr AS (SELECT g, v,
+                  row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS r0,
+                  COUNT(*) OVER (PARTITION BY g) AS n
+                FROM c),
+          ex AS (SELECT DISTINCT xr.g, p.p_e6, xr.v AS v_exact
+                 FROM xr JOIN p ON xr.r0
+                   = (p.p_e6 * (xr.n - 1)) // 1000000)
+         SELECT est.g AS o_orderpriority, est.p_e6, est.n_sample,
+                est.v_est, ex.v_exact, est.sk_md5
+         FROM est JOIN ex ON ex.g = est.g AND ex.p_e6 = est.p_e6
+         ORDER BY o_orderpriority, est.p_e6""",
     // q_a13: HUGEINT sums are exact like the engine's decimal sums;
     // one cast-to-double per term at the same spots, same op order
     "q_a13_grouped_corr" ->

@@ -579,6 +579,18 @@ class PlanAuditSpec extends SparkSpec {
       "q_s14 plan contains a cross product")
   }
 
+  test("quantile sketch: the per-group bottom-k runs as WindowGroupLimit") {
+    // the q_s14 scale contract, row_number flavor: the rn <= k filter
+    // must push into a partial group-limit before the exchange, so a
+    // hot group never serializes its full row set into one window task
+    val plan = executedPlan(q("q_s15_quantile_sketch"))
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_s15 rank filter did not push down:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q_s15 plan contains a cross product")
+  }
+
   test("HTML extraction: join-free, window-free, UDF-free — pure scan+explode+agg") {
     // the 100 TB contract for the curation front: one codegen'd string
     // chain per page, one posexplode, one hash aggregation — nothing
