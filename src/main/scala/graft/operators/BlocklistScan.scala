@@ -48,7 +48,7 @@ object BlocklistScan {
     * the root; `out(s)` lists the pattern indices ENDING at state s
     * (own insertions + suffix-link outputs, pre-flattened at build
     * time so the scan never chases links). */
-  private[operators] final class Automaton(patterns: Seq[String]) {
+  private[graft] final class Automaton(patterns: Seq[String]) {
     private val gotoMaps = mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
     private val outBuild = mutable.ArrayBuffer(List.empty[Int])
     // trie phase
@@ -105,8 +105,10 @@ object BlocklistScan {
     * text. `patterns` must be non-empty, duplicate-free, and contain
     * no empty string (an empty pattern matches every position —
     * reject loudly rather than emit len+1 hits). */
-  def scan(df: DataFrame, idCol: String, textCol: String,
-      patterns: Seq[String]): DataFrame = {
+  /** The pattern-list contract, shared verbatim with
+    * [[graft.streaming.StreamingBlocklist]] so the twins cannot drift
+    * on what a valid blocklist is. */
+  private[graft] def validatePatterns(patterns: Seq[String]): Unit = {
     require(patterns.nonEmpty, "blocklist is empty")
     require(patterns.size <= MaxPatterns,
       s"${patterns.size} patterns exceed $MaxPatterns — shard the list")
@@ -115,6 +117,11 @@ object BlocklistScan {
       "duplicate patterns in blocklist (counts would double)")
     require(patterns.map(_.length.toLong).sum <= MaxTotalPatternChars,
       "blocklist total size exceeds the broadcast budget")
+  }
+
+  def scan(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    validatePatterns(patterns)
     val spark = df.sparkSession
     import spark.implicits._
     val patB = spark.sparkContext.broadcast(patterns)
