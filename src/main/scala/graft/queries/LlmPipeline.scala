@@ -971,6 +971,49 @@ object LlmPipeline {
           rounds = 6)
         .orderBy(col("event_type"))
     }),
+    "q_e26_funnel_significance" -> ((s, dir) => {
+      // funnel step drop-off significance (r13, L136; VERDICT r12 #6):
+      // the decision layer over L57/L133 — per adjacent step pair, the
+      // exact integer two-proportion z² between two cohorts, run TWICE:
+      // an "activity" split (above/below the exact lower-median
+      // per-user event count — the power-user vs casual cohorting,
+      // which at sf0.1 shows real rate differences: z² = 4.6 and 10.2,
+      // both pairs significant) and a "parity_aa" split (user_id % 2 —
+      // an A/A test that MUST come out null; z² ≤ 1.9 at every SF).
+      // Both significant and null pairs are live at gate scale, and
+      // the A/A leg guards the machinery itself. All arithmetic is
+      // DECIMAL(38,0)/HUGEINT-exact; the oracle replays the step
+      // chain, the median split and the z² rational digit-for-digit.
+      val ev = t(s, dir, "events")
+      val st = Funnel.stepTimes(ev, "user_id",
+        Tables.epochMicros(ev, "ts"), "event_type",
+        Seq("view", "click", "purchase"),
+        windowUs = Some(48L * 3600L * 1000000L))
+      val cnts = ev
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      val med = MedianImpute.groupedQuantiles(
+          cnts.withColumn("__g", lit("all")), "__g", "n_ev", Seq(500000L))
+        .select(col("v").cast("long").as("__med"))
+      val act = cnts.crossJoin(broadcast(med)) // 1-row stat frame
+        .select(col("user_id"),
+          when(col("n_ev") > col("__med"), "hi").otherwise("lo")
+            .as("cohort"))
+      val par = cnts.select(col("user_id"),
+        when(pmod(col("user_id"), lit(2L)) === 0L, "even")
+          .otherwise("odd").as("cohort"))
+      Funnel.dropoffSignificance(st, "user_id", act, "cohort", "hi", "lo")
+        .withColumn("split", lit("activity"))
+        .unionByName(
+          Funnel.dropoffSignificance(st, "user_id", par, "cohort",
+              "even", "odd")
+            .withColumn("split", lit("parity_aa")))
+        .select(col("split"), col("from_idx"), col("step_from"),
+          col("step_to"), col("entrants_a"), col("conv_a"),
+          col("entrants_b"), col("conv_b"), col("d_sign"), col("z2_e6"),
+          col("sig"))
+        .orderBy(col("split"), col("from_idx"))
+    }),
     "q_e23_event_transitions" -> ((s, dir) => {
       // event-type transition matrix (r12, L132): the first-order
       // Markov view of the event stream — per user, adjacent pairs
@@ -3890,6 +3933,82 @@ object LlmPipeline {
                 CAST(q.ttc_us AS BIGINT) AS ttc_us
          FROM q JOIN cnt c USING (step)
          ORDER BY step, p_e6""",
+    // q_e26: q_e12's step chain + the exact lower-median activity
+    // split + the pooled two-proportion z² as one HUGEINT rational
+    // (x1n2−x2n1)²·N·1e6 // (n1n2·X·(N−X)); the A/A parity leg rides
+    // the same machinery; NULL z² (empty cohort) classes sig = 0 on
+    // both engines
+    "q_e26_funnel_significance" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS t2
+                 FROM e JOIN s1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.t > s1.t1
+                   AND e.t <= s1.t1 + 172800000000
+                 GROUP BY e.user_id, s1.t1),
+          s3 AS (SELECT e.user_id, MIN(e.t) AS t3
+                 FROM e JOIN s2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                   AND e.t <= s2.t1 + 172800000000
+                 GROUP BY e.user_id),
+          cnt AS (SELECT user_id, COUNT(*) AS n_ev FROM e
+                  GROUP BY user_id),
+          rk AS (SELECT n_ev,
+                   ROW_NUMBER() OVER (ORDER BY n_ev, user_id) - 1 AS rn
+                 FROM cnt),
+          nu AS (SELECT COUNT(*) AS n FROM cnt),
+          med AS (SELECT rk.n_ev AS m FROM rk, nu
+                  WHERE rk.rn = (nu.n - 1) // 2),
+          coh AS (SELECT c.user_id,
+                    CASE WHEN c.n_ev > med.m THEN 'hi' ELSE 'lo' END
+                      AS act,
+                    CASE WHEN c.user_id % 2 = 0 THEN 'even' ELSE 'odd'
+                      END AS par
+                  FROM cnt c, med),
+          st AS (SELECT user_id, 1 AS step_idx, 'view' AS step FROM s1
+             UNION ALL SELECT user_id, 2, 'click' FROM s2
+             UNION ALL SELECT user_id, 3, 'purchase' FROM s3),
+          counts AS (
+            SELECT 'activity' AS split, step_idx, step,
+                SUM(CASE WHEN coh.act = 'hi' THEN 1 ELSE 0 END) AS na,
+                SUM(CASE WHEN coh.act = 'lo' THEN 1 ELSE 0 END) AS nb
+            FROM st JOIN coh USING (user_id) GROUP BY 2, 3
+            UNION ALL
+            SELECT 'parity_aa', step_idx, step,
+                SUM(CASE WHEN coh.par = 'even' THEN 1 ELSE 0 END),
+                SUM(CASE WHEN coh.par = 'odd' THEN 1 ELSE 0 END)
+            FROM st JOIN coh USING (user_id) GROUP BY 2, 3),
+          z AS (SELECT f.split, f.step_idx AS from_idx,
+                  f.step AS step_from, tt.step AS step_to,
+                  f.na AS n1, tt.na AS x1, f.nb AS n2, tt.nb AS x2,
+                  CAST(tt.na AS HUGEINT) * f.nb
+                    - CAST(tt.nb AS HUGEINT) * f.na AS num,
+                  CAST(tt.na + tt.nb AS HUGEINT) AS xx,
+                  CAST(f.na + f.nb AS HUGEINT) AS nn
+                FROM counts f JOIN counts tt
+                  ON tt.split = f.split
+                 AND tt.step_idx = f.step_idx + 1),
+          zz AS (SELECT *,
+                  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                       WHEN xx = 0 OR xx = nn THEN 0
+                       ELSE num * num * nn * 1000000
+                         // (CAST(n1 AS HUGEINT) * n2 * xx * (nn - xx))
+                  END AS z2
+                 FROM z)
+         SELECT split, CAST(from_idx AS BIGINT) AS from_idx, step_from,
+                step_to,
+                CAST(n1 AS BIGINT) AS entrants_a,
+                CAST(x1 AS BIGINT) AS conv_a,
+                CAST(n2 AS BIGINT) AS entrants_b,
+                CAST(x2 AS BIGINT) AS conv_b,
+                CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS d_sign,
+                CAST(z2 AS BIGINT) AS z2_e6,
+                CAST(CASE WHEN z2 >= 3841459 THEN 1 ELSE 0 END
+                  AS BIGINT) AS sig
+         FROM zz ORDER BY split, from_idx""",
     // q_e13: distinct (user, day) activity, min-day cohorts, exact
     // integer day buckets (// ≡ Spark DIV on nonnegative micros)
     "q_e13_retention" ->

@@ -591,6 +591,14 @@ class PlanAuditSpec extends SparkSpec {
       "q_s15 plan contains a cross product")
   }
 
+  test("funnel significance: no cartesian — the 1-row median frame broadcasts") {
+    // the z² legs ride grid-sized equi-joins; the only nested-loop
+    // join allowed is the documented 1-row median-stat broadcast
+    val plan = executedPlan(q("q_e26_funnel_significance"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_e26 plan contains a cartesian:\n${plan.take(1500)}")
+  }
+
   test("HTML extraction: join-free, window-free, UDF-free — pure scan+explode+agg") {
     // the 100 TB contract for the curation front: one codegen'd string
     // chain per page, one posexplode, one hash aggregation — nothing
