@@ -1211,6 +1211,18 @@ object LlmPipeline {
       BlocklistScan.scan(t(s, dir, "documents"), "doc_id", "text",
           BlocklistPatterns)
         .orderBy(col("doc_id"))),
+    "q_t42_deflate_ratio" -> ((s, dir) =>
+      // deflate-compression-ratio quality signal (r13, L137; VERDICT
+      // r12 #7): per-doc 1e6·deflate_len DIV utf8_len — the
+      // repetition/gibberish axis the Gopher battery reads only
+      // indirectly (template spam compresses ≪ natural prose; pasted
+      // random payloads push past prose). ROWS-ONLY by design: DuckDB
+      // cannot deflate, and a cross-engine value compare would pin a
+      // zlib build, not a semantic — DeflateSignalSpec is the gate
+      // (in-JVM reference replay, inflate round-trips, ordering
+      // properties, state isolation). No oracleSql entry on purpose.
+      DeflateSignal.ratios(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "q_t39_html_extract" -> ((s, dir) =>
       // HTML-to-text extraction + boilerplate removal (r12, L123;
       // VERDICT r11 #2; Pomikálek 2011 jusText, Barbaresi 2021
