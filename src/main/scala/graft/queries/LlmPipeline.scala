@@ -554,6 +554,57 @@ object LlmPipeline {
       KMeansLloyd.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, rounds = 3)
         .orderBy(col("vec_id"))),
+    "q_v20_rater_kappa" -> ((s, dir) => {
+      // Cohen's κ rater-agreement audit (r13, L138; Cohen 1960): the
+      // chance-corrected label-quality statistic an RLHF-era pipeline
+      // runs over its annotators — here over two HEURISTIC raters, the
+      // battery's deterministic stand-ins. Two legs, the q_e26 design:
+      // "len_vs_tok" (global exact-tercile labels of n_chars vs
+      // whitespace-token count — two length-family raters; κ lands
+      // high but < 10⁶ since word lengths vary) and "random_vs_len"
+      // (doc_id % 3 in the SAME t0/t1/t2 label space vs the length
+      // tercile — independent by construction; κ ≈ 0, and the shared
+      // alphabet keeps the diagonal a real coincidence count, not a
+      // vacuous zero). Both regimes live at every SF and the
+      // independent leg guards the chance correction itself. Tercile
+      // cuts are the exact lower-quantile rank picks (the
+      // groupedQuantiles convention), κ is one exact LONG rational —
+      // the oracle replays cuts, labels, confusion and κ
+      // digit-for-digit.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("n_chars").isNotNull)
+      val sig = d.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      def cuts2(valueCol: String, a: String, b: String) =
+        MedianImpute.groupedQuantiles(
+            sig.withColumn("__g", lit("all")), "__g", valueCol,
+            Seq(333333L, 666667L))
+          .agg(max(when(col("p_e6") === 333333L, col("v"))).cast("long")
+            .as(a),
+            max(when(col("p_e6") === 666667L, col("v"))).cast("long")
+              .as(b))
+      def ter(v: org.apache.spark.sql.Column,
+          c1: org.apache.spark.sql.Column,
+          c2: org.apache.spark.sql.Column) =
+        when(v > c2, "t2").when(v > c1, "t1").otherwise("t0")
+      val labeled = sig
+        .crossJoin(broadcast(cuts2("n_chars", "cc1", "cc2"))) // 1-row
+        .crossJoin(broadcast(cuts2("n_tok", "tc1", "tc2")))   // stats
+        .select(col("lang"),
+          ter(col("n_chars"), col("cc1"), col("cc2")).as("ra_len"),
+          ter(col("n_tok"), col("tc1"), col("tc2")).as("rb_tok"),
+          concat(lit("t"), pmod(col("doc_id"), lit(3L))).as("rc_rand"))
+      Agreement.cohenKappa(labeled, "lang", "ra_len", "rb_tok")
+        .withColumn("pair", lit("len_vs_tok"))
+        .unionByName(
+          Agreement.cohenKappa(labeled, "lang", "rc_rand", "ra_len")
+            .withColumn("pair", lit("random_vs_len")))
+        .select(col("pair"), col("lang"), col("n_items"), col("n_agree"),
+          col("po_e6"), col("pe_e6"), col("kappa_e6"))
+        .orderBy(col("pair"), col("lang"))
+    }),
     "q_v19_embedding_outliers" -> ((s, dir) => {
       // embedding-space outlier audit (r12, L131): the cleaning pass
       // behind SemDeDup-style curation — per k-means cluster, the exact
@@ -3150,6 +3201,74 @@ object LlmPipeline {
           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
          ${KMeansLloyd.oracleCtes(k = 8, rounds = 3)}""",
     // q_v19: the same generated k-means replay nested as a CTE, then
+    // q_v20: global exact-tercile cuts by the div(p·(n−1), 1e6) rank
+    // pick on both signals, CASE-threshold labels, confusion counts,
+    // then κ = 10⁶·(N·D − C) // (N² − C) as one BIGINT rational —
+    // the N² = C undefined guard replayed for parity; every literal
+    // product CAST early (the INT32 trap)
+    "q_v20_rater_kappa" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND n_chars IS NOT NULL),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+          rc AS (SELECT nc AS v,
+                   ROW_NUMBER() OVER (ORDER BY nc) - 1 AS rn FROM d),
+          rt AS (SELECT nt AS v,
+                   ROW_NUMBER() OVER (ORDER BY nt) - 1 AS rn FROM d),
+          cuts AS (SELECT
+            (SELECT v FROM rc, nn
+              WHERE rn = (CAST(333333 AS BIGINT) * (n - 1)) // 1000000)
+              AS cc1,
+            (SELECT v FROM rc, nn
+              WHERE rn = (CAST(666667 AS BIGINT) * (n - 1)) // 1000000)
+              AS cc2,
+            (SELECT v FROM rt, nn
+              WHERE rn = (CAST(333333 AS BIGINT) * (n - 1)) // 1000000)
+              AS tc1,
+            (SELECT v FROM rt, nn
+              WHERE rn = (CAST(666667 AS BIGINT) * (n - 1)) // 1000000)
+              AS tc2),
+          lab AS (SELECT lang,
+              CASE WHEN nc > cuts.cc2 THEN 't2'
+                   WHEN nc > cuts.cc1 THEN 't1' ELSE 't0' END AS ra,
+              CASE WHEN nt > cuts.tc2 THEN 't2'
+                   WHEN nt > cuts.tc1 THEN 't1' ELSE 't0' END AS rb,
+              't' || CAST(doc_id % 3 AS VARCHAR) AS rr
+            FROM d, cuts WHERE lang IS NOT NULL),
+          conf AS (SELECT 'len_vs_tok' AS pair, lang, ra AS a, rb AS b,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM lab GROUP BY 2, 3, 4
+            UNION ALL
+              SELECT 'random_vs_len', lang, rr, ra,
+                CAST(COUNT(*) AS BIGINT)
+              FROM lab GROUP BY 2, 3, 4),
+          tot AS (SELECT pair, lang, SUM(n) AS nit,
+                SUM(CASE WHEN a = b THEN n ELSE 0 END) AS dg
+              FROM conf GROUP BY 1, 2),
+          ma AS (SELECT pair, lang, a AS l, SUM(n) AS rm
+                 FROM conf GROUP BY 1, 2, 3),
+          mb AS (SELECT pair, lang, b AS l, SUM(n) AS cm
+                 FROM conf GROUP BY 1, 2, 3),
+          ch AS (SELECT ma.pair, ma.lang, SUM(ma.rm * mb.cm) AS c
+                 FROM ma JOIN mb ON mb.pair = ma.pair
+                   AND mb.lang = ma.lang AND mb.l = ma.l
+                 GROUP BY 1, 2)
+         SELECT t.pair, t.lang, CAST(t.nit AS BIGINT) AS n_items,
+                CAST(t.dg AS BIGINT) AS n_agree,
+                CAST(CAST(1000000 AS BIGINT) * t.dg // t.nit AS BIGINT)
+                  AS po_e6,
+                CAST(CAST(1000000 AS BIGINT) * COALESCE(ch.c, 0)
+                  // (t.nit * t.nit) AS BIGINT) AS pe_e6,
+                CAST(CASE WHEN t.nit * t.nit = COALESCE(ch.c, 0)
+                     THEN NULL
+                     ELSE CAST(1000000 AS BIGINT)
+                       * (t.nit * t.dg - COALESCE(ch.c, 0))
+                       // (t.nit * t.nit - COALESCE(ch.c, 0))
+                END AS BIGINT) AS kappa_e6
+         FROM tot t LEFT JOIN ch ON ch.pair = t.pair AND ch.lang = t.lang
+         ORDER BY t.pair, t.lang""",
     // per-cluster exact p95 by the identical div(p·(n−1), 1e6) rank
     // pick and the value-based outlier count
     "q_v19_embedding_outliers" ->
