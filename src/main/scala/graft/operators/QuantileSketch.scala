@@ -56,6 +56,18 @@ object QuantileSketch {
     conv(substring(md5(concat(value.cast("string"), lit("|"),
       id.cast("string")).cast("binary")), 1, 14), 16, 10).cast("long")
 
+  /** JVM mirror of [[rowHash]] — byte-identical by construction (same
+    * `value|id` rendering, same first-14-hex-chars window), shared with
+    * [[graft.streaming.StreamingQuantileSketch]] so the batch
+    * expression and the streaming state update cannot drift (the
+    * dHashBits discipline); equivalence is spec-pinned. */
+  private[graft] def rowHashJvm(value: Long, id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$value|$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(14)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Per-group sketch: (groupCols…, qs) where qs is the array of the
     * ≤k hash-smallest (h, v) rows, sorted by h. Values cast to long
     * (the house integer discipline — quantize upstream); null values
