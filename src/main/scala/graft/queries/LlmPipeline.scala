@@ -2216,6 +2216,34 @@ object LlmPipeline {
         .select(col("token"), col("exact_n"), col("est").as("est_n"))
         .orderBy(col("exact_n").desc, col("token"))
     }),
+    "q_qr16_rank_drift" -> ((s, dir) => {
+      // exact Mann–Whitney rank-sum drift (r13, L139; Mann & Whitney
+      // 1947): the ORDINAL member of the drift panel — q_qr11's KS
+      // asks "any CDF difference", this asks the sharper "does one
+      // cohort tend larger", with more power against location shifts.
+      // Per non-en language vs the en baseline on n_chars: at sf0.1,
+      // zh flags (z² = 7.05 — the generator's zh length profile really
+      // does sit higher) while de/es/fr come out null (z² ≤ 0.32) —
+      // both regimes live at gate scale. Doubled midranks keep ties
+      // integral; the z² is one exact DECIMAL(38,0)/HUGEINT rational.
+      // The en baseline replicates per comparison group (4× here —
+      // comparisons × baseline is grid-scale, and the 4-row lang frame
+      // broadcasts).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val langs = d.select(col("lang").as("cmp"))
+        .filter(col("cmp") =!= "en").distinct()
+      val cand = d.filter(col("lang") =!= "en")
+        .select(col("lang").as("cmp"), lit("cand").as("cohort"),
+          col("n_chars"))
+      val base = d.filter(col("lang") === "en")
+        .crossJoin(broadcast(langs))
+        .select(col("cmp"), lit("base").as("cohort"), col("n_chars"))
+      RankTest.mannWhitney(cand.unionByName(base), "cmp", "cohort",
+          "n_chars", "cand", "base")
+        .orderBy(col("cmp"))
+    }),
     "q_qr11_ks_drift" -> ((s, dir) =>
       // exact two-sample KS per source vs rest-of-corpus (r10, L87):
       // the parameter-free member of the drift panel (PSI needs
@@ -2991,6 +3019,61 @@ object LlmPipeline {
          SELECT e.token, e.exact_n, CAST(est.est_n AS BIGINT) AS est_n
          FROM ex e JOIN est USING (token)
          ORDER BY exact_n DESC, token""",
+    // q_qr16: doubled-midrank construction over the (cmp, value) grid
+    // — below via the same 1-PRECEDING cumulative window the engine
+    // uses, then the tie-corrected z² as one HUGEINT rational
+    // 3·Δ²·N·(N−1)·1e6 // (n_a·n_b·(N³−N−T)); degenerate guards
+    // replayed for parity
+    "q_qr16_rank_drift" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          langs AS (SELECT DISTINCT lang AS cmp FROM d
+                    WHERE lang <> 'en'),
+          rowsx AS (SELECT lang AS cmp, 'cand' AS c, v FROM d
+                    WHERE lang <> 'en'
+             UNION ALL
+                    SELECT l.cmp, 'base', d.v FROM d, langs l
+                    WHERE d.lang = 'en'),
+          grid AS (SELECT cmp, v, CAST(COUNT(*) AS BIGINT) AS t,
+                CAST(SUM(CASE WHEN c = 'cand' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ta
+              FROM rowsx GROUP BY 1, 2),
+          cum AS (SELECT cmp, v, t, ta,
+                COALESCE(SUM(t) OVER (PARTITION BY cmp ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS below
+              FROM grid),
+          agg AS (SELECT cmp, SUM(ta) AS n_a, SUM(t - ta) AS n_b,
+                SUM(ta * (2 * below + t + 1)) AS r2,
+                SUM(t * t * t - t) AS tie
+              FROM cum GROUP BY 1),
+          z AS (SELECT cmp, n_a, n_b,
+                CAST(r2 AS HUGEINT)
+                  - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+                CAST(r2 AS HUGEINT) - CAST(n_a AS HUGEINT) * (n_a + 1)
+                  - CAST(n_a AS HUGEINT) * n_b AS delta,
+                CAST(n_a + n_b AS HUGEINT) AS nn,
+                CAST(tie AS HUGEINT) AS tie
+              FROM agg),
+          zz AS (SELECT *,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                     WHEN nn * nn * nn - nn - tie = 0 THEN 0
+                     ELSE 3 * delta * delta * nn * (nn - 1) * 1000000
+                       // (CAST(n_a AS HUGEINT) * n_b
+                          * (nn * nn * nn - nn - tie))
+                END AS z2
+              FROM z)
+         SELECT cmp, CAST(n_a AS BIGINT) AS n_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                CAST(u2 AS BIGINT) AS u2_a,
+                CAST(CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS d_sign,
+                CAST(z2 AS BIGINT) AS z2_e6,
+                CAST(CASE WHEN z2 >= 3841459 THEN 1 ELSE 0 END
+                  AS BIGINT) AS sig
+         FROM zz ORDER BY cmp""",
     // q_qr11: the grid form of the same exact-integer KS numerator —
     // source × distinct-value CROSS JOIN (oracle scale), two cumulative
     // windows, one double division (KsDrift.oracleSql)
