@@ -554,6 +554,25 @@ object LlmPipeline {
       KMeansLloyd.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, rounds = 3)
         .orderBy(col("vec_id"))),
+    "q_v21_conformal_bound" -> ((s, dir) => {
+      // split-conformal upper bound + coverage audit (r13, L140;
+      // Papadopoulos 2002, Vovk 2005, Lei 2018): per lang, the
+      // ⌈(n+1)·0.9⌉-th smallest calibration n_chars is a
+      // distribution-free 90% upper bound for exchangeable new docs —
+      // calibrated on the even-doc_id split, audited on the odd split,
+      // where coverage must land near (and, per the guarantee, in
+      // expectation at least) 0.9. The exact ceiling-rank arithmetic
+      // and the coverage count both replay in the oracle.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val calib = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      val test = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      Conformal.coverage(test,
+          Conformal.splitThreshold(calib, "lang", "n_chars", 100000L),
+          "lang", "n_chars")
+        .orderBy(col("lang"))
+    }),
     "q_v20_rater_kappa" -> ((s, dir) => {
       // Cohen's κ rater-agreement audit (r13, L138; Cohen 1960): the
       // chance-corrected label-quality statistic an RLHF-era pipeline
@@ -3284,6 +3303,39 @@ object LlmPipeline {
           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
          ${KMeansLloyd.oracleCtes(k = 8, rounds = 3)}""",
     // q_v19: the same generated k-means replay nested as a CTE, then
+    // q_v21: the ⌈(n+1)(1−α)⌉ ceiling rank as ((n+1)·9e5 + 999999) //
+    // 1e6, the rank-th smallest by the same row_number pick, NULL
+    // past n (no finite-sample guarantee), exact coverage count
+    "q_v21_conformal_bound" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS s
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          cal AS (SELECT lang, s FROM d WHERE doc_id % 2 = 0),
+          tst AS (SELECT lang, s FROM d WHERE doc_id % 2 = 1),
+          cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cal,
+                ((CAST(COUNT(*) AS BIGINT) + 1) * 900000 + 999999)
+                  // 1000000 AS rnk
+              FROM cal GROUP BY lang),
+          rk AS (SELECT lang, s,
+                CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s)
+                  AS BIGINT) AS rn
+              FROM cal),
+          thr AS (SELECT c.lang, c.n_cal, c.rnk AS rank, rk.s AS qhat
+                FROM cnt c LEFT JOIN rk
+                  ON rk.lang = c.lang AND rk.rn = c.rnk)
+         SELECT t.lang, t.n_cal, t.rank, t.qhat,
+                CAST(COUNT(*) AS BIGINT) AS n_test,
+                CASE WHEN t.qhat IS NULL THEN NULL
+                  ELSE CAST(SUM(CASE WHEN x.s <= t.qhat THEN 1 ELSE 0
+                    END) AS BIGINT) END AS n_covered,
+                CASE WHEN t.qhat IS NULL THEN NULL
+                  ELSE CAST(CAST(1000000 AS BIGINT)
+                    * SUM(CASE WHEN x.s <= t.qhat THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) END AS cov_e6
+         FROM thr t JOIN tst x ON x.lang = t.lang
+         GROUP BY t.lang, t.n_cal, t.rank, t.qhat
+         ORDER BY t.lang""",
     // q_v20: global exact-tercile cuts by the div(p·(n−1), 1e6) rank
     // pick on both signals, CASE-threshold labels, confusion counts,
     // then κ = 10⁶·(N·D − C) // (N² − C) as one BIGINT rational —
