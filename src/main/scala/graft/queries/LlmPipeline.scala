@@ -1281,6 +1281,35 @@ object LlmPipeline {
       BlocklistScan.scan(t(s, dir, "documents"), "doc_id", "text",
           BlocklistPatterns)
         .orderBy(col("doc_id"))),
+    "q_t43_url_canon" -> ((s, dir) => {
+      // URL canonicalization for crawl dedup (r13, L141; the
+      // CCNet/RefinedWeb URL-level dedup front). Deterministic messy
+      // URLs (the q_t39 synthetic-page discipline): each doc renders
+      // its item's URL in one of six crawler spellings — raw, default
+      // port + doubled slashes, case + trailing slash, tracking-only
+      // params, real params, same params reordered + junk + fragment —
+      // so variants 0–3 of an item MUST collapse to one canonical key
+      // and 4–5 to a second (params preserved, order-free). The oracle
+      // replays both the construction and every canonicalization rule.
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val item = call_function("div", col("doc_id"), lit(6L))
+      val base = concat(lit("/s"), pmod(item, lit(10L)).cast("string"),
+        lit("/item/"), item.cast("string"))
+      val v = pmod(col("doc_id"), lit(6L))
+      val url = when(v === 0L, concat(lit("HTTP://Example.COM"), base))
+        .when(v === 1L, concat(lit("http://example.com:80/"), base))
+        .when(v === 2L, concat(lit("http://EXAMPLE.com"), base, lit("/")))
+        .when(v === 3L,
+          concat(lit("http://example.com"), base,
+            lit("?utm_source=feed&ref=tw")))
+        .when(v === 4L,
+          concat(lit("http://example.com"), base, lit("?b=2&a=1")))
+        .otherwise(concat(lit("http://example.com"), base,
+          lit("?a=1&utm_campaign=x&b=2#frag")))
+      UrlCanon.dedupReport(
+          d.select(col("doc_id"), url.as("url")), "doc_id", "url")
+        .orderBy(col("canon_url"))
+    }),
     "q_t42_deflate_ratio" -> ((s, dir) =>
       // deflate-compression-ratio quality signal (r13, L137; VERDICT
       // r12 #7): per-doc 1e6·deflate_len DIV utf8_len — the
@@ -3038,6 +3067,64 @@ object LlmPipeline {
          SELECT e.token, e.exact_n, CAST(est.est_n AS BIGINT) AS est_n
          FROM ex e JOIN est USING (token)
          ORDER BY exact_n DESC, token""",
+    // q_t43: the same six crawler spellings rebuilt verbatim, then
+    // every canonicalization rule replayed — scheme/host lower, the
+    // scheme-conditional default-port strip, slash collapse + trailing
+    // strip with the '/' root guard, tracking-param regex filter +
+    // sort + bare-? drop, fragment drop, NULL for non-URLs
+    "q_t43_url_canon" ->
+      """WITH d AS (SELECT doc_id,
+                '/s' || CAST((doc_id // 6) % 10 AS VARCHAR)
+                  || '/item/' || CAST(doc_id // 6 AS VARCHAR) AS base,
+                doc_id % 6 AS v
+              FROM documents WHERE doc_id IS NOT NULL),
+          u AS (SELECT doc_id,
+                CASE v
+                  WHEN 0 THEN 'HTTP://Example.COM' || base
+                  WHEN 1 THEN 'http://example.com:80/' || base
+                  WHEN 2 THEN 'http://EXAMPLE.com' || base || '/'
+                  WHEN 3 THEN 'http://example.com' || base
+                    || '?utm_source=feed&ref=tw'
+                  WHEN 4 THEN 'http://example.com' || base || '?b=2&a=1'
+                  ELSE 'http://example.com' || base
+                    || '?a=1&utm_campaign=x&b=2#frag'
+                END AS url
+              FROM d),
+          p1 AS (SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+                regexp_replace(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+                  '/{2,}', '/') AS path0
+              FROM u),
+          p2 AS (SELECT doc_id, scheme, auth,
+                CASE WHEN scheme = 'http'
+                       THEN regexp_replace(auth, ':80$', '')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(auth, ':443$', '')
+                     ELSE auth END AS authnp,
+                CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+                     ELSE regexp_replace(path0, '/$', '') END AS path,
+                COALESCE(array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                  x -> NOT (regexp_matches(x,
+                    '^(utm_[^=]*|fbclid|gclid|msclkid|ref)=')
+                    OR x = ''))), '&'), '') AS kept
+              FROM p1),
+          c AS (SELECT doc_id,
+                CASE WHEN scheme = '' OR auth = '' THEN NULL
+                     ELSE scheme || '://' || authnp || path ||
+                       CASE WHEN kept = '' THEN ''
+                            ELSE '?' || kept END
+                END AS canon_url
+              FROM p2)
+         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(CAST(SUM(doc_id) AS DECIMAL(38,0)) AS VARCHAR)
+                  AS doc_id_sum
+         FROM c WHERE canon_url IS NOT NULL
+         GROUP BY canon_url ORDER BY canon_url""",
     // q_qr16: doubled-midrank construction over the (cmp, value) grid
     // — below via the same 1-PRECEDING cumulative window the engine
     // uses, then the tie-corrected z² as one HUGEINT rational
