@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * equivalence, default-port stripping, path dot-segment resolution —
   * the cases that need a real URL parser; rows needing them keep a
   * stable (just not fully-collapsed) key, which degrades dedup recall,
-  * never correctness. */
+  * never correctness. r13 note: [[graft.operators.UrlCanon]] (L141)
+  * closes the default-port and slash-handling non-goals with the same
+  * expression-only discipline — prefer it for new pipelines; this
+  * fixed subset stays pinned by its own battery query (q_t26). */
 object Urls {
 
   private val TrackingParam = "^(utm_|fbclid=)"

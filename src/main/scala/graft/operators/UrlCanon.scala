@@ -3,10 +3,21 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** URL canonicalization for crawl dedup (the CCNet/RefinedWeb-class
-  * URL-level dedup front: Wenzek et al. 2020, Penedo et al. 2023 both
-  * dedup crawl shards by normalized URL before any content pass) —
-  * collapse the variant spellings crawlers emit for one resource so
+/** URL canonicalization for crawl dedup, full rule set (the
+  * CCNet/RefinedWeb-class URL-level dedup front: Wenzek et al. 2020,
+  * Penedo et al. 2023 both dedup crawl shards by normalized URL before
+  * any content pass).
+  *
+  * Relationship to [[graft.functions.Urls]] (L74, r8): that operator
+  * is the deliberately FIXED subset (fragment, case, tracking params,
+  * param sort) whose scaladoc lists default-port stripping and path
+  * slash handling as documented non-goals. THIS operator (r13) closes
+  * those non-goals — the KMV-closes-L71's-fence pattern — while
+  * keeping the two remaining parser-grade cases (dot-segments,
+  * percent-encoding) documented out on both. L74 stays as-is with its
+  * own battery pin; new pipelines should canonicalize with this one.
+  *
+  * Collapse the variant spellings crawlers emit for one resource so
   * URL-level dedup and per-site rollups key on the RESOURCE:
   *
   *   - scheme and host lowercase (RFC 3986 §6.2.2.1 case
