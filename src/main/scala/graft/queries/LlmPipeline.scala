@@ -1041,6 +1041,22 @@ object LlmPipeline {
           rounds = 6)
         .orderBy(col("event_type"))
     }),
+    "q_e27_burst_detection" -> ((s, dir) => {
+      // sliding-window burst detection (r13, L142): per user, the
+      // exact maximum event count in any 24 h window ([t, t+W)
+      // event-anchored — which IS the true sliding maximum), the
+      // earliest anchor achieving it, and a flag at peak ≥ 8 — the
+      // bot/scraper screen, the entity-level companion of Skew's
+      // bot-burst hot-key treatment. At sf0.1 the flag splits the
+      // population (peaks run 1–11 over the 30-day stream), so both
+      // regimes are live. One exchange: the RANGE count and the
+      // per-user max share the entity partitioning. The oracle
+      // replays the identical RANGE frame.
+      val ev = t(s, dir, "events")
+      Burst.slidingPeak(ev, "user_id", Tables.epochMicros(ev, "ts"),
+          windowUs = 24L * 3600L * 1000000L, threshold = 8L)
+        .orderBy(col("user_id"))
+    }),
     "q_e26_funnel_significance" -> ((s, dir) => {
       // funnel step drop-off significance (r13, L136; VERDICT r12 #6):
       // the decision layer over L57/L133 — per adjacent step pair, the
@@ -4286,6 +4302,26 @@ object LlmPipeline {
                 CAST(q.ttc_us AS BIGINT) AS ttc_us
          FROM q JOIN cnt c USING (step)
          ORDER BY step, p_e6""",
+    // q_e27: the identical event-anchored RANGE frame ([t, t+W) as
+    // RANGE 0..W−1 FOLLOWING), per-user max, min-anchor tie-break
+    "q_e27_burst_detection" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          c AS (SELECT user_id, t,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                  RANGE BETWEEN CURRENT ROW AND 86399999999 FOLLOWING)
+                  AS c
+              FROM e),
+          p AS (SELECT user_id, MAX(c) AS peak FROM c GROUP BY user_id)
+         SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(p.peak AS BIGINT) AS peak_burst,
+                CAST(MIN(CASE WHEN c.c = p.peak THEN c.t END)
+                  AS BIGINT) AS peak_start_us,
+                CAST(CASE WHEN p.peak >= 8 THEN 1 ELSE 0 END
+                  AS BIGINT) AS flagged
+         FROM c JOIN p USING (user_id)
+         GROUP BY c.user_id, p.peak
+         ORDER BY c.user_id""",
     // q_e26: q_e12's step chain + the exact lower-median activity
     // split + the pooled two-proportion z² as one HUGEINT rational
     // (x1n2−x2n1)²·N·1e6 // (n1n2·X·(N−X)); the A/A parity leg rides
