@@ -1041,6 +1041,23 @@ object LlmPipeline {
           rounds = 6)
         .orderBy(col("event_type"))
     }),
+    "q_e28_seasonal_anomaly" -> ((s, dir) => {
+      // weekday-profile seasonal adjustment + residual Hampel screen
+      // (r13, L143): the volume screen q_a17's trailing window cannot
+      // be — that one is blind to weekly rhythm (a legitimately-quiet
+      // phase flags every week, contrast spec-pinned). Per event_type:
+      // exact lower-median per period-7 phase forms the profile,
+      // residual = y − med_phase, Hampel on the WHOLE-series residuals
+      // (retrospective audit semantics, the documented complement of
+      // the trailing/streaming-shaped q_a17). Every statistic an
+      // integer, the verdict an exact integer compare; the oracle
+      // replays phase medians, residuals and both rank selects.
+      val ev = t(s, dir, "events")
+      Trend.weekdayAdjustedAnomaly(
+          ev.filter(col("event_type").isNotNull), "event_type",
+          Tables.epochMicros(ev, "ts"), kMilli = 3000)
+        .orderBy(col("event_type"), col("x"))
+    }),
     "q_e27_burst_detection" -> ((s, dir) => {
       // sliding-window burst detection (r13, L142): per user, the
       // exact maximum event count in any 24 h window ([t, t+W)
@@ -4302,6 +4319,51 @@ object LlmPipeline {
                 CAST(q.ttc_us AS BIGINT) AS ttc_us
          FROM q JOIN cnt c USING (step)
          ORDER BY step, p_e6""",
+    // q_e28: phase medians, residuals and both Hampel rank selects
+    // replayed — every median the (n+1)//2 lower pick by row_number
+    // (tie order irrelevant: the VALUE at the rank is invariant)
+    "q_e28_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS us
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          daily AS (SELECT g, us // 86400000000 AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+          dd AS (SELECT g, x, y, x % 7 AS dow FROM daily),
+          pr AS (SELECT g, dow, y,
+                ROW_NUMBER() OVER (PARTITION BY g, dow ORDER BY y)
+                  AS rn,
+                COUNT(*) OVER (PARTITION BY g, dow) AS n
+              FROM dd),
+          prof AS (SELECT g, dow, y AS med_dow FROM pr
+                   WHERE rn = (n + 1) // 2),
+          res AS (SELECT dd.g, dd.x, dd.y, dd.dow, prof.med_dow,
+                dd.y - prof.med_dow AS resid
+              FROM dd JOIN prof
+                ON prof.g = dd.g AND prof.dow = dd.dow),
+          mr AS (SELECT g, resid AS v,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY resid)
+                  AS rn,
+                COUNT(*) OVER (PARTITION BY g) AS n
+              FROM res),
+          medr AS (SELECT g, v AS med_r FROM mr
+                   WHERE rn = (n + 1) // 2),
+          ad AS (SELECT r.g, m.med_r, ABS(r.resid - m.med_r) AS av,
+                ROW_NUMBER() OVER (PARTITION BY r.g
+                  ORDER BY ABS(r.resid - m.med_r)) AS rn,
+                COUNT(*) OVER (PARTITION BY r.g) AS n
+              FROM res r JOIN medr m ON m.g = r.g),
+          madr AS (SELECT g, med_r, av AS mad_r FROM ad
+                   WHERE rn = (n + 1) // 2)
+         SELECT r.g AS event_type, CAST(r.x AS BIGINT) AS x,
+                CAST(r.y AS BIGINT) AS y, CAST(r.dow AS BIGINT) AS dow,
+                CAST(r.med_dow AS BIGINT) AS med_dow,
+                CAST(r.resid AS BIGINT) AS resid,
+                CAST(CASE WHEN ABS(r.resid - s.med_r) * 1000
+                     > 3000 * s.mad_r THEN 1 ELSE 0 END AS INTEGER)
+                  AS anom
+         FROM res r JOIN madr s ON s.g = r.g
+         ORDER BY event_type, x""",
     // q_e27: the identical event-anchored RANGE frame ([t, t+W) as
     // RANGE 0..W−1 FOLLOWING), per-user max, min-anchor tie-break
     "q_e27_burst_detection" ->
