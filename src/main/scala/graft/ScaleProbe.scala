@@ -238,6 +238,48 @@ object ScaleProbe {
         f"| $tRe%.1f | $tMe%.2f | ${tRe / tMe}%.0fx | history untouched |")
     }
 
+    // --- mergeable sketch economics (L124 KMV + L135 quantile sketch,
+    // r13): the metadata-fold claim with numbers — a 1% delta folded
+    // into a PERSISTED sketch table (grid×k rows) vs re-sketching the
+    // full corpus. The incagg shape, for the two r12/r13 sketches.
+    if (sections("sketches")) {
+      import graft.operators.{Kmv, QuantileSketch}
+      val basePath = s"$base/sketch_base"
+      def gen(lo: Long, hi: Long, parts: Int) =
+        spark.range(lo, hi, 1, parts).select(
+          pmod(xxhash64(col("id")), lit(1000L)).cast("string").as("g"),
+          pmod(xxhash64(col("id") + 7), lit(300000L)).as("k"),
+          col("id"))
+      gen(0, n, 256).write.mode("overwrite").parquet(basePath)
+      val baseRows = spark.read.parquet(basePath)
+      val kmvPath = s"$base/sketch_kmv"
+      val qsPath = s"$base/sketch_qs"
+      Kmv.sketch(baseRows, Seq("g"), "k", 32)
+        .write.mode("overwrite").parquet(kmvPath)
+      QuantileSketch.sketch(baseRows, Seq("g"), "k", "id", 64)
+        .write.mode("overwrite").parquet(qsPath)
+      val batch = gen(n, n + n / 100, 8)
+      def kmvRe(): Unit =
+        Kmv.sketch(baseRows.unionByName(batch), Seq("g"), "k", 32)
+          .collect()
+      def kmvMe(): Unit =
+        Kmv.merge(spark.read.parquet(kmvPath),
+          Kmv.sketch(batch, Seq("g"), "k", 32), Seq("g"), 32).collect()
+      def qsRe(): Unit =
+        QuantileSketch.sketch(baseRows.unionByName(batch), Seq("g"),
+          "k", "id", 64).collect()
+      def qsMe(): Unit =
+        QuantileSketch.merge(spark.read.parquet(qsPath),
+          QuantileSketch.sketch(batch, Seq("g"), "k", "id", 64),
+          Seq("g"), 64).collect()
+      val tKr = timeIt(2)(kmvRe()); val tKm = timeIt(2)(kmvMe())
+      println(f"| ${n / 1000000}M base + 1%% batch | KMV re-sketch vs merge " +
+        f"| $tKr%.1f | $tKm%.2f | ${tKr / tKm}%.0fx | base untouched |")
+      val tQr = timeIt(2)(qsRe()); val tQm = timeIt(2)(qsMe())
+      println(f"| ${n / 1000000}M base + 1%% batch | qsketch re-sketch vs merge " +
+        f"| $tQr%.1f | $tQm%.2f | ${tQr / tQm}%.0fx | base untouched |")
+    }
+
     // --- exact edit-distance matching (L69, r8): wall-clock scaling of
     // the deletion-neighborhood self-join on synthetic entity keys —
     // 10% planted single-char typos (the true-pair load), d=1. The
