@@ -463,6 +463,26 @@ object Relational {
           col("exact_u"))
         .orderBy(col("o_orderpriority"))
     }),
+    "q_s16_manifest_digest" -> ((s, dir) => {
+      // order-insensitive mergeable corpus digest (r13, L144): the
+      // data-integrity manifest — "is the sink exactly the union of
+      // the appended batches", answered by grid arithmetic instead of
+      // row comparison. The query folds FOUR o_orderkey-split batch
+      // digests while the oracle computes the DIRECT whole-table
+      // digest — the driver gate itself proves the fold ≡ direct
+      // identity cross-engine (the q_s11/s14/s15 design). Keys are
+      // integer/string columns only (a float key's string rendering
+      // is not engine-portable — documented constraint).
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull)
+      val g = Seq("o_orderstatus")
+      val keys = Seq("o_orderkey", "o_orderpriority", "o_custkey")
+      val parts = (0L until 4L).map(i =>
+        Manifest.digest(orders.filter(pmod(col("o_orderkey"), lit(4L))
+          === i), g, keys))
+      parts.reduce((a, b) => Manifest.merge(a, b, g))
+        .orderBy(col("o_orderstatus"))
+    }),
     "q_s15_quantile_sketch" -> ((s, dir) => {
       // Mergeable quantile sketch (r13, L135; VERDICT r12 #4): the KMV
       // companion for quantiles — L71's fence and the a11/a14 family
@@ -1193,6 +1213,29 @@ object Relational {
                 s.kmv_md5, e.exact_u
          FROM s JOIN e ON e.grp = s.grp
          ORDER BY o_orderpriority""",
+    // q_s16: the DIRECT whole-table digest the engine's 4-way batch
+    // fold must equal — count/sum/xor are commutative monoids, so
+    // fold ≡ direct is an identity; the row hash is the 56-bit md5
+    // over the injective length-prefixed rendering (null ⇒ '-')
+    "q_s16_manifest_digest" ->
+      """WITH h AS (SELECT o_orderstatus,
+                CAST(concat('0x', substr(md5(
+                  CASE WHEN o_orderkey IS NULL THEN '-'
+                    ELSE CAST(LENGTH(CAST(o_orderkey AS VARCHAR))
+                      AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)
+                  END ||
+                  CASE WHEN o_orderpriority IS NULL THEN '-'
+                    ELSE CAST(LENGTH(o_orderpriority) AS VARCHAR)
+                      || ':' || o_orderpriority END ||
+                  CASE WHEN o_custkey IS NULL THEN '-'
+                    ELSE CAST(LENGTH(CAST(o_custkey AS VARCHAR))
+                      AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)
+                    END), 1, 14)) AS BIGINT) AS h
+              FROM orders WHERE o_orderkey IS NOT NULL)
+         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS h_sum,
+                CAST(bit_xor(h) AS BIGINT) AS h_xor
+         FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // q_s15: the DIRECT one-pass quantile sketch the engine's merged
     // batches must equal — the k hash-smallest rows of a union are
     // among each side's k hash-smallest, so merge ≡ recompute is an
