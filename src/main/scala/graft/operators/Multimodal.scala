@@ -540,6 +540,54 @@ object Multimodal {
       }.toDF("id", "ph")
   }
 
+  /** Magic-byte media-type sniff (r13, L145) — the container-level
+    * truth check of the multimodal front: a crawl's DECLARED
+    * content-type lies constantly (mislabeled uploads, extension-based
+    * servers, corrupted truncations), and every real ingest sniffs the
+    * leading bytes before routing a blob to a decoder. Pure codegen'd
+    * expression: hex the first 12 bytes once, compare published magic
+    * numbers — PNG (89504E470D0A1A0A), JPEG (FFD8FF), GIF87a/89a,
+    * RIFF····WAVE, BMP (424D), PDF (25504446), ZIP (504B0304),
+    * gzip (1F8B) — longest/most-specific first; anything else is
+    * `application/octet-stream`, null/empty blobs sniff NULL. The
+    * rules replay verbatim in the oracle over the hex rendering
+    * (DuckDB slices the hex string; Spark hexes only the 12-byte
+    * binary prefix — same comparisons either way). Spec-gated against
+    * REAL encoder output: the bytes `javax.imageio` /
+    * `javax.sound.sampled` / `GZIPOutputStream` / `ZipOutputStream`
+    * actually produce must sniff to their own types — the sniffer and
+    * the r12/r13 real decoders agree by test, not by assumption. */
+  def sniffType(content: Column): Column = {
+    val h = hex(substring(content, 1, 12))
+    when(content.isNull || length(content) === 0,
+      lit(null).cast("string"))
+      .when(h.startsWith("89504E470D0A1A0A"), lit("image/png"))
+      .when(h.startsWith("FFD8FF"), lit("image/jpeg"))
+      .when(h.startsWith("474946383761")
+        || h.startsWith("474946383961"), lit("image/gif"))
+      .when(h.startsWith("52494646")
+        && substring(h, 17, 8) === "57415645", lit("audio/wav"))
+      .when(h.startsWith("424D"), lit("image/bmp"))
+      .when(h.startsWith("25504446"), lit("application/pdf"))
+      .when(h.startsWith("504B0304"), lit("application/zip"))
+      .when(h.startsWith("1F8B"), lit("application/gzip"))
+      .otherwise(lit("application/octet-stream"))
+  }
+
+  /** Declared-vs-sniffed audit rollup: per (declared, sniffed) pair,
+    * the doc count and a mismatch flag — the corruption/mislabeling
+    * report a multimodal ingest reads before trusting `media_type`.
+    * One narrow projection + one hash aggregation. */
+  def declaredMismatch(df: DataFrame, declaredCol: String,
+      contentCol: String = "content"): DataFrame =
+    df.select(col(declaredCol).as("declared"),
+        sniffType(col(contentCol)).as("sniffed"))
+      .filter(col("sniffed").isNotNull)
+      .groupBy(col("declared"), col("sniffed"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("mismatch",
+        (col("declared") =!= col("sniffed")).cast("long"))
+
   /** Metadata-only profile per group — demonstrates that blob-free queries
     * prune the `content` column out of the scan entirely (check
     * `.explain`'s ReadSchema). */

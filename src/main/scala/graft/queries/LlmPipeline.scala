@@ -842,6 +842,41 @@ object LlmPipeline {
           max(col("meta.n_bytes")).as("n_bytes"))
         .orderBy(col("keeper"))
     }),
+    "q_m8_magic_sniff" -> ((s, dir) => {
+      // magic-byte media-type sniff + declared-vs-sniffed audit (r13,
+      // L145): deterministic blobs built by prepending REAL magic
+      // numbers (PNG/JPEG/GIF89a/RIFF-WAVE/BMP/PDF/ZIP, one plain
+      // variant) to each doc's text bytes; the DECLARED label is
+      // correct except every 5th doc claims image/png — so the audit
+      // must surface exactly the injected mislabelings. The oracle
+      // rebuilds the same blobs (unhex || encode) and replays every
+      // prefix rule over the hex rendering.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val v = pmod(col("doc_id"), lit(8L))
+      val prefixes = Seq("89504E470D0A1A0A", "FFD8FFE000104A46",
+        "474946383961", "524946460000000057415645", "424D760200",
+        "255044462D312E34", "504B03041400", "")
+      val labels = Seq("image/png", "image/jpeg", "image/gif",
+        "audio/wav", "image/bmp", "application/pdf", "application/zip",
+        "application/octet-stream")
+      val blob = (0 until 8).map(i =>
+          (v === i.toLong, if (prefixes(i).isEmpty)
+            col("text").cast("binary")
+          else concat(unhex(lit(prefixes(i))), col("text").cast("binary"))))
+        .foldLeft(when(lit(false), lit(null).cast("binary"))) {
+          case (acc, (cond, b)) => acc.when(cond, b)
+        }
+      val declared = (0 until 8).map(i => (v === i.toLong, labels(i)))
+        .foldLeft(when(lit(false), lit(null).cast("string"))) {
+          case (acc, (cond, l)) => acc.when(cond, lit(l))
+        }
+      val packed = d.select(col("doc_id"), blob.as("content"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L, lit("image/png"))
+          .otherwise(declared).as("declared"))
+      Multimodal.declaredMismatch(packed, "declared")
+        .orderBy(col("declared"), col("sniffed"))
+    }),
     "q_m7_perceptual_delta" -> ((s, dir) => {
       // incremental (delta) PERCEPTUAL ingestion (r10) — q_d6's two-phase
       // admit protocol on the multimodal surface: blobs < 250 build the
@@ -3902,6 +3937,62 @@ object LlmPipeline {
                 CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes
          FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
          GROUP BY md5(text) ORDER BY keeper""",
+    // q_m8: the same blob construction (unhex || encode) and every
+    // prefix rule replayed over the hex rendering — DuckDB hexes the
+    // whole (small, synthetic) blob where Spark hexes only the
+    // 12-byte binary prefix; the compared prefixes are identical
+    "q_m8_magic_sniff" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 8 AS v
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          b AS (SELECT doc_id,
+                CASE v
+                  WHEN 0 THEN unhex('89504E470D0A1A0A') || encode(text)
+                  WHEN 1 THEN unhex('FFD8FFE000104A46') || encode(text)
+                  WHEN 2 THEN unhex('474946383961') || encode(text)
+                  WHEN 3 THEN unhex('524946460000000057415645')
+                    || encode(text)
+                  WHEN 4 THEN unhex('424D760200') || encode(text)
+                  WHEN 5 THEN unhex('255044462D312E34') || encode(text)
+                  WHEN 6 THEN unhex('504B03041400') || encode(text)
+                  ELSE encode(text)
+                END AS blob,
+                CASE WHEN doc_id % 5 = 0 THEN 'image/png' ELSE
+                  CASE v WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'image/jpeg' WHEN 2 THEN 'image/gif'
+                    WHEN 3 THEN 'audio/wav' WHEN 4 THEN 'image/bmp'
+                    WHEN 5 THEN 'application/pdf'
+                    WHEN 6 THEN 'application/zip'
+                    ELSE 'application/octet-stream' END
+                END AS declared
+              FROM d),
+          s AS (SELECT declared,
+                CASE WHEN blob IS NULL OR octet_length(blob) = 0
+                       THEN NULL
+                  WHEN substring(hex(blob), 1, 16)
+                    = '89504E470D0A1A0A' THEN 'image/png'
+                  WHEN substring(hex(blob), 1, 6) = 'FFD8FF'
+                    THEN 'image/jpeg'
+                  WHEN substring(hex(blob), 1, 12)
+                    IN ('474946383761', '474946383961') THEN 'image/gif'
+                  WHEN substring(hex(blob), 1, 8) = '52494646'
+                    AND substring(hex(blob), 17, 8) = '57415645'
+                    THEN 'audio/wav'
+                  WHEN substring(hex(blob), 1, 4) = '424D'
+                    THEN 'image/bmp'
+                  WHEN substring(hex(blob), 1, 8) = '25504446'
+                    THEN 'application/pdf'
+                  WHEN substring(hex(blob), 1, 8) = '504B0304'
+                    THEN 'application/zip'
+                  WHEN substring(hex(blob), 1, 4) = '1F8B'
+                    THEN 'application/gzip'
+                  ELSE 'application/octet-stream' END AS sniffed
+              FROM b)
+         SELECT declared, sniffed, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(CASE WHEN declared <> sniffed THEN 1 ELSE 0 END
+                  AS BIGINT) AS mismatch
+         FROM s WHERE sniffed IS NOT NULL
+         GROUP BY declared, sniffed ORDER BY declared, sniffed""",
     // q_m7: sequential replay of the two-phase perceptual admit over the
     // same dHashes as q_m6's oracle — a1 = phase-1 docs with no
     // smaller-id Hamming-3 partner, a2 = phase-2 docs blocked by neither
