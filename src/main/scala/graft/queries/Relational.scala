@@ -463,6 +463,21 @@ object Relational {
           col("exact_u"))
         .orderBy(col("o_orderpriority"))
     }),
+    "q_a21_theil_sen" -> ((s, dir) => {
+      // Theil–Sen robust slope (r13, L146; Theil 1950, Sen 1968):
+      // completes the trend panel — a15's OLS gives the least-squares
+      // magnitude a single spike drags, a16's Mann–Kendall the
+      // significance, this the robust magnitude (breakdown ~29%).
+      // Exact: one div-quantized slope per day pair, lower-median rank
+      // selects for slope and intercept, negative-slope truncation
+      // shared by both engines. Pair frame is series²-sized (30 days
+      // ⇒ 435/group), the documented retrospective class.
+      val ev = t(s, dir, "events")
+      Trend.dailyVolumeTheilSen(
+          ev.filter(col("event_type").isNotNull), "event_type",
+          Tables.epochMicros(ev, "ts"))
+        .orderBy(col("event_type"))
+    }),
     "q_s16_manifest_digest" -> ((s, dir) => {
       // order-insensitive mergeable corpus digest (r13, L144): the
       // data-integrity manifest — "is the sink exactly the union of
@@ -1213,6 +1228,44 @@ object Relational {
                 s.kmv_md5, e.exact_u
          FROM s JOIN e ON e.grp = s.grp
          ORDER BY o_orderpriority""",
+    // q_a21: the pairwise self-join + both (n+1)//2 lower-median rank
+    // selects replayed; slope quantized ONCE per pair by truncating
+    // integer division (both engines truncate toward zero — pinned
+    // live by the negative slopes in this very series)
+    "q_a21_theil_sen" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS us
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          daily AS (SELECT g, us // 86400000000 AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+          p AS (SELECT a.g,
+                (1000000 * (b.y - a.y)) // (b.x - a.x) AS s
+              FROM daily a JOIN daily b
+                ON b.g = a.g AND a.x < b.x),
+          np AS (SELECT g, COUNT(*) AS n_pairs FROM p GROUP BY g),
+          sr AS (SELECT g, s,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS rn
+              FROM p),
+          sl AS (SELECT sr.g, np.n_pairs, sr.s AS slope_e6
+                 FROM sr JOIN np ON np.g = sr.g
+                   AND sr.rn = (np.n_pairs + 1) // 2),
+          nd AS (SELECT g, COUNT(*) AS n_days FROM daily GROUP BY g),
+          rr AS (SELECT d.g, 1000000 * d.y - sl.slope_e6 * d.x AS r
+                 FROM daily d JOIN sl ON sl.g = d.g),
+          ir AS (SELECT g, r,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY r) AS rn
+              FROM rr),
+          ic AS (SELECT ir.g, ir.r AS icept_e6
+                 FROM ir JOIN nd ON nd.g = ir.g
+                   AND ir.rn = (nd.n_days + 1) // 2)
+         SELECT nd.g AS event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+                CAST(COALESCE(sl.n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(sl.slope_e6 AS BIGINT) AS slope_e6,
+                CAST(ic.icept_e6 AS BIGINT) AS icept_e6
+         FROM nd LEFT JOIN sl ON sl.g = nd.g
+           LEFT JOIN ic ON ic.g = nd.g
+         ORDER BY event_type""",
     // q_s16: the DIRECT whole-table digest the engine's 4-way batch
     // fold must equal — count/sum/xor are commutative monoids, so
     // fold ≡ direct is an identity; the row hash is the 56-bit md5
