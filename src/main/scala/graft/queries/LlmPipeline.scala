@@ -1076,6 +1076,21 @@ object LlmPipeline {
           rounds = 6)
         .orderBy(col("event_type"))
     }),
+    "q_e29_lead_lag" -> ((s, dir) => {
+      // lead-lag cross-correlation (r13, L147): which event type LEADS
+      // which — corr(a@x, b@x+lag) over lags [−3, +3] for every
+      // ordered type pair, on the pre-aggregated daily grid. Exact
+      // integral moments over the per-lag aligned overlap (n shrinks
+      // with |lag|, emitted), ONE double correlation rounded 6 dp
+      // (the q_a13 convention), degenerate cells NULL. On the uniform
+      // synthetic stream the ridge is flat noise — the gate pins the
+      // MACHINERY (moments, alignment, NULLs) cross-engine, the spec
+      // pins the semantics on constructed leads.
+      val ev = t(s, dir, "events")
+      Trend.leadLag(ev.filter(col("event_type").isNotNull),
+          "event_type", Tables.epochMicros(ev, "ts"), maxLag = 3)
+        .orderBy(col("type_a"), col("type_b"), col("lag"))
+    }),
     "q_e28_seasonal_anomaly" -> ((s, dir) => {
       // weekday-profile seasonal adjustment + residual Hampel screen
       // (r13, L143): the volume screen q_a17's trailing window cannot
@@ -4410,6 +4425,36 @@ object LlmPipeline {
                 CAST(q.ttc_us AS BIGINT) AS ttc_us
          FROM q JOIN cnt c USING (step)
          ORDER BY step, p_e6""",
+    // q_e29: the lag-shifted equi-join over the daily grid + the
+    // q_a13 moment/round tail, NULL on n<2 or zero variance
+    "q_e29_lead_lag" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS us
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          daily AS (SELECT g, us // 86400000000 AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+          lags AS (SELECT UNNEST(range(-3, 4)) AS lag),
+          j AS (SELECT a.g AS type_a, b.g AS type_b, l.lag,
+                a.y AS ya, b.y AS yb
+              FROM daily a, lags l
+              JOIN daily b ON b.x = a.x + l.lag
+              WHERE a.g <> b.g),
+          m AS (SELECT type_a, type_b, lag,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(ya) AS sa, SUM(yb) AS sb,
+                SUM(ya * ya) AS saa, SUM(yb * yb) AS sbb,
+                SUM(ya * yb) AS sab
+              FROM j GROUP BY 1, 2, 3)
+         SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
+                n AS n_days,
+                CASE WHEN n < 2 OR n * saa - sa * sa = 0
+                       OR n * sbb - sb * sb = 0 THEN NULL
+                  ELSE ROUND(CAST(n * sab - sa * sb AS DOUBLE) /
+                    sqrt(CAST(n * saa - sa * sa AS DOUBLE)) /
+                    sqrt(CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+                END AS corr6
+         FROM m ORDER BY type_a, type_b, lag""",
     // q_e28: phase medians, residuals and both Hampel rank selects
     // replayed — every median the (n+1)//2 lower pick by row_number
     // (tie order irrelevant: the VALUE at the rank is invariant)

@@ -591,6 +591,20 @@ class PlanAuditSpec extends SparkSpec {
       "q_s15 plan contains a cross product")
   }
 
+  test("r13 wave-2/3 queries: no cartesian anywhere") {
+    // the pairwise/self-join shapes (theil-sen pairs, manifest union,
+    // burst windows, seasonal joins, rank-drift replication) must all
+    // ride equi-joins; the only nested-loop joins allowed are the
+    // documented small-frame broadcasts (qr16's 4-row lang frame)
+    for (name <- Seq("q_a21_theil_sen", "q_e27_burst_detection",
+        "q_e28_seasonal_anomaly", "q_s16_manifest_digest",
+        "q_qr16_rank_drift", "q_m8_magic_sniff")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a cartesian:\n${plan.take(1200)}")
+    }
+  }
+
   test("funnel significance: no cartesian — the 1-row median frame broadcasts") {
     // the z² legs ride grid-sized equi-joins; the only nested-loop
     // join allowed is the documented 1-row median-stat broadcast
