@@ -463,6 +463,21 @@ object Relational {
           col("exact_u"))
         .orderBy(col("o_orderpriority"))
     }),
+    "q_a22_changepoint" -> ((s, dir) => {
+      // single-changepoint binary segmentation (r13, L148; Scott &
+      // Knott 1974): WHERE did the level shift — the split maximizing
+      // the between-segment sum of squares, per event_type. a19's
+      // CUSUM accumulates evidence THAT a drift happened; this names
+      // the day and the variance fraction the two-level model
+      // explains. Quantize-once gain_e6, deterministic (gain DESC,
+      // x ASC) argmax, constant series ⇒ NULL fraction. On the
+      // uniform stream the split is noise-placed but EXACT — the gate
+      // pins the machinery, the spec pins semantics on planted steps.
+      val ev = t(s, dir, "events")
+      Trend.changepoint(ev.filter(col("event_type").isNotNull),
+          "event_type", Tables.epochMicros(ev, "ts"))
+        .orderBy(col("event_type"))
+    }),
     "q_a21_theil_sen" -> ((s, dir) => {
       // Theil–Sen robust slope (r13, L146; Theil 1950, Sen 1968):
       // completes the trend panel — a15's OLS gives the least-squares
@@ -1228,6 +1243,53 @@ object Relational {
                 s.kmv_md5, e.exact_u
          FROM s JOIN e ON e.grp = s.grp
          ORDER BY o_orderpriority""",
+    // q_a22: prefix sums over the daily grid, the same R_num rational
+    // per candidate split, the identical quantized-gain argmax with
+    // the x ASC tie-break, NULL fraction on zero total deviance
+    "q_a22_changepoint" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS us
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          daily AS (SELECT g, us // 86400000000 AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+          pre AS (SELECT g, x, y,
+                COUNT(*) OVER (PARTITION BY g ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS nl,
+                COALESCE(SUM(y) OVER (PARTITION BY g ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS sl
+              FROM daily),
+          tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(y) AS sy, SUM(y * y) AS syy
+              FROM daily GROUP BY g),
+          c AS (SELECT p.g, p.x, p.nl, t.n - p.nl AS nr, t.n, t.sy,
+                t.syy, p.sl, t.sy - p.sl AS sr
+              FROM pre p JOIN tot t ON t.g = p.g WHERE p.nl >= 1),
+          sc AS (SELECT g, x, n, nl, nr,
+                CAST(sl AS HUGEINT) * sl * nr * n
+                  + CAST(sr AS HUGEINT) * sr * nl * n
+                  - CAST(sy AS HUGEINT) * sy * nl * nr AS rnum,
+                CAST(n AS HUGEINT) * syy
+                  - CAST(sy AS HUGEINT) * sy AS snum
+              FROM c),
+          rk AS (SELECT *,
+                rnum * 1000000 // (CAST(nl AS HUGEINT) * nr * n)
+                  AS gain,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+                  rnum * 1000000 // (CAST(nl AS HUGEINT) * nr * n)
+                    DESC, x ASC) AS rk
+              FROM sc)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+                CAST(x AS BIGINT) AS split_x,
+                CAST(nl AS BIGINT) AS n_l, CAST(nr AS BIGINT) AS n_r,
+                CAST(gain AS BIGINT) AS gain_e6,
+                CAST(CASE WHEN snum = 0 THEN NULL
+                  ELSE rnum * 1000000
+                    // (CAST(nl AS HUGEINT) * nr * snum)
+                END AS BIGINT) AS explained_ppm
+         FROM rk WHERE rk = 1 ORDER BY event_type""",
     // q_a21: the pairwise self-join + both (n+1)//2 lower-median rank
     // selects replayed; slope quantized ONCE per pair by truncating
     // integer division (both engines truncate toward zero — pinned
