@@ -19,7 +19,12 @@ import duckdb
 
 def main(dir_a, dir_b):
     con = duckdb.connect()
-    names = sorted(os.path.basename(p) for p in glob.glob(f"{dir_a}/q_*"))
+    # Union the query names from BOTH dirs (ADVICE r13): enumerating
+    # only dir_a would silently skip a query present only in dir_b and
+    # report all-pass despite asymmetric coverage.
+    names = sorted(
+        {os.path.basename(p) for p in glob.glob(f"{dir_a}/q_*")}
+        | {os.path.basename(p) for p in glob.glob(f"{dir_b}/q_*")})
     n_pass = n_fail = 0
     for name in names:
         ga = sorted(glob.glob(f"{dir_a}/{name}/*.parquet"))

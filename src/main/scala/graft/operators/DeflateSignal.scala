@@ -44,6 +44,8 @@ object DeflateSignal {
   def ratios(df: DataFrame, idCol: String, textCol: String,
       level: Int = 6): DataFrame = {
     require(level >= 1 && level <= 9, s"zlib level $level outside [1, 9]")
+    Reserved.guard(Seq(idCol), Seq("n_raw", "n_deflate", "ratio_e6"),
+      "DeflateSignal")
     val spark = df.sparkSession
     import spark.implicits._
     df.filter(col(idCol).isNotNull && col(textCol).isNotNull)

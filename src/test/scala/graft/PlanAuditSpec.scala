@@ -605,6 +605,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r13 wave-4/5 queries: no cartesian anywhere") {
+    // the pin-coverage gap flagged by the r13 verdict: e29's lag grid
+    // join, a22's tot-join, v20's marginal self-join, v21's rank-back
+    // join, t43's scan chain — none may fall to a shuffle cartesian
+    for (name <- Seq("q_e29_lead_lag", "q_a22_changepoint",
+        "q_v20_rater_kappa", "q_v21_conformal_bound", "q_t43_url_canon")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a cartesian:\n${plan.take(1200)}")
+    }
+  }
+
+  test("lead-lag: the lag join stays an extracted equi-join, never a loop join") {
+    // q_e29's join condition is `type_a =!= type_b && __xb === x + lag`
+    // — correctness AND scale both hang on Catalyst extracting the
+    // `__xb = x + lag` equality as the join key. Nothing else guards
+    // that extraction: a silent fall to BroadcastNestedLoopJoin over
+    // |types|·|days|·|lags| rows would pass value checks at sf0.1 and
+    // melt at corpus scale. Pin the physical join class.
+    val plan = executedPlan(q("q_e29_lead_lag"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"q_e29 lag join lost its equi-key extraction:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q_e29 lag join fell to a loop join:\n${plan.take(1500)}")
+  }
+
   test("funnel significance: no cartesian — the 1-row median frame broadcasts") {
     // the z² legs ride grid-sized equi-joins; the only nested-loop
     // join allowed is the documented 1-row median-stat broadcast

@@ -110,4 +110,14 @@ class DeflateSignalSpec extends SparkSpec {
       DeflateSignal.ratios(df, "doc_id", "text", level = 0)
     }
   }
+
+  test("idCol colliding with an output name is guarded (Reserved)") {
+    // ADVICE r13: an idCol literally named n_raw/n_deflate/ratio_e6
+    // would produce a duplicate-named output column — fail fast instead
+    val df = Seq((1L, "x")).toDF("ratio_e6", "text")
+    val e = intercept[IllegalArgumentException] {
+      DeflateSignal.ratios(df, "ratio_e6", "text")
+    }
+    assert(e.getMessage.contains("reserves column name"))
+  }
 }
