@@ -877,6 +877,28 @@ object LlmPipeline {
       Multimodal.declaredMismatch(packed, "declared")
         .orderBy(col("declared"), col("sniffed"))
     }),
+    "q_m9_mp4_metadata" -> ((s, dir) => {
+      // MP4/ISO-BMFF container-metadata audit (r14, L149): deterministic
+      // synthetic MP4s built per doc as EXPRESSIONS (the q_m8 unhex
+      // discipline) — brand, mvhd version (v0 32-bit / v1 64-bit
+      // duration), timescale, duration, track count, per-track stsd
+      // codec fourcc, and a variable-length free box all derived from
+      // doc_id, so box OFFSETS vary per doc and a layout-assuming
+      // parser fails. IsoBmff.metadata walks the real bytes back to
+      // the parameters; the oracle replays the generator formulas —
+      // the parse must invert the construction exactly (a STRONGER
+      // gate than hex slicing: every varying field round-trips).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val packed = d.select(col("doc_id"),
+        IsoBmff.syntheticMp4(col("doc_id")).as("content"))
+      IsoBmff.metadata(packed, "doc_id", "content")
+        .groupBy(col("major_brand"), col("n_tracks"), col("codecs"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("duration_ms")).as("sum_dur_ms"),
+          sum(col("timescale")).as("sum_ts"))
+        .orderBy(col("major_brand"), col("n_tracks"), col("codecs"))
+    }),
     "q_m7_perceptual_delta" -> ((s, dir) => {
       // incremental (delta) PERCEPTUAL ingestion (r10) — q_d6's two-phase
       // admit protocol on the multimodal surface: blobs < 250 build the
@@ -4008,6 +4030,40 @@ object LlmPipeline {
                   AS BIGINT) AS mismatch
          FROM s WHERE sniffed IS NOT NULL
          GROUP BY declared, sniffed ORDER BY declared, sniffed""",
+    // q_m9: the generator-formula replay — Spark PARSES the synthetic
+    // MP4 bytes back to (brand, timescale, duration, n_tracks, codecs);
+    // the oracle recomputes the same values arithmetically from doc_id,
+    // so the box walk must invert the construction exactly. duration_ms
+    // is 1000*duration//timescale — both engines truncate toward zero.
+    "q_m9_mp4_metadata" ->
+      """WITH p AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+                AS major_brand,
+              600 + (doc_id % 5) * 100 AS timescale,
+              1000 + (doc_id * 37) % 9000 AS duration,
+              1 + doc_id % 3 AS n_tracks
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          c AS (SELECT *,
+              CASE (doc_id // 3 + 0) % 3 WHEN 0 THEN 'avc1'
+                WHEN 1 THEN 'mp4a' ELSE 'hev1' END AS c0,
+              CASE (doc_id // 3 + 1) % 3 WHEN 0 THEN 'avc1'
+                WHEN 1 THEN 'mp4a' ELSE 'hev1' END AS c1,
+              CASE (doc_id // 3 + 2) % 3 WHEN 0 THEN 'avc1'
+                WHEN 1 THEN 'mp4a' ELSE 'hev1' END AS c2
+            FROM p),
+          m AS (SELECT major_brand, n_tracks,
+              c0 || CASE WHEN n_tracks > 1 THEN ',' || c1 ELSE '' END
+                 || CASE WHEN n_tracks > 2 THEN ',' || c2 ELSE '' END
+                AS codecs,
+              1000 * duration // timescale AS duration_ms, timescale
+            FROM c)
+         SELECT major_brand, n_tracks, codecs,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(duration_ms) AS BIGINT) AS sum_dur_ms,
+                CAST(SUM(timescale) AS BIGINT) AS sum_ts
+         FROM m GROUP BY major_brand, n_tracks, codecs
+         ORDER BY major_brand, n_tracks, codecs""",
     // q_m7: sequential replay of the two-phase perceptual admit over the
     // same dHashes as q_m6's oracle — a1 = phase-1 docs with no
     // smaller-id Hamming-3 partner, a2 = phase-2 docs blocked by neither

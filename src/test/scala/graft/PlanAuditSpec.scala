@@ -632,6 +632,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q_e29 lag join fell to a loop join:\n${plan.take(1500)}")
   }
 
+  test("mp4 metadata: join-free, window-free — scan, kernel, one aggregation") {
+    // the q_m9 scale contract: blob build is a codegen'd expression
+    // chain fused into the scan, the box walk is one mapPartitions
+    // kernel, and the audit is a single map-side-combinable hash agg —
+    // nothing shuffles twice, nothing joins
+    val plan = executedPlan(q("q_m9_mp4_metadata"))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q_m9 grew a join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"q_m9 grew a window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m9 lost its hash aggregation:\n${plan.take(1200)}")
+  }
+
   test("funnel significance: no cartesian — the 1-row median frame broadcasts") {
     // the z² legs ride grid-sized equi-joins; the only nested-loop
     // join allowed is the documented 1-row median-stat broadcast
