@@ -463,6 +463,20 @@ object Relational {
           col("exact_u"))
         .orderBy(col("o_orderpriority"))
     }),
+    "q_a23_changepoint_segments" -> ((s, dir) => {
+      // multi-changepoint recursive binary segmentation (r14, L150):
+      // q_a22's single split recursed depth=2 levels with the
+      // integer-exact relative-gain stop (minExplainedPpm=100000 — a
+      // split must explain >= 10% of its SEGMENT's deviance), emitting
+      // the per-type segment table. On the uniform stream accepted
+      // splits are noise-placed but EXACT; the generated oracle
+      // unrolls both levels (the KCore/KMeansLloyd discipline).
+      val ev = t(s, dir, "events")
+      Trend.changepointSegments(ev.filter(col("event_type").isNotNull),
+          "event_type", Tables.epochMicros(ev, "ts"),
+          depth = 2, minExplainedPpm = 100000L)
+        .orderBy(col("event_type"), col("seg_idx"))
+    }),
     "q_a22_changepoint" -> ((s, dir) => {
       // single-changepoint binary segmentation (r13, L148; Scott &
       // Knott 1974): WHERE did the level shift — the split maximizing
@@ -1074,7 +1088,75 @@ object Relational {
               COUNT(DISTINCT md5(text)) AS u_texts
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** Generated oracle for q_a23 (the KCore/KMeansLloyd discipline —
+    * unroll the fixed recursion depth): each level replays q_a22's
+    * prefix-sum/rational/argmax machinery PARTITIONED BY (group, seg),
+    * accepts the split iff explained_ppm >= minPpm, and remaps seg by
+    * the collision-free bit-path seg' = 2*seg + (x >= split_x). */
+  private def a23Oracle(depth: Int, minPpm: Long): String = {
+    val levels = (0 until depth).map { k =>
+      s"""t$k AS (SELECT g, seg, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(y) AS sy, SUM(y * y) AS syy
+              FROM a$k GROUP BY g, seg),
+          p$k AS (SELECT g, seg, x, y,
+                COUNT(*) OVER (PARTITION BY g, seg ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS nl,
+                COALESCE(SUM(y) OVER (PARTITION BY g, seg ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS sl
+              FROM a$k),
+          c$k AS (SELECT p.g, p.seg, p.x, p.nl, t.n - p.nl AS nr, t.n,
+                p.sl, t.sy - p.sl AS sr, t.sy, t.syy
+              FROM p$k p JOIN t$k t ON t.g = p.g AND t.seg = p.seg
+              WHERE p.nl >= 1),
+          s$k AS (SELECT g, seg, x,
+                CAST(sl AS HUGEINT) * sl * nr * n
+                  + CAST(sr AS HUGEINT) * sr * nl * n
+                  - CAST(sy AS HUGEINT) * sy * nl * nr AS rnum,
+                CAST(n AS HUGEINT) * syy
+                  - CAST(sy AS HUGEINT) * sy AS snum,
+                CAST(nl AS HUGEINT) * nr AS nlnr,
+                ROW_NUMBER() OVER (PARTITION BY g, seg ORDER BY
+                  (CAST(sl AS HUGEINT) * sl * nr * n
+                    + CAST(sr AS HUGEINT) * sr * nl * n
+                    - CAST(sy AS HUGEINT) * sy * nl * nr) * 1000000
+                    // (CAST(nl AS HUGEINT) * nr * n) DESC, x ASC)
+                  AS rk
+              FROM c$k),
+          acc$k AS (SELECT g, seg, x AS split_x FROM s$k
+              WHERE rk = 1 AND snum <> 0
+                AND rnum * 1000000 // (nlnr * snum) >= $minPpm),
+          a${k + 1} AS (SELECT a.g, a.x, a.y,
+                a.seg * 2 + CASE WHEN q.split_x IS NOT NULL
+                  AND a.x >= q.split_x THEN 1 ELSE 0 END AS seg
+              FROM a$k a LEFT JOIN acc$k q
+                ON q.g = a.g AND q.seg = a.seg)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS (SELECT event_type AS g, epoch_us(ts) AS us
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          daily AS (SELECT g, us // 86400000000 AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+          a0 AS (SELECT g, x, y, CAST(0 AS BIGINT) AS seg FROM daily),
+          $levels,
+          segs AS (SELECT g, seg, MIN(x) AS seg_lo_x, MAX(x) AS seg_hi_x,
+                CAST(COUNT(*) AS BIGINT) AS n_days, SUM(y) AS sum_y
+              FROM a$depth GROUP BY g, seg)
+         SELECT g AS event_type,
+                CAST(ROW_NUMBER() OVER (PARTITION BY g
+                  ORDER BY seg_lo_x) AS BIGINT) AS seg_idx,
+                CAST(seg_lo_x AS BIGINT) AS seg_lo_x,
+                CAST(seg_hi_x AS BIGINT) AS seg_hi_x, n_days,
+                CAST(sum_y AS BIGINT) AS sum_y,
+                CAST(1000000 * CAST(sum_y AS HUGEINT) // n_days
+                  AS BIGINT) AS mean_e6
+         FROM segs ORDER BY event_type, seg_lo_x"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_a23_changepoint_segments" -> a23Oracle(2, 100000L),
     // q_s12: old-generation rows surface NULL n_chars ⇒ only odd ids
     // contribute to the char aggregates
     "q_s12_schema_evolution" ->

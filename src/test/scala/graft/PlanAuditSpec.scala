@@ -632,6 +632,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q_e29 lag join fell to a loop join:\n${plan.take(1500)}")
   }
 
+  test("changepoint segments: grid tail is cartesian-free; levels are " +
+      "checkpoint-bounded") {
+    // q_a23's per-level split/remap joins run inside eager
+    // localCheckpoint jobs (the iterative-loop discipline), so the
+    // final plan must be just the grid aggregation + seg_idx window
+    // over a checkpoint scan — no join of any kind survives to the
+    // tail, and nothing corpus-sized can hide there
+    val plan = executedPlan(q("q_a23_changepoint_segments"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"q_a23 tail grew a join:\n${plan.take(1200)}")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"q_a23 lost its checkpoint boundary:\n${plan.take(1200)}")
+  }
+
   test("mp4 metadata: join-free, window-free — scan, kernel, one aggregation") {
     // the q_m9 scale contract: blob build is a codegen'd expression
     // chain fused into the scan, the box walk is one mapPartitions
