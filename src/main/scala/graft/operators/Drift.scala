@@ -58,6 +58,129 @@ object Drift {
   def categorical(ref: DataFrame, cur: DataFrame, keyCol: String): DataFrame =
     smoothedPsi(joinCounts(ref, cur, df => df.col(keyCol)))
 
+  // ---- integer log-table PSI (r14, L151; VERDICT r13 #5) ------------
+
+  /** ln 2 at 1e-9, from StrictMath (platform-pinned, unlike the
+    * intrinsic Math.log) — the exponent step of [[lnE9]]. */
+  private[graft] val Ln2E9: Long =
+    Math.round(StrictMath.log(2.0) * 1e9)
+
+  /** The 256-cell mantissa table: `MantissaLnE9(i) = round(10⁹ ·
+    * ln(1 + i/256))`. Generated ONCE from StrictMath (bit-identical on
+    * every JVM/platform, the reproducibility contract Math.log's
+    * CPU-dependent intrinsic cannot give) and consumed as literal
+    * integers by BOTH engines — the oracle generator embeds these very
+    * values, so the comparison is exact, no libm caveat. */
+  private[graft] val MantissaLnE9: Seq[Long] =
+    (0 until 256).map(i => Math.round(StrictMath.log(1.0 + i / 256.0) * 1e9))
+
+  /** Categorical PSI with a FIXED-POINT table logarithm (r14, L151) —
+    * closes [[categorical]]'s documented cross-engine caveat (the
+    * libm-ulp-at-a-quantization-boundary class accepted there and in
+    * L43/L46): every quantity here is an integer the oracle replays
+    * exactly, so a hash mismatch can only ever be a real bug, never a
+    * rounding accident. The price is a DEFINED approximation: ln is
+    * evaluated as `k·ln2 + T[⌊256(m−1)⌋]` after the exact range
+    * reduction `x = m·2^k, m ∈ [1,2)` — the table floors the mantissa
+    * cell, so each per-bucket term is within ~4·10⁻³ nats of the true
+    * PSI term (spec-measured against the float path), deterministic
+    * and engine-portable. Table-PSI is its own documented statistic,
+    * not an estimate that drifts.
+    *
+    * Integer construction: shares are Laplace-smoothed KEEPING
+    * integrality — `p = (2n_ref+1)/(2N_ref+B)` (doubling replaces the
+    * float 0.5) — so the ratio p/q is the exact LONG rational
+    * `num/den = (2n_ref+1)(2N_cur+B) / ((2n_cur+1)(2N_ref+B))`; the
+    * range reduction finds k from binary lengths (`bin()` on both
+    * engines) plus one exact compare, the scaled operands are bounded
+    * by 2^64 BY CONSTRUCTION (m < 2 ⇒ scaled num < 2·scaled den), and
+    * the contribution is the one quantization
+    * `psi_e9 = div((num − den)·lnE9, D1·D2)` — non-negative by sign
+    * agreement (num−den and ln share sign; a ratio inside the first
+    * table cell contributes exactly 0). Capacity: num = (2n+1)(2N+B)
+    * must fit a LONG ⇒ per-cohort rows ≤ ~1.4·10⁹ (documented bound,
+    * the Agreement/RankTest convention; shard-and-sum beyond).
+    *
+    * Scale shape identical to [[categorical]]: two partial-aggregated
+    * bucket counts, a B-row outer join, a 1-row broadcast, narrow
+    * integer math. */
+  def categoricalExact(ref: DataFrame, cur: DataFrame,
+      keyCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val j = joinCounts(ref, cur, df => df.col(keyCol))
+    val tot = j.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"), count(lit(1)).as("__b"))
+    def pow2(e: Column): Column =
+      pow(lit(2.0), e.cast("double")).cast(d38)
+    val d1 = lit(2L) * col("__tr") + col("__b")
+    val d2 = lit(2L) * col("__tc") + col("__b")
+    val num = (lit(2L) * col("n_ref") + 1L) * d2
+    val den = (lit(2L) * col("n_cur") + 1L) * d1
+    val k0 = (length(bin(col("__num"))) - length(bin(col("__den"))))
+      .cast("long")
+    val withK0 = j.crossJoin(broadcast(tot))
+      .withColumn("__num", num).withColumn("__den", den)
+      .withColumn("__d1", d1).withColumn("__d2", d2)
+      .withColumn("__k0", k0)
+    val sn0 = col("__num").cast(d38) * pow2(greatest(-col("__k0"), lit(0L)))
+    val sd0 = col("__den").cast(d38) * pow2(greatest(col("__k0"), lit(0L)))
+    val withK = withK0.withColumn("__k",
+      when(sn0 < sd0, col("__k0") - 1L).otherwise(col("__k0")))
+    val sn = col("__num").cast(d38) * pow2(greatest(-col("__k"), lit(0L)))
+    val sd = col("__den").cast(d38) * pow2(greatest(col("__k"), lit(0L)))
+    val mi = call_function("div", sn * lit(256L).cast(d38), sd) - 256L
+    val lnE9 = col("__k") * Ln2E9 +
+      element_at(typedlit(MantissaLnE9), col("__mi").cast("int") + 1)
+    withK.withColumn("__mi", mi)
+      .withColumn("__ln_e9", lnE9)
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        call_function("div",
+          (col("__num") - col("__den")).cast(d38) * col("__ln_e9").cast(d38),
+          col("__d1").cast(d38) * col("__d2").cast(d38)).as("psi_e9"))
+  }
+
+  /** The DuckDB replay of [[categoricalExact]] — generated WITH-chain
+    * over `refSql`/`curSql` (each a SELECT yielding one `bucket`
+    * column), embedding the SAME [[MantissaLnE9]] integers, `bin()`
+    * lengths, exact compare, and `//` quantization. Kept beside the
+    * operator so table and replay cannot drift apart. */
+  def categoricalExactOracleSql(refSql: String, curSql: String): String = {
+    val table = MantissaLnE9.mkString("[", ",", "]")
+    s"""(WITH rr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ($refSql) GROUP BY bucket),
+          cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ($curSql) GROUP BY bucket),
+          j AS (SELECT COALESCE(rr.bucket, cc.bucket) AS bucket,
+                COALESCE(rr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+              FROM rr FULL OUTER JOIN cc ON cc.bucket = rr.bucket),
+          t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc,
+                COUNT(*) AS b FROM j),
+          x AS (SELECT j.*, 2 * tr + b AS d1, 2 * tc + b AS d2,
+                (2 * n_ref + 1) * (2 * tc + b) AS num,
+                (2 * n_cur + 1) * (2 * tr + b) AS den
+              FROM j CROSS JOIN t),
+          k0 AS (SELECT *, CAST(LENGTH(bin(num)) - LENGTH(bin(den))
+                AS BIGINT) AS kz FROM x),
+          kk AS (SELECT *, CASE WHEN
+                CAST(num AS HUGEINT)
+                  * CAST(power(2, GREATEST(-kz, 0)) AS HUGEINT)
+                < CAST(den AS HUGEINT)
+                  * CAST(power(2, GREATEST(kz, 0)) AS HUGEINT)
+                THEN kz - 1 ELSE kz END AS k FROM k0),
+          m AS (SELECT *,
+                (CAST(num AS HUGEINT)
+                   * CAST(power(2, GREATEST(-k, 0)) AS HUGEINT) * 256)
+                // (CAST(den AS HUGEINT)
+                   * CAST(power(2, GREATEST(k, 0)) AS HUGEINT)) - 256
+                AS mi FROM kk),
+          l AS (SELECT *, k * ${Ln2E9}
+                + ($table)[CAST(mi AS INT) + 1] AS ln_e9 FROM m)
+         SELECT bucket, n_ref, n_cur,
+                CAST((CAST(num AS HUGEINT) - den) * ln_e9
+                  // (CAST(d1 AS HUGEINT) * d2) AS BIGINT) AS psi_e9
+         FROM l)"""
+  }
+
   /** Numeric drift over `nBins` uniform bins frozen at `[lo, hi)`:
     * bucket −1 catches underflow, `nBins` overflow, so the index is
     * total and the two snapshots always bin identically. */

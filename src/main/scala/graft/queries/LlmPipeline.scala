@@ -2369,6 +2369,29 @@ object LlmPipeline {
         .select(col("token"), col("exact_n"), col("est").as("est_n"))
         .orderBy(col("exact_n").desc, col("token"))
     }),
+    "q_qr17_psi_exact" -> ((s, dir) => {
+      // integer log-table PSI panel member (r14, L151): table-PSI over
+      // frozen 250-char length buckets, TWO cohort pairs live at gate
+      // scale — an A/A parity split (exchangeable → per-bucket psi ≈ 0)
+      // and the q_qr4 length-skew (odd ids, long docs only → mass
+      // shifts to the high buckets). Every quantity is an integer the
+      // oracle replays exactly — q_qr4's libm caveat does not exist
+      // on this path.
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val bucketed = docs.select(col("doc_id"), col("n_chars"),
+        least(expr("greatest(n_chars, 0L) DIV 250"), lit(7L)).as("nb"))
+      val ref = bucketed.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      val curNull = bucketed.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      val curDrift = curNull.filter(col("n_chars") >= 400L)
+      Drift.categoricalExact(ref, curNull, "nb")
+        .withColumn("pair", lit("aa_null"))
+        .unionByName(Drift.categoricalExact(ref, curDrift, "nb")
+          .withColumn("pair", lit("len_drift")))
+        .select(col("pair"), col("bucket"), col("n_ref"), col("n_cur"),
+          col("psi_e9"))
+        .orderBy(col("pair"), col("bucket"))
+    }),
     "q_qr16_rank_drift" -> ((s, dir) => {
       // exact Mann–Whitney rank-sum drift (r13, L139; Mann & Whitney
       // 1947): the ORDINAL member of the drift panel — q_qr11's KS
@@ -3230,6 +3253,25 @@ object LlmPipeline {
                   AS doc_id_sum
          FROM c WHERE canon_url IS NOT NULL
          GROUP BY canon_url ORDER BY canon_url""",
+    // q_qr17: the table-PSI replay is GENERATED by the operator itself
+    // (Drift.categoricalExactOracleSql embeds the same MantissaLnE9
+    // integers, bin()-length range reduction, exact compare and //
+    // quantization), so the table and its replay cannot drift apart
+    "q_qr17_psi_exact" -> {
+      def cohort(where: String) =
+        "SELECT LEAST(GREATEST(n_chars, 0) // 250, 7) AS bucket " +
+          "FROM documents WHERE doc_id IS NOT NULL " +
+          s"AND n_chars IS NOT NULL AND $where"
+      val ref = cohort("doc_id % 2 = 0")
+      val aa = Drift.categoricalExactOracleSql(ref,
+        cohort("doc_id % 2 = 1"))
+      val dr = Drift.categoricalExactOracleSql(ref,
+        cohort("doc_id % 2 = 1 AND n_chars >= 400"))
+      s"""SELECT 'aa_null' AS pair, * FROM $aa
+          UNION ALL
+          SELECT 'len_drift' AS pair, * FROM $dr
+          ORDER BY pair, bucket"""
+    },
     // q_qr16: doubled-midrank construction over the (cmp, value) grid
     // — below via the same 1-PRECEDING cumulative window the engine
     // uses, then the tie-corrected z² as one HUGEINT rational

@@ -646,6 +646,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q_a23 lost its checkpoint boundary:\n${plan.take(1200)}")
   }
 
+  test("exact PSI: no shuffle cartesian — the only loop join is the " +
+      "1-row totals broadcast") {
+    // q_qr17's shape: two partial-aggregated bucket counts, a B-row
+    // outer join, the documented 1-row broadcast (q_e26's allowed
+    // class), then narrow integer math — a CartesianProduct anywhere
+    // means a corpus-sized frame leaked into the stats tail
+    val plan = executedPlan(q("q_qr17_psi_exact"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_qr17 plan contains a cartesian:\n${plan.take(1500)}")
+  }
+
   test("mp4 metadata: join-free, window-free — scan, kernel, one aggregation") {
     // the q_m9 scale contract: blob build is a codegen'd expression
     // chain fused into the scan, the box walk is one mapPartitions
