@@ -73,6 +73,24 @@ object Manifest {
       call_function("bit_xor", col("__h")).as("h_xor"))
   }
 
+  /** JVM mirror of the batch row hash, for the
+    * [[graft.streaming.StreamingManifest]] twin — spec-pinned against
+    * the expression (ManifestSpec) so the twins cannot drift. Values
+    * arrive PRE-RENDERED to strings (the caller applies the same cast
+    * the batch side does); None is SQL null. The length prefix counts
+    * CODE POINTS (Spark `length` semantics, not UTF-16 units — pinned
+    * on an astral character). */
+  def rowHashJvm(keys: Seq[Option[String]]): Long = {
+    val rendered = keys.map {
+      case Some(s) => s"${s.codePointCount(0, s.length)}:$s"
+      case None => "-"
+    }.mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(
+      rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (0 until 7).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+  }
+
   /** Fold two digest tables (disjoint batches, [[digest]]'s schema):
     * counts add, sums add (digit-string → DECIMAL(38,0) → digit
     * string), xors xor. Groups on one side pass through — an empty
