@@ -2369,6 +2369,40 @@ object LlmPipeline {
         .select(col("token"), col("exact_n"), col("est").as("est_n"))
         .orderBy(col("exact_n").desc, col("token"))
     }),
+    "q_qr19_lang_diversity" -> ((s, dir) => {
+      // exact entropy/evenness panel (r14, L154): per-source language
+      // mix through the L151 integer log table — the second consumer
+      // of the table, zero float surface, oracle replays bit-exactly.
+      Diversity.entropyExact(
+          t(s, dir, "documents"), "source", "lang")
+        .orderBy(col("source"))
+    }),
+    "q_qr18_benford_chisq" -> ((s, dir) => {
+      // Benford χ² verdict (r14, L153): q_qr8 shows the digit mix,
+      // this scores it — two legs live at gate scale: the money
+      // column (wide log-ish range) and document n_chars (narrow
+      // length band — decisively non-Benford). floor BEFORE the cast
+      // on both engines (DuckDB CAST(double AS BIGINT) rounds).
+      val money = t(s, dir, "orders")
+        .select(lit("money").as("leg"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      val nch = t(s, dir, "documents")
+        .select(lit("nchars").as("leg"), col("n_chars").as("v"))
+      // the NULL regime: a first digit hash-sampled from Benford's
+      // own law (inverse-CDF over the 56-bit md5 house hash against
+      // the cumulative DigitPE9 thresholds) — χ² ~ df, no reject
+      val u = pmod(conv(substring(md5(col("o_orderkey").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val cums = Benford.DigitPE9.scanLeft(0L)(_ + _).tail
+      val digit = cums.init.map(c =>
+          when(u >= c, 1L).otherwise(0L))
+        .foldLeft(lit(1L))(_ + _)
+      val nul = t(s, dir, "orders")
+        .select(lit("benford_null").as("leg"), digit.as("v"))
+      Benford.chiSquare(money.unionByName(nch).unionByName(nul),
+          "leg", "v")
+        .orderBy(col("leg"))
+    }),
     "q_qr17_psi_exact" -> ((s, dir) => {
       // integer log-table PSI panel member (r14, L151): table-PSI over
       // frozen 250-char length buckets, TWO cohort pairs live at gate
@@ -3253,6 +3287,31 @@ object LlmPipeline {
                   AS doc_id_sum
          FROM c WHERE canon_url IS NOT NULL
          GROUP BY canon_url ORDER BY canon_url""",
+    // q_qr19: generated replay over the same 256-entry table
+    "q_qr19_lang_diversity" -> (
+      Diversity.entropyExactOracleSql(
+        "SELECT source AS g, lang AS cat FROM documents",
+        gAlias = "source") + " ORDER BY source"),
+    // q_qr18: generator-beside-operator (the q_qr17 convention) — the
+    // replay embeds the same StrictMath e9 Benford constants; the
+    // null leg's inverse-CDF thresholds derive from the SAME seq
+    "q_qr18_benford_chisq" -> {
+      val cums = Benford.DigitPE9.scanLeft(0L)(_ + _).tail.init
+      val digitExpr = cums.map(c =>
+        s"(CASE WHEN CAST(concat('0x', substr(md5(" +
+          s"CAST(o_orderkey AS VARCHAR)), 1, 14)) AS BIGINT) " +
+          s"% 1000000000 >= $c THEN 1 ELSE 0 END)")
+        .mkString("1 + ", " + ", "")
+      Benford.chiSquareOracleSql(
+        s"""SELECT 'money' AS leg,
+              CAST(FLOOR(o_totalprice) AS BIGINT) AS value FROM orders
+           UNION ALL
+           SELECT 'nchars' AS leg, n_chars AS value FROM documents
+           UNION ALL
+           SELECT 'benford_null' AS leg,
+              CAST($digitExpr AS BIGINT) AS value FROM orders""") +
+        " ORDER BY leg"
+    },
     // q_qr17: the table-PSI replay is GENERATED by the operator itself
     // (Drift.categoricalExactOracleSql embeds the same MantissaLnE9
     // integers, bin()-length range reduction, exact compare and //

@@ -477,6 +477,16 @@ object Relational {
           depth = 2, minExplainedPpm = 100000L)
         .orderBy(col("event_type"), col("seg_idx"))
     }),
+    "q_a24_dispersion" -> ((s, dir) => {
+      // daily-volume Fano factor / VMR (r14, L152): the
+      // distributional complement of the trend panel — is day-to-day
+      // variation Poisson-like (vmr ≈ 1e6) or clumped? One exact
+      // rational per event_type, quantized once.
+      val ev = t(s, dir, "events")
+      Trend.dailyVolumeDispersion(ev.filter(col("event_type").isNotNull),
+          "event_type", Tables.epochMicros(ev, "ts"))
+        .orderBy(col("event_type"))
+    }),
     "q_a22_changepoint" -> ((s, dir) => {
       // single-changepoint binary segmentation (r13, L148; Scott &
       // Knott 1974): WHERE did the level shift — the split maximizing
@@ -1157,6 +1167,24 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_a23_changepoint_segments" -> a23Oracle(2, 100000L),
+    // q_a24: the same daily grid, one HUGEINT rational per group —
+    // both engines truncate toward zero
+    "q_a24_dispersion" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS us
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          daily AS (SELECT g, us // 86400000000 AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+          a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                CAST(SUM(y) AS BIGINT) AS total,
+                SUM(CAST(y AS HUGEINT) * y) AS q
+              FROM daily GROUP BY g)
+         SELECT g AS event_type, n_days, total,
+                CAST((n_days * q - CAST(total AS HUGEINT) * total)
+                  * 1000000 // (CAST(n_days AS HUGEINT) * total)
+                  AS BIGINT) AS vmr_e6
+         FROM a ORDER BY event_type""",
     // q_s12: old-generation rows surface NULL n_chars ⇒ only odd ids
     // contribute to the char aggregates
     "q_s12_schema_evolution" ->

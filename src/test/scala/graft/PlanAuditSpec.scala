@@ -657,6 +657,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q_qr17 plan contains a cartesian:\n${plan.take(1500)}")
   }
 
+  test("r14 stats panel: no shuffle cartesian (dispersion, benford, " +
+      "diversity)") {
+    // a24 is two aggregations and nothing else; qr18's only loop join
+    // is the broadcast 9-row digit spine; qr19 is two aggregations —
+    // a CartesianProduct anywhere means a corpus frame leaked into
+    // grid math
+    for (name <- Seq("q_a24_dispersion", "q_qr18_benford_chisq",
+        "q_qr19_lang_diversity")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a cartesian:\n${plan.take(1200)}")
+    }
+  }
+
   test("mp4 metadata: join-free, window-free — scan, kernel, one aggregation") {
     // the q_m9 scale contract: blob build is a codegen'd expression
     // chain fused into the scan, the box walk is one mapPartitions
