@@ -2369,6 +2369,24 @@ object LlmPipeline {
         .select(col("token"), col("exact_n"), col("est").as("est_n"))
         .orderBy(col("exact_n").desc, col("token"))
     }),
+    "q_qr20_gini" -> ((s, dir) => {
+      // Gini concentration panel (r14, L155), two granularities live:
+      // source contribution within each language (near-even corpus →
+      // small gini) and per-document length mass within each source
+      // (length inequality → materially larger gini) — the Lorenz
+      // view beside q_qr19's entropy view.
+      val docs = t(s, dir, "documents")
+      val bySrc = Concentration.gini(docs, "lang", "source", lit(1L))
+        .withColumn("leg", lit("src_docs"))
+      val byDoc = Concentration.gini(docs, "source", "doc_id",
+          col("n_chars"))
+        .withColumnRenamed("source", "lang") // shared output key name
+        .withColumn("leg", lit("doc_chars"))
+      bySrc.unionByName(byDoc)
+        .select(col("leg"), col("lang").as("g"), col("n_units"),
+          col("total"), col("gini_e6"))
+        .orderBy(col("leg"), col("g"))
+    }),
     "q_qr19_lang_diversity" -> ((s, dir) => {
       // exact entropy/evenness panel (r14, L154): per-source language
       // mix through the L151 integer log table — the second consumer
@@ -3287,6 +3305,18 @@ object LlmPipeline {
                   AS doc_id_sum
          FROM c WHERE canon_url IS NOT NULL
          GROUP BY canon_url ORDER BY canon_url""",
+    // q_qr20: two generated Gini replays, one per granularity
+    "q_qr20_gini" -> {
+      val bySrc = Concentration.giniOracleSql(
+        "SELECT lang AS g, source AS unit, 1 AS mass FROM documents")
+      val byDoc = Concentration.giniOracleSql(
+        "SELECT source AS g, doc_id AS unit, n_chars AS mass " +
+          "FROM documents")
+      s"""SELECT 'src_docs' AS leg, * FROM $bySrc
+          UNION ALL
+          SELECT 'doc_chars' AS leg, * FROM $byDoc
+          ORDER BY leg, g"""
+    },
     // q_qr19: generated replay over the same 256-entry table
     "q_qr19_lang_diversity" -> (
       Diversity.entropyExactOracleSql(
