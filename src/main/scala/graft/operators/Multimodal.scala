@@ -567,6 +567,11 @@ object Multimodal {
         || h.startsWith("474946383961"), lit("image/gif"))
       .when(h.startsWith("52494646")
         && substring(h, 17, 8) === "57415645", lit("audio/wav"))
+      // ISO-BMFF: 'ftyp' at bytes 5-8 (after the 4-byte box size) —
+      // added r14 with the L149 parser so the router and the metadata
+      // walk agree on what is a video container (IsoBmffSpec pins
+      // syntheticMp4 output sniffing to this very type)
+      .when(substring(h, 9, 8) === "66747970", lit("video/mp4"))
       .when(h.startsWith("424D"), lit("image/bmp"))
       .when(h.startsWith("25504446"), lit("application/pdf"))
       .when(h.startsWith("504B0304"), lit("application/zip"))

@@ -4146,6 +4146,8 @@ object LlmPipeline {
                   WHEN substring(hex(blob), 1, 8) = '52494646'
                     AND substring(hex(blob), 17, 8) = '57415645'
                     THEN 'audio/wav'
+                  WHEN substring(hex(blob), 9, 8) = '66747970'
+                    THEN 'video/mp4'
                   WHEN substring(hex(blob), 1, 4) = '424D'
                     THEN 'image/bmp'
                   WHEN substring(hex(blob), 1, 8) = '25504446'

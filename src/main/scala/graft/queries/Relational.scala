@@ -477,6 +477,24 @@ object Relational {
           depth = 2, minExplainedPpm = 100000L)
         .orderBy(col("event_type"), col("seg_idx"))
     }),
+    "q_a25_weighted_quantiles" -> ((s, dir) => {
+      // exact mass-weighted quantiles (r14, L156): per source, the
+      // n_chars quantiles weighted BY character mass — "the length of
+      // the doc holding the p50/p90 character" — beside the plain
+      // (w=1) doc quantile at the same q for the contrast. Distinct-
+      // value-grid shape throughout (no hot group sorts raw rows).
+      val docs = t(s, dir, "documents")
+      val byMass = WeightedQuantiles.quantiles(docs, "source",
+          "n_chars", col("n_chars"), Seq(500000L, 900000L))
+        .withColumn("leg", lit("char_mass"))
+      val plain = WeightedQuantiles.quantiles(docs, "source",
+          "n_chars", lit(1L), Seq(500000L, 900000L))
+        .withColumn("leg", lit("per_doc"))
+      byMass.unionByName(plain)
+        .select(col("leg"), col("source"), col("q_ppm"),
+          col("w_total"), col("value"))
+        .orderBy(col("leg"), col("source"), col("q_ppm"))
+    }),
     "q_a24_dispersion" -> ((s, dir) => {
       // daily-volume Fano factor / VMR (r14, L152): the
       // distributional complement of the trend panel — is day-to-day
@@ -1167,6 +1185,21 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_a23_changepoint_segments" -> a23Oracle(2, 100000L),
+    // q_a25: two generated replays (generator-beside-operator), one
+    // per weighting
+    "q_a25_weighted_quantiles" -> {
+      val qs = Seq(500000L, 900000L)
+      val mass = graft.operators.WeightedQuantiles.quantilesOracleSql(
+        "SELECT source AS g, n_chars AS value, n_chars AS mass " +
+          "FROM documents", qs, gAlias = "source")
+      val plain = graft.operators.WeightedQuantiles.quantilesOracleSql(
+        "SELECT source AS g, n_chars AS value, 1 AS mass " +
+          "FROM documents", qs, gAlias = "source")
+      s"""SELECT 'char_mass' AS leg, * FROM $mass
+          UNION ALL
+          SELECT 'per_doc' AS leg, * FROM $plain
+          ORDER BY leg, source, q_ppm"""
+    },
     // q_a24: the same daily grid, one HUGEINT rational per group —
     // both engines truncate toward zero
     "q_a24_dispersion" ->

@@ -664,7 +664,8 @@ class PlanAuditSpec extends SparkSpec {
     // a CartesianProduct anywhere means a corpus frame leaked into
     // grid math
     for (name <- Seq("q_a24_dispersion", "q_qr18_benford_chisq",
-        "q_qr19_lang_diversity", "q_qr20_gini")) {
+        "q_qr19_lang_diversity", "q_qr20_gini",
+        "q_a25_weighted_quantiles")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("CartesianProduct"),
         s"$name plan contains a cartesian:\n${plan.take(1200)}")

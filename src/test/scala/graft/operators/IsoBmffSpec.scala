@@ -210,6 +210,20 @@ class IsoBmffSpec extends SparkSpec {
     assert(got.toSeq === byHand.toSeq)
   }
 
+  test("syntheticMp4 bytes sniff as video/mp4 (router and walk agree)") {
+    // the L145 integration: the r14 ftyp rule must route exactly the
+    // blobs the L149 walk parses — and not misroute near-misses
+    import spark.implicits._
+    val got = Seq(1L, 2L).toDF("doc_id")
+      .select(Multimodal.sniffType(
+        IsoBmff.syntheticMp4(col("doc_id")))).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("video/mp4", "video/mp4"))
+    // 'ftyp' anywhere else (offset 0) must NOT sniff mp4
+    val miss = Seq("ftypisom".getBytes("US-ASCII")).toDF("b")
+      .select(Multimodal.sniffType(col("b"))).collect().head.getString(0)
+    assert(miss === "application/octet-stream")
+  }
+
   test("syntheticMp4 round-trips through the parser for a spread of ids") {
     // the q_m9 contract in miniature: parse(build(id)) recovers the
     // generator formulas for ids covering every (brand, version,
