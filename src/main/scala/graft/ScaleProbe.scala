@@ -238,6 +238,50 @@ object ScaleProbe {
         f"| $tRe%.1f | $tMe%.2f | ${tRe / tMe}%.0fx | history untouched |")
     }
 
+    // --- Gini rank-sum collapse (L155, r14): the shipped
+    // distinct-value-grid form vs the naive per-unit row_number form,
+    // on the shape the design exists for — ONE group with corpus-many
+    // units over a narrow value domain (a doc-granularity Gini within
+    // one hot source). The window form sorts every unit of the group
+    // in one task; the grid form's window runs over |distinct values|
+    // rows (~2k here) after two map-side-combinable aggs.
+    if (sections("gini")) {
+      import graft.operators.Concentration
+      val path = s"$base/gini_units"
+      spark.range(0, n, 1, 256).select(
+          lit("g").as("g"), col("id").as("unit"),
+          (lit(100L) + pmod(xxhash64(col("id")), lit(1900L))).as("mass"))
+        .write.mode("overwrite").parquet(path)
+      val units = spark.read.parquet(path)
+      def consumeGrid(): Unit =
+        Concentration.gini(units, "g", "unit", col("mass")).collect()
+      // straw man: rank every unit with row_number, then the same
+      // rational — the pre-r14 textbook formulation
+      def consumeWindow(): Unit = {
+        import org.apache.spark.sql.expressions.Window
+        val d38 = "decimal(38,0)"
+        val ranked = units.groupBy(col("g"), col("unit"))
+          .agg(sum(col("mass")).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("g"))
+              .orderBy(col("x").asc, col("unit").asc)))
+        ranked.groupBy(col("g"))
+          .agg(count(lit(1)).as("nu"), sum(col("x")).as("s"),
+            sum(col("i").cast(d38) * col("x").cast(d38)).as("ix"))
+          .select(call_function("div",
+            (lit(2L).cast(d38) * col("ix")
+              - (col("nu").cast(d38) + lit(1L).cast(d38))
+                * col("s").cast(d38)) * lit(1000000L).cast(d38),
+            col("nu").cast(d38) * col("s").cast(d38)))
+          .collect()
+      }
+      val tGrid = timeIt(2)(consumeGrid())
+      val tWin = timeIt(2)(consumeWindow())
+      println(f"| 10M units, 1 group, 1900 values | gini " +
+        f"(window vs value-grid) | $tWin%.1f | $tGrid%.1f | " +
+        f"${tWin / tGrid}%.1fx | — |")
+    }
+
     // --- mergeable sketch economics (L124 KMV + L135 quantile sketch,
     // r13): the metadata-fold claim with numbers — a 1% delta folded
     // into a PERSISTED sketch table (grid×k rows) vs re-sketching the

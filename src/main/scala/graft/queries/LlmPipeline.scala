@@ -899,6 +899,38 @@ object LlmPipeline {
           sum(col("timescale")).as("sum_ts"))
         .orderBy(col("major_brand"), col("n_tracks"), col("codecs"))
     }),
+    "q_m10_codec_audit" -> ((s, dir) => {
+      // declared-vs-ACTUAL codec audit (r14) — the L145+L149
+      // integration, end to end: blobs ROUTE by magic sniff (the r14
+      // ftyp rule; every 11th doc carries a plain-text blob that must
+      // NOT reach the walk), routed containers PARSE via the box walk,
+      // and the audit compares the declared codec (correct except
+      // every 7th doc claims avc1) against the first stsd fourcc the
+      // bytes actually carry — the q_m8 mislabel-surfacing discipline
+      // one level deeper than the container type.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val ci = pmod(expr("doc_id DIV 3"), lit(3L))
+      val actualF = when(ci === 0L, "avc1").when(ci === 1L, "mp4a")
+        .otherwise("hev1")
+      val packed = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11L)) === 0L,
+          col("text").cast("binary"))
+          .otherwise(IsoBmff.syntheticMp4(col("doc_id"))).as("content"),
+        when(pmod(col("doc_id"), lit(7L)) === 0L, lit("avc1"))
+          .otherwise(actualF).as("declared"))
+      val routed = packed
+        .filter(Multimodal.sniffType(col("content")) === "video/mp4")
+      val meta = IsoBmff.metadata(routed, "doc_id", "content")
+        .select(col("doc_id"),
+          substring_index(col("codecs"), ",", 1).as("actual"))
+      meta.join(routed.select(col("doc_id"), col("declared")), "doc_id")
+        .groupBy(col("declared"), col("actual"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("mismatch",
+          (col("declared") =!= col("actual")).cast("long"))
+        .orderBy(col("declared"), col("actual"))
+    }),
     "q_m7_perceptual_delta" -> ((s, dir) => {
       // incremental (delta) PERCEPTUAL ingestion (r10) — q_d6's two-phase
       // admit protocol on the multimodal surface: blobs < 250 build the
@@ -4163,6 +4195,25 @@ object LlmPipeline {
                   AS BIGINT) AS mismatch
          FROM s WHERE sniffed IS NOT NULL
          GROUP BY declared, sniffed ORDER BY declared, sniffed""",
+    // q_m10: formula replay — Spark must ROUTE (sniff), WALK (parse)
+    // and JOIN to surface exactly the injected codec mislabels; the
+    // oracle recomputes route membership and both codec columns
+    // arithmetically
+    "q_m10_codec_audit" ->
+      """WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND doc_id % 11 <> 0),
+          c AS (SELECT doc_id,
+                CASE (doc_id // 3) % 3 WHEN 0 THEN 'avc1'
+                  WHEN 1 THEN 'mp4a' ELSE 'hev1' END AS actual
+              FROM d),
+          m AS (SELECT CASE WHEN doc_id % 7 = 0 THEN 'avc1'
+                  ELSE actual END AS declared, actual
+              FROM c)
+         SELECT declared, actual, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(CASE WHEN declared <> actual THEN 1 ELSE 0 END
+                  AS BIGINT) AS mismatch
+         FROM m GROUP BY declared, actual ORDER BY declared, actual""",
     // q_m9: the generator-formula replay — Spark PARSES the synthetic
     // MP4 bytes back to (brand, timescale, duration, n_tracks, codecs);
     // the oracle recomputes the same values arithmetically from doc_id,

@@ -672,6 +672,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("codec audit: the declared join-back stays an equi-join") {
+    // q_m10 joins the walked metadata back to the declared frame on
+    // doc_id — a loop join here would be |routed|² at corpus scale
+    val plan = executedPlan(q("q_m10_codec_audit"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_m10 join-back fell to a loop join:\n${plan.take(1500)}")
+  }
+
   test("mp4 metadata: join-free, window-free — scan, kernel, one aggregation") {
     // the q_m9 scale contract: blob build is a codegen'd expression
     // chain fused into the scan, the box walk is one mapPartitions
