@@ -11,14 +11,18 @@ import org.apache.spark.sql.functions._
   * numbers smell test, as a verdict instead of an eyeball.
   *
   * Integer-exact in the L151 constant discipline: the nine expected
-  * shares are STRICTMATH-generated e9 constants ([[DigitPE9]] — the
-  * same literal integers on both engines, no runtime log anywhere),
-  * and each digit's χ² term is ONE quantization
-  * `term_e6 = div((o_d·10⁹ − N·p_d)²·10⁶, N·p_d·10⁹)` in
-  * DECIMAL(38,0) (o ≤ 10¹² rows keeps the squared term < 10³⁸ —
-  * documented, orders past any corpus); `chi2_e6` is the exact sum of
-  * the nine quantized terms (quantize-per-term, stated — the nine
-  * divisions do not share a denominator). The verdict compares
+  * shares are STRICTMATH-generated constants at e6 ([[DigitPE6]] for
+  * the χ² arithmetic) and e9 ([[DigitPE9]] for inverse-CDF sampling,
+  * where nothing squares) — the same literal integers on both
+  * engines, no runtime log anywhere. Each digit's χ² term is ONE
+  * quantization `term_e6 = div((o_d·10⁶ − N·p_e6)², N·p_e6)` in
+  * DECIMAL(38,0). The scale choice is load-bearing (r14 self-review):
+  * the term SQUARES the e-scaled diff, so e9 shares would overflow
+  * 10³⁸ at N ≈ 10⁷ — e6 keeps the squared term < 10³⁸ up to
+  * N < 10¹³ rows per leg (documented bound; shard-and-sum beyond).
+  * `chi2_e6` is the exact sum of the nine quantized terms
+  * (quantize-per-term, stated — the nine divisions do not share a
+  * denominator). The verdict compares
   * against the χ²₈ upper-5% point as the integer constant
   * [[Chi2Crit95E6]] (15.507313, Pearson table) — the q_e26
   * integer-vs-constant convention.
@@ -38,9 +42,15 @@ object Benford {
 
   /** `round(10⁹ · log₁₀(1 + 1/d))` for d = 1..9 — StrictMath so the
     * constants are platform-pinned; consumed as literals by BOTH
-    * engines (the [[Drift.MantissaLnE9]] discipline). */
+    * engines (the [[Drift.MantissaLnE9]] discipline). Used for
+    * inverse-CDF SAMPLING (q_qr18's null leg), where nothing squares. */
   val DigitPE9: Seq[Long] = (1 to 9).map(d =>
     Math.round(StrictMath.log1p(1.0 / d) / StrictMath.log(10.0) * 1e9))
+
+  /** The e6 rendering of the same shares — the χ² arithmetic scale
+    * (see the object doc for why e9 would overflow the squared term). */
+  val DigitPE6: Seq[Long] = (1 to 9).map(d =>
+    Math.round(StrictMath.log1p(1.0 / d) / StrictMath.log(10.0) * 1e6))
 
   /** χ²₈ upper 5% point, 15.507313, at e6. */
   val Chi2Crit95E6: Long = 15507313L
@@ -64,13 +74,12 @@ object Benford {
       .select(col("leg"), col("digit"),
         coalesce(col("n_d"), lit(0L)).as("n_d"))
     val tot = full.groupBy(col("leg")).agg(sum(col("n_d")).as("n"))
-    val p = element_at(typedlit(DigitPE9), col("digit").cast("int"))
+    val p = element_at(typedlit(DigitPE6), col("digit").cast("int"))
       .cast(d38)
-    val diff = col("n_d").cast(d38) * lit(1000000000L).cast(d38) -
+    val diff = col("n_d").cast(d38) * lit(1000000L).cast(d38) -
       col("n").cast(d38) * p
-    val term = call_function("div",
-      diff * diff * lit(1000000L).cast(d38),
-      col("n").cast(d38) * p * lit(1000000000L).cast(d38))
+    val term = call_function("div", diff * diff,
+      col("n").cast(d38) * p)
     full.join(tot, Seq("leg"))
       .select(col("leg"), col("n"), term.as("__t"))
       .groupBy(col("leg"), col("n"))
@@ -84,7 +93,7 @@ object Benford {
     * SAME [[DigitPE9]] constants (generator-beside-operator, the
     * L151 convention). */
   def chiSquareOracleSql(srcSql: String): String = {
-    val table = DigitPE9.mkString("[", ",", "]")
+    val table = DigitPE6.mkString("[", ",", "]")
     s"""(WITH v AS ($srcSql),
           d AS (SELECT leg,
                 CAST(substring(CAST(value AS VARCHAR), 1, 1) AS BIGINT)
@@ -103,15 +112,14 @@ object Benford {
           t AS (SELECT leg, CAST(SUM(n_d) AS BIGINT) AS n
               FROM f GROUP BY leg),
           term AS (SELECT f.leg, t.n,
-                (CAST(f.n_d AS HUGEINT) * 1000000000
+                (CAST(f.n_d AS HUGEINT) * 1000000
                    - CAST(t.n AS HUGEINT)
                      * ($table)[CAST(f.digit AS INT)])
-                * (CAST(f.n_d AS HUGEINT) * 1000000000
+                * (CAST(f.n_d AS HUGEINT) * 1000000
                    - CAST(t.n AS HUGEINT)
                      * ($table)[CAST(f.digit AS INT)])
-                * 1000000
                 // (CAST(t.n AS HUGEINT)
-                    * ($table)[CAST(f.digit AS INT)] * 1000000000)
+                    * ($table)[CAST(f.digit AS INT)])
                   AS te
               FROM f JOIN t ON t.leg = f.leg),
           s AS (SELECT leg, n, CAST(SUM(te) AS BIGINT) AS chi2_e6

@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   * by unit count). Pipeline: per-unit mass aggregation (hash agg,
   * map-side combinable) → value-grid counts → 1-PRECEDING cumulative
   * window → grid aggregation. Tie order is free by construction.
-  * Capacity: v·2cC < 10³⁸ holds to ~10¹² units of ~10¹² mass
-  * (documented, the house convention). */
+  * Capacity (re-derived, r14 self-review — the FINAL quantization
+  * binds, not the per-cell term): 10⁶·n·S < 10³⁸ needs
+  * n_units·total_mass ≤ 10³¹ per group — e.g. 10¹² units averaging
+  * 10¹⁹ mass, or 10¹⁵ units of 10¹⁶; orders past any corpus,
+  * documented not guarded. */
 object Concentration {
 
   /** Per-group Gini over per-unit masses: (groupCol, n_units, total,

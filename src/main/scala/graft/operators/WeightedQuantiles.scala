@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * cumulative mass reaches the ceiling threshold
   * `t = div(W·q + 999999, 10⁶)` — ceil(q·W) in pure integers, so
   * q = 10⁶ gives the max and the conventions replay identically in
-  * the oracle. Rows with null/≤0 masses drop (they cannot carry
-  * quantile mass); a group with no positive mass emits no rows.
+  * the oracle (W·q computed in DECIMAL(38,0) — a LONG product wraps
+  * past W ≈ 9.2·10¹², which a corpus-wide character mass crosses;
+  * r14 self-review). Rows with null/≤0 masses drop (they cannot carry
+  * quantile mass); a group with no positive mass emits no rows;
+  * per-group W itself must fit a LONG (≤ 9.2·10¹⁸, documented).
   *
   * Scale shape — the q_qr16/q_qr20 distinct-value-grid discipline:
   * corpus collapses map-side to (group, value, mass) grid cells, ONE
@@ -54,8 +57,13 @@ object WeightedQuantiles {
       .join(tot, col(groupCol) === col("__tg"))
       .withColumn("q_ppm",
         explode(array(qsPpm.sorted.map(lit): _*)))
+    // W·q in DECIMAL before the multiply (r14 self-review): two LONGs
+    // would silently wrap past W ≈ 9.2·10¹² — a 100 TB char-mass
+    // total crosses that
+    val d38 = "decimal(38,0)"
     val threshold = call_function("div",
-      col("__wt") * col("q_ppm") + 999999L, lit(1000000L))
+      col("__wt").cast(d38) * col("q_ppm").cast(d38)
+        + lit(999999L).cast(d38), lit(1000000L).cast(d38))
     cum.filter(col("__cw") >= threshold)
       .groupBy(col(groupCol), col("q_ppm"))
       .agg(max(col("__wt")).as("w_total"), min(col("value")).as("value"))
@@ -82,7 +90,7 @@ object WeightedQuantiles {
          SELECT g AS $gAlias, q_ppm, CAST(MAX(wt) AS BIGINT) AS w_total,
                 MIN(value) AS value
          FROM x
-         WHERE cw >= (wt * q_ppm + 999999) // 1000000
+         WHERE cw >= (CAST(wt AS HUGEINT) * q_ppm + 999999) // 1000000
          GROUP BY g, q_ppm)"""
   }
 }

@@ -21,18 +21,37 @@ class BenfordSpec extends SparkSpec {
   private def chi2Ref(obs: Map[Int, Long]): Long = {
     val n = BigInt(obs.values.sum)
     (1 to 9).map { d =>
-      val p = BigInt(Benford.DigitPE9(d - 1))
-      val diff = BigInt(obs.getOrElse(d, 0L)) * BigInt(1000000000L) - n * p
-      diff * diff * 1000000 / (n * p * 1000000000L)
+      val p = BigInt(Benford.DigitPE6(d - 1))
+      val diff = BigInt(obs.getOrElse(d, 0L)) * BigInt(1000000L) - n * p
+      diff * diff / (n * p)
     }.sum.toLong
   }
 
-  test("constants: log10(2) leads, strictly decreasing, sum ~ 1e9") {
+  test("constants: log10(2) leads, strictly decreasing, sum ~ 1") {
     assert(Benford.DigitPE9.head === 301029996L)
-    assert(Benford.DigitPE9.sliding(2).forall(p => p(0) > p(1)))
-    val s = Benford.DigitPE9.sum
-    assert(s >= 999999995L && s <= 1000000005L, s.toString)
+    assert(Benford.DigitPE6.head === 301030L)
+    for (t <- Seq(Benford.DigitPE9, Benford.DigitPE6))
+      assert(t.sliding(2).forall(p => p(0) > p(1)))
+    val s9 = Benford.DigitPE9.sum
+    assert(s9 >= 999999995L && s9 <= 1000000005L, s9.toString)
+    val s6 = Benford.DigitPE6.sum
+    assert(s6 >= 999995L && s6 <= 1000005L, s6.toString)
     assert(Benford.Chi2Crit95E6 === 15507313L)
+  }
+
+  test("the e6 scale survives corpus counts the e9 scale cannot " +
+      "(the r14 self-review bound)") {
+    // at N = 1e11 the e9 squared diff passes 10^38 — past DECIMAL(38);
+    // the e6 replay stays exact to N < 1e13 (the documented bound)
+    val n = BigInt("100000000000")
+    val p6 = BigInt(Benford.DigitPE6.head)
+    val d = n * 1000000L - n * p6 // worst-shape diff at o = N
+    assert(d * d / (n * p6) > 0, "e6 term computable at N = 1e11")
+    assert(d * d < BigInt(10).pow(38), "e6 squared diff inside 10^38")
+    val p9 = BigInt(Benford.DigitPE9.head)
+    val d9 = n * 1000000000L - n * p9
+    assert(d9 * d9 >= BigInt(10).pow(38),
+      "e9 squared diff would overflow DECIMAL(38,0) here")
   }
 
   test("all-one-digit data: the other 8 spine cells still contribute") {
