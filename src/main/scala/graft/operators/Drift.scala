@@ -201,4 +201,147 @@ object Drift {
     }
     smoothedPsi(joinCounts(ref, cur, bucket))
   }
+
+  // ---- table-exact Jensen–Shannon divergence (r14, L159) -------------
+
+  /** Appends `<pre>ln` = the table logarithm (1e-9 nats) of the
+    * positive LONG rational `<pre>num` / `<pre>den` — the SAME L151
+    * range reduction [[categoricalExact]] runs inline (exact `bin()`
+    * length probe, one exact compare, floored 256-cell mantissa
+    * lookup), factored on a column-name prefix so one frame can carry
+    * several logarithms. Operands must be positive and < 2⁶³ (callers
+    * document their capacity bound). */
+  private def withTableLn(df: DataFrame, pre: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def pow2(e: Column): Column =
+      pow(lit(2.0), e.cast("double")).cast(d38)
+    val num = col(pre + "num"); val den = col(pre + "den")
+    val w0 = df.withColumn(pre + "k0",
+      (length(bin(num)) - length(bin(den))).cast("long"))
+    val sn0 = num.cast(d38) * pow2(greatest(-col(pre + "k0"), lit(0L)))
+    val sd0 = den.cast(d38) * pow2(greatest(col(pre + "k0"), lit(0L)))
+    val wk = w0.withColumn(pre + "k",
+      when(sn0 < sd0, col(pre + "k0") - 1L).otherwise(col(pre + "k0")))
+    val sn = num.cast(d38) * pow2(greatest(-col(pre + "k"), lit(0L)))
+    val sd = den.cast(d38) * pow2(greatest(col(pre + "k"), lit(0L)))
+    wk.withColumn(pre + "mi",
+        call_function("div", sn * lit(256L).cast(d38), sd) - 256L)
+      .withColumn(pre + "ln", col(pre + "k") * Ln2E9 +
+        element_at(typedlit(MantissaLnE9), col(pre + "mi").cast("int") + 1))
+  }
+
+  /** Jensen–Shannon divergence with the L151 fixed-point table
+    * logarithm (r14, L159; Lin 1991, IEEE IT 37) — the BOUNDED,
+    * SYMMETRIC member of the drift panel: PSI grows without bound on
+    * disjoint support and reads asymmetric smoothing artifacts; JSD =
+    * ½Σp·ln(p/m) + ½Σq·ln(q/m), m = (p+q)/2, never exceeds ln 2, so
+    * panel thresholds stay comparable across corpora. Third consumer
+    * of [[MantissaLnE9]].
+    *
+    * Integer construction on top of [[categoricalExact]]'s smoothed
+    * shares p = (2n_ref+1)/D1, q = (2n_cur+1)/D2 (D1 = 2N_ref+B,
+    * D2 = 2N_cur+B): with num_p = (2n_ref+1)·D2 and
+    * num_q = (2n_cur+1)·D1,
+    *   p/m = 2·num_p/(num_p+num_q),  q/m = 2·num_q/(num_p+num_q)
+    * are exact LONG rationals sharing one denominator, and the
+    * per-bucket contribution is ONE quantization
+    *   jsd_e9 = div(num_p·ln(p/m)_e9 + num_q·ln(q/m)_e9, 2·D1·D2).
+    * Approximation bound — DIFFERENT from PSI's, stated precisely:
+    * both table-lns floor toward −∞ by ε_b ∈ [0, ln(257/256)), and
+    * here the error multiplies p and q THEMSELVES (PSI's multiplies
+    * the small p−q), so the reading is true − Σ_b ((p_b+q_b)/2)·ε_b.
+    * Because Σp = Σq = 1, the TOTAL under-read is bounded by
+    * ln(257/256) ≈ 3.9·10⁻³ nats regardless of bucket count — a
+    * near-identical pair can read up to ~3.9·10⁶ e9-units NEGATIVE
+    * (measured −1.4·10⁶ on the gate's A/A pair). Stated, not clamped
+    * (the Diversity stance: a clamp would hide exactly the near-zero
+    * reads the panel watches); drift thresholds live orders of
+    * magnitude above the floor (0.175 nats on the gate's skew pair).
+    * Identical counts hit mantissa cell 0 on both lns and read an
+    * EXACT 0. Capacity: 2·num_p must stay inside a LONG for the
+    * `bin()` probe ⇒ per-cohort rows ≤ ~7·10⁸ (half the PSI bound —
+    * the extra doubling; shard-and-sum beyond).
+    *
+    * Scale shape identical to [[categoricalExact]]: two
+    * partial-aggregated bucket counts, a B-row outer join, a 1-row
+    * broadcast, narrow integer math — nothing corpus-shaped past the
+    * two scans. */
+  def jensenShannonExact(ref: DataFrame, cur: DataFrame,
+      keyCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val j = joinCounts(ref, cur, df => df.col(keyCol))
+    val tot = j.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"), count(lit(1)).as("__b"))
+    val d1 = lit(2L) * col("__tr") + col("__b")
+    val d2 = lit(2L) * col("__tc") + col("__b")
+    val base = j.crossJoin(broadcast(tot))
+      .withColumn("__np", (lit(2L) * col("n_ref") + 1L) * d2)
+      .withColumn("__nq", (lit(2L) * col("n_cur") + 1L) * d1)
+      .withColumn("__d1", d1).withColumn("__d2", d2)
+      .withColumn("__pnum", lit(2L) * col("__np"))
+      .withColumn("__pden", col("__np") + col("__nq"))
+      .withColumn("__qnum", lit(2L) * col("__nq"))
+      .withColumn("__qden", col("__np") + col("__nq"))
+    withTableLn(withTableLn(base, "__p"), "__q")
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        call_function("div",
+          col("__np").cast(d38) * col("__pln").cast(d38)
+            + col("__nq").cast(d38) * col("__qln").cast(d38),
+          lit(2L).cast(d38) * col("__d1").cast(d38)
+            * col("__d2").cast(d38)).as("jsd_e9"))
+  }
+
+  /** The DuckDB replay of [[jensenShannonExact]] — the
+    * [[categoricalExactOracleSql]] convention: generated WITH-chain
+    * embedding the same [[MantissaLnE9]] literals, both ln chains, and
+    * the one `//` quantization. Kept beside the operator so table and
+    * replay cannot drift apart. */
+  def jensenShannonExactOracleSql(refSql: String, curSql: String): String = {
+    val table = MantissaLnE9.mkString("[", ",", "]")
+    def lnChain(p: String) =
+      s"""${p}kk AS (SELECT *, CASE WHEN
+                CAST(${p}num AS HUGEINT)
+                  * CAST(power(2, GREATEST(-${p}kz, 0)) AS HUGEINT)
+                < CAST(${p}den AS HUGEINT)
+                  * CAST(power(2, GREATEST(${p}kz, 0)) AS HUGEINT)
+                THEN ${p}kz - 1 ELSE ${p}kz END AS ${p}k
+              FROM ${if (p == "p") "k0" else "pl"}),
+          ${p}m AS (SELECT *,
+                (CAST(${p}num AS HUGEINT)
+                   * CAST(power(2, GREATEST(-${p}k, 0)) AS HUGEINT) * 256)
+                // (CAST(${p}den AS HUGEINT)
+                   * CAST(power(2, GREATEST(${p}k, 0)) AS HUGEINT)) - 256
+                AS ${p}mi FROM ${p}kk),
+          ${p}l AS (SELECT *, ${p}k * ${Ln2E9}
+                + ($table)[CAST(${p}mi AS INT) + 1] AS ${p}ln
+              FROM ${p}m)"""
+    s"""(WITH rr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ($refSql) GROUP BY bucket),
+          cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ($curSql) GROUP BY bucket),
+          j AS (SELECT COALESCE(rr.bucket, cc.bucket) AS bucket,
+                COALESCE(rr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+              FROM rr FULL OUTER JOIN cc ON cc.bucket = rr.bucket),
+          t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc,
+                COUNT(*) AS b FROM j),
+          x AS (SELECT j.*, 2 * tr + b AS d1, 2 * tc + b AS d2,
+                (2 * n_ref + 1) * (2 * tc + b) AS np,
+                (2 * n_cur + 1) * (2 * tr + b) AS nq
+              FROM j CROSS JOIN t),
+          k0 AS (SELECT *,
+                CAST(LENGTH(bin(2 * np)) - LENGTH(bin(np + nq))
+                  AS BIGINT) AS pkz,
+                CAST(LENGTH(bin(2 * nq)) - LENGTH(bin(np + nq))
+                  AS BIGINT) AS qkz,
+                2 * np AS pnum, np + nq AS pden,
+                2 * nq AS qnum, np + nq AS qden
+              FROM x),
+          ${lnChain("p")},
+          ${lnChain("q")}
+         SELECT bucket, n_ref, n_cur,
+                CAST((CAST(np AS HUGEINT) * pln + CAST(nq AS HUGEINT)
+                    * qln)
+                  // (2 * CAST(d1 AS HUGEINT) * d2) AS BIGINT) AS jsd_e9
+         FROM ql)"""
+  }
 }

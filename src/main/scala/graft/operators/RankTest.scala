@@ -96,4 +96,132 @@ object RankTest {
       .select(col(groupCol), col("n_a"), col("n_b"), col("u2_a"),
         col("d_sign"), col("z2_e6"), col("sig"))
   }
+
+  /** χ²₀.₉₅ critical values at 1e-6 for df = 1..8 (Abramowitz &
+    * Stegun table 26.8; df 1 is [[Funnel.Chi2Crit95E6]]). Consumed as
+    * the SAME literals by the oracle — beyond df 8 [[kruskalWallis]]
+    * emits a NULL verdict rather than inventing a threshold. */
+  private[graft] val Chi2Crit95E6ByDf: Seq[Long] = Seq(
+    3841459L, 5991465L, 7814728L, 9487729L,
+    11070498L, 12591587L, 14067140L, 15507313L)
+
+  /** Exact Kruskal–Wallis H test (Kruskal & Wallis 1952, JASA 47) —
+    * the k-sample extension of [[mannWhitney]]: "does ANY of k cohorts
+    * tend larger on this signal". Same doubled-midrank grid
+    * construction; per cohort R2_c = Σ_v t_c·(2·below + t + 1) is
+    * twice the midrank sum, and
+    *   H = [3·Σ_c R2_c²/n_c] / (N(N+1)) − 3(N+1)
+    * tie-corrected by ·(N³−N)/(N³−N−T), T = Σ_v (t³−t).
+    *
+    * Quantization contract (the table-PSI stance: a DEFINED statistic,
+    * not a float estimate): three floor divisions, replayed
+    * token-for-token by the oracle —
+    *   term_c = ⌊3·10⁶·R2_c² / n_c⌋, S = Σ term_c,
+    *   h₀ = ⌊S / (N(N+1))⌋ − 3·10⁶·(N+1),
+    *   h_e6 = max(0, ⌊h₀·(N³−N) / (N³−N−T)⌋).
+    * The floor cascade can undershoot an exact-zero H by a few 1e-6
+    * (identical cohorts), never overshoot — the max(0, ·) restores the
+    * mathematical H ≥ 0 and is pinned in spec. Degenerate conventions:
+    * k < 2 cohorts ⇒ h_e6 NULL (nothing to compare); all values tied
+    * (T = N³−N) ⇒ h_e6 = 0. `sig` compares h_e6 against
+    * [[Chi2Crit95E6ByDf]] at df = k−1 (H ~ χ²_{k−1} under H₀ for
+    * moderate n_c); df > 8 ⇒ sig NULL, h_e6 still emitted.
+    *
+    * Capacity: term_c = 3·10⁶·R2_c² with R2_c ≤ 2N² needs
+    * 1.2·10⁷·N⁴ < 10³⁸ ⇒ N ≤ ~4·10⁷ rows per group (subsample
+    * beyond; the verdict is long decided). h₀·(N³−N) ≤ 10⁶·N⁴ is
+    * inside the same bound.
+    *
+    * Scale shape: one map-side-combinable (group, cohort, value) count
+    * collapses the corpus; the value grid and its running `below` are
+    * per-group sort windows over THAT grid; the cohort-grid ↔
+    * value-grid equi-join and everything after are grid-sized. */
+  def kruskalWallis(df: DataFrame, groupCol: String, cohortCol: String,
+      valueCol: String): DataFrame = {
+    Reserved.guard(Seq(groupCol),
+      Seq("__c", "__v", "__tc", "__t", "__below", "__r2", "__nc",
+        "__term", "__s", "__tie", "k", "n", "h_e6", "sig"),
+      "RankTest")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(cohortCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol), col(cohortCol).cast("string").as("__c"),
+        col(valueCol).cast("long").as("__v"))
+    val cg = base.groupBy(col(groupCol), col("__c"), col("__v"))
+      .agg(count(lit(1)).as("__tc"))
+    val vg = cg.groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__tc")).as("__t"))
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vgb = vg.withColumn("__below",
+      coalesce(sum(col("__t")).over(wb), lit(0L)))
+    val perC = cg.join(vgb, Seq(groupCol, "__v"))
+      .groupBy(col(groupCol), col("__c"))
+      .agg(sum(col("__tc")).as("__nc"),
+        sum(col("__tc") * (lit(2L) * col("__below") + col("__t")
+          + lit(1L))).as("__r2"))
+    val term = call_function("div",
+      lit(3000000L).cast(d38) * col("__r2").cast(d38)
+        * col("__r2").cast(d38),
+      col("__nc").cast(d38))
+    val perG = perC.withColumn("__term", term)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k"), sum(col("__nc")).as("n"),
+        sum(col("__term")).as("__s"))
+    val ties = vg.groupBy(col(groupCol))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tie"))
+    val nn = col("n").cast(d38)
+    val h0 = call_function("div", col("__s"),
+      nn * (nn + lit(1L).cast(d38))) -
+      lit(3000000L).cast(d38) * (nn + lit(1L).cast(d38))
+    val tieFree = nn * nn * nn - nn - col("__tie").cast(d38)
+    val hE6 = when(col("k") < 2L, lit(null).cast("long"))
+      .when(tieFree === lit(0L).cast(d38), lit(0L))
+      .otherwise(greatest(
+        call_function("div", h0 * (nn * nn * nn - nn), tieFree)
+          .cast("long"), lit(0L)))
+    perG.join(ties, Seq(groupCol))
+      .withColumn("h_e6", hE6)
+      .withColumn("sig",
+        when(col("h_e6").isNull, lit(0L))
+          .when(col("k") - 1L > 8L, lit(null).cast("long"))
+          .otherwise((col("h_e6") >=
+            element_at(typedlit(Chi2Crit95E6ByDf),
+              (col("k") - 1L).cast("int"))).cast("long")))
+      .select(col(groupCol), col("k"), col("n"), col("h_e6"), col("sig"))
+  }
+
+  /** Exact ROC-AUC via the rank-sum identity (Hanley & McNeil 1982,
+    * Radiology 143; AUC = U/(n₊·n₋) with ties at half weight — exactly
+    * the midrank construction [[mannWhitney]] already computes):
+    * per group, the probability a positive outranks a negative on
+    * `scoreCol`. Composed FROM mannWhitney — positives are cohort A, so
+    * u2_a = 2U and
+    *   auc_e6 = ⌊10⁶·u2_a / (2·n_pos·n_neg)⌋
+    * is one exact integral division (u2_a ≤ 2·n₊·n₋ keeps the
+    * numerator ≤ 2·10⁶·n₊·n₋ — inside DECIMAL(38,0) for any corpus).
+    * Either cohort empty ⇒ NULL (the mannWhitney convention). 0.5 is
+    * chance; the z2_e6/sig columns carry over, so "is this AUC
+    * significantly off chance" rides the same tie-corrected test. */
+  def auc(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    Reserved.guard(Seq(groupCol, labelCol, scoreCol), Seq("__pos"),
+      "RankTest")
+    val d38 = "decimal(38,0)"
+    val labeled = df.withColumn("__pos",
+      when(col(labelCol).cast("long") === 1L, "pos")
+        .when(col(labelCol).cast("long") === 0L, "neg"))
+    mannWhitney(labeled, groupCol, "__pos", scoreCol, "pos", "neg")
+      .select(col(groupCol), col("n_a").as("n_pos"),
+        col("n_b").as("n_neg"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("long"))
+          .otherwise(call_function("div",
+            lit(1000000L).cast(d38) * col("u2_a").cast(d38),
+            lit(2L).cast(d38) * col("n_a").cast(d38)
+              * col("n_b").cast(d38))).as("auc_e6"),
+        col("z2_e6"), col("sig"))
+  }
 }

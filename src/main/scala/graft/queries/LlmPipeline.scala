@@ -573,6 +573,27 @@ object LlmPipeline {
           "lang", "n_chars")
         .orderBy(col("lang"))
     }),
+    "q_v22_auc" -> ((s, dir) => {
+      // exact ROC-AUC via the rank-sum identity (r14, L158; Hanley &
+      // McNeil 1982: AUC = U/(n₊n₋), ties at half weight) — the
+      // classifier-quality audit next to q_v13's threshold metrics,
+      // computed WITHOUT picking a threshold. Two legs, the q_e26
+      // design: "zh_len" scores lang='zh' by n_chars (zh length sits
+      // OFF the pooled rest — AUC 0.465 at sf0.1, below chance, and
+      // the carried-over Mann–Whitney z² = 9.47 flags it); "aa_null"
+      // labels by
+      // doc_id parity (exchangeable → AUC ≈ 0.5, no flag). One exact
+      // integral division atop the q_qr16 doubled-midrank machinery.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val zh = d.select(lit("zh_len").as("leg"),
+        (col("lang") === "zh").cast("long").as("y"), col("n_chars"))
+      val aa = d.select(lit("aa_null").as("leg"),
+        pmod(col("doc_id"), lit(2L)).as("y"), col("n_chars"))
+      RankTest.auc(zh.unionByName(aa), "leg", "y", "n_chars")
+        .orderBy(col("leg"))
+    }),
     "q_v20_rater_kappa" -> ((s, dir) => {
       // Cohen's κ rater-agreement audit (r13, L138; Cohen 1960): the
       // chance-corrected label-quality statistic an RLHF-era pipeline
@@ -898,6 +919,50 @@ object LlmPipeline {
           sum(col("duration_ms")).as("sum_dur_ms"),
           sum(col("timescale")).as("sum_ts"))
         .orderBy(col("major_brand"), col("n_tracks"), col("codecs"))
+    }),
+    "q_m11_dims_audit" -> ((s, dir) => {
+      // image-resolution header audit (r14, L160): the pre-decode
+      // resolution screen — dims parsed from ≤26 HEADER bytes as a
+      // pure codegen'd slice (PNG IHDR big-endian, GIF descriptor
+      // little-endian, BMP signed little-endian with the top-down
+      // negative-height leg live every 4th bmp), routed by the shared
+      // q_m8 sniffer; every 11th doc carries a TXT decoy that lands in
+      // 'other' with NULL dims. Blobs are built per doc as expressions
+      // with dims DERIVED from doc_id (the q_m9 discipline), so the
+      // oracle replays the generator FORMULAS and the parse must
+      // invert the construction byte-exactly.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val w = lit(16L) + pmod(col("doc_id"), lit(97L)) * 13L
+      val h = lit(16L) + pmod(expr("doc_id DIV 97"), lit(89L)) * 11L
+      val td = pmod(expr("doc_id DIV 3"), lit(4L)) === 0L
+      def be4(v: org.apache.spark.sql.Column) =
+        unhex(lpad(hex(v), 8, "0"))
+      def le2(v: org.apache.spark.sql.Column) = {
+        val x = lpad(hex(v), 4, "0")
+        unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      def le4(v: org.apache.spark.sql.Column) = {
+        val x = lpad(hex(v), 8, "0")
+        unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")),
+        be4(w), be4(h), unhex(lit("0806000000")))
+      val gif = concat(unhex(lit("474946383961")), le2(w), le2(h),
+        unhex(lit("F70000")))
+      val hSigned = when(td, lit(4294967296L) - h).otherwise(h)
+      val bmp = concat(
+        unhex(lit("424D" + "00" * 12 + "28000000")), le4(w),
+        le4(hSigned))
+      val r = pmod(col("doc_id"), lit(3L))
+      val blob = when(pmod(col("doc_id"), lit(11L)) === 0L,
+          concat(unhex(lit("5458543A")), col("text").cast("binary")))
+        .when(r === 0L, png).when(r === 1L, gif).otherwise(bmp)
+      ImageHeaders.resolutionAudit(
+          d.select(col("doc_id"), blob.as("content")), "content", 512L)
+        .orderBy(col("fmt"))
     }),
     "q_m10_codec_audit" -> ((s, dir) => {
       // declared-vs-ACTUAL codec audit (r14) — the L145+L149
@@ -2453,6 +2518,54 @@ object LlmPipeline {
           "leg", "v")
         .orderBy(col("leg"))
     }),
+    "q_qr22_jsd" -> ((s, dir) => {
+      // table-exact Jensen–Shannon drift (r14, L159; Lin 1991): the
+      // BOUNDED, SYMMETRIC member of the drift panel — PSI grows
+      // without bound on disjoint support, JSD caps at ln 2, so panel
+      // thresholds compare across corpora. Same cohort pairs and
+      // frozen 250-char buckets as q_qr17, so PSI and JSD read off
+      // the SAME grid: the A/A parity pair sits at ≈0 (it reads
+      // −1.4e6 e9-units at sf0.1 — the documented table-floor
+      // under-read, inside the ln(257/256) ≈ 3.9e-3-nat bound,
+      // exercised LIVE), the length-skew pair at 0.175 nats. Third
+      // consumer of the L151 log table.
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val bucketed = docs.select(col("doc_id"), col("n_chars"),
+        least(expr("greatest(n_chars, 0L) DIV 250"), lit(7L)).as("nb"))
+      val ref = bucketed.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      val curNull = bucketed.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      val curDrift = curNull.filter(col("n_chars") >= 400L)
+      Drift.jensenShannonExact(ref, curNull, "nb")
+        .withColumn("pair", lit("aa_null"))
+        .unionByName(Drift.jensenShannonExact(ref, curDrift, "nb")
+          .withColumn("pair", lit("len_drift")))
+        .select(col("pair"), col("bucket"), col("n_ref"), col("n_cur"),
+          col("jsd_e9"))
+        .orderBy(col("pair"), col("bucket"))
+    }),
+    "q_qr21_kruskal" -> ((s, dir) => {
+      // exact Kruskal–Wallis H (r14, L157; Kruskal & Wallis 1952): the
+      // k-sample member of the drift panel — qr16's Mann–Whitney asks
+      // "did cohort A shift vs B", this asks "does ANY of k cohorts
+      // tend larger" in ONE test instead of k pairwise ones. Two
+      // panels, both regimes live: "lang" tests n_chars across all 5
+      // languages (the zh length profile differs → H huge, reject at
+      // df=4); "aa_null" cuts the same corpus by doc_id mod 3
+      // (exchangeable → H ~ χ²₂, no reject). The three-floor cascade
+      // and the df-indexed χ² table replay token-for-token.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val byLang = d.select(lit("lang").as("panel"),
+        col("lang").as("cohort"), col("n_chars"))
+      val aa = d.select(lit("aa_null").as("panel"),
+        pmod(col("doc_id"), lit(3L)).cast("string").as("cohort"),
+        col("n_chars"))
+      RankTest.kruskalWallis(byLang.unionByName(aa), "panel",
+          "cohort", "n_chars")
+        .orderBy(col("panel"))
+    }),
     "q_qr17_psi_exact" -> ((s, dir) => {
       // integer log-table PSI panel member (r14, L151): table-PSI over
       // frozen 250-char length buckets, TWO cohort pairs live at gate
@@ -3393,6 +3506,78 @@ object LlmPipeline {
           SELECT 'len_drift' AS pair, * FROM $dr
           ORDER BY pair, bucket"""
     },
+    // q_qr22: the jensenShannonExactOracleSql generator (both ln
+    // chains embed the same 256-cell table; one // quantization)
+    "q_qr22_jsd" -> {
+      def cohort(where: String) =
+        "SELECT LEAST(GREATEST(n_chars, 0) // 250, 7) AS bucket " +
+          "FROM documents WHERE doc_id IS NOT NULL " +
+          s"AND n_chars IS NOT NULL AND $where"
+      val ref = cohort("doc_id % 2 = 0")
+      val aa = Drift.jensenShannonExactOracleSql(ref,
+        cohort("doc_id % 2 = 1"))
+      val dr = Drift.jensenShannonExactOracleSql(ref,
+        cohort("doc_id % 2 = 1 AND n_chars >= 400"))
+      s"""SELECT 'aa_null' AS pair, * FROM $aa
+          UNION ALL
+          SELECT 'len_drift' AS pair, * FROM $dr
+          ORDER BY pair, bucket"""
+    },
+    // q_qr21: the same doubled-midrank grid, k cohorts — per-cohort
+    // R2, the three-floor cascade (term // nc, s // N(N+1), the
+    // tie-corrected final // with GREATEST 0), and the df-indexed χ²
+    // literal table shared with RankTest.Chi2Crit95E6ByDf
+    "q_qr21_kruskal" ->
+      s"""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          base AS (SELECT 'lang' AS panel, lang AS c, v FROM d
+             UNION ALL
+                   SELECT 'aa_null', CAST(doc_id % 3 AS VARCHAR), v
+                   FROM d),
+          cg AS (SELECT panel, c, v, CAST(COUNT(*) AS BIGINT) AS tc
+              FROM base GROUP BY 1, 2, 3),
+          vg AS (SELECT panel, v, SUM(tc) AS t FROM cg GROUP BY 1, 2),
+          vgb AS (SELECT panel, v, t,
+                COALESCE(SUM(t) OVER (PARTITION BY panel ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS below
+              FROM vg),
+          perc AS (SELECT cg.panel, cg.c, SUM(tc) AS nc,
+                SUM(tc * (2 * below + t + 1)) AS r2
+              FROM cg JOIN vgb
+                ON vgb.panel = cg.panel AND vgb.v = cg.v
+              GROUP BY 1, 2),
+          terms AS (SELECT panel, nc,
+                (3000000 * CAST(r2 AS HUGEINT) * r2) // nc AS term
+              FROM perc),
+          perg AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS k,
+                SUM(nc) AS n, SUM(term) AS s
+              FROM terms GROUP BY 1),
+          ties AS (SELECT panel, SUM(t * t * t - t) AS tie
+              FROM vg GROUP BY 1),
+          h AS (SELECT perg.panel, k, n,
+                (s // (CAST(n AS HUGEINT) * (n + 1)))
+                  - 3000000 * (CAST(n AS HUGEINT) + 1) AS h0,
+                CAST(n AS HUGEINT) * n * n - n - tie AS tiefree
+              FROM perg JOIN ties ON ties.panel = perg.panel),
+          hh AS (SELECT panel, k, n,
+                CASE WHEN k < 2 THEN NULL
+                     WHEN tiefree = 0 THEN 0
+                     ELSE GREATEST((h0 * (CAST(n AS HUGEINT) * n * n
+                       - n)) // tiefree, 0)
+                END AS h_e6
+              FROM h)
+         SELECT panel, k, CAST(n AS BIGINT) AS n,
+                CAST(h_e6 AS BIGINT) AS h_e6,
+                CAST(CASE WHEN h_e6 IS NULL THEN 0
+                          WHEN k - 1 > 8 THEN NULL
+                          WHEN h_e6 >= (${RankTest.Chi2Crit95E6ByDf
+                            .mkString("[", ",", "]")})[CAST(k - 1
+                            AS INT)] THEN 1
+                          ELSE 0 END AS BIGINT) AS sig
+         FROM hh ORDER BY panel""",
     // q_qr16: doubled-midrank construction over the (cmp, value) grid
     // — below via the same 1-PRECEDING cumulative window the engine
     // uses, then the tie-corrected z² as one HUGEINT rational
@@ -3661,6 +3846,59 @@ object LlmPipeline {
     // q_v21: the ⌈(n+1)(1−α)⌉ ceiling rank as ((n+1)·9e5 + 999999) //
     // 1e6, the rank-th smallest by the same row_number pick, NULL
     // past n (no finite-sample guarantee), exact coverage count
+    // q_v22: the qr16 rank chain over pos/neg cohorts, then the one
+    // extra integral division auc = 1e6·u2 // (2·n_pos·n_neg)
+    "q_v22_auc" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          rowsx AS (SELECT 'zh_len' AS leg,
+                CASE WHEN lang = 'zh' THEN 'pos' ELSE 'neg' END AS c, v
+              FROM d
+             UNION ALL
+                    SELECT 'aa_null',
+                CASE WHEN doc_id % 2 = 1 THEN 'pos' ELSE 'neg' END, v
+              FROM d),
+          grid AS (SELECT leg, v, CAST(COUNT(*) AS BIGINT) AS t,
+                CAST(SUM(CASE WHEN c = 'pos' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ta
+              FROM rowsx GROUP BY 1, 2),
+          cum AS (SELECT leg, v, t, ta,
+                COALESCE(SUM(t) OVER (PARTITION BY leg ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS below
+              FROM grid),
+          agg AS (SELECT leg, SUM(ta) AS n_a, SUM(t - ta) AS n_b,
+                SUM(ta * (2 * below + t + 1)) AS r2,
+                SUM(t * t * t - t) AS tie
+              FROM cum GROUP BY 1),
+          z AS (SELECT leg, n_a, n_b,
+                CAST(r2 AS HUGEINT)
+                  - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+                CAST(r2 AS HUGEINT) - CAST(n_a AS HUGEINT) * (n_a + 1)
+                  - CAST(n_a AS HUGEINT) * n_b AS delta,
+                CAST(n_a + n_b AS HUGEINT) AS nn,
+                CAST(tie AS HUGEINT) AS tie
+              FROM agg),
+          zz AS (SELECT *,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                     WHEN nn * nn * nn - nn - tie = 0 THEN 0
+                     ELSE 3 * delta * delta * nn * (nn - 1) * 1000000
+                       // (CAST(n_a AS HUGEINT) * n_b
+                          * (nn * nn * nn - nn - tie))
+                END AS z2
+              FROM z)
+         SELECT leg, CAST(n_a AS BIGINT) AS n_pos,
+                CAST(n_b AS BIGINT) AS n_neg,
+                CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                     ELSE (1000000 * u2)
+                       // (2 * CAST(n_a AS HUGEINT) * n_b)
+                END AS BIGINT) AS auc_e6,
+                CAST(z2 AS BIGINT) AS z2_e6,
+                CAST(CASE WHEN z2 >= 3841459 THEN 1 ELSE 0 END
+                  AS BIGINT) AS sig
+         FROM zz ORDER BY leg""",
     "q_v21_conformal_bound" ->
       """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS s
               FROM documents
@@ -4195,6 +4433,35 @@ object LlmPipeline {
                   AS BIGINT) AS mismatch
          FROM s WHERE sniffed IS NOT NULL
          GROUP BY declared, sniffed ORDER BY declared, sniffed""",
+    // q_m11: generator-formula replay (the q_m9 inversion gate) —
+    // Spark parses dims back out of the bytes; the oracle recomputes
+    // them from doc_id arithmetic, so endianness, offsets and the
+    // signed top-down read must all invert the construction
+    "q_m11_dims_audit" ->
+      """WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          x AS (SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN 'other'
+                     WHEN doc_id % 3 = 0 THEN 'png'
+                     WHEN doc_id % 3 = 1 THEN 'gif'
+                     ELSE 'bmp' END AS fmt,
+                16 + (doc_id % 97) * 13 AS w,
+                16 + ((doc_id // 97) % 89) * 11 AS h,
+                CASE WHEN doc_id % 3 = 2 AND (doc_id // 3) % 4 = 0
+                     THEN 1 ELSE 0 END AS td
+              FROM d),
+          y AS (SELECT fmt,
+                CASE WHEN fmt = 'other' THEN NULL ELSE w END AS w,
+                CASE WHEN fmt = 'other' THEN NULL ELSE h END AS h,
+                CASE WHEN fmt = 'other' THEN NULL ELSE td END AS td
+              FROM x)
+         SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(w) AS BIGINT) AS sum_w,
+                CAST(SUM(h) AS BIGINT) AS sum_h,
+                CAST(COUNT(CASE WHEN w < 512 OR h < 512 THEN 1 END)
+                  AS BIGINT) AS n_small,
+                CAST(SUM(td) AS BIGINT) AS n_topdown
+         FROM y GROUP BY fmt ORDER BY fmt""",
     // q_m10: formula replay — Spark must ROUTE (sniff), WALK (parse)
     // and JOIN to surface exactly the injected codec mislabels; the
     // oracle recomputes route membership and both codec columns

@@ -672,6 +672,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("rank-family wave: kruskal grid join and auc chain stay " +
+      "cartesian-free") {
+    // q_qr21's cohort-grid ↔ value-grid join is an equi-join on
+    // (panel, value) — a loop join there would be grid² at corpus
+    // scale; q_v22 composes mannWhitney, whose only wide ops are the
+    // grid aggregation and the per-panel sort window
+    for (name <- Seq("q_qr21_kruskal", "q_v22_auc")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan fell to a loop join:\n${plan.take(1500)}")
+    }
+  }
+
+  test("jsd drift: grid math only — the one loop join is the 1-row " +
+      "totals broadcast") {
+    // q_qr22 rides categoricalExact's shape: B-row outer join + 1-row
+    // broadcast; a shuffle cartesian would mean a corpus frame leaked
+    val plan = executedPlan(q("q_qr22_jsd"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_qr22 plan contains a cartesian:\n${plan.take(1500)}")
+  }
+
+  test("dims audit: join-free, window-free — scan-fused slice + one " +
+      "aggregation") {
+    // the q_m11 scale contract (the q_m9 convention): blob build AND
+    // header parse are codegen'd expressions fused into the scan; the
+    // audit is a single map-side-combinable hash agg
+    val plan = executedPlan(q("q_m11_dims_audit"))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q_m11 grew a join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"q_m11 grew a window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m11 lost its hash aggregation:\n${plan.take(1200)}")
+  }
+
   test("codec audit: the declared join-back stays an equi-join") {
     // q_m10 joins the walked metadata back to the declared frame on
     // doc_id — a loop join here would be |routed|² at corpus scale

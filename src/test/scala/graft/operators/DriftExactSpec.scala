@@ -117,4 +117,92 @@ class DriftExactSpec extends SparkSpec {
         s"bucket $bkt: ${got(bkt)._3} vs $floatPsi")
     }
   }
+
+  // ---- Jensen–Shannon (r14, L159) ----------------------------------
+
+  /** Full plain-Scala replay of jensenShannonExact. */
+  private def jsdRef(counts: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+    val tr = counts.map(_._2).sum; val tc = counts.map(_._3).sum
+    val b = counts.size
+    counts.map { case (bucket, nr, nc) =>
+      val d1 = BigInt(2) * tr + b; val d2 = BigInt(2) * tc + b
+      val np = (BigInt(2) * nr + 1) * d2
+      val nq = (BigInt(2) * nc + 1) * d1
+      val pln = lnE9Ref(2 * np, np + nq)
+      val qln = lnE9Ref(2 * nq, np + nq)
+      bucket -> ((np * pln + nq * qln) / (2 * d1 * d2)).toLong
+    }.toMap
+  }
+
+  private def runJsd(counts: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+    def side(f: ((Long, Long, Long)) => Long) = counts
+      .flatMap(c => Seq.fill(f(c).toInt)(c._1)).toDF("nb")
+    Drift.jensenShannonExact(side(_._2), side(_._3), "nb")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+  }
+
+  test("jsd: identical cohorts read an EXACT 0 (cell-0 on both lns)") {
+    val got = runJsd(Seq((0L, 5L, 5L), (1L, 9L, 9L), (2L, 1L, 1L)))
+    assert(got.values.forall(_ === 0L), got.toString)
+  }
+
+  test("jsd: symmetric in its arguments, bucket by bucket") {
+    val counts = Seq((0L, 7L, 2L), (1L, 1L, 9L), (2L, 4L, 4L))
+    def side(f: ((Long, Long, Long)) => Long) = counts
+      .flatMap(c => Seq.fill(f(c).toInt)(c._1)).toDF("nb")
+    val ab = Drift.jensenShannonExact(side(_._2), side(_._3), "nb")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ba = Drift.jensenShannonExact(side(_._3), side(_._2), "nb")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ab === ba)
+  }
+
+  test("jsd: disjoint support totals under the ln 2 cap") {
+    // maximal drift: all ref mass in bucket 0, all cur in bucket 1 —
+    // true JSD < ln 2 (smoothing keeps it strictly under), and the
+    // floored table can only read lower
+    val got = runJsd(Seq((0L, 50L, 0L), (1L, 0L, 50L)))
+    val total = got.values.sum
+    assert(total > 500000000L && total < Drift.Ln2E9,
+      s"total $total")
+  }
+
+  test("jsd: the near-identical negative-read class, pinned live") {
+    // p ≈ q puts one ratio just UNDER 1 (k=−1, cell 255: ln reads
+    // ~−3.9e-3 instead of ~−1e-3-ish) — the documented under-read;
+    // the magnitude must stay inside the (p+q)/2·ln(257/256) bound
+    val got = runJsd(Seq((0L, 499L, 500L), (1L, 500L, 499L)))
+    assert(got.values.exists(_ < 0L),
+      s"expected a floored-negative read: $got")
+    // per-bucket bound: (p+q)/2 ≤ ~0.5 ⇒ |term| ≤ ~2e6; total ≤ 3.9e6
+    assert(got.values.forall(v => v > -2500000L && v < 2500000L), got.toString)
+  }
+
+  test("jsd: plain-Scala BigInt replay, seeded counts") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val counts = (0L until 8L).map(bkt =>
+        (bkt, rnd.nextInt(800).toLong, rnd.nextInt(800).toLong))
+      assert(runJsd(counts) === jsdRef(counts), s"trial $trial")
+    }
+  }
+
+  test("jsd: tracks float JSD within the documented total bound") {
+    val rnd = new scala.util.Random(31)
+    val counts = (0L until 8L).map(bkt =>
+      (bkt, rnd.nextInt(900).toLong + 10L, rnd.nextInt(900).toLong + 10L))
+    val tr = counts.map(_._2).sum.toDouble
+    val tc = counts.map(_._3).sum.toDouble
+    val b = counts.size
+    val floatTotal = counts.map { case (_, nr, nc) =>
+      val p = (nr + 0.5) / (tr + 0.5 * b)
+      val q = (nc + 0.5) / (tc + 0.5 * b)
+      val m = (p + q) / 2
+      (p * StrictMath.log(p / m) + q * StrictMath.log(q / m)) / 2 * 1e9
+    }.sum
+    val total = runJsd(counts).values.sum.toDouble
+    // floored lns ⇒ reading ≤ true; total under-read ≤ ln(257/256)
+    assert(total <= floatTotal + 1 && total > floatTotal - 3906251,
+      s"$total vs $floatTotal")
+  }
 }

@@ -91,4 +91,140 @@ class RankTestSpec extends SparkSpec {
     assert(got("g1")._3 === 1L, "the shifted group must flag")
     assert(got("g0")._3 === 0L, "the null group must not")
   }
+
+  // ---- Kruskal–Wallis (r14, L157) ----------------------------------
+
+  private def runKw(cs: Map[String, Seq[Long]]) = {
+    val df = cs.toSeq.flatMap { case (c, vs) => vs.map(("g", c, _)) }
+      .toDF("g", "c", "v")
+    val r = RankTest.kruskalWallis(df, "g", "c", "v").collect().head
+    (r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("KW hand case, three clean cohorts: H = 32/7 exactly") {
+    // A={1,2} B={3,4} C={5,6}: ΣR²/n = 4.5+24.5+60.5, H = 12/42·89.5−21
+    val (k, n, h, sig) =
+      runKw(Map("A" -> Seq(1L, 2L), "B" -> Seq(3L, 4L), "C" -> Seq(5L, 6L)))
+    assert(k === 3L && n === 6L)
+    assert(h === Some(4571428L), "floor of 4.571428…e6")
+    assert(sig === Some(0L), "under χ²₂(0.95) = 5.991465")
+  }
+
+  test("KW complete separation at 3×3 rejects (H = 7.2 > 5.991)") {
+    val (_, _, h, sig) = runKw(Map("A" -> Seq(1L, 2L, 3L),
+      "B" -> Seq(4L, 5L, 6L), "C" -> Seq(7L, 8L, 9L)))
+    assert(h === Some(7200000L) && sig === Some(1L))
+  }
+
+  test("KW at k=2 equals the Mann–Whitney z², tied case included") {
+    // clean: A={1,2} B={3,4} → both 2.4; tied: the MW spec's 5/3 case
+    val (_, _, h1, _) = runKw(Map("A" -> Seq(1L, 2L), "B" -> Seq(3L, 4L)))
+    assert(h1 === Some(2400000L))
+    val (_, _, h2, _) =
+      runKw(Map("A" -> Seq(1L, 2L, 2L), "B" -> Seq(2L, 3L)))
+    assert(h2 === Some(1666666L), "≡ the mannWhitney tied-case z²")
+  }
+
+  test("KW degenerate conventions: k=1 NULL; all-tied 0; identical 0") {
+    val (_, _, h1, sig1) = runKw(Map("A" -> Seq(1L, 2L, 3L)))
+    assert(h1 === None && sig1 === Some(0L))
+    val (_, _, h2, sig2) =
+      runKw(Map("A" -> Seq(7L, 7L), "B" -> Seq(7L, 7L, 7L)))
+    assert(h2 === Some(0L) && sig2 === Some(0L))
+    val (_, _, h3, _) =
+      runKw(Map("A" -> Seq(1L, 2L, 3L), "B" -> Seq(1L, 2L, 3L)))
+    assert(h3 === Some(0L), "clamp restores the mathematical H ≥ 0")
+  }
+
+  test("KW df > 8 emits h but a NULL verdict") {
+    val cs = (0 until 10).map(i => s"c$i" -> Seq(i.toLong)).toMap
+    val (k, _, h, sig) = runKw(cs)
+    assert(k === 10L && h.isDefined && sig === None)
+  }
+
+  test("KW BigInt cascade replay on a seeded tied multi-group fixture") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 600).map { i =>
+      val g = s"g${i % 2}"
+      val c = s"c${rnd.nextInt(4)}"
+      // cohort c3 shifted up in g1 only; heavy ties via small domain
+      val v = rnd.nextInt(10).toLong +
+        (if (c == "c3" && g == "g1") 4L else 0L)
+      (g, c, v)
+    }
+    val got = RankTest.kruskalWallis(rows.toDF("g", "c", "v"),
+        "g", "c", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    for (g <- Seq("g0", "g1")) {
+      val sub = rows.filter(_._1 == g)
+      val all = sub.map(_._3).sorted
+      val t = all.groupBy(identity).view.mapValues(_.size).toMap
+      def below(v: Long) = all.count(_ < v)
+      val byC = sub.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      val terms = byC.values.map { vs =>
+        val r2 = vs.map(v => BigInt(2 * below(v) + t(v) + 1)).sum
+        BigInt(3000000) * r2 * r2 / vs.size
+      }
+      val bigN = BigInt(all.size)
+      val tie = t.values.map(x => BigInt(x).pow(3) - x).sum
+      val h0 = terms.sum / (bigN * (bigN + 1)) - 3000000 * (bigN + 1)
+      val h = (h0 * (bigN.pow(3) - bigN) /
+        (bigN.pow(3) - bigN - tie)).max(0)
+      assert(got(g)._1 === h.toLong, s"$g h_e6")
+      assert(got(g)._1 >= 0L)
+    }
+    assert(got("g1")._2 === 1L, "the shifted group must flag")
+    assert(got("g0")._2 === 0L, "the null group must not")
+  }
+
+  // ---- exact ROC-AUC (r14, L158) -----------------------------------
+
+  private def runAuc(pos: Seq[Long], neg: Seq[Long]) = {
+    val df = (pos.map(("g", 1L, _)) ++ neg.map(("g", 0L, _)))
+      .toDF("g", "y", "s")
+    val r = RankTest.auc(df, "g", "y", "s").collect().head
+    (r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))
+  }
+
+  test("AUC hand case with a tie: U = 3.5 of 4 pairs → 875000") {
+    val (np, nn, a) = runAuc(Seq(2L, 3L), Seq(1L, 2L))
+    assert(np === 2L && nn === 2L && a === Some(875000L))
+  }
+
+  test("AUC extremes: perfect 1e6, inverted 0, chance 500000") {
+    assert(runAuc(Seq(5L, 6L), Seq(1L, 2L))._3 === Some(1000000L))
+    assert(runAuc(Seq(1L, 2L), Seq(5L, 6L))._3 === Some(0L))
+    assert(runAuc(Seq(1L, 2L), Seq(1L, 2L))._3 === Some(500000L))
+  }
+
+  test("AUC one-class input: NULL, not a crash") {
+    assert(runAuc(Seq(1L, 2L, 3L), Seq.empty)._3 === None)
+  }
+
+  test("AUC non-binary labels drop; BigInt pair-count replay") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map { i =>
+      val y = rnd.nextInt(3).toLong // label 2 must drop
+      val s = rnd.nextInt(20).toLong + (if (y == 1L) 4L else 0L)
+      ("g", y, s)
+    }
+    val r = RankTest.auc(rows.toDF("g", "y", "s"), "g", "y", "s")
+      .collect().head
+    val pos = rows.filter(_._2 == 1L).map(_._3)
+    val neg = rows.filter(_._2 == 0L).map(_._3)
+    assert(r.getLong(1) === pos.size.toLong)
+    assert(r.getLong(2) === neg.size.toLong)
+    // 2U = 2·wins + ties, pair-counted directly
+    val u2 = BigInt(2) * pos.map(p => neg.count(_ < p)).sum +
+      pos.map(p => neg.count(_ == p)).sum
+    val want = BigInt(1000000) * u2 /
+      (BigInt(2) * pos.size * neg.size)
+    assert(r.getLong(3) === want.toLong)
+    assert(r.getLong(5) === 1L, "the shifted scores must flag")
+  }
 }
