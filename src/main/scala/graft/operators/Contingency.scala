@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact χ² test of independence over a contingency grid (Pearson
+  * 1900; the categorical-ASSOCIATION member of the QC panel —
+  * [[Benford.chiSquare]] asks "does one margin match a FIXED law",
+  * this asks "are two labelings related at all": lang × quality-band,
+  * source × mislabel-flag, rater × rater) with Cramér's V (Cramér
+  * 1946 §21.9) as the [0,1] effect size that N alone cannot inflate.
+  *
+  * Integer-exact derivation: with cell counts n_rc, margins R_r, C_c
+  * and total N,
+  *   χ² = Σ_rc (N·n_rc − R_r·C_c)² / (N·R_r·C_c)
+  * (the (n−E)²/E form multiplied through by N²/N² — no float E ever
+  * materializes). Quantization contract (the L157 cascade stance — a
+  * DEFINED statistic, floors replayed token-for-token):
+  *   chi2_e6 = Σ_rc div(10⁶·(N·n_rc − R_r·C_c)², N·R_r·C_c)
+  * one truncating division per OCCUPIED cell (empty cells contribute
+  * (0−RC)²-terms ONLY through occupied-margin products — absent (r,c)
+  * pairs with both margins present DO contribute and are materialized
+  * by the margin cross of the cell grid, see below); then
+  *   v2_e6 = div(chi2_e6, N·(min(r,c) − 1))
+  * the SQUARED Cramér V at 1e-6 (V itself needs a square root — the
+  * L138 κ convention: emit the exact square, not a rounded root).
+  * Verdict vs [[RankTest.Chi2Crit95E6ByDf]] at df = (r−1)(c−1); df > 8
+  * ⇒ sig NULL with chi2 still emitted; a degenerate grid (r < 2 or
+  * c < 2) ⇒ NULL statistics (nothing to associate).
+  *
+  * Capacity: (N·n − RC)² ≤ N⁴, so 10⁶·N⁴ < 10³⁸ ⇒ N ≤ ~4·10⁷ rows
+  * per panel (the L157 bound; subsample beyond — the verdict is long
+  * decided).
+  *
+  * Scale shape: ONE map-side-combinable (panel, r, c) count collapses
+  * the corpus to the occupied-cell grid; margins are grid-sized
+  * aggregations of THAT grid; the full r×c term grid (including
+  * zero cells) is the margin×margin equi-join on panel — |r|·|c|
+  * rows, category-sized, never corpus-sized — left-joined back to the
+  * occupied cells. */
+object Contingency {
+
+  /** Per-panel χ² independence + Cramér's V² between `rowCol` and
+    * `colCol` labelings: (panelCol, n, r, c, chi2_e6, v2_e6, sig).
+    * Null panel/row/col values drop. */
+  def chiSquare(df: DataFrame, panelCol: String, rowCol: String,
+      colCol: String): DataFrame = {
+    Reserved.guard(Seq(panelCol),
+      Seq("__r", "__c", "__n", "__rn", "__cn", "__nn", "__rdim",
+        "__cdim", "__term", "n", "r", "c", "chi2_e6", "v2_e6", "sig"),
+      "Contingency")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(panelCol).isNotNull && col(rowCol).isNotNull &&
+        col(colCol).isNotNull)
+      .select(col(panelCol), col(rowCol).cast("string").as("__r"),
+        col(colCol).cast("string").as("__c"))
+    val cells = base.groupBy(col(panelCol), col("__r"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val rowm = cells.groupBy(col(panelCol), col("__r"))
+      .agg(sum(col("__n")).as("__rn"))
+    val colm = cells.groupBy(col(panelCol), col("__c"))
+      .agg(sum(col("__n")).as("__cn"))
+    val tot = cells.groupBy(col(panelCol))
+      .agg(sum(col("__n")).as("__nn"))
+    // the FULL r×c grid: zero cells still carry (0 − RC/N)² mass
+    val grid = rowm.join(colm, Seq(panelCol))
+      .join(cells, Seq(panelCol, "__r", "__c"), "left")
+      .join(tot, Seq(panelCol))
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val dev = col("__nn").cast(d38) * col("__n").cast(d38) -
+      col("__rn").cast(d38) * col("__cn").cast(d38)
+    val term = call_function("div",
+      lit(1000000L).cast(d38) * dev * dev,
+      col("__nn").cast(d38) * col("__rn").cast(d38)
+        * col("__cn").cast(d38))
+    val perPanel = grid.withColumn("__term", term)
+      .groupBy(col(panelCol))
+      .agg(max(col("__nn")).as("n"),
+        countDistinct(col("__r")).as("r"),
+        countDistinct(col("__c")).as("c"),
+        sum(col("__term")).cast("long").as("__chi2"))
+    val dfree = (col("r") - 1L) * (col("c") - 1L)
+    perPanel
+      .withColumn("chi2_e6",
+        when(col("r") < 2L || col("c") < 2L, lit(null).cast("long"))
+          .otherwise(col("__chi2")))
+      .withColumn("v2_e6",
+        when(col("chi2_e6").isNull, lit(null).cast("long"))
+          .otherwise(call_function("div", col("chi2_e6").cast(d38),
+            col("n").cast(d38)
+              * (least(col("r"), col("c")) - 1L).cast(d38))
+            .cast("long")))
+      .withColumn("sig",
+        when(col("chi2_e6").isNull, lit(0L))
+          .when(dfree > 8L, lit(null).cast("long"))
+          .otherwise((col("chi2_e6") >=
+            element_at(typedlit(RankTest.Chi2Crit95E6ByDf),
+              dfree.cast("int"))).cast("long")))
+      .select(col(panelCol), col("n"), col("r"), col("c"),
+        col("chi2_e6"), col("v2_e6"), col("sig"))
+  }
+}

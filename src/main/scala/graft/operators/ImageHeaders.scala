@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *     audit bit).
   *   - JPEG is deliberately OUT of the expression path: its dimensions
   *     live in an SOF marker at a variable offset behind
-  *     variable-length segments — a walk, not a slice; that is the
-  *     [[IsoBmff.metadata]] kernel shape, documented here as the
-  *     follow-up, not silently faked.
+  *     variable-length segments — a walk, not a slice. That walk IS
+  *     implemented, as the [[jpegDims]] per-blob kernel below (the
+  *     [[IsoBmff.metadata]] shape), kept off the codegen'd fast path
+  *     so the three fixed-offset formats stay scan-speed.
   *
   * Routing REUSES [[Multimodal.sniffType]] (the q_m10 discipline: one
   * router, shared by every consumer, so the sniffer and the parsers
@@ -118,4 +119,76 @@ object ImageHeaders {
         count(when(col("width") < minSide
           || col("height") < minSide, 1)).as("n_small"),
         sum(col("top_down")).as("n_topdown"))
+
+  // ---- JPEG: the kernel-shaped sibling (r14, the documented
+  // follow-up from the expression path's scaladoc) -------------------
+
+  /** JPEG dimensions via the SOF marker walk (ITU T.81 §B.2): after
+    * the FFD8 SOI, segments are FF+marker(+u16 big-endian length that
+    * COUNTS ITSELF); dimensions live in the first SOFn header
+    * (C0–CF minus C4/C8/CC — DHT/JPG/DAC carry tables, not frames) as
+    * precision(1) height(2) width(2). The offset is DATA-DEPENDENT
+    * (APP/COM segments of arbitrary length precede it), so this is a
+    * walk, not a slice — the [[IsoBmff]] per-blob kernel shape, NOT a
+    * Catalyst expression.
+    *
+    * Violation contract (the L149 convention — None, never garbage):
+    * missing SOI, a non-FF where a marker must start, a segment
+    * length < 2, a truncated SOF, zero dimensions, or SOS/EOI reached
+    * BEFORE any SOF (dims must precede entropy-coded data). Fill FF
+    * bytes before a marker are legal padding and consumed. The cursor
+    * strictly advances, so a crafted segment soup terminates by
+    * construction — no step-count bomb guard needed. */
+  private[graft] def jpegDims(b: Array[Byte]): Option[(Long, Long)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      var j = i // consume fill FFs: marker is the first non-FF byte
+      while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1
+      if (j + 1 >= b.length) return None
+      val marker = b(j + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS first
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+        i = j + 2 // standalone marker: no length field
+      } else {
+        if (j + 3 >= b.length) return None
+        val len = ((b(j + 2) & 0xff) << 8) | (b(j + 3) & 0xff)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 9 || j + 8 >= b.length) return None
+          val h = ((b(j + 5) & 0xff) << 8) | (b(j + 6) & 0xff)
+          val w = ((b(j + 7) & 0xff) << 8) | (b(j + 8) & 0xff)
+          return if (w > 0 && h > 0) Some((w.toLong, h.toLong)) else None
+        }
+        i = j + 2 + len
+      }
+    }
+    None
+  }
+
+  /** Per-blob JPEG dims for the rows the shared router sniffs as
+    * image/jpeg: (idCol, width, height), NULL dims on any violation.
+    * The sniff filter pushes into the scan, so at corpus scale the
+    * kernel only ever sees jpeg-magic rows. */
+  def jpegDimsOf(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    Reserved.guard(Seq(idCol), Seq("width", "height"), "ImageHeaders")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(idCol).isNotNull && col(contentCol).isNotNull &&
+        Multimodal.sniffType(col(contentCol)) === "image/jpeg")
+      .select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        jpegDims(bytes) match {
+          case Some((w, h)) => (id, Option(w), Option(h))
+          case None => (id, None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "width", "height")
+  }
 }

@@ -920,6 +920,43 @@ object LlmPipeline {
           sum(col("timescale")).as("sum_ts"))
         .orderBy(col("major_brand"), col("n_tracks"), col("codecs"))
     }),
+    "q_m12_jpeg_dims" -> ((s, dir) => {
+      // JPEG SOF dimension walk (r14, L161): the kernel-shaped sibling
+      // of q_m11's fixed-offset slices — synthetic JPEG segment soup
+      // whose APP0 padding and COM length vary per doc_id, so the SOF
+      // marker sits at a DATA-DEPENDENT offset and a layout-assuming
+      // parser fails; every 9th doc puts SOS before any SOF (dims
+      // must precede entropy data → NULL, the violation leg live at
+      // gate scale). The oracle replays the generator formulas — the
+      // walk must invert the construction (the q_m9 gate).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val w = lit(16L) + pmod(col("doc_id"), lit(101L)) * 7L
+      val h = lit(16L) + pmod(expr("doc_id DIV 101"), lit(53L)) * 12L
+      def hex4(v: org.apache.spark.sql.Column) = lpad(hex(v), 4, "0")
+      val app0 = concat(lit("FFE0"),
+        hex4(pmod(col("doc_id"), lit(7L)) + 16L),
+        expr("repeat('00', cast(pmod(doc_id, 7) + 14 as int))"))
+      val comSeg = concat(lit("FFFE"),
+        hex4(pmod(expr("doc_id DIV 7"), lit(5L)) + 2L),
+        expr("repeat('41', cast(pmod(doc_id DIV 7, 5) as int))"))
+      val sof = concat(lit("FFC0001108"), hex4(h), hex4(w),
+        lit("03011100021101031101"))
+      val sosDecoy = when(pmod(col("doc_id"), lit(9L)) === 0L,
+        lit("FFDA00080101010100003F00")).otherwise(lit(""))
+      val blob = unhex(concat(lit("FFD8"), app0, comSeg, sosDecoy,
+        sof, lit("FFD9")))
+      ImageHeaders.jpegDimsOf(
+          d.select(col("doc_id"), blob.as("content")), "doc_id",
+          "content")
+        .groupBy(col("width").isNotNull.cast("long").as("parsed"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("width")).as("sum_w"),
+          sum(col("height")).as("sum_h"),
+          count(when(col("width") < 512L || col("height") < 512L, 1))
+            .as("n_small"))
+        .orderBy(col("parsed"))
+    }),
     "q_m11_dims_audit" -> ((s, dir) => {
       // image-resolution header audit (r14, L160): the pre-decode
       // resolution screen — dims parsed from ≤26 HEADER bytes as a
@@ -2518,6 +2555,38 @@ object LlmPipeline {
           "leg", "v")
         .orderBy(col("leg"))
     }),
+    "q_qr23_independence" -> ((s, dir) => {
+      // exact χ² independence + Cramér's V² (r14, L162; Pearson 1900,
+      // Cramér 1946): the categorical-ASSOCIATION panel member —
+      // qr18's χ² asks "does a margin match a fixed law", this asks
+      // "are two labelings related". THREE regimes live at gate
+      // scale: zh-vs-rest × length≥350 is associated (χ² = 6.88 >
+      // 3.84 at sf0.1 — the zh length skew, the sharpest 2×2 cut;
+      // the full 5-lang × band grid reads under its higher df
+      // threshold, measured before picking this leg); two disjoint
+      // bits of the house 56-bit md5 hash are independent (the A/A
+      // leg, χ² ≈ 0); lang × source has df = 76 > 8 — the
+      // beyond-table leg where chi2/V² are emitted but the verdict
+      // is honestly NULL rather than an invented threshold.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull && col("source").isNotNull)
+      val u = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val legLen = d.select(lit("zh_len").as("panel"),
+        when(col("lang") === "zh", "zh").otherwise("rest").as("rv"),
+        (col("n_chars") >= 350L).cast("long").cast("string").as("cv"))
+      val legNull = d.select(lit("hash_null").as("panel"),
+        pmod(u, lit(2L)).cast("string").as("rv"),
+        pmod(call_function("div", u, lit(2L)), lit(2L)).cast("string")
+          .as("cv"))
+      val legSrc = d.select(lit("lang_source").as("panel"),
+        col("lang").as("rv"), col("source").as("cv"))
+      Contingency.chiSquare(
+          legLen.unionByName(legNull).unionByName(legSrc),
+          "panel", "rv", "cv")
+        .orderBy(col("panel"))
+    }),
     "q_qr22_jsd" -> ((s, dir) => {
       // table-exact Jensen–Shannon drift (r14, L159; Lin 1991): the
       // BOUNDED, SYMMETRIC member of the drift panel — PSI grows
@@ -3506,6 +3575,74 @@ object LlmPipeline {
           SELECT 'len_drift' AS pair, * FROM $dr
           ORDER BY pair, bucket"""
     },
+    // q_qr23: margin-cross replay — the FULL r×c grid (zero cells
+    // carry mass), one // per cell, the df-indexed χ² table, and the
+    // qr18 hash-bit convention for the A/A leg
+    "q_qr23_independence" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL AND source IS NOT NULL),
+          u AS (SELECT *, CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 AS h
+              FROM d),
+          base AS (SELECT 'zh_len' AS panel,
+                CASE WHEN lang = 'zh' THEN 'zh' ELSE 'rest' END AS r,
+                CAST(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END
+                  AS VARCHAR) AS c
+              FROM u
+             UNION ALL
+                   SELECT 'hash_null', CAST(h % 2 AS VARCHAR),
+                CAST((h // 2) % 2 AS VARCHAR)
+              FROM u
+             UNION ALL
+                   SELECT 'lang_source', lang, source FROM u),
+          cells AS (SELECT panel, r, c, CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY 1, 2, 3),
+          rowm AS (SELECT panel, r, SUM(n) AS rn
+              FROM cells GROUP BY 1, 2),
+          colm AS (SELECT panel, c, SUM(n) AS cn
+              FROM cells GROUP BY 1, 2),
+          tot AS (SELECT panel, SUM(n) AS nn FROM cells GROUP BY 1),
+          rc AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS r
+              FROM rowm GROUP BY 1),
+          cc AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS c
+              FROM colm GROUP BY 1),
+          grid AS (SELECT rowm.panel, rn, cn,
+                COALESCE(cells.n, 0) AS n, nn
+              FROM rowm
+              JOIN colm ON colm.panel = rowm.panel
+              LEFT JOIN cells ON cells.panel = rowm.panel
+                AND cells.r = rowm.r AND cells.c = colm.c
+              JOIN tot ON tot.panel = rowm.panel),
+          terms AS (SELECT panel, nn,
+                (1000000 * (CAST(nn AS HUGEINT) * n
+                    - CAST(rn AS HUGEINT) * cn)
+                  * (CAST(nn AS HUGEINT) * n
+                    - CAST(rn AS HUGEINT) * cn))
+                // (CAST(nn AS HUGEINT) * rn * cn) AS term
+              FROM grid),
+          pp AS (SELECT panel, MAX(nn) AS n, SUM(term) AS chi2
+              FROM terms GROUP BY 1),
+          fin AS (SELECT pp.panel, n, rc.r, cc.c,
+                CASE WHEN rc.r < 2 OR cc.c < 2 THEN NULL
+                     ELSE chi2 END AS chi2_e6
+              FROM pp
+              JOIN rc ON rc.panel = pp.panel
+              JOIN cc ON cc.panel = pp.panel)
+         SELECT panel, CAST(n AS BIGINT) AS n, r, c,
+                CAST(chi2_e6 AS BIGINT) AS chi2_e6,
+                CAST(CASE WHEN chi2_e6 IS NULL THEN NULL
+                     ELSE chi2_e6 // (CAST(n AS HUGEINT)
+                       * (LEAST(r, c) - 1)) END AS BIGINT) AS v2_e6,
+                CAST(CASE WHEN chi2_e6 IS NULL THEN 0
+                          WHEN (r - 1) * (c - 1) > 8 THEN NULL
+                          WHEN chi2_e6 >= (${RankTest.Chi2Crit95E6ByDf
+                            .mkString("[", ",", "]")})[CAST((r - 1)
+                            * (c - 1) AS INT)] THEN 1
+                          ELSE 0 END AS BIGINT) AS sig
+         FROM fin ORDER BY panel""",
     // q_qr22: the jensenShannonExactOracleSql generator (both ln
     // chains embed the same 256-cell table; one // quantization)
     "q_qr22_jsd" -> {
@@ -4433,6 +4570,27 @@ object LlmPipeline {
                   AS BIGINT) AS mismatch
          FROM s WHERE sniffed IS NOT NULL
          GROUP BY declared, sniffed ORDER BY declared, sniffed""",
+    // q_m12: generator-formula replay — the SOF walk must invert the
+    // variable-offset construction; the SOS-first decoy leg is NULL
+    "q_m12_jpeg_dims" ->
+      """WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          x AS (SELECT doc_id,
+                CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS parsed,
+                16 + (doc_id % 101) * 7 AS w,
+                16 + ((doc_id // 101) % 53) * 12 AS h
+              FROM d),
+          y AS (SELECT parsed,
+                CASE WHEN parsed = 1 THEN w END AS w,
+                CASE WHEN parsed = 1 THEN h END AS h
+              FROM x)
+         SELECT CAST(parsed AS BIGINT) AS parsed,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(w) AS BIGINT) AS sum_w,
+                CAST(SUM(h) AS BIGINT) AS sum_h,
+                CAST(COUNT(CASE WHEN w < 512 OR h < 512 THEN 1 END)
+                  AS BIGINT) AS n_small
+         FROM y GROUP BY parsed ORDER BY parsed""",
     // q_m11: generator-formula replay (the q_m9 inversion gate) —
     // Spark parses dims back out of the bytes; the oracle recomputes
     // them from doc_id arithmetic, so endianness, offsets and the

@@ -709,6 +709,26 @@ class PlanAuditSpec extends SparkSpec {
       s"q_m11 lost its hash aggregation:\n${plan.take(1200)}")
   }
 
+  test("jpeg dims: route filter + kernel + one aggregation, join-free") {
+    // q_m12's scale contract: the jpeg-magic sniff filter fuses into
+    // the scan so the kernel only sees routed rows; the audit is one
+    // map-side-combinable hash agg
+    val plan = executedPlan(q("q_m12_jpeg_dims"))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q_m12 grew a join:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m12 lost its hash aggregation:\n${plan.take(1200)}")
+  }
+
+  test("independence: margin joins stay panel equi-joins, no cartesian") {
+    // q_qr23's full r×c grid is the margin×margin join ON PANEL —
+    // category-sized by construction; a shuffle cartesian would mean
+    // a corpus frame leaked into the grid math
+    val plan = executedPlan(q("q_qr23_independence"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_qr23 plan contains a cartesian:\n${plan.take(1500)}")
+  }
+
   test("codec audit: the declared join-back stays an equi-join") {
     // q_m10 joins the walked metadata back to the declared frame on
     // doc_id — a loop join here would be |routed|² at corpus scale

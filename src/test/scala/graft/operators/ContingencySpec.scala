@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Exact χ² independence + Cramér's V² (r14, L162). Hand-worked 2×2
+  * rationals, the zero-cell materialization, degenerate and
+  * beyond-table conventions, and a seeded BigInt cascade replay. */
+class ContingencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, String)]) = {
+    val df = rows.map { case (r, c) => ("p", r, c) }.toDF("p", "rv", "cv")
+    val row = Contingency.chiSquare(df, "p", "rv", "cv").collect().head
+    (row.getLong(1), row.getLong(2), row.getLong(3),
+      if (row.isNullAt(4)) None else Some(row.getLong(4)),
+      if (row.isNullAt(5)) None else Some(row.getLong(5)),
+      if (row.isNullAt(6)) None else Some(row.getLong(6)))
+  }
+
+  private def grid(cells: (Int, Int, Int, Int)): Seq[(String, String)] =
+    Seq.fill(cells._1)(("r0", "c0")) ++ Seq.fill(cells._2)(("r0", "c1")) ++
+      Seq.fill(cells._3)(("r1", "c0")) ++ Seq.fill(cells._4)(("r1", "c1"))
+
+  test("perfect association: chi2 = N exactly, V2 = 1, flags") {
+    // [[10,0],[0,10]]: every cell term (N·n − RC)²/(NRC) = 5 → 20
+    val (n, r, c, chi2, v2, sig) = run(grid((10, 0, 0, 10)))
+    assert((n, r, c) === ((20L, 2L, 2L)))
+    assert(chi2 === Some(20000000L), "χ² = N = 20")
+    assert(v2 === Some(1000000L) && sig === Some(1L))
+  }
+
+  test("exact independence: chi2 = 0, V2 = 0, no flag") {
+    // [[4,6],[6,9]]: margins 10/15 × 10/15, N=25 — every N·n = RC
+    val (_, _, _, chi2, v2, sig) = run(grid((4, 6, 6, 9)))
+    assert(chi2 === Some(0L) && v2 === Some(0L) && sig === Some(0L))
+  }
+
+  test("zero cells materialize: an absent (r,c) pair still adds mass") {
+    // [[6,0],[2,2]]: the (r0,c1) cell is EMPTY — its (0 − RC/N)²
+    // term must appear. χ² = Σ(Nn−RC)²/(NRC):
+    // cells (60−48)²/480, (0−12·2)²/... N=10 R=6,4 C=8,2:
+    // (10·6−48)²/(10·48)=144/480, (0−12)²/120, (10·2−32)²/320,
+    // (10·2−8)²/80 = 0.3+1.2+0.45+1.8 = 3.75
+    val (_, _, _, chi2, _, sig) = run(grid((6, 0, 2, 2)))
+    assert(chi2 === Some(3750000L) && sig === Some(0L))
+  }
+
+  test("degenerate single-row grid: NULL statistics, sig 0") {
+    val (_, r, _, chi2, v2, sig) =
+      run(Seq(("r0", "c0"), ("r0", "c1"), ("r0", "c1")))
+    assert(r === 1L && chi2 === None && v2 === None && sig === Some(0L))
+  }
+
+  test("df beyond the table: chi2 emitted, verdict NULL") {
+    // 2×10 grid → df = 9 > 8
+    val rows = (0 until 10).flatMap(c =>
+      Seq(("r0", s"c$c"), ("r1", s"c$c")))
+    val (_, _, c, chi2, _, sig) = run(rows)
+    assert(c === 10L && chi2.isDefined && sig === None)
+  }
+
+  test("seeded BigInt cascade replay, zero cells included") {
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 500).map { _ =>
+      val r = s"r${rnd.nextInt(3)}"
+      // column leans on the row in a seeded way → some association
+      val c = s"c${(rnd.nextInt(4) + (if (r == "r2") 1 else 0)) % 4}"
+      (r, c)
+    }
+    val (n, _, _, chi2, v2, _) = run(rows)
+    val rs = rows.map(_._1).distinct.sorted
+    val cs = rows.map(_._2).distinct.sorted
+    val bigN = BigInt(rows.size)
+    val want = (for (r <- rs; c <- cs) yield {
+      val nrc = BigInt(rows.count(p => p._1 == r && p._2 == c))
+      val rn = BigInt(rows.count(_._1 == r))
+      val cn = BigInt(rows.count(_._2 == c))
+      val dev = bigN * nrc - rn * cn
+      BigInt(1000000) * dev * dev / (bigN * rn * cn)
+    }).sum
+    assert(n === rows.size.toLong)
+    assert(chi2 === Some(want.toLong))
+    val wantV2 = want / (bigN * (math.min(rs.size, cs.size) - 1))
+    assert(v2 === Some(wantV2.toLong))
+  }
+}

@@ -114,4 +114,55 @@ class ImageHeadersSpec extends SparkSpec {
       ImageHeaders.withDims(df, "content")
     }
   }
+
+  // ---- JPEG SOF walk (r14, L161) -----------------------------------
+
+  test("jpeg: REAL ImageIO round-trip at asymmetric dims") {
+    assert(ImageHeaders.jpegDims(encode(37, 21, "jpg"))
+      === Some((37L, 21L)))
+  }
+
+  test("jpeg: SOF behind variable-length APP0/COM, fill FFs, DHT skip") {
+    // SOI, APP0(len 8: 6 zeros), COM(len 4: 'AB'), a DHT (C4 — a
+    // table marker in SOF's range that must be SKIPPED), two fill
+    // FFs, then SOF0 h=300 (012C) w=513 (0201)
+    val b = hexBytes("FFD8" + "FFE00008" + "000000000000" +
+      "FFFE0004" + "4142" + "FFC40005" + "010203" +
+      "FFFF" + "FFC0000B08" + "012C" + "0201" + "03" + "FFD9")
+    assert(ImageHeaders.jpegDims(b) === Some((513L, 300L)))
+  }
+
+  test("jpeg: standalone RST/TEM markers advance without a length") {
+    val b = hexBytes("FFD8" + "FF01" + "FFD0" +
+      "FFC2000B08" + "0015" + "0025" + "03" + "FFD9") // SOF2 counts
+    assert(ImageHeaders.jpegDims(b) === Some((37L, 21L)))
+  }
+
+  test("jpeg violation conventions: None, never garbage") {
+    // SOS before SOF; EOI before SOF; no SOI; zero width; truncated
+    // SOF; a non-FF where a marker must start; segment length < 2
+    val cases = Seq(
+      "FFD8" + "FFDA0008010101" + "FFC0000B0800150025" + "03",
+      "FFD8" + "FFD9",
+      "00D8" + "FFC0000B08001500250300",
+      "FFD8" + "FFC0000B08" + "0015" + "0000" + "03",
+      "FFD8" + "FFC0000B08" + "0015",
+      "FFD8" + "00C0000B08001500250300",
+      "FFD8" + "FFE00001")
+    for (c <- cases)
+      assert(ImageHeaders.jpegDims(hexBytes(c)) === None, c)
+  }
+
+  test("jpegDimsOf: router keeps non-jpeg rows out of the kernel") {
+    val rows = Seq(
+      (0L, encode(37, 21, "jpg")),
+      (1L, encode(37, 21, "png")),
+      (2L, hexBytes("FFD8FFD9"))) // jpeg magic, violated structure
+    val got = ImageHeaders.jpegDimsOf(rows.toDF("id", "content"),
+        "id", "content")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toSeq
+    assert(got === Seq((0L, Some(37L)), (2L, None)))
+  }
 }
