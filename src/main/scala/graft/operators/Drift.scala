@@ -211,7 +211,7 @@ object Drift {
     * lookup), factored on a column-name prefix so one frame can carry
     * several logarithms. Operands must be positive and < 2⁶³ (callers
     * document their capacity bound). */
-  private def withTableLn(df: DataFrame, pre: String): DataFrame = {
+  private[operators] def withTableLn(df: DataFrame, pre: String): DataFrame = {
     val d38 = "decimal(38,0)"
     def pow2(e: Column): Column =
       pow(lit(2.0), e.cast("double")).cast(d38)
@@ -289,6 +289,57 @@ object Drift {
             + col("__nq").cast(d38) * col("__qln").cast(d38),
           lit(2L).cast(d38) * col("__d1").cast(d38)
             * col("__d2").cast(d38)).as("jsd_e9"))
+  }
+
+  /** JVM mirror of the table-ln column chain — the streaming twin's
+    * scoring fold (the Manifest.rowHashJvm convention: one mirror in
+    * main, spec-pinned bit-for-bit against the expression path so the
+    * twins cannot drift). Same contract: positive operands, floored
+    * 256-cell mantissa. */
+  private[graft] def lnE9Jvm(num: BigInt, den: BigInt): Long = {
+    require(num > 0 && den > 0, s"lnE9Jvm needs positive operands")
+    var k = num.bitLength - den.bitLength
+    def sn(kk: Int) = if (kk >= 0) num else num << -kk
+    def sd(kk: Int) = if (kk >= 0) den << kk else den
+    if (sn(k) < sd(k)) k -= 1
+    val mi = (sn(k) * 256 / sd(k) - 256).toInt
+    k.toLong * Ln2E9 + MantissaLnE9(mi)
+  }
+
+  /** JVM mirror of [[categoricalExact]] over explicit bucket counts:
+    * (bucket, n_ref, n_cur, psi_e9) rows, sorted by bucket. Buckets
+    * absent on one side enter with count 0 (the outer-join
+    * convention). */
+  private[graft] def tablePsiJvm(ref: Map[Long, Long],
+      cur: Map[Long, Long]): Seq[(Long, Long, Long, Long)] = {
+    val buckets = (ref.keySet ++ cur.keySet).toSeq.sorted
+    val tr = BigInt(ref.values.sum); val tc = BigInt(cur.values.sum)
+    val b = BigInt(buckets.size)
+    val d1 = 2 * tr + b; val d2 = 2 * tc + b
+    buckets.map { k =>
+      val nr = ref.getOrElse(k, 0L); val nc = cur.getOrElse(k, 0L)
+      val num = (BigInt(2) * nr + 1) * d2
+      val den = (BigInt(2) * nc + 1) * d1
+      (k, nr, nc, ((num - den) * lnE9Jvm(num, den) / (d1 * d2)).toLong)
+    }
+  }
+
+  /** JVM mirror of [[jensenShannonExact]] over explicit bucket
+    * counts: (bucket, n_ref, n_cur, jsd_e9) rows, sorted. */
+  private[graft] def tableJsdJvm(ref: Map[Long, Long],
+      cur: Map[Long, Long]): Seq[(Long, Long, Long, Long)] = {
+    val buckets = (ref.keySet ++ cur.keySet).toSeq.sorted
+    val tr = BigInt(ref.values.sum); val tc = BigInt(cur.values.sum)
+    val b = BigInt(buckets.size)
+    val d1 = 2 * tr + b; val d2 = 2 * tc + b
+    buckets.map { k =>
+      val nr = ref.getOrElse(k, 0L); val nc = cur.getOrElse(k, 0L)
+      val np = (BigInt(2) * nr + 1) * d2
+      val nq = (BigInt(2) * nc + 1) * d1
+      val pln = lnE9Jvm(2 * np, np + nq)
+      val qln = lnE9Jvm(2 * nq, np + nq)
+      (k, nr, nc, ((np * pln + nq * qln) / (2 * d1 * d2)).toLong)
+    }
   }
 
   /** The DuckDB replay of [[jensenShannonExact]] — the

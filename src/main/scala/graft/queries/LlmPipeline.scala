@@ -1232,6 +1232,29 @@ object LlmPipeline {
           rounds = 6)
         .orderBy(col("event_type"))
     }),
+    "q_e30_churn_survival" -> ((s, dir) => {
+      // Kaplan–Meier churn survival (r14, L163; Kaplan & Meier 1958):
+      // the retention curve under RIGHT-CENSORING — users still
+      // active in the stream's closing 7 days are censored, not
+      // counted churned (the bias q_e8's plain cohort retention
+      // cannot remove). Emitted as the exact log-survival through the
+      // L151 table (its FOURTH consumer): every step an integer both
+      // engines replay; censoring-only steps hold the curve exactly
+      // flat; an emptied risk set ends the curve in honest NULLs.
+      // The curve runs on the SPARSE purchase stream: the full stream
+      // is so dense (~2 events/user/day) that every user is active in
+      // the closing week and no churn exists to estimate (measured
+      // before choosing the leg — gate-scale purchase churn: 55 of
+      // 1500 users, 21 distinct tenures, both regimes live).
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      Survival.kaplanMeier(
+          Survival.durations(purchases, "user_id",
+            graft.Tables.epochMicros(purchases, "ts"), gapDays = 7),
+          "tenure", "event")
+        .orderBy(col("t"))
+    }),
     "q_e29_lead_lag" -> ((s, dir) => {
       // lead-lag cross-correlation (r13, L147): which event type LEADS
       // which — corr(a@x, b@x+lag) over lags [−3, +3] for every
@@ -5092,6 +5115,23 @@ object LlmPipeline {
          ORDER BY step, p_e6""",
     // q_e29: the lag-shifted equi-join over the daily grid + the
     // q_a13 moment/round tail, NULL on n<2 or zero variance
+    // q_e30: the kaplanMeierOracleSql generator (risk-set suffix sum,
+    // the embedded mantissa table, the emptied-set NULL gate) over the
+    // replayed durations protocol
+    "q_e30_churn_survival" -> (Survival.kaplanMeierOracleSql(
+      """SELECT l - f AS t,
+            CASE WHEN l < maxd - 6 THEN 1 ELSE 0 END AS ev
+         FROM (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS f,
+                 MAX(epoch_us(ts) // 86400000000) AS l
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type = 'purchase'
+               GROUP BY user_id)
+         CROSS JOIN (SELECT MAX(epoch_us(ts) // 86400000000) AS maxd
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type = 'purchase')""") +
+      " ORDER BY t"),
     "q_e29_lead_lag" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS us
               FROM events

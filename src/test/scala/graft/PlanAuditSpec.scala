@@ -729,6 +729,22 @@ class PlanAuditSpec extends SparkSpec {
       s"q_qr23 plan contains a cartesian:\n${plan.take(1500)}")
   }
 
+  test("survival: tenure-grid windows only; the one loop join is the " +
+      "1-row horizon broadcast") {
+    // q_e30's corpus-shaped work is ONE per-user aggregation; the
+    // risk-set/curve windows run over the tenure grid (day-span
+    // bounded). The only nested-loop join allowed is the documented
+    // 1-row horizon broadcast in durations().
+    val plan = executedPlan(q("q_e30_churn_survival"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_e30 plan contains a cartesian:\n${plan.take(1500)}")
+    // count in the FINAL section only (the AQE toString repeat)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(loops <= 1,
+      s"q_e30 grew $loops loop joins (1-row horizon broadcast allows 1)")
+  }
+
   test("codec audit: the declared join-back stays an equi-join") {
     // q_m10 joins the walked metadata back to the declared frame on
     // doc_id — a loop join here would be |routed|² at corpus scale
