@@ -329,6 +329,53 @@ object ScaleProbe {
     // 10% planted single-char typos (the true-pair load), d=1. The
     // quadratic baseline is 10⁵× infeasible at the top size; the claim
     // is that blocked-exact stays near-linear in corpus size.
+    // --- header-slice vs decode (L160, r14): the pre-decode
+    // resolution screen's claim with numbers — parsing dims from ≤26
+    // header bytes as a codegen'd slice vs ImageIO-decoding the blob
+    // (the only pre-L160 way to learn dimensions). REAL tiny PNGs (32
+    // distinct, pre-encoded once) so the decode side does genuine
+    // work; production images are far larger, so the measured ratio
+    // is a floor on the real saving.
+    if (sections("dims")) {
+      import graft.operators.{ImageHeaders, Multimodal}
+      val blobs: Seq[Array[Byte]] = (0 until 32).map { i =>
+        val img = new java.awt.image.BufferedImage(64 + i, 48 + i,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val nd = n / 10 // 1M blobs at the default N
+      val path = s"$base/dims_blobs"
+      spark.range(0, nd, 1, 256).select(col("id"),
+          element_at(typedlit(blobs), pmod(col("id"), lit(32L))
+            .cast("int") + 1).as("content"))
+        .write.mode("overwrite").parquet(path)
+      val packed = spark.read.parquet(path)
+      def consumeHeader(): Unit =
+        ImageHeaders.withDims(packed, "content")
+          .agg(count(col("width")), sum(col("width")),
+            sum(col("height"))).collect()
+      def consumeDecode(): Unit = {
+        import spark.implicits._
+        packed.select(col("id"), col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (_, b) =>
+            Multimodal.decodeImage(b) match {
+              case Some(d) => (1L, d.width.toLong, d.height.toLong)
+              case None => (0L, 0L, 0L)
+            }
+          })
+          .toDF("ok", "w", "h")
+          .agg(sum(col("ok")), sum(col("w")), sum(col("h"))).collect()
+      }
+      val tHdr = timeIt(2)(consumeHeader())
+      val tDec = timeIt(2)(consumeDecode())
+      println(f"| ${nd / 1000000}M real PNG blobs | dims " +
+        f"(decode kernel vs header slice) | $tDec%.1f | $tHdr%.1f | " +
+        f"${tDec / tHdr}%.1fx | — |")
+    }
+
     if (sections("fuzzy")) {
       import graft.operators.FuzzyJoin
       // NOTE the fixture is deliberately DENSE: every base key is lev-1

@@ -129,8 +129,9 @@ object RankTest {
     *
     * Capacity: term_c = 3·10⁶·R2_c² with R2_c ≤ 2N² needs
     * 1.2·10⁷·N⁴ < 10³⁸ ⇒ N ≤ ~4·10⁷ rows per group (subsample
-    * beyond; the verdict is long decided). h₀·(N³−N) ≤ 10⁶·N⁴ is
-    * inside the same bound.
+    * beyond; the verdict is long decided). h₀·(N³−N) is bounded by
+    * the SAME 1.2·10⁷·N⁴ (S ≤ 1.2·10⁷·N³ since R2_c²/n_c ≤ 4·n_c·N²,
+    * so h₀ ≤ 1.2·10⁷·N) — one bound governs both steps.
     *
     * Scale shape: one map-side-combinable (group, cohort, value) count
     * collapses the corpus; the value grid and its running `below` are
@@ -201,7 +202,8 @@ object RankTest {
     * u2_a = 2U and
     *   auc_e6 = ⌊10⁶·u2_a / (2·n_pos·n_neg)⌋
     * is one exact integral division (u2_a ≤ 2·n₊·n₋ keeps the
-    * numerator ≤ 2·10⁶·n₊·n₋ — inside DECIMAL(38,0) for any corpus).
+    * numerator ≤ 2·10⁶·n₊·n₋; inside DECIMAL(38,0) while
+    * n₊·n₋ < 5·10³¹ — i.e. any group under ~10¹⁵ rows).
     * Either cohort empty ⇒ NULL (the mannWhitney convention). 0.5 is
     * chance; the z2_e6/sig columns carry over, so "is this AUC
     * significantly off chance" rides the same tie-corrected test. */
