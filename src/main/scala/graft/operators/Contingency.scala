@@ -100,4 +100,63 @@ object Contingency {
       .select(col(panelCol), col("n"), col("r"), col("c"),
         col("chi2_e6"), col("v2_e6"), col("sig"))
   }
+
+  /** Simpson's-paradox reversal detector (Simpson 1951, JRSS B; the
+    * Yule 1903 association paradox) — the CONFOUNDING screen a
+    * curation pipeline runs before trusting any pooled 2×2 read
+    * ("dedup helps quality overall" can be the pooled artifact of a
+    * stratum mix): per stratum the exact association direction
+    *   Δ_s = n₁₁·n₀₀ − n₁₀·n₀₁
+    * (the cross-product / odds-ratio numerator — sign(Δ) is the
+    * association sign, no division, no float), the pooled Δ over
+    * summed cells, and the STRICT reversal verdict: pooled sign
+    * nonzero, every stratum sign nonzero, and the pooled sign
+    * opposite to EVERY stratum's. Flags (binary 0/1) outside {0,1}
+    * drop (hygiene, spec-pinned).
+    *
+    * Capacity: Δ is a product of two cell counts — DECIMAL(38,0)
+    * holds any N ≤ ~10¹⁸ (cells ≤ N); no quantization anywhere, the
+    * statistic is a pure integer sign.
+    *
+    * Scale shape: ONE map-side-combinable (panel, stratum)
+    * conditional-count aggregation collapses the corpus; the pooled
+    * pass is a stratum-grid aggregation; the verdict is grid math. */
+  def simpsonReversal(df: DataFrame, panelCol: String,
+      stratumCol: String, rowCol: String, colCol: String): DataFrame = {
+    Reserved.guard(Seq(panelCol),
+      Seq("__s", "__r", "__c", "__n11", "__n10", "__n01", "__n00",
+        "__sign", "n_strata", "n_pos", "n_neg", "pooled_sign",
+        "reversal"),
+      "Contingency")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(panelCol).isNotNull && col(stratumCol).isNotNull)
+      .select(col(panelCol), col(stratumCol).cast("string").as("__s"),
+        col(rowCol).cast("long").as("__r"),
+        col(colCol).cast("long").as("__c"))
+      .filter(col("__r").isin(0L, 1L) && col("__c").isin(0L, 1L))
+    def cell(r: Long, c: Long) =
+      sum(when(col("__r") === r && col("__c") === c, 1L).otherwise(0L))
+    val strata = base.groupBy(col(panelCol), col("__s"))
+      .agg(cell(1L, 1L).as("__n11"), cell(1L, 0L).as("__n10"),
+        cell(0L, 1L).as("__n01"), cell(0L, 0L).as("__n00"))
+    def delta(p: String) =
+      col(p + "n11").cast(d38) * col(p + "n00").cast(d38) -
+        col(p + "n10").cast(d38) * col(p + "n01").cast(d38)
+    val signed = strata.withColumn("__sign",
+      signum(delta("__")).cast("long"))
+    signed.groupBy(col(panelCol))
+      .agg(count(lit(1)).as("n_strata"),
+        sum((col("__sign") === 1L).cast("long")).as("n_pos"),
+        sum((col("__sign") === -1L).cast("long")).as("n_neg"),
+        sum(col("__n11")).as("__n11"), sum(col("__n10")).as("__n10"),
+        sum(col("__n01")).as("__n01"), sum(col("__n00")).as("__n00"))
+      .withColumn("pooled_sign", signum(delta("__")).cast("long"))
+      .withColumn("reversal",
+        ((col("pooled_sign") === 1L && col("n_neg") === col("n_strata"))
+          || (col("pooled_sign") === -1L
+            && col("n_pos") === col("n_strata"))).cast("long"))
+      .select(col(panelCol), col("n_strata"), col("n_pos"),
+        col("n_neg"), col("pooled_sign"), col("reversal"))
+  }
 }

@@ -1232,6 +1232,33 @@ object LlmPipeline {
           rounds = 6)
         .orderBy(col("event_type"))
     }),
+    "q_e31_logrank" -> ((s, dir) => {
+      // two-sample log-rank over the q_e30 churn protocol (r14, L165;
+      // Mantel 1966): "do these cohorts CHURN differently" as a test,
+      // not a pair of curves to eyeball. Two panels on the purchase
+      // stream: a hash-parity A/A split (exchangeable → z² ~ χ²₁,
+      // null) and the entry-time cohort split (first purchase before
+      // day 10 vs after — late entrants' tenures are horizon-capped,
+      // the classic cohort-mix effect the test must flag).
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      val dur = Survival.durations(purchases, "user_id",
+        graft.Tables.epochMicros(purchases, "ts"), gapDays = 7)
+      val h = pmod(conv(substring(md5(col("user_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(2L))
+      val aa = dur.select(lit("aa_null").as("panel"),
+        h.cast("string").as("grp"), col("tenure"), col("event"))
+      val minDay = dur.agg(min(col("first_day")).as("__mind"))
+      val ec = dur.crossJoin(broadcast(minDay))
+        .select(lit("entry_cohort").as("panel"),
+          when(col("first_day") < col("__mind") + 10L, "early")
+            .otherwise("late").as("grp"), col("tenure"), col("event"))
+      Survival.logRank(aa, "panel", "grp", "tenure", "event", "0", "1")
+        .unionByName(Survival.logRank(ec, "panel", "grp", "tenure",
+          "event", "early", "late"))
+        .orderBy(col("panel"))
+    }),
     "q_e30_churn_survival" -> ((s, dir) => {
       // Kaplan–Meier churn survival (r14, L163; Kaplan & Meier 1958):
       // the retention curve under RIGHT-CENSORING — users still
@@ -2578,6 +2605,36 @@ object LlmPipeline {
           "leg", "v")
         .orderBy(col("leg"))
     }),
+    "q_qr24_simpson" -> ((s, dir) => {
+      // Simpson's-paradox reversal detector (r14, L164; Simpson 1951,
+      // Yule 1903): the confounding screen behind q_qr23 — a pooled
+      // 2×2 association can be the ARTIFACT of a stratum mix. Two
+      // panels: a PLANTED classic reversal built from doc_id mod-100
+      // ranges (both strata Δ > 0, pooled Δ < 0 — the 8/2/28/12 vs
+      // 12/28/2/8 construction, scale-invariant because every mod
+      // class carries ~N/100 docs), and a hash-bit null (three md5
+      // bits — independent, no reversal). The oracle replays the
+      // ranges and the exact cross-product signs.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+      val u = pmod(col("doc_id"), lit(100L))
+      val planted = d.select(lit("planted").as("panel"),
+        when(u < 50L, "s0").otherwise("s1").as("st"),
+        when(u < 10L || (u >= 50L && u < 90L), 1L).otherwise(0L)
+          .as("rv"),
+        when(u < 8L || (u >= 10L && u < 38L)
+          || (u >= 50L && u < 62L) || u >= 90L && u < 92L, 1L)
+          .otherwise(0L).as("cv"))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val nul = d.select(lit("hash_null").as("panel"),
+        pmod(h, lit(2L)).cast("string").as("st"),
+        pmod(call_function("div", h, lit(2L)), lit(2L)).as("rv"),
+        pmod(call_function("div", h, lit(4L)), lit(2L)).as("cv"))
+      Contingency.simpsonReversal(planted.unionByName(nul),
+          "panel", "st", "rv", "cv")
+        .orderBy(col("panel"))
+    }),
     "q_qr23_independence" -> ((s, dir) => {
       // exact χ² independence + Cramér's V² (r14, L162; Pearson 1900,
       // Cramér 1946): the categorical-ASSOCIATION panel member —
@@ -3598,6 +3655,64 @@ object LlmPipeline {
           SELECT 'len_drift' AS pair, * FROM $dr
           ORDER BY pair, bucket"""
     },
+    // q_qr24: range + hash-bit replay; per-stratum and pooled
+    // cross-product signs as exact integers, the strict verdict CASE
+    "q_qr24_simpson" ->
+      """WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL),
+          u AS (SELECT doc_id, doc_id % 100 AS u,
+                CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 AS h
+              FROM d),
+          base AS (SELECT 'planted' AS panel,
+                CASE WHEN u < 50 THEN 's0' ELSE 's1' END AS st,
+                CASE WHEN u < 10 OR (u >= 50 AND u < 90)
+                     THEN 1 ELSE 0 END AS rv,
+                CASE WHEN u < 8 OR (u >= 10 AND u < 38)
+                       OR (u >= 50 AND u < 62)
+                       OR (u >= 90 AND u < 92)
+                     THEN 1 ELSE 0 END AS cv
+              FROM u
+             UNION ALL
+                   SELECT 'hash_null', CAST(h % 2 AS VARCHAR),
+                (h // 2) % 2, (h // 4) % 2
+              FROM u),
+          cells AS (SELECT panel, st,
+                CAST(SUM(CASE WHEN rv = 1 AND cv = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+                CAST(SUM(CASE WHEN rv = 1 AND cv = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+                CAST(SUM(CASE WHEN rv = 0 AND cv = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+                CAST(SUM(CASE WHEN rv = 0 AND cv = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+              FROM base GROUP BY 1, 2),
+          signs AS (SELECT panel, st,
+                CAST(SIGN(CAST(n11 AS HUGEINT) * n00
+                  - CAST(n10 AS HUGEINT) * n01) AS BIGINT) AS s,
+                n11, n10, n01, n00
+              FROM cells),
+          pp AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS n_strata,
+                CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+                CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_neg,
+                SUM(n11) AS n11, SUM(n10) AS n10,
+                SUM(n01) AS n01, SUM(n00) AS n00
+              FROM signs GROUP BY 1)
+         SELECT panel, n_strata, n_pos, n_neg,
+                CAST(SIGN(CAST(n11 AS HUGEINT) * n00
+                  - CAST(n10 AS HUGEINT) * n01) AS BIGINT)
+                  AS pooled_sign,
+                CAST(CASE WHEN (SIGN(CAST(n11 AS HUGEINT) * n00
+                      - CAST(n10 AS HUGEINT) * n01) = 1
+                      AND n_neg = n_strata)
+                    OR (SIGN(CAST(n11 AS HUGEINT) * n00
+                      - CAST(n10 AS HUGEINT) * n01) = -1
+                      AND n_pos = n_strata)
+                  THEN 1 ELSE 0 END AS BIGINT) AS reversal
+         FROM pp ORDER BY panel""",
     // q_qr23: margin-cross replay — the FULL r×c grid (zero cells
     // carry mass), one // per cell, the df-indexed χ² table, and the
     // qr18 hash-bit convention for the A/A leg
@@ -5115,6 +5230,83 @@ object LlmPipeline {
          ORDER BY step, p_e6""",
     // q_e29: the lag-shifted equi-join over the daily grid + the
     // q_a13 moment/round tail, NULL on n<2 or zero variance
+    // q_e31: durations replay + the hypergeometric e/v cascade with
+    // per-event-time floors, two suffix-sum risk windows, the strict
+    // degenerate CASEs
+    "q_e31_logrank" ->
+      """WITH pu AS (SELECT user_id,
+                MIN(epoch_us(ts) // 86400000000) AS f,
+                MAX(epoch_us(ts) // 86400000000) AS l
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type = 'purchase'
+              GROUP BY user_id),
+          hz AS (SELECT MAX(l) AS maxd FROM pu),
+          dur AS (SELECT user_id, f, l - f AS t,
+                CASE WHEN l < maxd - 6 THEN 1 ELSE 0 END AS ev
+              FROM pu CROSS JOIN hz),
+          base AS (SELECT 'aa_null' AS panel,
+                CASE WHEN CAST(concat('0x', substr(md5(
+                    CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                    % 2 = 0
+                  THEN 1 ELSE 0 END AS isa,
+                t, ev
+              FROM dur
+             UNION ALL
+                   SELECT 'entry_cohort',
+                CASE WHEN f < mind + 10 THEN 1 ELSE 0 END, t, ev
+              FROM dur
+              CROSS JOIN (SELECT MIN(f) AS mind FROM dur)),
+          cells AS (SELECT panel, t,
+                CAST(SUM(CASE WHEN isa = 1 THEN ev ELSE 0 END)
+                  AS BIGINT) AS da,
+                CAST(SUM(CASE WHEN isa = 0 THEN ev ELSE 0 END)
+                  AS BIGINT) AS db,
+                CAST(SUM(isa) AS BIGINT) AS ta,
+                CAST(SUM(1 - isa) AS BIGINT) AS tb
+              FROM base GROUP BY 1, 2),
+          risk AS (SELECT *,
+                CAST(SUM(ta) OVER (PARTITION BY panel ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS na,
+                CAST(SUM(tb) OVER (PARTITION BY panel ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS nb
+              FROM cells),
+          ev2 AS (SELECT panel, da, na, nb,
+                CASE WHEN da + db > 0
+                  THEN (1000000 * CAST(da + db AS HUGEINT) * na)
+                    // (na + nb)
+                  ELSE 0 END AS e,
+                CASE WHEN da + db > 0 AND na + nb > 1
+                  THEN (1000000 * CAST(da + db AS HUGEINT) * na * nb
+                      * (na + nb - da - db))
+                    // (CAST(na + nb AS HUGEINT) * (na + nb)
+                      * (na + nb - 1))
+                  ELSE 0 END AS v
+              FROM risk),
+          pp AS (SELECT panel, MAX(na) AS n_a, MAX(nb) AS n_b,
+                SUM(da) AS o_a, SUM(e) AS se, SUM(v) AS sv
+              FROM ev2 GROUP BY 1),
+          fin AS (SELECT panel, n_a, n_b, o_a, se,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                     WHEN sv = 0 THEN NULL
+                     ELSE ((1000000 * CAST(o_a AS HUGEINT) - se)
+                       * (1000000 * CAST(o_a AS HUGEINT) - se)) // sv
+                END AS z2,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                     ELSE SIGN(1000000 * CAST(o_a AS HUGEINT) - se)
+                END AS ds
+              FROM pp)
+         SELECT panel, CAST(n_a AS BIGINT) AS n_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                CAST(o_a AS BIGINT) AS o_a,
+                CAST(se AS BIGINT) AS e_a_e6,
+                CAST(z2 AS BIGINT) AS z2_e6,
+                CAST(ds AS BIGINT) AS d_sign,
+                CAST(CASE WHEN z2 >= 3841459 THEN 1 ELSE 0 END
+                  AS BIGINT) AS sig
+         FROM fin ORDER BY panel""",
     // q_e30: the kaplanMeierOracleSql generator (risk-set suffix sum,
     // the embedded mantissa table, the emptied-set NULL gate) over the
     // replayed durations protocol

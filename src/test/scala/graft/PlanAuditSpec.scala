@@ -745,6 +745,26 @@ class PlanAuditSpec extends SparkSpec {
       s"q_e30 grew $loops loop joins (1-row horizon broadcast allows 1)")
   }
 
+  test("simpson + logrank: grid math only past the first aggregation") {
+    // q_qr24 is two aggregations (stratum cells, panel rollup);
+    // q_e31's loop joins are the two documented 1-row broadcasts
+    // (horizon, min-entry-day) — count them, allow nothing else
+    val p24 = executedPlan(q("q_qr24_simpson"))
+    assert(!p24.contains("Join") && !p24.contains("CartesianProduct"),
+      s"q_qr24 grew a join:\n${p24.take(1200)}")
+    val p31 = executedPlan(q("q_e31_logrank"))
+    assert(!p31.contains("CartesianProduct"),
+      s"q_e31 plan contains a cartesian:\n${p31.take(1500)}")
+    // the durations subtree re-expands per panel branch, each carrying
+    // its 1-row horizon broadcast: aa (1) + entry_cohort (horizon in
+    // the min-day agg, horizon in the main frame, the min-day join —
+    // 3). All four are 1-row broadcasts; anything more is a leak.
+    val finalPlan = p31.split("== Initial Plan ==").head
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(loops <= 4,
+      s"q_e31 grew $loops loop joins (four 1-row broadcasts allowed)")
+  }
+
   test("codec audit: the declared join-back stays an equi-join") {
     // q_m10 joins the walked metadata back to the declared frame on
     // doc_id — a loop join here would be |routed|² at corpus scale

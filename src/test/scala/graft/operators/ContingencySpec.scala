@@ -83,4 +83,69 @@ class ContingencySpec extends SparkSpec {
     val wantV2 = want / (bigN * (math.min(rs.size, cs.size) - 1))
     assert(v2 === Some(wantV2.toLong))
   }
+
+  // ---- Simpson reversal (r14, L164) --------------------------------
+
+  private def runSimpson(rows: Seq[(String, Long, Long)]) = {
+    val df = rows.map { case (s, r, c) => ("p", s, r, c) }
+      .toDF("p", "s", "rv", "cv")
+    val row = Contingency.simpsonReversal(df, "p", "s", "rv", "cv")
+      .collect().head
+    (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getLong(5))
+  }
+
+  private def cells(s: String, n11: Int, n10: Int, n01: Int,
+      n00: Int): Seq[(String, Long, Long)] =
+    Seq.fill(n11)((s, 1L, 1L)) ++ Seq.fill(n10)((s, 1L, 0L)) ++
+      Seq.fill(n01)((s, 0L, 1L)) ++ Seq.fill(n00)((s, 0L, 0L))
+
+  test("simpson: the classic planted reversal flags") {
+    // both strata Δ = +40 (8·12−2·28, 12·8−28·2); pooled Δ = −500
+    val rows = cells("a", 8, 2, 28, 12) ++ cells("b", 12, 28, 2, 8)
+    val (k, pos, neg, pooled, rev) = runSimpson(rows)
+    assert((k, pos, neg) === ((2L, 2L, 0L)))
+    assert(pooled === -1L && rev === 1L)
+  }
+
+  test("simpson: consistent strata do not flag") {
+    val rows = cells("a", 9, 1, 1, 9) ++ cells("b", 8, 2, 2, 8)
+    val (_, pos, _, pooled, rev) = runSimpson(rows)
+    assert(pos === 2L && pooled === 1L && rev === 0L)
+  }
+
+  test("simpson: a zero-sign stratum blocks the strict verdict") {
+    // stratum b independent (Δ = 0) — strict reversal requires every
+    // stratum sign nonzero and opposite
+    val rows = cells("a", 8, 2, 28, 12) ++ cells("b", 5, 5, 5, 5) ++
+      cells("c", 12, 28, 2, 8)
+    val (_, _, _, _, rev) = runSimpson(rows)
+    assert(rev === 0L)
+  }
+
+  test("simpson: non-binary flags drop (hygiene)") {
+    val rows = cells("a", 8, 2, 28, 12) ++ cells("b", 12, 28, 2, 8) ++
+      Seq(("a", 2L, 1L), ("b", 1L, 7L)) // junk rows must not count
+    val (_, _, _, _, rev) = runSimpson(rows)
+    assert(rev === 1L, "junk flags must not disturb the planted cells")
+  }
+
+  test("simpson: seeded BigInt replay of signs and pooled cells") {
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 600).map { _ =>
+      val s = s"s${rnd.nextInt(3)}"
+      (s, rnd.nextInt(2).toLong, rnd.nextInt(2).toLong)
+    }
+    val (k, pos, neg, pooled, _) = runSimpson(rows)
+    def sign(sub: Seq[(String, Long, Long)]): Int = {
+      def n(r: Long, c: Long) =
+        BigInt(sub.count(p => p._2 == r && p._3 == c))
+      (n(1, 1) * n(0, 0) - n(1, 0) * n(0, 1)).signum
+    }
+    val ss = rows.map(_._1).distinct
+    assert(k === ss.size.toLong)
+    assert(pos === ss.count(s => sign(rows.filter(_._1 == s)) > 0).toLong)
+    assert(neg === ss.count(s => sign(rows.filter(_._1 == s)) < 0).toLong)
+    assert(pooled === sign(rows).toLong)
+  }
 }
