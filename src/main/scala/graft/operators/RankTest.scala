@@ -194,6 +194,76 @@ object RankTest {
       .select(col(groupCol), col("k"), col("n"), col("h_e6"), col("sig"))
   }
 
+  /** Spearman rank correlation with exact midrank moments (Spearman
+    * 1904, Am. J. Psychol. 15) — "do these two signals move together
+    * MONOTONICALLY": the rank sibling of the q_a13 exact-moment
+    * Pearson (which reads linear association and is dragged by
+    * outliers; ranks are transform- and outlier-proof). Doubled
+    * midranks over each column's OWN distinct-value grid keep every
+    * moment integral; ρ is Pearson over those integers, and the 2s
+    * cancel — so the emission is the q_a13 convention exactly: five
+    * exact DECIMAL(38,0) moments, one cast-to-double per term, IEEE
+    * sqrt (correctly rounded), round to 6 dp. Degenerate: n < 2 or
+    * either column constant (zero rank variance) ⇒ NULL.
+    *
+    * Capacity: moments are summed in DECIMAL after casting (the
+    * leadLag silent-wrap lesson — the per-cell product c·R2x·R2y
+    * would wrap a LONG at ~10⁶ rows); n·Σc·R2² ≤ 4N⁴ < 10³⁸ ⇒
+    * N ≤ ~10⁹ rows per group.
+    *
+    * Scale shape: one map-side (group, x, y) pair-grid collapse
+    * (bounded by the joint value domain, never raw rows when the
+    * domains are quantized — the L43 discipline); per-column midranks
+    * are windows over each VALUE grid; two grid equi-joins hang the
+    * ranks back on the pair grid; one grid aggregation. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    Reserved.guard(Seq(groupCol),
+      Seq("__x", "__y", "__c", "__tx", "__ty", "__bx", "__by",
+        "__rx", "__ry", "n", "rho6"),
+      "RankTest")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val pairs = base.groupBy(col(groupCol), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def ranks(vCol: String, tName: String, bName: String,
+        rName: String) = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pairs.groupBy(col(groupCol), col(vCol))
+        .agg(sum(col("__c")).as(tName))
+        .withColumn(bName, coalesce(sum(col(tName)).over(w), lit(0L)))
+        .select(col(groupCol), col(vCol),
+          (lit(2L) * col(bName) + col(tName) + lit(1L)).as(rName))
+    }
+    val j = pairs
+      .join(ranks("__x", "__tx", "__bx", "__rx"),
+        Seq(groupCol, "__x"))
+      .join(ranks("__y", "__ty", "__by", "__ry"),
+        Seq(groupCol, "__y"))
+    val c = col("__c").cast(d38)
+    val rx = col("__rx").cast(d38); val ry = col("__ry").cast(d38)
+    val m = j.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(c * rx).as("__sx"), sum(c * ry).as("__sy"),
+        sum(c * rx * rx).as("__sxx"), sum(c * ry * ry).as("__syy"),
+        sum(c * rx * ry).as("__sxy"))
+    def d(x: org.apache.spark.sql.Column) = x.cast("double")
+    val nD = col("n").cast(d38)
+    val denx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nD * col("__syy") - col("__sy") * col("__sy")
+    m.select(col(groupCol), col("n"),
+      when(col("n") < 2L || denx === lit(0L).cast(d38)
+          || deny === lit(0L).cast(d38), lit(null).cast("double"))
+        .otherwise(round(
+          d(nD * col("__sxy") - col("__sx") * col("__sy")) /
+            sqrt(d(denx)) / sqrt(d(deny)), 6)).as("rho6"))
+  }
+
   /** Exact ROC-AUC via the rank-sum identity (Hanley & McNeil 1982,
     * Radiology 143; AUC = U/(n₊·n₋) with ties at half weight — exactly
     * the midrank construction [[mannWhitney]] already computes):

@@ -2605,6 +2605,54 @@ object LlmPipeline {
           "leg", "v")
         .orderBy(col("leg"))
     }),
+    "q_a26_spearman" -> ((s, dir) => {
+      // Spearman rank correlation (r14, L166; Spearman 1904): the
+      // monotone-association member beside q_a13's exact-moment
+      // Pearson — outlier- and transform-proof. Two legs: n_chars vs
+      // whitespace token count (monotone by construction of text →
+      // ρ ≈ 0.98 at sf0.1) and n_chars vs a 56-bit-hash value
+      // (exchangeable → ρ ≈ 0). Doubled midranks keep every moment
+      // integral; the tail is the q_a13 one-rounded-double convention.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("n_chars").isNotNull)
+      val tok = TextAnalysis.tokenCount(col("text"))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000L))
+      val legTok = d.select(lit("len_tokens").as("leg"),
+        col("n_chars").as("x"), tok.cast("long").as("y"))
+      val legH = d.select(lit("len_hash").as("leg"),
+        col("n_chars").as("x"), h.as("y"))
+      RankTest.spearman(legTok.unionByName(legH), "leg", "x", "y")
+        .orderBy(col("leg"))
+    }),
+    "q_qr25_flag_lift" -> ((s, dir) => {
+      // quality-flag co-occurrence lift (r14, L167; Brin 1997
+      // "interest"): the flag-REDUNDANCY audit — flags that always
+      // co-fire are one signal wearing two names (L164's confounding
+      // screen, one level down). Four flags per doc: short_doc
+      // (n_chars < 150) and few_tokens (< 30 whitespace tokens) are
+      // length-driven twins (lift ≫ 1); lang_zh rides the zh length
+      // profile; hash_flag is the independence control (lift ≈ 1
+      // against everything — BECAUSE the full doc table is passed as
+      // the universe; the flagged-only default would Berkson-depress
+      // it to ~0.66, the collider conditioning measured first and
+      // pinned in AffinitySpec). Presence semantics.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("n_chars").isNotNull && col("lang").isNotNull)
+      val tok = TextAnalysis.tokenCount(col("text"))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val flagged = d.select(col("doc_id"), explode(array(
+          when(col("n_chars") < 150L, "short_doc"),
+          when(tok < 30, "few_tokens"),
+          when(col("lang") === "zh", "lang_zh"),
+          when(pmod(h, lit(2L)) === 0L, "hash_flag"))).as("flag"))
+        .filter(col("flag").isNotNull)
+      Affinity.lift(flagged, "doc_id", "flag", universe = d)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
     "q_qr24_simpson" -> ((s, dir) => {
       // Simpson's-paradox reversal detector (r14, L164; Simpson 1951,
       // Yule 1903): the confounding screen behind q_qr23 — a pooled
@@ -3655,6 +3703,92 @@ object LlmPipeline {
           SELECT 'len_drift' AS pair, * FROM $dr
           ORDER BY pair, bucket"""
     },
+    // q_a26: doubled-midrank grids per column, the exact HUGEINT
+    // moments, the q_a13 one-rounded-double tail
+    "q_a26_spearman" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS nc
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND n_chars IS NOT NULL),
+          base AS (SELECT 'len_tokens' AS leg, nc AS x,
+                CAST(len($duckToks) AS BIGINT) AS y
+              FROM d
+             UNION ALL
+                   SELECT 'len_hash', nc,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 14)) AS BIGINT) % 1000000
+              FROM d),
+          pairs AS (SELECT leg, x, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2, 3),
+          xg AS (SELECT leg, x,
+                2 * COALESCE(SUM(t) OVER (PARTITION BY leg ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + t + 1 AS rx
+              FROM (SELECT leg, x, SUM(c) AS t FROM pairs
+                    GROUP BY 1, 2)),
+          yg AS (SELECT leg, y,
+                2 * COALESCE(SUM(t) OVER (PARTITION BY leg ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + t + 1 AS ry
+              FROM (SELECT leg, y, SUM(c) AS t FROM pairs
+                    GROUP BY 1, 2)),
+          j AS (SELECT p.leg, c, rx, ry FROM pairs p
+              JOIN xg ON xg.leg = p.leg AND xg.x = p.x
+              JOIN yg ON yg.leg = p.leg AND yg.y = p.y),
+          m AS (SELECT leg, SUM(c) AS n,
+                SUM(CAST(c AS HUGEINT) * rx) AS sx,
+                SUM(CAST(c AS HUGEINT) * ry) AS sy,
+                SUM(CAST(c AS HUGEINT) * rx * rx) AS sxx,
+                SUM(CAST(c AS HUGEINT) * ry * ry) AS syy,
+                SUM(CAST(c AS HUGEINT) * rx * ry) AS sxy
+              FROM j GROUP BY 1)
+         SELECT leg, CAST(n AS BIGINT) AS n,
+                CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                       OR n * syy - sy * sy = 0 THEN NULL
+                     ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                END AS rho6
+         FROM m ORDER BY leg""",
+    // q_qr25: flag presence replay, canonical unordered pairs, the
+    // flagged-universe N (the operator's documented convention)
+    "q_qr25_flag_lift" ->
+      s"""WITH d AS (SELECT doc_id, text, n_chars, lang,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 14)) AS BIGINT) % 1000000000 AS h
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND n_chars IS NOT NULL AND lang IS NOT NULL),
+          pres AS (SELECT DISTINCT doc_id, f FROM (
+                SELECT doc_id, 'short_doc' AS f FROM d
+                WHERE n_chars < 150
+               UNION ALL
+                SELECT doc_id, 'few_tokens' FROM d
+                WHERE len($duckToks) < 30
+               UNION ALL
+                SELECT doc_id, 'lang_zh' FROM d WHERE lang = 'zh'
+               UNION ALL
+                SELECT doc_id, 'hash_flag' FROM d WHERE h % 2 = 0)),
+          tot AS (SELECT COUNT(DISTINCT doc_id) AS nu FROM d),
+          cnt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pres GROUP BY 1),
+          pairs AS (SELECT a.f AS fa, b.f AS fb,
+                CAST(COUNT(*) AS BIGINT) AS nab
+              FROM pres a JOIN pres b
+                ON b.doc_id = a.doc_id AND a.f < b.f
+              GROUP BY 1, 2)
+         SELECT fa AS item_a, fb AS item_b, ca.n AS n_a, cb.n AS n_b,
+                nab AS n_ab,
+                CAST((1000000 * CAST(nab AS HUGEINT)) // nu
+                  AS BIGINT) AS support_e6,
+                CAST((1000000 * CAST(nab AS HUGEINT) * nu)
+                  // (CAST(ca.n AS HUGEINT) * cb.n)
+                  AS BIGINT) AS lift_e6
+         FROM pairs
+         JOIN cnt ca ON ca.f = fa
+         JOIN cnt cb ON cb.f = fb
+         CROSS JOIN tot
+         ORDER BY item_a, item_b""",
     // q_qr24: range + hash-bit replay; per-stratum and pooled
     // cross-product signs as exact integers, the strict verdict CASE
     "q_qr24_simpson" ->

@@ -765,6 +765,22 @@ class PlanAuditSpec extends SparkSpec {
       s"q_e31 grew $loops loop joins (four 1-row broadcasts allowed)")
   }
 
+  test("spearman + lift: grid joins stay equi-joins; the lift loop " +
+      "join is the 1-row universe broadcast") {
+    // q_a26's rank-back joins ride (leg, value) equi-keys over value
+    // grids; q_qr25's basket self-join rides the basket equi-key with
+    // the a<b filter — a cartesian in either means a corpus leak
+    for (name <- Seq("q_a26_spearman", "q_qr25_flag_lift")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a cartesian:\n${plan.take(1500)}")
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val loops = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+      assert(loops <= 1,
+        s"$name grew $loops loop joins (1-row totals broadcast allows 1)")
+    }
+  }
+
   test("codec audit: the declared join-back stays an equi-join") {
     // q_m10 joins the walked metadata back to the declared frame on
     // doc_id — a loop join here would be |routed|² at corpus scale

@@ -205,6 +205,60 @@ class RankTestSpec extends SparkSpec {
     assert(runAuc(Seq(1L, 2L, 3L), Seq.empty)._3 === None)
   }
 
+  // ---- Spearman (r14, L166) ----------------------------------------
+
+  private def runRho(xy: Seq[(Long, Long)]): Option[Double] = {
+    val r = RankTest.spearman(xy.map(p => ("g", p._1, p._2))
+        .toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    if (r.isNullAt(2)) None else Some(r.getDouble(2))
+  }
+
+  test("spearman extremes: monotone 1, antitone -1, outlier-proof") {
+    assert(runRho(Seq((1L, 10L), (2L, 20L), (3L, 25L))) === Some(1.0))
+    assert(runRho(Seq((1L, 9L), (2L, 5L), (3L, 1L))) === Some(-1.0))
+    // a wild outlier cannot move a rank correlation off 1
+    assert(runRho(Seq((1L, 10L), (2L, 20L), (3L, 9999999L)))
+      === Some(1.0))
+  }
+
+  test("spearman hand case with ties matches the midrank formula") {
+    // x = 1,2,2,3 y = 10,20,20,40: both monotone with aligned ties
+    val rho = runRho(Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L)))
+    assert(rho === Some(1.0))
+    // break the tie alignment: y ties where x does not
+    val rho2 = runRho(Seq((1L, 10L), (2L, 10L), (3L, 40L)))
+    assert(rho2.get > 0.8 && rho2.get < 1.0)
+  }
+
+  test("spearman degenerates: constant column NULL, n=1 NULL") {
+    assert(runRho(Seq((5L, 1L), (5L, 2L), (5L, 3L))) === None)
+    assert(runRho(Seq((1L, 1L))) === None)
+  }
+
+  test("spearman seeded replay against plain-Scala midrank Pearson") {
+    val rnd = new scala.util.Random(71)
+    val xy = (0 until 300).map { _ =>
+      val x = rnd.nextInt(15).toLong
+      (x, x * 2 + rnd.nextInt(12).toLong) // monotone + noise, tied
+    }
+    def ranks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map(v => v ->
+        (sorted.indexOf(v) + 1 + sorted.lastIndexOf(v) + 1) / 2.0).toMap
+    }
+    val rx = ranks(xy.map(_._1)); val ry = ranks(xy.map(_._2))
+    val n = xy.size.toDouble
+    val xs = xy.map(p => rx(p._1)); val ys = xy.map(p => ry(p._2))
+    val num = n * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum
+    val den = math.sqrt(n * xs.map(v => v * v).sum - xs.sum * xs.sum) *
+      math.sqrt(n * ys.map(v => v * v).sum - ys.sum * ys.sum)
+    val want = num / den
+    val got = runRho(xy).get
+    assert(math.abs(got - want) < 1e-5, s"$got vs $want")
+    assert(got > 0.8, "monotone-plus-noise must read strongly positive")
+  }
+
   test("AUC non-binary labels drop; BigInt pair-count replay") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(31)
