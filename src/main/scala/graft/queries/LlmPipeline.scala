@@ -254,6 +254,44 @@ object LlmPipeline {
          2)"""
 
   val queries: Map[String, Q] = Map(
+    "q_s17_hll" -> ((s, dir) => {
+      // HyperLogLog register sketch (r15, L168; Flajolet et al. 2007):
+      // the fixed-memory companion of q_s14's KMV — 256 one-integer
+      // registers buy 1.04/√256 ≈ 6.5% where KMV's 64 longs buy ~12%.
+      // The query runs the MERGE path (parity-split halves, register-
+      // wise max fold) against the oracle's DIRECT one-pass registers
+      // — identical because max-merge ≡ sketch-of-union is an
+      // algebraic identity (the s15/s16 convention). Two legs so BOTH
+      // estimator regimes are live at gate scale: per-lang doc_id
+      // (hundreds distinct → the linear-counting small-range path
+      // through the L151 table ln) and per-returnflag l_orderkey
+      // (thousands distinct at sf0.01+ → the raw HLL path). n_exact
+      // sits beside est so the ~6.5% error band is visible in the
+      // result itself.
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select(lit("docs").as("leg"), col("lang").as("grp"),
+          col("doc_id").cast("string").as("k"),
+          pmod(col("doc_id"), lit(2L)).as("half"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_returnflag").isNotNull)
+        .select(lit("orders").as("leg"), col("l_returnflag").as("grp"),
+          col("l_orderkey").cast("string").as("k"),
+          pmod(col("l_orderkey"), lit(2L)).as("half"))
+      val base = docs.unionByName(li)
+      val skA = Hll.sketch(base.filter(col("half") === 0L),
+        Seq("leg", "grp"), "k")
+      val skB = Hll.sketch(base.filter(col("half") === 1L),
+        Seq("leg", "grp"), "k")
+      val est = Hll.estimate(
+        Hll.merge(skA.unionByName(skB), Seq("leg", "grp")))
+      val exact = base.groupBy(col("leg"), col("grp"))
+        .agg(countDistinct(col("k")).as("n_exact"))
+      exact.join(est, Seq("leg", "grp"))
+        .select(col("leg"), col("grp"), col("n_exact"),
+          col("v_zero"), col("est"))
+        .orderBy(col("leg"), col("grp"))
+    }),
     // ------------------------------------------------------ text analysis
     "q_t1_token_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3207,6 +3245,71 @@ object LlmPipeline {
        ORDER BY user_id, session_idx"""
 
   val oracles: Map[String, String] = Map(
+    // q_s17: DIRECT one-pass register replay (the merge path the
+    // engine runs is algebraically identical); same 56-bit md5, the
+    // bin()-length ρ, the HUGEINT 2^(49−M) common-denominator sum,
+    // and the L151 table-ln linear-counting branch token-for-token
+    "q_s17_hll" ->
+      s"""WITH base AS (
+            SELECT 'docs' AS leg, lang AS grp,
+                   CAST(doc_id AS VARCHAR) AS k
+            FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+           UNION ALL
+            SELECT 'orders', l_returnflag, CAST(l_orderkey AS VARCHAR)
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL),
+          h AS (SELECT leg, grp,
+                CAST(concat('0x', substr(md5(k), 1, 14)) AS BIGINT) AS h
+              FROM base),
+          rj AS (SELECT leg, grp, h // ${Hll.W} AS j, h % ${Hll.W} AS w
+              FROM h),
+          r AS (SELECT leg, grp, j,
+                MAX(CASE WHEN w = 0 THEN 49
+                    ELSE 49 - LENGTH(bin(w)) END) AS rho
+              FROM rj GROUP BY 1, 2, 3),
+          gs AS (SELECT DISTINCT leg, grp FROM base),
+          grid AS (SELECT leg, grp, jj.j FROM gs
+              CROSS JOIN (SELECT unnest(range(0, 256)) AS j) jj),
+          reg AS (SELECT grid.leg, grid.grp, COALESCE(rho, 0) AS m
+              FROM grid LEFT JOIN r ON r.leg = grid.leg
+                AND r.grp = grid.grp AND r.j = grid.j),
+          agg AS (SELECT leg, grp,
+                SUM(CAST(power(2, 49 - m) AS HUGEINT)) AS d,
+                CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vz
+              FROM reg GROUP BY 1, 2),
+          raw AS (SELECT leg, grp, vz,
+                CAST(${Hll.RawNum} // (1000000 * d) AS BIGINT) AS raw
+              FROM agg),
+          k0 AS (SELECT *, CAST(256 AS BIGINT) AS num,
+                GREATEST(vz, 1) AS den FROM raw),
+          kz AS (SELECT *, CAST(LENGTH(bin(num)) - LENGTH(bin(den))
+                AS BIGINT) AS kz0 FROM k0),
+          kk AS (SELECT *, CASE WHEN
+                CAST(num AS HUGEINT)
+                  * CAST(power(2, GREATEST(-kz0, 0)) AS HUGEINT)
+                < CAST(den AS HUGEINT)
+                  * CAST(power(2, GREATEST(kz0, 0)) AS HUGEINT)
+                THEN kz0 - 1 ELSE kz0 END AS kke FROM kz),
+          mm AS (SELECT *, (CAST(num AS HUGEINT)
+                   * CAST(power(2, GREATEST(-kke, 0)) AS HUGEINT) * 256)
+                // (CAST(den AS HUGEINT)
+                   * CAST(power(2, GREATEST(kke, 0)) AS HUGEINT)) - 256
+                AS mi FROM kk),
+          ll AS (SELECT *, kke * ${graft.operators.Drift.Ln2E9}
+                + (${graft.operators.Drift.MantissaLnE9
+                      .mkString("[", ",", "]")})[CAST(mi AS INT) + 1]
+                AS ln_e9 FROM mm),
+          ex AS (SELECT leg, grp,
+                CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+              FROM base GROUP BY 1, 2)
+         SELECT ll.leg, ll.grp, n_exact, vz AS v_zero,
+                CAST(CASE WHEN vz > 0 AND raw <= 640
+                  THEN (256 * ln_e9) // 1000000000
+                  ELSE raw END AS BIGINT) AS est
+         FROM ll JOIN ex ON ex.leg = ll.leg AND ex.grp = ll.grp
+         ORDER BY ll.leg, ll.grp""",
     "q_t1_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
             CAST(SUM(len($duckToks)) AS BIGINT) AS total_tokens,

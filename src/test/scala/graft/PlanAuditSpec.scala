@@ -827,6 +827,22 @@ class PlanAuditSpec extends SparkSpec {
       s"q_t39 lost its block explode:\n${plan.take(1200)}")
   }
 
+  test("HLL sketch: register collapse is a hash aggregate, no cartesian") {
+    // q_s17's scale contract: the corpus collapses through ONE
+    // map-side-combinable (group, j) MAX — at most 256 rows per group
+    // cross the exchange — and the merge/estimate tail is grid math.
+    // A cartesian or loop join anywhere means a corpus frame leaked;
+    // a Window would mean the registers serialized through one task.
+    val plan = executedPlan(q("q_s17_hll"))
+    assert(plan.contains("HashAggregate"),
+      s"q_s17 lost its register hash aggregation:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_s17 plan contains a cross product:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"q_s17 grew a window:\n${plan.take(1200)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
