@@ -88,4 +88,132 @@ object Agreement {
       .select(col(groupCol), col("n_items"), col("n_agree"),
         col("po_e6"), col("pe_e6"), col("kappa_e6"))
   }
+
+  /** McNemar's test for PAIRED binary labels (r15, L170; McNemar
+    * 1947, Psychometrika 12 — "did the flag flip asymmetrically
+    * between two raters / two pipeline versions on the SAME items"):
+    * [[cohenKappa]] measures agreement LEVEL, this tests flip
+    * DIRECTION — a re-run of a quality classifier can agree 95% with
+    * the old one and still be systematically stricter, which only
+    * the discordant cells see. Only the discordant counts matter:
+    *   b = #(a=1, b=0),  c = #(a=0, b=1)
+    *   χ²₁ = (b−c)²/(b+c)
+    * (the asymptotic form without continuity correction — the
+    * convention is stated; the correction subtracts 1 from |b−c| and
+    * is a deliberate non-goal since the battery's N makes it
+    * immaterial). Quantization contract (the L136 z² convention):
+    *   z2_e6 = div(10⁶·(b−c)², b+c)   — ONE truncating division,
+    * b + c = 0 ⇒ NULL (no discordance, nothing to test);
+    * d_sign = sign(b−c) gives the direction (+1: rater A stricter).
+    * Verdict vs χ²₁ at 95% ([[RankTest.Chi2Crit95E6ByDf]](1)).
+    * Non-binary flags drop (the simpsonReversal hygiene). Capacity:
+    * 10⁶·(b−c)² in DECIMAL(38,0) ⇒ any N ≤ ~10¹⁶.
+    *
+    * Scale shape: ONE map-side-combinable conditional-count
+    * aggregation collapses the corpus to a panel grid; everything
+    * after is grid arithmetic. */
+  def mcnemar(df: DataFrame, panelCol: String, raterACol: String,
+      raterBCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Reserved.guard(Seq(panelCol),
+      Seq("__a", "__b", "n", "b", "c", "z2_e6", "d_sign", "sig"),
+      "Agreement")
+    val base = df
+      .filter(col(panelCol).isNotNull && col(raterACol).isNotNull &&
+        col(raterBCol).isNotNull)
+      .select(col(panelCol), col(raterACol).cast("long").as("__a"),
+        col(raterBCol).cast("long").as("__b"))
+      .filter(col("__a").isin(0L, 1L) && col("__b").isin(0L, 1L))
+    base.groupBy(col(panelCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === 1L && col("__b") === 0L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("__a") === 0L && col("__b") === 1L, 1L)
+          .otherwise(0L)).as("c"))
+      .withColumn("z2_e6",
+        when(col("b") + col("c") === 0L, lit(null).cast("long"))
+          .otherwise(call_function("div",
+            lit(1000000L).cast(d38) * (col("b") - col("c")).cast(d38)
+              * (col("b") - col("c")).cast(d38),
+            (col("b") + col("c")).cast(d38)).cast("long")))
+      .withColumn("d_sign", signum(col("b") - col("c")).cast("long"))
+      .withColumn("sig",
+        when(col("z2_e6").isNull, lit(0L))
+          .otherwise((col("z2_e6") >=
+            element_at(typedlit(RankTest.Chi2Crit95E6ByDf), 1))
+            .cast("long")))
+      .select(col(panelCol), col("n"), col("b"), col("c"),
+        col("z2_e6"), col("d_sign"), col("sig"))
+  }
+
+  /** Cochran's Q test (r15, L171; Cochran 1950, Biometrika 37 — the
+    * k-treatment extension of [[mcnemar]]: "do these k binary flags
+    * fire at the same rate on the same items", the within-subject
+    * complement of the prevalence comparison a naive per-flag count
+    * cannot make honestly when the flags share the items). With
+    * subject row sums R_i, treatment column sums T_j, S = ΣR_i:
+    *   Q = (k−1)·(k·ΣT_j² − S²) / (k·S − ΣR_i²)
+    * an exact LONG rational (the standard identity; Q ~ χ²_{k−1}
+    * under H₀). Quantization: q_e6 = div(10⁶·(k−1)·(k·ΣT² − S²),
+    * k·S − ΣR²) — ONE truncating division; a zero denominator (every
+    * subject all-0 or all-1 across treatments) ⇒ NULL. Verdict vs
+    * [[RankTest.Chi2Crit95E6ByDf]] at df = k−1; k−1 > 8 ⇒ NULL
+    * verdict with q_e6 still emitted. Subjects missing any treatment
+    * drop (complete-block design — Cochran's requirement, enforced
+    * not assumed). Capacity: k·ΣT² ≤ k·N² and the 10⁶ scale keep
+    * everything in DECIMAL(38,0) for any N ≤ ~10¹⁵.
+    *
+    * Scale shape: one (panel, subject) aggregation building R_i and
+    * the per-treatment bits, one (panel, treatment) aggregation for
+    * T_j, then panel-grid math — two map-side-combinable passes over
+    * the flag frame, nothing corpus-sized after. */
+  def cochranQ(df: DataFrame, panelCol: String, subjectCol: String,
+      treatmentCol: String, valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Reserved.guard(Seq(panelCol),
+      Seq("__s", "__t", "__v", "__k", "__r", "__nt", "__tsum", "__t2",
+        "__ssum", "__r2", "n", "k", "q_e6", "sig"),
+      "Agreement")
+    val base = df
+      .filter(col(panelCol).isNotNull && col(subjectCol).isNotNull &&
+        col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(panelCol), col(subjectCol).cast("string").as("__s"),
+        col(treatmentCol).cast("string").as("__t"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isin(0L, 1L))
+      .dropDuplicates(Seq(panelCol, "__s", "__t"))
+    val k = base.groupBy(col(panelCol))
+      .agg(countDistinct(col("__t")).as("__k"))
+    // complete blocks only: subjects carrying every treatment
+    val subj = base.groupBy(col(panelCol), col("__s"))
+      .agg(count(lit(1)).as("__nt"), sum(col("__v")).as("__r"))
+      .join(k, Seq(panelCol))
+      .filter(col("__nt") === col("__k"))
+    val rAgg = subj.groupBy(col(panelCol))
+      .agg(count(lit(1)).as("n"), sum(col("__r")).as("__ssum"),
+        sum(col("__r") * col("__r")).as("__r2"))
+    val tAgg = base.join(subj.select(col(panelCol), col("__s")),
+        Seq(panelCol, "__s"))
+      .groupBy(col(panelCol), col("__t"))
+      .agg(sum(col("__v")).as("__tsum"))
+      .groupBy(col(panelCol))
+      .agg(sum(col("__tsum") * col("__tsum")).as("__t2"))
+    val den = col("__k").cast(d38) * col("__ssum").cast(d38) -
+      col("__r2").cast(d38)
+    val num = lit(1000000L).cast(d38) * (col("__k") - 1L).cast(d38) *
+      (col("__k").cast(d38) * col("__t2").cast(d38) -
+        col("__ssum").cast(d38) * col("__ssum").cast(d38))
+    rAgg.join(tAgg, Seq(panelCol)).join(k, Seq(panelCol))
+      .withColumn("q_e6",
+        when(den === 0L || col("__k") < 2L, lit(null).cast("long"))
+          .otherwise(call_function("div", num, den).cast("long")))
+      .withColumn("sig",
+        when(col("q_e6").isNull, lit(0L))
+          .when(col("__k") - 1L > 8L, lit(null).cast("long"))
+          .otherwise((col("q_e6") >=
+            element_at(typedlit(RankTest.Chi2Crit95E6ByDf),
+              (col("__k") - 1L).cast("int"))).cast("long")))
+      .select(col(panelCol), col("n"), col("__k").as("k"),
+        col("q_e6"), col("sig"))
+  }
 }

@@ -159,4 +159,122 @@ object Contingency {
       .select(col(panelCol), col("n_strata"), col("n_pos"),
         col("n_neg"), col("pooled_sign"), col("reversal"))
   }
+
+  /** Table-exact mutual information + normalized MI over the same
+    * contingency grid as [[chiSquare]] (r15, L169; Shannon 1948; NMI
+    * normalization is Kvålseth 1987's MI/min(H_r, H_c) — the min form
+    * on purpose: the common √(H_r·H_c) needs a square root the
+    * integer contract forbids, and min is the tighter of the two
+    * bounds). The INFORMATION lens on the association the χ² lens
+    * already measures: MI is the feature-selection / redundancy
+    * screen ("how many nats does knowing lang give about source"),
+    * comparable across grids in a way raw χ² is not.
+    *
+    * Integer construction through the L151 fixed-point table ln
+    * ([[Drift.withTableLn]] — FIFTH consumer):
+    *   MI = (1/N)·Σ_rc n·ln(N·n/(R·C))     (occupied cells only —
+    *     0·ln(0) ≡ 0 by continuity, so unlike χ² the ZERO cells
+    *     carry no mass and no margin-cross grid is materialized)
+    *   mi_e9  = div(Σ n·lnE9(N·n, R·C), N)  — terms summed exactly
+    *     in DECIMAL(38,0), ONE truncating division
+    *   H_r    = (1/N)·Σ_r R·ln(N/R), H_c likewise (table ln again)
+    *   nmi_e6 = div(10⁶·Σ n·lnE9(Nn, RC), min(Σ R·lnE9(N,R),
+    *                                          Σ C·lnE9(N,C)))
+    *     (the 1/N in MI and in H cancels — the ratio is computed on
+    *     the UNDIVIDED e9 sums, one quantization total).
+    * Approximation stance (the L159 JSD class, stated not clamped):
+    * every table ln floors by ε ∈ [0, ln(257/256)), and since the MI
+    * weights n/N sum to 1 the TOTAL under-read is bounded by
+    * ln(257/256) ≈ 3.9·10⁻³ nats regardless of grid size — mi_e9 can
+    * read up to ~3.9·10⁶ e9-units NEGATIVE on independent data (the
+    * A/A leg exercises this live; true MI is never negative).
+    *
+    * NO G-test verdict, by design (measured, r15): the
+    * likelihood-ratio G = 2N·MI amplifies the bounded MI floor error
+    * by 2N — at N = 5000 the under-read bound is already ~39 nats
+    * against a df-1 threshold of 3.84, so a table-G verdict would be
+    * noise wearing a significance label (measured live: the zh_len
+    * leg at sf0.01 reads −0.6·10⁹ where the true G is ≈ +0.7·10⁹).
+    * This is the JSD-vs-PSI error-scaling lesson one level up:
+    * verdicts on this grid stay with [[chiSquare]], whose Pearson
+    * statistic is EXACT integer arithmetic with no ln anywhere.
+    *
+    * Capacity: N·n ≤ N² must fit a LONG for the bin() probe ⇒
+    * N ≤ 3·10⁹ rows/panel; Σ n·ln_e9 is summed in DECIMAL(38,0)
+    * (never a LONG), so that is the only bound (shard beyond).
+    *
+    * Scale shape: ONE map-side (panel, r, c) count collapses the
+    * corpus; margins and totals are grid aggs of that grid; three
+    * ln chains run over grid-sized frames (cells, row margins, col
+    * margins); everything joins back on panel — category-sized,
+    * never corpus-sized. */
+  def mutualInformation(df: DataFrame, panelCol: String, rowCol: String,
+      colCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Reserved.guard(Seq(panelCol),
+      Seq("__r", "__c", "__n", "__rn", "__cn", "__nn", "__misum",
+        "__hrsum", "__hcsum", "__minum", "__miden", "__mik0", "__mik",
+        "__mimi", "__miln", "__hrnum", "__hrden", "__hrk0", "__hrk",
+        "__hrmi", "__hrln", "__hcnum", "__hcden", "__hck0", "__hck",
+        "__hcmi", "__hcln", "n", "r", "c", "mi_e9", "nmi_e6", "g_e9",
+        "sig"),
+      "Contingency")
+    val base = df
+      .filter(col(panelCol).isNotNull && col(rowCol).isNotNull &&
+        col(colCol).isNotNull)
+      .select(col(panelCol), col(rowCol).cast("string").as("__r"),
+        col(colCol).cast("string").as("__c"))
+    val cells = base.groupBy(col(panelCol), col("__r"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val rowm = cells.groupBy(col(panelCol), col("__r"))
+      .agg(sum(col("__n")).as("__rn"))
+    val colm = cells.groupBy(col(panelCol), col("__c"))
+      .agg(sum(col("__n")).as("__cn"))
+    val tot = cells.groupBy(col(panelCol))
+      .agg(sum(col("__n")).as("__nn"),
+        countDistinct(col("__r")).as("r"),
+        countDistinct(col("__c")).as("c"))
+    val miCells = Drift.withTableLn(
+      cells.join(rowm, Seq(panelCol, "__r"))
+        .join(colm, Seq(panelCol, "__c"))
+        .join(tot.select(col(panelCol), col("__nn")), Seq(panelCol))
+        .withColumn("__minum", col("__nn") * col("__n"))
+        .withColumn("__miden", col("__rn") * col("__cn")),
+      "__mi")
+    val miSum = miCells.groupBy(col(panelCol))
+      .agg(sum(col("__n").cast(d38) * col("__miln").cast(d38))
+        .as("__misum"))
+    val hrSum = Drift.withTableLn(
+        rowm.join(tot.select(col(panelCol), col("__nn")), Seq(panelCol))
+          .withColumn("__hrnum", col("__nn"))
+          .withColumn("__hrden", col("__rn")),
+        "__hr")
+      .groupBy(col(panelCol))
+      .agg(sum(col("__rn").cast(d38) * col("__hrln").cast(d38))
+        .as("__hrsum"))
+    val hcSum = Drift.withTableLn(
+        colm.join(tot.select(col(panelCol), col("__nn")), Seq(panelCol))
+          .withColumn("__hcnum", col("__nn"))
+          .withColumn("__hcden", col("__cn")),
+        "__hc")
+      .groupBy(col(panelCol))
+      .agg(sum(col("__cn").cast(d38) * col("__hcln").cast(d38))
+        .as("__hcsum"))
+    val degenerate = col("r") < 2L || col("c") < 2L
+    tot.join(miSum, Seq(panelCol)).join(hrSum, Seq(panelCol))
+      .join(hcSum, Seq(panelCol))
+      .withColumn("mi_e9",
+        when(degenerate, lit(null).cast("long"))
+          .otherwise(call_function("div", col("__misum"),
+            col("__nn").cast(d38)).cast("long")))
+      .withColumn("nmi_e6",
+        when(degenerate
+            || least(col("__hrsum"), col("__hcsum")) <= 0L,
+          lit(null).cast("long"))
+          .otherwise(call_function("div",
+            lit(1000000L).cast(d38) * col("__misum"),
+            least(col("__hrsum"), col("__hcsum"))).cast("long")))
+      .select(col(panelCol), col("__nn").as("n"), col("r"), col("c"),
+        col("mi_e9"), col("nmi_e6"))
+  }
 }

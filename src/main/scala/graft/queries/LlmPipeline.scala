@@ -2721,6 +2721,90 @@ object LlmPipeline {
           "panel", "st", "rv", "cv")
         .orderBy(col("panel"))
     }),
+    "q_qr26_mutual_info" -> ((s, dir) => {
+      // table-exact mutual information + NMI (r15, L169; Shannon
+      // 1948, Kvålseth 1987): the INFORMATION lens on exactly
+      // q_qr23's three grids, so the association panels read side by
+      // side — lang × source carries real structure (MI ≈ 0.089
+      // nats, NMI ≈ 6%), the two md5 hash bits are independent
+      // (MI ≈ 0, and the documented table-floor class reads it a few
+      // 1e-3 units NEGATIVE — live, stated, not clamped), zh_len's
+      // weak association sits inside the floor band at this N. NO
+      // G-test verdict by measured design (the 2N·ε error scaling —
+      // see the operator scaladoc); the verdict on these grids is
+      // q_qr23's exact Pearson χ².
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull && col("source").isNotNull)
+      val u = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val legLen = d.select(lit("zh_len").as("panel"),
+        when(col("lang") === "zh", "zh").otherwise("rest").as("rv"),
+        (col("n_chars") >= 350L).cast("long").cast("string").as("cv"))
+      val legNull = d.select(lit("hash_null").as("panel"),
+        pmod(u, lit(2L)).cast("string").as("rv"),
+        pmod(call_function("div", u, lit(2L)), lit(2L)).cast("string")
+          .as("cv"))
+      val legSrc = d.select(lit("lang_source").as("panel"),
+        col("lang").as("rv"), col("source").as("cv"))
+      Contingency.mutualInformation(
+          legLen.unionByName(legNull).unionByName(legSrc),
+          "panel", "rv", "cv")
+        .orderBy(col("panel"))
+    }),
+    "q_v23_mcnemar" -> ((s, dir) => {
+      // McNemar paired flip test (r15, L170; McNemar 1947): two
+      // "pipeline versions" of the short-doc flag on the SAME docs —
+      // v2 loosens the threshold 150 → 200, so every flip is
+      // one-directional (b = 0, c = #docs in [150, 200)) and the test
+      // flags with d_sign = −1; the A/A leg pairs two disjoint md5
+      // bits — flips balance, no flag. κ (q_v20) measures agreement
+      // LEVEL; this tests flip DIRECTION.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val legShift = d.select(lit("threshold_shift").as("panel"),
+        (col("n_chars") < 150L).cast("long").as("ra"),
+        (col("n_chars") < 200L).cast("long").as("rb"))
+      val legNull = d.select(lit("hash_aa").as("panel"),
+        pmod(h, lit(2L)).as("ra"),
+        pmod(call_function("div", h, lit(2L)), lit(2L)).as("rb"))
+      Agreement.mcnemar(legShift.unionByName(legNull),
+          "panel", "ra", "rb")
+        .orderBy(col("panel"))
+    }),
+    "q_v24_cochran_q" -> ((s, dir) => {
+      // Cochran's Q (r15, L171; Cochran 1950): do k binary flags fire
+      // at the same rate on the same docs — the within-subject
+      // prevalence test. flag_mix mixes three different-prevalence
+      // flags (short <150, long ≥350, a hash bit) → Q flags at
+      // df = 2; hash_null uses three disjoint md5 bits (identical
+      // p = 1/2) → no flag.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      def legs(panel: String,
+          ts: Seq[(String, org.apache.spark.sql.Column)]) =
+        d.select(lit(panel).as("panel"), col("doc_id").as("subj"),
+            explode(array(ts.map { case (name, v) =>
+              struct(lit(name).as("t"), v.cast("long").as("v"))
+            }: _*)).as("x"))
+          .select(col("panel"), col("subj"),
+            col("x.t").as("t"), col("x.v").as("v"))
+      val mix = legs("flag_mix", Seq(
+        ("short", (col("n_chars") < 150L).cast("long")),
+        ("long", (col("n_chars") >= 350L).cast("long")),
+        ("hash", pmod(h, lit(2L)))))
+      val nul = legs("hash_null", Seq(
+        ("b0", pmod(h, lit(2L))),
+        ("b1", pmod(call_function("div", h, lit(2L)), lit(2L))),
+        ("b2", pmod(call_function("div", h, lit(4L)), lit(2L)))))
+      Agreement.cochranQ(mix.unionByName(nul),
+          "panel", "subj", "t", "v")
+        .orderBy(col("panel"))
+    }),
     "q_qr23_independence" -> ((s, dir) => {
       // exact χ² independence + Cramér's V² (r14, L162; Pearson 1900,
       // Cramér 1946): the categorical-ASSOCIATION panel member —
@@ -3953,6 +4037,177 @@ object LlmPipeline {
     // q_qr23: margin-cross replay — the FULL r×c grid (zero cells
     // carry mass), one // per cell, the df-indexed χ² table, and the
     // qr18 hash-bit convention for the A/A leg
+    // q_v23: discordant-cell replay; `//` truncates toward zero on
+    // both engines and b−c is negative on the threshold leg
+    "q_v23_mcnemar" ->
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          u AS (SELECT *, CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 AS h
+              FROM d),
+          base AS (SELECT 'threshold_shift' AS panel,
+                CASE WHEN n_chars < 150 THEN 1 ELSE 0 END AS a,
+                CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS b
+              FROM u
+             UNION ALL
+                   SELECT 'hash_aa', CAST(h % 2 AS BIGINT),
+                CAST((h // 2) % 2 AS BIGINT)
+              FROM u),
+          agg AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+              FROM base GROUP BY 1),
+          z AS (SELECT *, CASE WHEN b + c = 0 THEN NULL
+                ELSE (1000000 * (b - c) * (b - c)) // (b + c)
+                END AS z2
+              FROM agg)
+         SELECT panel, n, b, c, CAST(z2 AS BIGINT) AS z2_e6,
+                CAST(SIGN(b - c) AS BIGINT) AS d_sign,
+                CAST(CASE WHEN z2 IS NULL THEN 0
+                  WHEN z2 >= 3841459 THEN 1 ELSE 0 END AS BIGINT)
+                  AS sig
+         FROM z ORDER BY panel""",
+    // q_v24: complete-block Q replay — the operator's subject filter
+    // (carries every treatment) is mirrored even though this
+    // construction makes it a no-op
+    "q_v24_cochran_q" ->
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          u AS (SELECT *, CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 AS h
+              FROM d),
+          base AS (SELECT 'flag_mix' AS panel, doc_id AS s,
+                'short' AS t,
+                CAST(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END
+                  AS BIGINT) AS v
+              FROM u
+             UNION ALL SELECT 'flag_mix', doc_id, 'long',
+                CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END FROM u
+             UNION ALL SELECT 'flag_mix', doc_id, 'hash', h % 2 FROM u
+             UNION ALL SELECT 'hash_null', doc_id, 'b0', h % 2 FROM u
+             UNION ALL SELECT 'hash_null', doc_id, 'b1',
+                (h // 2) % 2 FROM u
+             UNION ALL SELECT 'hash_null', doc_id, 'b2',
+                (h // 4) % 2 FROM u),
+          k AS (SELECT panel, COUNT(DISTINCT t) AS kk
+              FROM base GROUP BY 1),
+          r AS (SELECT panel, s, COUNT(*) AS nt, SUM(v) AS rr
+              FROM base GROUP BY 1, 2),
+          cb AS (SELECT r.panel, s, rr FROM r
+              JOIN k ON k.panel = r.panel AND r.nt = k.kk),
+          ragg AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(rr) AS ssum,
+                SUM(CAST(rr AS HUGEINT) * rr) AS r2
+              FROM cb GROUP BY 1),
+          tagg AS (SELECT base.panel, t, SUM(v) AS ts
+              FROM base JOIN cb ON cb.panel = base.panel
+                AND cb.s = base.s
+              GROUP BY 1, 2),
+          t2 AS (SELECT panel, SUM(CAST(ts AS HUGEINT) * ts) AS tt
+              FROM tagg GROUP BY 1),
+          qq AS (SELECT ragg.panel, n, kk, tt, ssum, r2,
+                CASE WHEN kk * ssum - r2 = 0 OR kk < 2 THEN NULL
+                  ELSE (1000000 * (kk - 1)
+                    * (kk * tt - CAST(ssum AS HUGEINT) * ssum))
+                    // (kk * ssum - r2) END AS q
+              FROM ragg
+              JOIN t2 ON t2.panel = ragg.panel
+              JOIN k ON k.panel = ragg.panel)
+         SELECT panel, n, CAST(kk AS BIGINT) AS k,
+                CAST(q AS BIGINT) AS q_e6,
+                CAST(CASE WHEN q IS NULL THEN 0
+                  WHEN kk - 1 > 8 THEN NULL
+                  WHEN q >= ([3841459,5991465,7814728,9487729,
+                    11070498,12591587,14067140,15507313])
+                    [CAST(kk - 1 AS INT)]
+                  THEN 1 ELSE 0 END AS BIGINT) AS sig
+         FROM qq ORDER BY panel""",
+    // q_qr26: the qr23 grids through the information lens — one
+    // shared table-ln chain over the union of the mi / row-entropy /
+    // col-entropy term families, then per-panel sums; `//` truncates
+    // toward zero on both engines (the q_v7 note), which the
+    // possibly-negative misum exercises on the hash_null panel
+    "q_qr26_mutual_info" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL AND source IS NOT NULL),
+          u AS (SELECT *, CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 AS h
+              FROM d),
+          base AS (SELECT 'zh_len' AS panel,
+                CASE WHEN lang = 'zh' THEN 'zh' ELSE 'rest' END AS r,
+                CAST(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END
+                  AS VARCHAR) AS c
+              FROM u
+             UNION ALL
+                   SELECT 'hash_null', CAST(h % 2 AS VARCHAR),
+                CAST((h // 2) % 2 AS VARCHAR)
+              FROM u
+             UNION ALL
+                   SELECT 'lang_source', lang, source FROM u),
+          cells AS (SELECT panel, r, c, CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY 1, 2, 3),
+          rowm AS (SELECT panel, r, SUM(n) AS rn
+              FROM cells GROUP BY 1, 2),
+          colm AS (SELECT panel, c, SUM(n) AS cn
+              FROM cells GROUP BY 1, 2),
+          tot AS (SELECT panel, SUM(n) AS nn,
+                COUNT(DISTINCT r) AS rr, COUNT(DISTINCT c) AS cc
+              FROM cells GROUP BY 1),
+          terms AS (
+            SELECT cells.panel, 'mi' AS kind, n AS w,
+                   nn * n AS num, rn * cn AS den
+            FROM cells
+            JOIN rowm ON rowm.panel = cells.panel AND rowm.r = cells.r
+            JOIN colm ON colm.panel = cells.panel AND colm.c = cells.c
+            JOIN tot ON tot.panel = cells.panel
+           UNION ALL
+            SELECT rowm.panel, 'hr', rn, nn, rn
+            FROM rowm JOIN tot ON tot.panel = rowm.panel
+           UNION ALL
+            SELECT colm.panel, 'hc', cn, nn, cn
+            FROM colm JOIN tot ON tot.panel = colm.panel),
+          kz AS (SELECT *, CAST(LENGTH(bin(num)) - LENGTH(bin(den))
+                AS BIGINT) AS kz0 FROM terms),
+          kk AS (SELECT *, CASE WHEN
+                CAST(num AS HUGEINT)
+                  * CAST(power(2, GREATEST(-kz0, 0)) AS HUGEINT)
+                < CAST(den AS HUGEINT)
+                  * CAST(power(2, GREATEST(kz0, 0)) AS HUGEINT)
+                THEN kz0 - 1 ELSE kz0 END AS kke FROM kz),
+          mm AS (SELECT *, (CAST(num AS HUGEINT)
+                   * CAST(power(2, GREATEST(-kke, 0)) AS HUGEINT) * 256)
+                // (CAST(den AS HUGEINT)
+                   * CAST(power(2, GREATEST(kke, 0)) AS HUGEINT)) - 256
+                AS mi FROM kk),
+          ll AS (SELECT *, kke * ${graft.operators.Drift.Ln2E9}
+                + (${graft.operators.Drift.MantissaLnE9
+                      .mkString("[", ",", "]")})[CAST(mi AS INT) + 1]
+                AS ln_e9 FROM mm),
+          sums AS (SELECT panel,
+                SUM(CASE WHEN kind = 'mi'
+                  THEN CAST(w AS HUGEINT) * ln_e9 END) AS misum,
+                SUM(CASE WHEN kind = 'hr'
+                  THEN CAST(w AS HUGEINT) * ln_e9 END) AS hrsum,
+                SUM(CASE WHEN kind = 'hc'
+                  THEN CAST(w AS HUGEINT) * ln_e9 END) AS hcsum
+              FROM ll GROUP BY 1)
+         SELECT t.panel, CAST(nn AS BIGINT) AS n,
+                CAST(rr AS BIGINT) AS r, CAST(cc AS BIGINT) AS c,
+                CAST(CASE WHEN rr < 2 OR cc < 2 THEN NULL
+                  ELSE misum // nn END AS BIGINT) AS mi_e9,
+                CAST(CASE WHEN rr < 2 OR cc < 2
+                    OR LEAST(hrsum, hcsum) <= 0 THEN NULL
+                  ELSE (1000000 * misum) // LEAST(hrsum, hcsum)
+                  END AS BIGINT) AS nmi_e6
+         FROM sums JOIN tot t ON t.panel = sums.panel
+         ORDER BY t.panel""",
     "q_qr23_independence" ->
       s"""WITH d AS (SELECT doc_id, lang, source, n_chars
               FROM documents

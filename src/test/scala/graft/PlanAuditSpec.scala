@@ -843,6 +843,35 @@ class PlanAuditSpec extends SparkSpec {
       s"q_s17 grew a window:\n${plan.take(1200)}")
   }
 
+  test("mutual information: grid-only tail, no cartesian, window-free") {
+    // q_qr26's shape: one map-side (panel, r, c) collapse, then
+    // margin/total grid aggs and three ln chains over grid frames,
+    // all equi-joined on panel — a cartesian or a window anywhere
+    // means a corpus-sized frame leaked into the information math
+    val plan = executedPlan(q("q_qr26_mutual_info"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_qr26 plan contains a cross product:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"q_qr26 grew a window:\n${plan.take(1200)}")
+  }
+
+  test("paired-test wave: mcnemar and cochran Q stay join-light grid math") {
+    // q_v23 is ONE conditional-count aggregation and grid arithmetic —
+    // join-free; q_v24 is two aggregation passes equi-joined on panel.
+    // A cartesian or a window anywhere means a corpus frame leaked.
+    for (name <- Seq("q_v23_mcnemar", "q_v24_cochran_q")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a cross product:\n${plan.take(1500)}")
+      assert(!plan.contains("Window"),
+        s"$name grew a window:\n${plan.take(1200)}")
+    }
+    assert(!executedPlan(q("q_v23_mcnemar")).contains("Join"),
+      "q_v23 should be join-free")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),

@@ -103,4 +103,115 @@ class AgreementSpec extends SparkSpec {
     assert(Agreement.cohenKappa(df.limit(0), "g", "ra", "rb")
       .collect().isEmpty)
   }
+
+  // ---- McNemar paired flip test (r15, L170) --------------------------
+
+  private def runMc(rows: Seq[(Long, Long)]) = {
+    val r = Agreement.mcnemar(rows.map(p => ("p", p._1, p._2))
+        .toDF("p", "ra", "rb"), "p", "ra", "rb")
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      r.getLong(5), r.getLong(6))
+  }
+
+  test("mcnemar: textbook discordance — z2 = (b−c)²/(b+c) exactly") {
+    // b = 10, c = 2: χ² = 64/12 = 5.333… → floor 5333333, flags
+    val rows = Seq.fill(10)((1L, 0L)) ++ Seq.fill(2)((0L, 1L)) ++
+      Seq.fill(20)((1L, 1L)) ++ Seq.fill(20)((0L, 0L))
+    val (n, b, c, z2, dSign, sig) = runMc(rows)
+    assert((n, b, c) === ((52L, 10L, 2L)))
+    assert(z2 === Some(5333333L) && dSign === 1L && sig === 1L)
+  }
+
+  test("mcnemar: balanced flips read null χ², symmetric threshold") {
+    // b = c = 3: z2 = 0, no flag; concordant cells are invisible
+    val rows = Seq.fill(3)((1L, 0L)) ++ Seq.fill(3)((0L, 1L)) ++
+      Seq.fill(100)((1L, 1L))
+    val (_, _, _, z2, dSign, sig) = runMc(rows)
+    assert(z2 === Some(0L) && dSign === 0L && sig === 0L)
+  }
+
+  test("mcnemar: zero discordance is NULL (nothing to test), not zero") {
+    val (_, b, c, z2, _, sig) = runMc(Seq.fill(5)((1L, 1L)))
+    assert(b === 0L && c === 0L && z2 === None && sig === 0L)
+  }
+
+  test("mcnemar: non-binary ratings drop (hygiene)") {
+    val rows = Seq((1L, 0L), (0L, 1L), (2L, 1L), (1L, 7L))
+    val (n, _, _, _, _, _) = runMc(rows)
+    assert(n === 2L)
+  }
+
+  // ---- Cochran's Q (r15, L171) ---------------------------------------
+
+  private def runQ(rows: Seq[(String, String, Long)]) = {
+    val r = Agreement.cochranQ(rows.map(p => ("p", p._1, p._2, p._3))
+        .toDF("p", "s", "t", "v"), "p", "s", "t", "v")
+      .collect().head
+    (r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("cochranQ: hand-worked 3-treatment block lands exactly") {
+    // 4 subjects × 3 treatments; X = [[1,1,0],[1,0,0],[1,1,1],[1,0,0]]
+    // T = (4,2,1), S = 7, ΣT² = 21, ΣR² = 2²+1+3²+1 = 15
+    // Q = 2·(3·21 − 49)/(3·7 − 15) = 28/6 = 4.666…
+    val rows = Seq(
+      ("s1", "a", 1L), ("s1", "b", 1L), ("s1", "c", 0L),
+      ("s2", "a", 1L), ("s2", "b", 0L), ("s2", "c", 0L),
+      ("s3", "a", 1L), ("s3", "b", 1L), ("s3", "c", 1L),
+      ("s4", "a", 1L), ("s4", "b", 0L), ("s4", "c", 0L))
+    val (n, k, q, sig) = runQ(rows)
+    assert((n, k) === ((4L, 3L)))
+    assert(q === Some(4666666L))
+    assert(sig === Some(0L)) // df 2 crit = 5.99
+  }
+
+  test("cochranQ: equal treatment sums read exactly 0") {
+    // rotation design: subject i fires exactly treatment i mod 3 —
+    // T = (2,2,2) equal, rows non-constant, Q = 0 exactly
+    val rows = (0 until 6).flatMap(i => Seq("a", "b", "c").zipWithIndex
+      .map { case (t, j) => (s"s$i", t, if (i % 3 == j) 1L else 0L) })
+    val (_, _, q, sig) = runQ(rows)
+    assert(q === Some(0L) && sig === Some(0L))
+  }
+
+  test("cochranQ: all-constant subjects zero the denominator — NULL") {
+    // every R_i ∈ {0, k}: k·S − ΣR² = k·S − k·S = 0
+    val rows = Seq(("s1", "a", 1L), ("s1", "b", 1L),
+      ("s2", "a", 0L), ("s2", "b", 0L))
+    val (_, _, q, sig) = runQ(rows)
+    assert(q === None && sig === Some(0L))
+  }
+
+  test("cochranQ: incomplete blocks drop (Cochran's design requirement)") {
+    // s2 misses treatment b — it must not bias T_j
+    val complete = Seq(
+      ("s1", "a", 1L), ("s1", "b", 0L),
+      ("s3", "a", 0L), ("s3", "b", 1L))
+    val withPartial = complete ++ Seq(("s2", "a", 1L))
+    val (n1, _, q1, _) = runQ(complete)
+    val (n2, _, q2, _) = runQ(withPartial)
+    assert(n1 === 2L && n2 === 2L && q1 === q2)
+  }
+
+  test("cochranQ: seeded BigInt replay on a biased 4-treatment panel") {
+    val rnd = new scala.util.Random(909)
+    val probs = Map("t0" -> 2, "t1" -> 4, "t2" -> 6, "t3" -> 8)
+    val rows = (1 to 200).flatMap(i => probs.map { case (t, p) =>
+      (s"s$i", t, if (rnd.nextInt(10) < p) 1L else 0L) })
+    val (n, k, q, sig) = runQ(rows)
+    val byS = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val byT = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val s = BigInt(byS.values.sum)
+    val r2 = byS.values.map(v => BigInt(v) * v).sum
+    val t2 = byT.values.map(v => BigInt(v) * v).sum
+    val expect = (BigInt(1000000) * (4 - 1) * (4 * t2 - s * s) /
+      (4 * s - r2)).toLong
+    assert((n, k) === ((200L, 4L)))
+    assert(q === Some(expect))
+    assert(sig === Some(1L)) // planted prevalence gradient flags
+  }
 }

@@ -148,4 +148,87 @@ class ContingencySpec extends SparkSpec {
     assert(neg === ss.count(s => sign(rows.filter(_._1 == s)) < 0).toLong)
     assert(pooled === sign(rows).toLong)
   }
+
+  // ---- mutual information + NMI (r15, L169) --------------------------
+
+  private def runMi(rows: Seq[(String, String)]) = {
+    val df = rows.map { case (r, c) => ("p", r, c) }.toDF("p", "rv", "cv")
+    val row = Contingency.mutualInformation(df, "p", "rv", "cv")
+      .collect().head
+    (row.getLong(1), row.getLong(2), row.getLong(3),
+      if (row.isNullAt(4)) None else Some(row.getLong(4)),
+      if (row.isNullAt(5)) None else Some(row.getLong(5)))
+  }
+
+  test("mi: perfect 2x2 association reads exactly ln 2, NMI exactly 1") {
+    // [[2,0],[0,2]]: every cell ln(N·n/RC) = ln(8/4) = ln 2 — a pure
+    // power of two hits mantissa cell 0, so the table ln is EXACT:
+    // mi_e9 = Ln2E9 verbatim, and H_r = H_c = MI ⇒ nmi_e6 = 10⁶
+    val (n, r, c, mi, nmi) = runMi(grid((2, 0, 0, 2)))
+    assert((n, r, c) === ((4L, 2L, 2L)))
+    assert(mi === Some(graft.operators.Drift.Ln2E9))
+    assert(nmi === Some(1000000L))
+  }
+
+  test("mi: exact independence with power-of-two margins reads exact 0") {
+    // [[1,1],[1,1]]: every cell ln(4·1/(2·2)) = ln 1 = table cell 0
+    val (_, _, _, mi, nmi) = runMi(grid((1, 1, 1, 1)))
+    assert(mi === Some(0L) && nmi === Some(0L))
+  }
+
+  test("mi: near-independence reads inside the documented negative floor band") {
+    // counts [[3,2],[2,3]] are nearly independent (true MI ≈ 0.02
+    // nats) — the table floor can only UNDER-read, never by more
+    // than ln(257/256) ≈ 3.9e6 e9-units (Σ n/N = 1)
+    val (_, _, _, mi, _) = runMi(grid((3, 2, 2, 3)))
+    val replay = miReplay(Seq(("r0", "c0", 3L), ("r0", "c1", 2L),
+      ("r1", "c0", 2L), ("r1", "c1", 3L)))
+    assert(mi === Some(replay))
+    // true MI = 2·(0.3·ln 1.2 − 0.2·ln 0.8⁻¹) ≈ 0.02013551 nats
+    assert(mi.get > 20135514L - 3900000L && mi.get <= 20135514L,
+      s"mi ${mi.get} outside [true − floor, true]")
+  }
+
+  test("mi: degenerate single-label grid emits NULL statistics") {
+    val (_, r, _, mi, nmi) = runMi(Seq(("r0", "c0"), ("r0", "c1")))
+    assert(r === 1L && mi === None && nmi === None)
+  }
+
+  test("mi: zero cells carry no mass — seeded BigInt replay on a sparse grid") {
+    val rnd = new scala.util.Random(515)
+    val rows = Seq.fill(300) {
+      val r = s"r${rnd.nextInt(4)}"
+      // column depends on row so the grid is sparse AND associated
+      val c = s"c${rnd.nextInt(3) + (if (r == "r0") 3 else 0)}"
+      (r, c)
+    }
+    val cells = rows.groupBy(identity).map { case ((r, c), g) =>
+      (r, c, g.size.toLong) }.toSeq
+    val (_, _, _, mi, nmi) = runMi(rows)
+    assert(mi === Some(miReplay(cells)))
+    assert(nmi === Some(nmiReplay(cells)))
+  }
+
+  /** Plain-Scala replay of the operator's table-ln MI cascade. */
+  private def miReplay(cells: Seq[(String, String, Long)]): Long = {
+    val n = cells.map(_._3).sum
+    val rm = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val cm = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val s = cells.map { case (r, c, k) =>
+      BigInt(k) * Drift.lnE9Jvm(BigInt(n) * k, BigInt(rm(r)) * cm(c))
+    }.sum
+    (s / n).toLong // BigInt / rounds toward zero for the sign mix here
+  }
+
+  private def nmiReplay(cells: Seq[(String, String, Long)]): Long = {
+    val n = cells.map(_._3).sum
+    val rm = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val cm = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val mi = cells.map { case (r, c, k) =>
+      BigInt(k) * Drift.lnE9Jvm(BigInt(n) * k, BigInt(rm(r)) * cm(c))
+    }.sum
+    val hr = rm.values.map(v => BigInt(v) * Drift.lnE9Jvm(n, v)).sum
+    val hc = cm.values.map(v => BigInt(v) * Drift.lnE9Jvm(n, v)).sum
+    (BigInt(1000000) * mi / (hr min hc)).toLong
+  }
 }
