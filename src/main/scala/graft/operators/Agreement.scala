@@ -146,6 +146,80 @@ object Agreement {
         col("z2_e6"), col("d_sign"), col("sig"))
   }
 
+  /** Fleiss' κ multi-rater agreement (r15, L172; Fleiss 1971,
+    * Psychological Bulletin 76(5) — [[cohenKappa]] generalized from
+    * two FIXED raters to "each item got m ratings from whoever":
+    * the crowd-labeling / RLHF-annotation shape, where item i's m
+    * ratings land as category counts n_ij with Σ_j n_ij = m).
+    *
+    * Exact LONG rational (every quantity an integer):
+    *   P̄  = (Σ_ij n_ij² − N·m) / (N·m·(m−1))    observed agreement
+    *   P̄e = Σ_j T_j² / (N²·m²)                  chance agreement
+    *   κ  = (P̄ − P̄e)/(1 − P̄e)
+    *      = (a·d − c·b) / (b·(d − c)),  a = Σn² − Nm, b = Nm(m−1),
+    *                                    c = ΣT², d = N²m²
+    * Quantization: pbar_e6/pe_e6/kappa_e6 are ONE truncating division
+    * each (the cohenKappa convention; negative κ exercises toward-
+    * zero truncation). d = c (P̄e = 1 ⟺ every rating one category)
+    * ⇒ κ NULL. Items with ≠ m ratings DROP (the complete-panel
+    * requirement, enforced like [[cochranQ]]'s blocks — Fleiss'
+    * formulas silently break on ragged items). Capacity:
+    * 10⁶·a·d ≤ 10⁶·N³m⁴ < 10³⁸ ⇒ N ≤ ~10¹⁰ items at m = 3
+    * (documented; shard beyond).
+    *
+    * Scale shape: one (panel, item, rating) count collapses the
+    * ratings corpus; per-item sums, the m-filter, and the category
+    * sums are grid aggregations; the tail is panel-row arithmetic. */
+  def fleissKappa(df: DataFrame, panelCol: String, itemCol: String,
+      ratingCol: String, m: Int): DataFrame = {
+    require(m >= 2, s"m $m must be >= 2 (agreement needs two ratings)")
+    val d38 = "decimal(38,0)"
+    Reserved.guard(Seq(panelCol),
+      Seq("__i", "__rt", "__nij", "__mi", "__s2i", "__t", "__t2",
+        "__s2", "n_items", "m", "k_cats", "pbar_e6", "pe_e6",
+        "kappa_e6"),
+      "Agreement")
+    val cells = df
+      .filter(col(panelCol).isNotNull && col(itemCol).isNotNull &&
+        col(ratingCol).isNotNull)
+      .select(col(panelCol), col(itemCol).cast("string").as("__i"),
+        col(ratingCol).cast("string").as("__rt"))
+      .groupBy(col(panelCol), col("__i"), col("__rt"))
+      .agg(count(lit(1)).as("__nij"))
+    val items = cells.groupBy(col(panelCol), col("__i"))
+      .agg(sum(col("__nij")).as("__mi"),
+        sum(col("__nij") * col("__nij")).as("__s2i"))
+      .filter(col("__mi") === m.toLong)
+    val perPanel = items.groupBy(col(panelCol))
+      .agg(count(lit(1)).as("n_items"), sum(col("__s2i")).as("__s2"))
+    val tSums = cells
+      .join(items.select(col(panelCol), col("__i")), Seq(panelCol, "__i"))
+      .groupBy(col(panelCol), col("__rt"))
+      .agg(sum(col("__nij")).as("__t"))
+      .groupBy(col(panelCol))
+      .agg(countDistinct(col("__rt")).as("k_cats"),
+        sum(col("__t").cast(d38) * col("__t").cast(d38)).as("__t2"))
+    val mm = lit(m.toLong)
+    val a = (col("__s2") - col("n_items") * mm).cast(d38)
+    val b = (col("n_items") * mm * lit((m - 1).toLong)).cast(d38)
+    val cT = col("__t2")
+    val dN = col("n_items").cast(d38) * col("n_items").cast(d38) *
+      lit((m.toLong * m)).cast(d38)
+    perPanel.join(tSums, Seq(panelCol))
+      .withColumn("m", mm)
+      .withColumn("pbar_e6", call_function("div",
+        lit(1000000L).cast(d38) * a, b).cast("long"))
+      .withColumn("pe_e6", call_function("div",
+        lit(1000000L).cast(d38) * cT, dN).cast("long"))
+      .withColumn("kappa_e6",
+        when(dN === cT, lit(null).cast("long"))
+          .otherwise(call_function("div",
+            lit(1000000L).cast(d38) * (a * dN - cT * b),
+            b * (dN - cT)).cast("long")))
+      .select(col(panelCol), col("n_items"), col("m"), col("k_cats"),
+        col("pbar_e6"), col("pe_e6"), col("kappa_e6"))
+  }
+
   /** Cochran's Q test (r15, L171; Cochran 1950, Biometrika 37 — the
     * k-treatment extension of [[mcnemar]]: "do these k binary flags
     * fire at the same rate on the same items", the within-subject

@@ -2752,6 +2752,81 @@ object LlmPipeline {
           "panel", "rv", "cv")
         .orderBy(col("panel"))
     }),
+    "q_v25_fleiss_kappa" -> ((s, dir) => {
+      // Fleiss' κ multi-rater agreement (r15, L172; Fleiss 1971):
+      // q_v20's Cohen κ generalized to m = 3 ratings per item — the
+      // crowd-labeling shape. Three length "raters" with slightly
+      // shifted band thresholds agree heavily (κ ≈ 0.9); three
+      // salted-hash raters are independent uniform over 3 categories
+      // (κ ≈ 0 — the chance-agreement correction live, possibly
+      // slightly negative, toward-zero truncation on both engines).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      def band(lo: Long, hi: Long) =
+        when(col("n_chars") < lo, "short")
+          .when(col("n_chars") < hi, "mid").otherwise("long")
+      def hrater(salt: String) =
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(salt))), 1, 14), 16, 10).cast("long"), lit(3L))
+          .cast("string")
+      val legLen = d.select(lit("length_raters").as("panel"),
+        col("doc_id").as("item"),
+        explode(array(band(150L, 350L), band(160L, 360L),
+          band(140L, 340L))).as("rating"))
+      val legHash = d.select(lit("hash_raters").as("panel"),
+        col("doc_id").as("item"),
+        explode(array(hrater("r1"), hrater("r2"), hrater("r3")))
+          .as("rating"))
+      Agreement.fleissKappa(legLen.unionByName(legHash),
+          "panel", "item", "rating", m = 3)
+        .orderBy(col("panel"))
+    }),
+    "q_e32_acf" -> ((s, dir) => {
+      // daily-volume autocorrelation grid (r15, L174; Box & Jenkins
+      // 1970): lags 1..7 over the gap-filled daily series. The real
+      // stream carries day-to-day structure; the scatter leg remaps
+      // each event to an i.i.d. md5 day in [0, 200) — a white series
+      // whose r_k hover near 0 (negative reads exercise toward-zero
+      // truncation live).
+      val ev = t(s, dir, "events")
+      val us = graft.Tables.epochMicros(ev, "ts")
+      val h = pmod(conv(substring(md5(col("event_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(200L))
+      val real = ev.select(lit("daily").as("leg"), us.as("us"))
+      val white = ev.filter(col("event_id").isNotNull)
+        .select(lit("scatter").as("leg"),
+          (h * lit(86400000000L)).as("us"))
+      // planted period-2 rhythm: only EVEN days occupied — strong
+      // negative lag-1 / positive lag-2 ACF, the flagged regime
+      val alt = ev.filter(col("event_id").isNotNull)
+        .select(lit("alternating").as("leg"),
+          (pmod(h, lit(100L)) * lit(2L * 86400000000L)).as("us"))
+      Acf.dailyVolumeAcf(real.unionByName(white).unionByName(alt),
+          "leg", col("us"), maxLag = 7)
+        .orderBy(col("leg"), col("lag"))
+    }),
+    "q_e33_ljung_box" -> ((s, dir) => {
+      // Ljung–Box portmanteau whiteness verdict (r15, L174; Ljung &
+      // Box 1978) over the q_e32 legs: one χ²₇ number per series —
+      // the "is there ANY serial structure left" gate an anomaly
+      // screen's residuals should pass. Built from the quantized ACF
+      // (the documented two-step cascade — quantize-once would
+      // overflow DECIMAL(38,0) on real series).
+      val ev = t(s, dir, "events")
+      val us = graft.Tables.epochMicros(ev, "ts")
+      val h = pmod(conv(substring(md5(col("event_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(200L))
+      val real = ev.select(lit("daily").as("leg"), us.as("us"))
+      val white = ev.filter(col("event_id").isNotNull)
+        .select(lit("scatter").as("leg"),
+          (h * lit(86400000000L)).as("us"))
+      val alt = ev.filter(col("event_id").isNotNull)
+        .select(lit("alternating").as("leg"),
+          (pmod(h, lit(100L)) * lit(2L * 86400000000L)).as("us"))
+      Acf.dailyVolumeLjungBox(real.unionByName(white).unionByName(alt),
+          "leg", col("us"), maxLag = 7)
+        .orderBy(col("leg"))
+    }),
     "q_v23_mcnemar" -> ((s, dir) => {
       // McNemar paired flip test (r15, L170; McNemar 1947): two
       // "pipeline versions" of the short-doc flag on the SAME docs —
@@ -4037,6 +4112,172 @@ object LlmPipeline {
     // q_qr23: margin-cross replay — the FULL r×c grid (zero cells
     // carry mass), one // per cell, the df-indexed χ² table, and the
     // qr18 hash-bit convention for the A/A leg
+    // q_v25: Fleiss replay — cell counts, the complete-item filter,
+    // and the (a·d − c·b)/(b·(d − c)) rational, all HUGEINT
+    "q_v25_fleiss_kappa" ->
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          base AS (
+            SELECT 'length_raters' AS panel, doc_id AS i, r FROM d,
+              LATERAL (SELECT unnest(ARRAY[
+                CASE WHEN n_chars < 150 THEN 'short'
+                     WHEN n_chars < 350 THEN 'mid' ELSE 'long' END,
+                CASE WHEN n_chars < 160 THEN 'short'
+                     WHEN n_chars < 360 THEN 'mid' ELSE 'long' END,
+                CASE WHEN n_chars < 140 THEN 'short'
+                     WHEN n_chars < 340 THEN 'mid' ELSE 'long' END])
+                AS r)
+           UNION ALL
+            SELECT 'hash_raters', doc_id, r FROM d,
+              LATERAL (SELECT unnest(ARRAY[
+                CAST(CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR) || 'r1'), 1, 14)) AS BIGINT)
+                  % 3 AS VARCHAR),
+                CAST(CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR) || 'r2'), 1, 14)) AS BIGINT)
+                  % 3 AS VARCHAR),
+                CAST(CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR) || 'r3'), 1, 14)) AS BIGINT)
+                  % 3 AS VARCHAR)]) AS r)),
+          cells AS (SELECT panel, i, r,
+                CAST(COUNT(*) AS BIGINT) AS nij
+              FROM base GROUP BY 1, 2, 3),
+          items AS (SELECT panel, i, SUM(nij) AS mi,
+                SUM(nij * nij) AS s2i
+              FROM cells GROUP BY 1, 2),
+          ok AS (SELECT * FROM items WHERE mi = 3),
+          pp AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS n_items,
+                SUM(s2i) AS s2
+              FROM ok GROUP BY 1),
+          ts AS (SELECT cells.panel, cells.r, SUM(nij) AS t
+              FROM cells JOIN ok ON ok.panel = cells.panel
+                AND ok.i = cells.i
+              GROUP BY 1, 2),
+          tt AS (SELECT panel, CAST(COUNT(DISTINCT r) AS BIGINT)
+                  AS k_cats,
+                SUM(CAST(t AS HUGEINT) * t) AS t2
+              FROM ts GROUP BY 1),
+          x AS (SELECT pp.panel, n_items, k_cats,
+                CAST(s2 - n_items * 3 AS HUGEINT) AS a,
+                CAST(n_items AS HUGEINT) * 3 * 2 AS b,
+                t2 AS c,
+                CAST(n_items AS HUGEINT) * n_items * 9 AS dd
+              FROM pp JOIN tt ON tt.panel = pp.panel)
+         SELECT panel, n_items, CAST(3 AS BIGINT) AS m, k_cats,
+                CAST((1000000 * a) // b AS BIGINT) AS pbar_e6,
+                CAST((1000000 * c) // dd AS BIGINT) AS pe_e6,
+                CAST(CASE WHEN dd = c THEN NULL
+                  ELSE (1000000 * (a * dd - c * b)) // (b * (dd - c))
+                  END AS BIGINT) AS kappa_e6
+         FROM x ORDER BY panel""",
+    // q_e32/q_e33: gap-filled centered daily series, day-keyed lag
+    // equi-join, `//` toward zero live on the scatter leg's negative
+    // autocorrelations
+    "q_e32_acf" ->
+      s"""WITH base AS (
+            SELECT 'daily' AS leg, epoch_us(ts) AS us FROM events
+            WHERE ts IS NOT NULL
+           UNION ALL
+            SELECT 'scatter',
+              (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                1, 14)) AS BIGINT) % 200) * 86400000000
+            FROM events WHERE event_id IS NOT NULL
+           UNION ALL
+            SELECT 'alternating',
+              ((CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                1, 14)) AS BIGINT) % 200) % 100) * 172800000000
+            FROM events WHERE event_id IS NOT NULL),
+          days AS (SELECT leg,
+                (us - us % 86400000000) // 86400000000 AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM base GROUP BY 1, 2),
+          span AS (SELECT leg, MIN(x) AS x0, MAX(x) AS x1
+              FROM days GROUP BY 1),
+          grid AS (SELECT leg, unnest(generate_series(x0, x1)) AS x
+              FROM span),
+          filled AS (SELECT grid.leg, grid.x, COALESCE(y, 0) AS y
+              FROM grid LEFT JOIN days ON days.leg = grid.leg
+                AND days.x = grid.x),
+          st AS (SELECT leg, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(y) AS s
+              FROM filled GROUP BY 1),
+          z AS (SELECT filled.leg, x, n * y - s AS z
+              FROM filled JOIN st ON st.leg = filled.leg),
+          dd AS (SELECT leg, SUM(CAST(z AS HUGEINT) * z) AS d
+              FROM z GROUP BY 1),
+          pr AS (SELECT a.leg, l.k AS lag,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                SUM(CAST(a.z AS HUGEINT) * b.z) AS num
+              FROM z a
+              CROSS JOIN (SELECT unnest(range(1, 8)) AS k) l
+              JOIN z b ON b.leg = a.leg AND b.x = a.x + l.k
+              GROUP BY 1, 2)
+         SELECT pr.leg, lag, n AS n_days, n_pairs,
+                CAST(CASE WHEN d = 0 THEN NULL
+                  ELSE (1000000 * num) // d END AS BIGINT) AS r_e6
+         FROM pr JOIN dd ON dd.leg = pr.leg
+         JOIN st ON st.leg = pr.leg
+         ORDER BY pr.leg, lag""",
+    "q_e33_ljung_box" ->
+      s"""WITH base AS (
+            SELECT 'daily' AS leg, epoch_us(ts) AS us FROM events
+            WHERE ts IS NOT NULL
+           UNION ALL
+            SELECT 'scatter',
+              (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                1, 14)) AS BIGINT) % 200) * 86400000000
+            FROM events WHERE event_id IS NOT NULL
+           UNION ALL
+            SELECT 'alternating',
+              ((CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                1, 14)) AS BIGINT) % 200) % 100) * 172800000000
+            FROM events WHERE event_id IS NOT NULL),
+          days AS (SELECT leg,
+                (us - us % 86400000000) // 86400000000 AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM base GROUP BY 1, 2),
+          span AS (SELECT leg, MIN(x) AS x0, MAX(x) AS x1
+              FROM days GROUP BY 1),
+          grid AS (SELECT leg, unnest(generate_series(x0, x1)) AS x
+              FROM span),
+          filled AS (SELECT grid.leg, grid.x, COALESCE(y, 0) AS y
+              FROM grid LEFT JOIN days ON days.leg = grid.leg
+                AND days.x = grid.x),
+          st AS (SELECT leg, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(y) AS s
+              FROM filled GROUP BY 1),
+          z AS (SELECT filled.leg, x, n * y - s AS z
+              FROM filled JOIN st ON st.leg = filled.leg),
+          dd AS (SELECT leg, SUM(CAST(z AS HUGEINT) * z) AS d
+              FROM z GROUP BY 1),
+          pr AS (SELECT a.leg, l.k AS lag,
+                SUM(CAST(a.z AS HUGEINT) * b.z) AS num
+              FROM z a
+              CROSS JOIN (SELECT unnest(range(1, 8)) AS k) l
+              JOIN z b ON b.leg = a.leg AND b.x = a.x + l.k
+              GROUP BY 1, 2),
+          rr AS (SELECT pr.leg, lag, n,
+                CASE WHEN d = 0 THEN NULL
+                  ELSE (1000000 * num) // d END AS r
+              FROM pr JOIN dd ON dd.leg = pr.leg
+              JOIN st ON st.leg = pr.leg),
+          terms AS (SELECT leg, n,
+                CASE WHEN r IS NULL OR n <= 8 THEN NULL
+                  ELSE (n * (n + 2) * CAST(r AS HUGEINT) * r)
+                    // (1000000 * (n - lag)) END AS t
+              FROM rr),
+          agg AS (SELECT leg, MAX(n) AS n_days,
+                CAST(COUNT(*) AS BIGINT) AS nl,
+                SUM(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS nn,
+                SUM(t) AS q
+              FROM terms GROUP BY 1)
+         SELECT leg, n_days, CAST(7 AS BIGINT) AS max_lag,
+                CAST(CASE WHEN nn > 0 OR nl < 7 THEN NULL
+                  ELSE q END AS BIGINT) AS q_e6,
+                CAST(CASE WHEN nn > 0 OR nl < 7 THEN NULL
+                  WHEN q >= 14067140 THEN 1 ELSE 0 END AS BIGINT)
+                  AS sig
+         FROM agg ORDER BY leg""",
     // q_v23: discordant-cell replay; `//` truncates toward zero on
     // both engines and b−c is negative on the threshold leg
     "q_v23_mcnemar" ->

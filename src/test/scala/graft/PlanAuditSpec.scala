@@ -872,6 +872,32 @@ class PlanAuditSpec extends SparkSpec {
       "q_v23 should be join-free")
   }
 
+  test("fleiss kappa: two grid agg passes, panel equi-joins, no cartesian") {
+    val plan = executedPlan(q("q_v25_fleiss_kappa"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_v25 plan contains a cross product:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"q_v25 grew a window:\n${plan.take(1200)}")
+  }
+
+  test("acf family: day-keyed lag equi-join, never a loop join") {
+    // the L147 lesson applied to q_e32/q_e33: the lag join's equi-key
+    // is the EXTRACTED `__xb === x + lag` equality — nothing else
+    // guards the extraction, and a silent fall to
+    // BroadcastNestedLoopJoin over |days|·|lags| rows would pass
+    // value checks at sf0.1 and melt at scale
+    for (name <- Seq("q_e32_acf", "q_e33_ljung_box")) {
+      val plan = executedPlan(q(name))
+      assert(plan.contains("SortMergeJoin")
+          || plan.contains("BroadcastHashJoin"),
+        s"$name lag join lost its equi-key extraction:\n${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name lag join fell to a loop join:\n${plan.take(1500)}")
+    }
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),

@@ -143,6 +143,72 @@ class AgreementSpec extends SparkSpec {
     assert(n === 2L)
   }
 
+  // ---- Fleiss' κ (r15, L172) -----------------------------------------
+
+  private def runFleiss(rows: Seq[(String, String)], m: Int = 3) = {
+    val r = Agreement.fleissKappa(rows.map(p => ("p", p._1, p._2))
+        .toDF("p", "i", "r"), "p", "i", "r", m)
+      .collect().head
+    (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+      if (r.isNullAt(6)) None else Some(r.getLong(6)))
+  }
+
+  test("fleiss: two unanimous blocks — kappa exactly 1e6") {
+    // 2 items all-a + 2 items all-b: P̄ = 1, P̄e = 1/2 ⇒ κ = 1
+    val rows = Seq("i1", "i2").flatMap(i => Seq.fill(3)((i, "a"))) ++
+      Seq("i3", "i4").flatMap(i => Seq.fill(3)((i, "b")))
+    val (n, k, pbar, pe, kappa) = runFleiss(rows)
+    assert((n, k) === ((4L, 2L)))
+    assert(pbar === 1000000L && pe === 500000L)
+    assert(kappa === Some(1000000L))
+  }
+
+  test("fleiss: hand-worked 2-item panel — kappa = 1/4 exactly") {
+    // item1 (a,a,b), item2 (b,b,b): a = 8, b = 12, c = 20, d = 36
+    // κ = (8·36 − 20·12)/(12·16) = 48/192 = 0.25
+    val rows = Seq(("i1", "a"), ("i1", "a"), ("i1", "b"),
+      ("i2", "b"), ("i2", "b"), ("i2", "b"))
+    val (_, _, pbar, pe, kappa) = runFleiss(rows)
+    assert(pbar === 666666L && pe === 555555L)
+    assert(kappa === Some(250000L))
+  }
+
+  test("fleiss: unanimous single category is NULL (pe = 1), not 1") {
+    val rows = Seq("i1", "i2").flatMap(i => Seq.fill(3)((i, "a")))
+    val (_, _, _, _, kappa) = runFleiss(rows)
+    assert(kappa === None)
+  }
+
+  test("fleiss: ragged items drop and do not bias the category sums") {
+    val complete = Seq(("i1", "a"), ("i1", "a"), ("i1", "b"),
+      ("i2", "b"), ("i2", "b"), ("i2", "b"))
+    val withRagged = complete ++ Seq(("i9", "a"), ("i9", "a"))
+    assert(runFleiss(complete) === runFleiss(withRagged))
+  }
+
+  test("fleiss: seeded BigInt replay on a 4-category crowd panel") {
+    val rnd = new scala.util.Random(417)
+    val rows = (1 to 150).flatMap { i =>
+      val bias = i % 4 // items lean toward one category
+      Seq.fill(3)((s"i$i",
+        s"c${if (rnd.nextInt(10) < 6) bias else rnd.nextInt(4)}"))
+    }
+    val (n, k, pbar, pe, kappa) = runFleiss(rows)
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong)
+    val s2 = BigInt(cells.values.map(v => v * v).sum)
+    val nI = BigInt(150); val m = BigInt(3)
+    val tj = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+    val c = tj.values.map(v => BigInt(v) * v).sum
+    val a = s2 - nI * m
+    val b = nI * m * (m - 1)
+    val d = nI * nI * m * m
+    assert((n, k) === ((150L, 4L)))
+    assert(pbar === (BigInt(1000000) * a / b).toLong)
+    assert(pe === (BigInt(1000000) * c / d).toLong)
+    assert(kappa ===
+      Some((BigInt(1000000) * (a * d - c * b) / (b * (d - c))).toLong))
+  }
+
   // ---- Cochran's Q (r15, L171) ---------------------------------------
 
   private def runQ(rows: Seq[(String, String, Long)]) = {
