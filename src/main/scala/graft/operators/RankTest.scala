@@ -296,4 +296,85 @@ object RankTest {
               * col("n_b").cast(d38))).as("auc_e6"),
         col("z2_e6"), col("sig"))
   }
+
+  /** Asymptotic 5% critical value of the two-sample Cramér–von Mises
+    * T (Anderson & Darling 1952, Ann. Math. Stat. 23, the ω²
+    * limiting distribution; Anderson 1962 table 2): 0.46136 at 1e-6.
+    * Consumed as the SAME literal by the oracle. */
+  private[graft] val CvmCrit95E6 = 461360L
+
+  /** Two-sample Cramér–von Mises drift test (r15, L180; Cramér 1928,
+    * von Mises 1931, two-sample form Anderson 1962, Ann. Math. Stat.
+    * 33 — the INTEGRATED-distance member of the drift panel: KS sees
+    * the single worst ECDF gap, [[mannWhitney]] a location shift;
+    * CvM integrates the SQUARED gap over the whole support, so many
+    * small distributed distortions — the shape drift a re-tokenizer
+    * or dedup-pass introduces without moving the median — accumulate
+    * instead of hiding below the KS sup).
+    *
+    * Exact construction on the distinct-value grid, ties by the ECDF
+    * step form: with per-value combined count c_v and cumulative
+    * cohort counts A_v, B_v (inclusive),
+    *   T = Σ_v c_v·(m·A_v − n·B_v)² / ((n+m)²·n·m)
+    * (the n·m scale of the classic T = nm/(n+m)²·Σ(F−G)²·dH with
+    * every rational cleared). ONE quantization:
+    *   t_e6 = div(10⁶·Σ_v c_v·(m·A_v − n·B_v)², (n+m)²·n·m).
+    * Verdict vs [[CvmCrit95E6]] (asymptotic — the exact small-sample
+    * distribution is a stated non-goal; at grid scale n, m ≫ the
+    * n ≈ 10 regime where it matters). Either cohort empty ⇒ NULL.
+    *
+    * Capacity: Σ c·(mA−nB)² ≤ (n+m)·(nm)² ≈ N⁵/16, so the 10⁶ scale
+    * holds DECIMAL(38,0) for N ≤ ~4·10⁶ rows/panel (documented —
+    * subsample beyond; the verdict is long decided).
+    *
+    * Scale shape: the mannWhitney skeleton exactly — one map-side
+    * (group, value) count collapse, a per-group sort window over the
+    * VALUE grid, grid-sized sums. */
+  def cramerVonMises(df: DataFrame, groupCol: String, cohortCol: String,
+      valueCol: String, cohortA: String, cohortB: String): DataFrame = {
+    require(cohortA != cohortB, "cohort labels must differ")
+    Reserved.guard(Seq(groupCol),
+      Seq("__c", "__v", "__t", "__ta", "__ca", "__cb", "__term",
+        "n_a", "n_b", "t_e6", "sig"),
+      "RankTest")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(cohortCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol), col(cohortCol).cast("string").as("__c"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__c").isin(cohortA, cohortB))
+    val grid = base.groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__c") === cohortA, 1L).otherwise(0L)).as("__ta"))
+    val tot = grid.groupBy(col(groupCol))
+      .agg(sum(col("__ta")).as("n_a"),
+        sum(col("__t") - col("__ta")).as("n_b"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = col("n_b").cast(d38) * col("__ca").cast(d38) -
+      col("n_a").cast(d38) * col("__cb").cast(d38)
+    val summed = grid
+      .withColumn("__ca", sum(col("__ta")).over(w))
+      .withColumn("__cb", sum(col("__t") - col("__ta")).over(w))
+      .join(tot, Seq(groupCol))
+      .withColumn("__term", col("__t").cast(d38) * dev * dev)
+      .groupBy(col(groupCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("__term")).as("__term"))
+    val bigN = (col("n_a") + col("n_b")).cast(d38)
+    summed
+      .withColumn("t_e6",
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("long"))
+          .otherwise(call_function("div",
+            lit(1000000L).cast(d38) * col("__term"),
+            bigN * bigN * col("n_a").cast(d38) * col("n_b").cast(d38))
+            .cast("long")))
+      .withColumn("sig",
+        (col("t_e6").isNotNull && col("t_e6") >= CvmCrit95E6)
+          .cast("long"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("t_e6"),
+        col("sig"))
+  }
 }

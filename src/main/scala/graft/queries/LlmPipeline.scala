@@ -2752,6 +2752,46 @@ object LlmPipeline {
           "panel", "rv", "cv")
         .orderBy(col("panel"))
     }),
+    "q_v26_avg_precision" -> ((s, dir) => {
+      // average precision + max-F1 operating point (r15, L173; Davis
+      // & Goadrich 2006): the PR companion of q_v22's AUC plus the
+      // DECISION layer — the threshold a deployed filter would use,
+      // picked by exact arithmetic. Same two legs as v22: zh scored
+      // by n_chars (AP near prevalence — length ranks zh poorly,
+      // matching AUC < 0.5) and the doc-parity A/A (AP ≈ prevalence
+      // = 0.5, best F1 ≈ the all-positive 2/3 point — the classic
+      // no-signal signature).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val zh = d.select(lit("zh_len").as("leg"),
+        (col("lang") === "zh").cast("long").as("y"), col("n_chars"))
+      val aa = d.select(lit("aa_null").as("leg"),
+        pmod(col("doc_id"), lit(2L)).as("y"), col("n_chars"))
+      PrCurve.averagePrecision(zh.unionByName(aa), "leg", "y",
+          "n_chars")
+        .orderBy(col("leg"))
+    }),
+    "q_qr27_cvm" -> ((s, dir) => {
+      // two-sample Cramér–von Mises (r15, L180; Anderson 1962): the
+      // INTEGRATED-distance drift member — KS sees the worst single
+      // ECDF gap, MW a location shift, CvM accumulates the squared
+      // gap over the whole support. zh-vs-rest length distributions
+      // differ in shape → flags; the doc-parity A/A reads null.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val zh = d.select(lit("zh_rest").as("leg"),
+        when(col("lang") === "zh", "a").otherwise("b").as("c"),
+        col("n_chars"))
+      val aa = d.select(lit("aa_null").as("leg"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L, "a").otherwise("b")
+          .as("c"),
+        col("n_chars"))
+      RankTest.cramerVonMises(zh.unionByName(aa), "leg", "c",
+          "n_chars", "a", "b")
+        .orderBy(col("leg"))
+    }),
     "q_v25_fleiss_kappa" -> ((s, dir) => {
       // Fleiss' κ multi-rater agreement (r15, L172; Fleiss 1971):
       // q_v20's Cohen κ generalized to m = 3 ratings per item — the
@@ -4112,6 +4152,95 @@ object LlmPipeline {
     // q_qr23: margin-cross replay — the FULL r×c grid (zero cells
     // carry mass), one // per cell, the df-indexed χ² table, and the
     // qr18 hash-bit convention for the A/A leg
+    // q_v26: distinct-score grid walk — window cumulatives DESC, the
+    // per-threshold term/f1 cascade, row_number argmax (f1 desc,
+    // threshold desc — the operator's max-struct tie-break)
+    "q_v26_avg_precision" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, lang FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          base AS (SELECT 'zh_len' AS leg,
+                CAST(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END
+                  AS BIGINT) AS y,
+                CAST(n_chars AS BIGINT) AS v
+              FROM d
+             UNION ALL
+                   SELECT 'aa_null', CAST(doc_id % 2 AS BIGINT),
+                n_chars
+              FROM d),
+          grid AS (SELECT leg, v, CAST(SUM(y) AS BIGINT) AS pos,
+                CAST(COUNT(*) AS BIGINT) AS tot
+              FROM base GROUP BY 1, 2),
+          tt AS (SELECT leg, CAST(SUM(pos) AS BIGINT) AS np,
+                CAST(SUM(tot - pos) AS BIGINT) AS nn
+              FROM grid GROUP BY 1),
+          cum AS (SELECT leg, v, pos,
+                SUM(pos) OVER w AS tp, SUM(tot) OVER w AS n
+              FROM grid
+              WINDOW w AS (PARTITION BY leg ORDER BY v DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          terms AS (SELECT cum.leg, v,
+                (1000000000 * CAST(pos AS HUGEINT) * tp) // n AS term,
+                (2000000 * CAST(tp AS HUGEINT)) // (n + np) AS f1
+              FROM cum JOIN tt ON tt.leg = cum.leg),
+          st AS (SELECT leg, SUM(term) AS sterm FROM terms
+              GROUP BY 1),
+          best AS (SELECT leg, f1, v FROM (
+                SELECT leg, f1, v, ROW_NUMBER() OVER (
+                  PARTITION BY leg ORDER BY f1 DESC, v DESC) AS rn
+                FROM terms) WHERE rn = 1)
+         SELECT tt.leg, np AS n_pos, nn AS n_neg,
+                CAST(CASE WHEN np = 0 THEN NULL
+                  ELSE sterm // np END AS BIGINT) AS ap_e9,
+                CAST(CASE WHEN np = 0 THEN NULL
+                  ELSE best.v END AS BIGINT) AS best_thr,
+                CAST(CASE WHEN np = 0 THEN NULL
+                  ELSE best.f1 END AS BIGINT) AS best_f1_e6
+         FROM tt JOIN st ON st.leg = tt.leg
+         JOIN best ON best.leg = tt.leg
+         ORDER BY tt.leg""",
+    // q_qr27: ECDF step replay over the value grid, one quantization
+    "q_qr27_cvm" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, lang FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          base AS (SELECT 'zh_rest' AS leg,
+                CASE WHEN lang = 'zh' THEN 'a' ELSE 'b' END AS c,
+                CAST(n_chars AS BIGINT) AS v
+              FROM d
+             UNION ALL
+                   SELECT 'aa_null',
+                CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END,
+                n_chars
+              FROM d),
+          grid AS (SELECT leg, v, CAST(COUNT(*) AS BIGINT) AS t,
+                CAST(SUM(CASE WHEN c = 'a' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ta
+              FROM base GROUP BY 1, 2),
+          tot AS (SELECT leg, CAST(SUM(ta) AS BIGINT) AS na,
+                CAST(SUM(t - ta) AS BIGINT) AS nb
+              FROM grid GROUP BY 1),
+          cum AS (SELECT grid.leg, v, t, na, nb,
+                SUM(ta) OVER w AS ca, SUM(t - ta) OVER w AS cb
+              FROM grid JOIN tot ON tot.leg = grid.leg
+              WINDOW w AS (PARTITION BY grid.leg ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          s AS (SELECT leg, na, nb,
+                SUM(CAST(t AS HUGEINT)
+                  * (nb * ca - na * cb) * (nb * ca - na * cb))
+                  AS term
+              FROM cum GROUP BY 1, 2, 3),
+          f AS (SELECT leg, na, nb,
+                CASE WHEN na = 0 OR nb = 0 THEN NULL
+                  ELSE (1000000 * term)
+                    // (CAST(na + nb AS HUGEINT) * (na + nb) * na * nb)
+                  END AS t6
+              FROM s)
+         SELECT leg, na AS n_a, nb AS n_b,
+                CAST(t6 AS BIGINT) AS t_e6,
+                CAST(CASE WHEN t6 IS NOT NULL AND t6 >= 461360
+                  THEN 1 ELSE 0 END AS BIGINT) AS sig
+         FROM f ORDER BY leg""",
     // q_v25: Fleiss replay — cell counts, the complete-item filter,
     // and the (a·d − c·b)/(b·(d − c)) rational, all HUGEINT
     "q_v25_fleiss_kappa" ->

@@ -898,6 +898,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pr-curve and cvm: value-grid windows only, no cartesian") {
+    // both collapse the corpus map-side to the distinct-value grid
+    // BEFORE their sort window (the mannWhitney class) — a window
+    // whose input is not grid-sized, or any cross product, is a
+    // scale leak
+    for (name <- Seq("q_v26_avg_precision", "q_qr27_cvm")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a cross product:\n${plan.take(1500)}")
+      assert(plan.contains("HashAggregate"),
+        s"$name lost its grid collapse:\n${plan.take(1200)}")
+    }
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),

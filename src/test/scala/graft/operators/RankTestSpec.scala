@@ -281,4 +281,58 @@ class RankTestSpec extends SparkSpec {
     assert(r.getLong(3) === want.toLong)
     assert(r.getLong(5) === 1L, "the shifted scores must flag")
   }
+
+  // ---- two-sample Cramér–von Mises (r15, L180) -----------------------
+
+  private def runCvm(a: Seq[Long], b: Seq[Long]) = {
+    val df = (a.map(("g", "A", _)) ++ b.map(("g", "B", _)))
+      .toDF("g", "c", "v")
+    val r = RankTest.cramerVonMises(df, "g", "c", "v", "A", "B")
+      .collect().head
+    (r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))
+  }
+
+  test("cvm hand case: disjoint 2v2 gives T = 24/64 exactly") {
+    // A={1,2}, B={3,4}: devs (2,4,2,0) → Σc·dev² = 24; T = 24/(16·4)
+    val (na, nb, t, sig) = runCvm(Seq(1L, 2L), Seq(3L, 4L))
+    assert((na, nb) === ((2L, 2L)))
+    assert(t === Some(375000L) && sig === 0L)
+  }
+
+  test("cvm: identical multisets read exactly 0") {
+    val (_, _, t, _) = runCvm(Seq(1L, 2L, 2L), Seq(1L, 2L, 2L))
+    assert(t === Some(0L))
+  }
+
+  test("cvm: label swap leaves T invariant (the squared dev)") {
+    val a = Seq(1L, 3L, 5L, 9L); val b = Seq(2L, 2L, 7L)
+    assert(runCvm(a, b)._3 === runCvm(b, a)._3)
+  }
+
+  test("cvm: empty cohort is NULL, sig 0") {
+    val (_, _, t, sig) = runCvm(Seq(1L, 2L), Seq.empty)
+    assert(t === None && sig === 0L)
+  }
+
+  test("cvm: seeded BigInt replay; a planted shift flags") {
+    val rnd = new scala.util.Random(1080)
+    val a = Seq.fill(400)(rnd.nextInt(60).toLong)
+    val b = Seq.fill(350)(rnd.nextInt(60).toLong + 8L) // shifted
+    val (na, nb, t, sig) = runCvm(a, b)
+    // mirror: ECDF step form over the merged value grid
+    val values = (a ++ b).distinct.sorted
+    var ca = 0L; var cb = 0L; var s = BigInt(0)
+    values.foreach { v =>
+      val ta = a.count(_ == v); val tb = b.count(_ == v)
+      ca += ta; cb += tb
+      val dev = BigInt(b.size) * ca - BigInt(a.size) * cb
+      s += BigInt(ta + tb) * dev * dev
+    }
+    val n = BigInt(a.size + b.size)
+    val want = BigInt(1000000) * s / (n * n * a.size * b.size)
+    assert((na, nb) === ((400L, 350L)))
+    assert(t === Some(want.toLong))
+    assert(sig === 1L, "the planted shift must flag")
+  }
 }
