@@ -447,4 +447,52 @@ object TextAnalysis {
         expr("n1 * 1000000L DIV n_tokens").as("p_unseen_e6"),
         expr("n1 * 1000000L DIV v_types").as("hapax_share_e6"))
   }
+
+  // ---- readability panel (r15, L175) ---------------------------------
+
+  /** Heuristic syllable count (r15, L175): vowel-group runs across
+    * the text (runs never span whitespace, so the text-wide count
+    * equals the per-word sum) plus one per vowel-less token (the
+    * "every word has at least one syllable" floor — "rhythm", "72").
+    * A DOCUMENTED dictionary-free heuristic, the standard automated
+    * form; silent-e and diphthong edge cases are stated non-goals
+    * (both engines replay the same rule, so the statistic is exact
+    * even where English is not). */
+  def syllableCount(c: Column): Column =
+    regexp_count(c, lit("[aeiouyAEIOUY]+")) +
+      size(filter(tokens(c), t => !t.rlike("[aeiouyAEIOUY]")))
+
+  /** Sentence count: [.!?]+ runs, floored at 1 (a fragment is one
+    * sentence for rate purposes — the Flesch convention). */
+  def sentenceCount(c: Column): Column =
+    greatest(lit(1), regexp_count(c, lit("[.!?]+"))).cast("long")
+
+  /** Flesch Reading Ease at 1e-6 (Flesch 1948, J. Appl. Psych. 32):
+    *   FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    * as the exact cascade 206835000 − div(1015000·W, S) −
+    * div(84600000·Syl, W), one truncating division per term (each
+    * subtracted term floors, so fre_e6 over-reads by < 2e-6 — the
+    * L157 cascade stance). W = 0 ⇒ NULL (no text to grade). */
+  def fleschReadingEase(c: Column): Column = {
+    val w = tokenCount(c).cast("long")
+    val s = sentenceCount(c)
+    val syl = syllableCount(c).cast("long")
+    when(w === 0L, lit(null).cast("long"))
+      .otherwise(lit(206835000L)
+        - call_function("div", lit(1015000L) * w, s)
+        - call_function("div", lit(84600000L) * syl, w))
+  }
+
+  /** Flesch–Kincaid grade level at 1e-6 (Kincaid et al. 1975, the
+    * US Navy recalibration): FK = 0.39·(W/S) + 11.8·(Syl/W) − 15.59,
+    * same cascade contract as [[fleschReadingEase]]. */
+  def fleschKincaidGrade(c: Column): Column = {
+    val w = tokenCount(c).cast("long")
+    val s = sentenceCount(c)
+    val syl = syllableCount(c).cast("long")
+    when(w === 0L, lit(null).cast("long"))
+      .otherwise(call_function("div", lit(390000L) * w, s)
+        + call_function("div", lit(11800000L) * syl, w)
+        - lit(15590000L))
+  }
 }

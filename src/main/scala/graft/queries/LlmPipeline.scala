@@ -2752,6 +2752,56 @@ object LlmPipeline {
           "panel", "rv", "cv")
         .orderBy(col("panel"))
     }),
+    "q_t44_readability" -> ((s, dir) => {
+      // Flesch readability panel (r15, L175; Flesch 1948, Kincaid
+      // 1975): the rate-based quality member beside punct/stopword
+      // ratios — reading ease and grade level from the exact
+      // words/sentences/syllables cascade (vowel-run heuristic,
+      // documented). Per-lang means; the zh corpus's latinized short
+      // tokens read differently from en — the panel's point.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("lang").isNotNull)
+      val graded = d.select(col("lang"),
+        TextAnalysis.fleschReadingEase(col("text")).as("fre"),
+        TextAnalysis.fleschKincaidGrade(col("text")).as("fk"))
+      graded.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("fre")).as("n_graded"),
+          sum(col("fre")).as("__sf"), sum(col("fk")).as("__sk"))
+        .select(col("lang"), col("n_docs"), col("n_graded"),
+          when(col("n_graded") === 0L, lit(null).cast("long"))
+            .otherwise(call_function("div", col("__sf"),
+              col("n_graded"))).as("fre_mean_e6"),
+          when(col("n_graded") === 0L, lit(null).cast("long"))
+            .otherwise(call_function("div", col("__sk"),
+              col("n_graded"))).as("fk_mean_e6"))
+        .orderBy(col("lang"))
+    }),
+    "q_qr28_hill" -> ((s, dir) => {
+      // Hill tail-index (r15, L179; Hill 1975): "does this length
+      // distribution have a hot tail" — the shuffle-skew screen
+      // quantified. Three legs: doc_len (the real lengths), a
+      // PLANTED Pareto(1) tail (x = 10⁶ div (u+1) — α̂ reads ≈ 1,
+      // the estimator's calibration leg), and a bounded uniform
+      // (α̂ reads large — no tail). k = 30 so the smallest gate
+      // corpus still carries every leg.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val lenLeg = d.select(lit("doc_len").as("leg"),
+        col("n_chars").cast("long").as("v"), col("doc_id").as("id"))
+      val parLeg = d.select(lit("pareto").as("leg"),
+        call_function("div", lit(1000000L),
+          pmod(h, lit(100000L)) + 1L).as("v"), col("doc_id").as("id"))
+      val uniLeg = d.select(lit("uniform").as("leg"),
+        (pmod(h, lit(1000L)) + 1L).as("v"), col("doc_id").as("id"))
+      Hill.tailIndex(
+          lenLeg.unionByName(parLeg).unionByName(uniLeg),
+          "leg", "v", "id", k = 30)
+        .orderBy(col("leg"))
+    }),
     "q_v26_avg_precision" -> ((s, dir) => {
       // average precision + max-F1 operating point (r15, L173; Davis
       // & Goadrich 2006): the PR companion of q_v22's AUC plus the
@@ -4152,6 +4202,89 @@ object LlmPipeline {
     // q_qr23: margin-cross replay — the FULL r×c grid (zero cells
     // carry mass), one // per cell, the df-indexed χ² table, and the
     // qr18 hash-bit convention for the A/A leg
+    // q_t44: the words/sentences/syllables cascade replayed; the
+    // vowel-run + vowel-less-token syllable rule token-for-token
+    "q_t44_readability" ->
+      s"""WITH d AS (SELECT lang, text FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND lang IS NOT NULL),
+          m AS (SELECT lang,
+                CAST(len($duckToks) AS BIGINT) AS w,
+                GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS s,
+                CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                  + len(list_filter($duckToks,
+                      t -> NOT regexp_matches(t, '[aeiouyAEIOUY]')))
+                  AS BIGINT) AS syl
+              FROM d),
+          g AS (SELECT lang,
+                CASE WHEN w = 0 THEN NULL
+                  ELSE 206835000 - (1015000 * w) // s
+                    - (84600000 * syl) // w END AS fre,
+                CASE WHEN w = 0 THEN NULL
+                  ELSE (390000 * w) // s + (11800000 * syl) // w
+                    - 15590000 END AS fk
+              FROM m)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(fre) AS BIGINT) AS n_graded,
+                CAST(CASE WHEN COUNT(fre) = 0 THEN NULL
+                  ELSE SUM(fre) // COUNT(fre) END AS BIGINT)
+                  AS fre_mean_e6,
+                CAST(CASE WHEN COUNT(fk) = 0 THEN NULL
+                  ELSE SUM(fk) // COUNT(fk) END AS BIGINT)
+                  AS fk_mean_e6
+         FROM g GROUP BY lang ORDER BY lang""",
+    // q_qr28: deterministic top-(k+1) order statistics + the table-ln
+    // chain (its oracle-side sixth consumer)
+    "q_qr28_hill" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 14)) AS BIGINT) % 1000000000 AS h
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          base AS (SELECT 'doc_len' AS leg,
+                CAST(n_chars AS BIGINT) AS v,
+                CAST(doc_id AS VARCHAR) AS id FROM d
+             UNION ALL SELECT 'pareto',
+                1000000 // (h % 100000 + 1), CAST(doc_id AS VARCHAR)
+              FROM d
+             UNION ALL SELECT 'uniform', h % 1000 + 1,
+                CAST(doc_id AS VARCHAR)
+              FROM d),
+          pos AS (SELECT * FROM base WHERE v > 0),
+          rn AS (SELECT leg, v, ROW_NUMBER() OVER (PARTITION BY leg
+                ORDER BY v DESC, id) AS rn
+              FROM pos),
+          xk1 AS (SELECT leg, v AS xv FROM rn WHERE rn = 31),
+          terms AS (SELECT rn.leg, rn.v AS num, xv AS den
+              FROM rn JOIN xk1 ON xk1.leg = rn.leg WHERE rn <= 30),
+          kz AS (SELECT *, CAST(LENGTH(bin(num)) - LENGTH(bin(den))
+                AS BIGINT) AS kz0 FROM terms),
+          kk AS (SELECT *, CASE WHEN
+                CAST(num AS HUGEINT)
+                  * CAST(power(2, GREATEST(-kz0, 0)) AS HUGEINT)
+                < CAST(den AS HUGEINT)
+                  * CAST(power(2, GREATEST(kz0, 0)) AS HUGEINT)
+                THEN kz0 - 1 ELSE kz0 END AS kke FROM kz),
+          mm AS (SELECT *, (CAST(num AS HUGEINT)
+                   * CAST(power(2, GREATEST(-kke, 0)) AS HUGEINT) * 256)
+                // (CAST(den AS HUGEINT)
+                   * CAST(power(2, GREATEST(kke, 0)) AS HUGEINT)) - 256
+                AS mi FROM kk),
+          ll AS (SELECT *, kke * ${graft.operators.Drift.Ln2E9}
+                + (${graft.operators.Drift.MantissaLnE9
+                      .mkString("[", ",", "]")})[CAST(mi AS INT) + 1]
+                AS ln_e9 FROM mm),
+          agg AS (SELECT leg, CAST(COUNT(*) AS BIGINT) AS n_tail,
+                SUM(ln_e9) AS s, MAX(den) AS xk1
+              FROM ll GROUP BY 1)
+         SELECT leg, CAST(30 AS BIGINT) AS k, n_tail,
+                CAST(xk1 AS BIGINT) AS x_k1,
+                CAST(s // 30 AS BIGINT) AS alpha_inv_e9,
+                CAST(CASE WHEN s // 30 <= 0 THEN NULL
+                  ELSE 1000000000000000 // (s // 30) END AS BIGINT)
+                  AS alpha_e6
+         FROM agg ORDER BY leg""",
     // q_v26: distinct-score grid walk — window cumulatives DESC, the
     // per-threshold term/f1 cascade, row_number argmax (f1 desc,
     // threshold desc — the operator's max-struct tie-break)

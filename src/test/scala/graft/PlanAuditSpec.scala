@@ -913,6 +913,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("readability: join-free window-free codegen scan + one aggregation") {
+    // q_t44 is a pure column cascade per doc fused into the scan,
+    // then ONE hash aggregation — the t39/t43 class
+    val plan = executedPlan(q("q_t44_readability"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"q_t44 grew a join or window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_t44 lost its aggregation:\n${plan.take(1200)}")
+  }
+
+  test("hill: the top-(k+1) filter pushes down as WindowGroupLimit") {
+    // the L124/L135 scale contract: each map task ships at most k+1
+    // rows per group — a hot group never serializes its full row set
+    val plan = executedPlan(q("q_qr28_hill"))
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_qr28 rank filter did not push down:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_qr28 plan contains a cross product:\n${plan.take(1500)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
