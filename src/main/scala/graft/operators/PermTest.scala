@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seeded randomization test for a difference in means (r15, L181;
+  * Fisher 1935 the design-of-experiments randomization argument;
+  * Dwass 1957, Ann. Math. Stat. 28, the Monte Carlo form — the
+  * ASSUMPTION-FREE member of the location panel: MW/KS/CvM test
+  * distributional hypotheses through rank machinery, this asks the
+  * barest question "could THIS mean gap arise from relabeling",
+  * with no distributional assumption at all, on the raw values).
+  *
+  * Form, stated precisely: the UNCONDITIONAL randomization test —
+  * each replicate b ∈ [0, B) reassigns every row to A/B by one bit
+  * of md5(id ‖ b) (i.i.d. fair coin; group sizes vary binomially
+  * rather than being held fixed — the exact-permutation variant
+  * would need a distributed coupled shuffle for no additional
+  * validity under the same null "labels don't matter"). Everything
+  * is deterministic (seeded salts) and integer:
+  *   exceed_b ⟺ |S_Ab·n_Bb − S_Bb·n_Ab| · n_A·n_B
+  *            ≥ |S_A·n_B − S_B·n_A| · n_Ab·n_Bb
+  * (the mean-gap compare cross-multiplied — NO division anywhere,
+  * so no quantization exists to cascade; replicates with an empty
+  * side count as exceed — the conservative convention, documented)
+  *   p_e6 = div(10⁶·(1 + Σ exceed), B + 1)
+  * (the +1 add-one-in estimator — the observed labeling is one of
+  * the B+1; p can never read 0, Davison & Hinkley 1997 §4.1).
+  *
+  * Capacity: |diff|·n² ≤ (N·v_max)·N² in DECIMAL(38,0) ⇒
+  * N³·v_max < 10³⁸ — any battery shape (documented).
+  *
+  * Scale shape: ONE explode by B salts (a B× map-side blowup — B is
+  * a constant 64, not data-sized), ONE (panel, rep) aggregation with
+  * conditional sums, a 1-row-per-panel observed frame joined back on
+  * panel, and a B-row fold. Nothing corpus-shaped past the first
+  * aggregation; the blowup never shuffles unaggregated. */
+object PermTest {
+
+  /** Replicate count: 64 → p resolution 1/65 ≈ 0.0154, under the
+    * 0.05 convention with margin; deterministic (salts 0..63). */
+  val B = 64
+
+  /** Per-panel randomization test: (panelCol, n_a, n_b, b_reps,
+    * n_exceed, p_e6). `idCol` seeds the replicate assignment —
+    * any stable row identity. */
+  def meanDiff(df: DataFrame, panelCol: String, cohortCol: String,
+      valueCol: String, idCol: String, cohortA: String,
+      cohortB: String): DataFrame = {
+    require(cohortA != cohortB, "cohort labels must differ")
+    val d38 = "decimal(38,0)"
+    Reserved.guard(Seq(panelCol),
+      Seq("__c", "__v", "__id", "__b", "__bit", "__sa", "__na",
+        "__sb", "__nb", "__oa", "__ona", "__ob", "__onb", "__ex",
+        "n_a", "n_b", "b_reps", "n_exceed", "p_e6"),
+      "PermTest")
+    val base = df
+      .filter(col(panelCol).isNotNull && col(cohortCol).isNotNull &&
+        col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(panelCol), col(cohortCol).cast("string").as("__c"),
+        col(valueCol).cast("long").as("__v"),
+        col(idCol).cast("string").as("__id"))
+      .filter(col("__c").isin(cohortA, cohortB))
+    val obs = base.groupBy(col(panelCol))
+      .agg(sum(when(col("__c") === cohortA, col("__v")).otherwise(0L))
+          .as("__oa"),
+        sum((col("__c") === cohortA).cast("long")).as("__ona"),
+        sum(when(col("__c") === cohortB, col("__v")).otherwise(0L))
+          .as("__ob"),
+        sum((col("__c") === cohortB).cast("long")).as("__onb"))
+    val reps = base
+      .withColumn("__b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("__bit",
+        pmod(conv(substring(md5(concat(col("__id"), lit("#"),
+          col("__b").cast("string"))), 1, 14), 16, 10).cast("long"),
+          lit(2L)))
+      .groupBy(col(panelCol), col("__b"))
+      .agg(sum(when(col("__bit") === 0L, col("__v")).otherwise(0L))
+          .as("__sa"),
+        sum((col("__bit") === 0L).cast("long")).as("__na"),
+        sum(when(col("__bit") === 1L, col("__v")).otherwise(0L))
+          .as("__sb"),
+        sum((col("__bit") === 1L).cast("long")).as("__nb"))
+    val obsDiff = abs(col("__oa").cast(d38) * col("__onb").cast(d38)
+      - col("__ob").cast(d38) * col("__ona").cast(d38))
+    val repDiff = abs(col("__sa").cast(d38) * col("__nb").cast(d38)
+      - col("__sb").cast(d38) * col("__na").cast(d38))
+    val exceed = when(col("__na") === 0L || col("__nb") === 0L, 1L)
+      .otherwise((repDiff * col("__ona").cast(d38)
+          * col("__onb").cast(d38)
+        >= obsDiff * col("__na").cast(d38) * col("__nb").cast(d38))
+        .cast("long"))
+    reps.join(obs, Seq(panelCol))
+      .withColumn("__ex", exceed)
+      .groupBy(col(panelCol))
+      .agg(max(col("__ona")).as("n_a"), max(col("__onb")).as("n_b"),
+        count(lit(1)).as("b_reps"), sum(col("__ex")).as("n_exceed"))
+      .withColumn("p_e6", call_function("div",
+        lit(1000000L) * (lit(1L) + col("n_exceed")),
+        lit((B + 1).toLong)))
+      .select(col(panelCol), col("n_a"), col("n_b"), col("b_reps"),
+        col("n_exceed"), col("p_e6"))
+  }
+}

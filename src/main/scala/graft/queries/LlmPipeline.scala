@@ -2752,6 +2752,70 @@ object LlmPipeline {
           "panel", "rv", "cv")
         .orderBy(col("panel"))
     }),
+    "q_d15_centroid_drift" -> ((s, dir) => {
+      // embedding centroid drift (r15, L178): the vector-space
+      // drift member — the normalized centroid gap is calibrated to
+      // read ≈ 1e6 under exchangeability. MEASURED before choosing
+      // legs: these embeddings are zero-mean and the labels do NOT
+      // move centroids, so label_split and the vec_id-parity A/A
+      // both sit in the null band while the PLANTED +0.05 re-embed
+      // bias (the systematic-encoder-drift simulation) reads ≫ 1e6
+      // and grows with n. cos2_e6 rides along as the direction
+      // diagnostic (≈ 0 here — noise directions, the measured
+      // zero-mean story).
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull
+          && col("label").isNotNull)
+      val labels = e.select(lit("label_split").as("panel"),
+        when(col("label") === 0, "a")
+          .when(col("label") === 1, "b").as("c"),
+        col("embedding"))
+      val parity = e.select(lit("parity_aa").as("panel"),
+        when(pmod(col("vec_id"), lit(2L)) === 0L, "a").otherwise("b")
+          .as("c"),
+        col("embedding"))
+      val shifted = e.select(lit("planted_shift").as("panel"),
+        when(pmod(col("vec_id"), lit(2L)) === 0L, "a").otherwise("b")
+          .as("c"),
+        when(pmod(col("vec_id"), lit(2L)) === 0L, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            x => x.cast("double") + lit(0.05d))).as("embedding"))
+      SemanticDrift.centroidCos(
+          labels.unionByName(parity).unionByName(shifted),
+          "panel", "c", "embedding", "a", "b")
+        .orderBy(col("panel"))
+    }),
+    "q_a27_perm_test" -> ((s, dir) => {
+      // seeded randomization test (r15, L181; Fisher 1935, Dwass
+      // 1957): "could this mean gap arise from relabeling" — 64
+      // deterministic md5 reassignments, exact cross-multiplied
+      // compares, add-one-in p. MEASURED: zh's length effect is a
+      // SHAPE effect (MW/CvM flag it) with an unremarkable MEAN —
+      // this test correctly declines it (p ≈ 0.55, the cross-panel
+      // contrast stated, not hidden); the PLANTED +300 shift reads
+      // the minimal p = 1/65; the parity A/A reads mid-range.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val zh = d.select(lit("zh_len").as("panel"),
+        when(col("lang") === "zh", "a").otherwise("b").as("c"),
+        col("n_chars"), col("doc_id"))
+      val aa = d.select(lit("aa_null").as("panel"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L, "a").otherwise("b")
+          .as("c"),
+        col("n_chars"), col("doc_id"))
+      // planted +300 mean shift on the a-side: the flag regime
+      val bit = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(2L))
+      val planted = d.select(lit("planted_shift").as("panel"),
+        when(bit === 0L, "a").otherwise("b").as("c"),
+        (col("n_chars") + when(bit === 0L, 300L).otherwise(0L))
+          .as("n_chars"),
+        col("doc_id"))
+      PermTest.meanDiff(zh.unionByName(aa).unionByName(planted),
+          "panel", "c", "n_chars", "doc_id", "a", "b")
+        .orderBy(col("panel"))
+    }),
     "q_t44_readability" -> ((s, dir) => {
       // Flesch readability panel (r15, L175; Flesch 1948, Kincaid
       // 1975): the rate-based quality member beside punct/stopword
@@ -4202,6 +4266,137 @@ object LlmPipeline {
     // q_qr23: margin-cross replay — the FULL r×c grid (zero cells
     // carry mass), one // per cell, the df-indexed χ² table, and the
     // qr18 hash-bit convention for the A/A leg
+    // q_d15: e3 quantize-once codes, per-dim cohort sums, the exact
+    // integer cos² — dims via list_transform + struct unnest
+    "q_d15_centroid_drift" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                AND label IS NOT NULL),
+          b AS (SELECT 'label_split' AS panel,
+                CASE WHEN label = 0 THEN 'a'
+                     WHEN label = 1 THEN 'b' END AS c,
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)) AS embedding
+              FROM e
+             UNION ALL
+                   SELECT 'parity_aa',
+                CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END,
+                list_transform(embedding, x -> CAST(x AS DOUBLE))
+              FROM e
+             UNION ALL
+                   SELECT 'planted_shift',
+                CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END,
+                CASE WHEN vec_id % 2 = 0
+                  THEN list_transform(embedding,
+                    x -> CAST(x AS DOUBLE))
+                  ELSE list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) + 0.05) END
+              FROM e),
+          bb AS (SELECT * FROM b WHERE c IS NOT NULL),
+          cnt AS (SELECT panel,
+                CAST(SUM(CASE WHEN c = 'a' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN c = 'b' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+              FROM bb GROUP BY 1),
+          comps AS (SELECT panel, c,
+                UNNEST(list_transform(range(1, len(embedding) + 1),
+                  i -> {'d': i, 'q': CAST(FLOOR(
+                    embedding[i] * 1000 + 0.5) AS BIGINT)})) AS s
+              FROM bb),
+          dims AS (SELECT panel, s.d AS d,
+                SUM(CASE WHEN c = 'a' THEN s.q ELSE 0 END) AS sa,
+                SUM(CASE WHEN c = 'b' THEN s.q ELSE 0 END) AS sb,
+                SUM(CAST(s.q AS HUGEINT) * s.q) AS t2d
+              FROM comps GROUP BY 1, 2),
+          p AS (SELECT panel,
+                SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+                SUM(CAST(sa AS HUGEINT) * sa) AS na2,
+                SUM(CAST(sb AS HUGEINT) * sb) AS nb2,
+                SUM(t2d) AS t2
+              FROM dims GROUP BY 1),
+          g AS (SELECT dims.panel,
+                SUM((CAST(n_a AS HUGEINT) * sb - CAST(n_b AS HUGEINT)
+                    * sa)
+                  * (CAST(n_a AS HUGEINT) * sb - CAST(n_b AS HUGEINT)
+                    * sa)) AS gap2
+              FROM dims JOIN cnt ON cnt.panel = dims.panel
+              GROUP BY 1)
+         SELECT cnt.panel, n_a, n_b,
+                CAST(SIGN(dot) AS BIGINT) AS d_sign,
+                CAST(CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
+                  ELSE (1000000 * dot * dot) // (na2 * nb2)
+                  END AS BIGINT) AS cos2_e6,
+                CAST(CASE WHEN n_a = 0 OR n_b = 0 OR t2 = 0 THEN NULL
+                  ELSE (1000000 * gap2)
+                    // (CAST(n_a AS HUGEINT) * n_b * t2)
+                  END AS BIGINT) AS drift_e6
+         FROM cnt JOIN p ON p.panel = cnt.panel
+         JOIN g ON g.panel = cnt.panel
+         ORDER BY cnt.panel""",
+    // q_a27: 64 salted md5 reassignments, the division-free
+    // cross-multiplied exceed compare, add-one-in p
+    "q_a27_perm_test" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, lang FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          base AS (SELECT 'zh_len' AS panel,
+                CASE WHEN lang = 'zh' THEN 'a' ELSE 'b' END AS c,
+                CAST(n_chars AS BIGINT) AS v,
+                CAST(doc_id AS VARCHAR) AS id
+              FROM d
+             UNION ALL
+                   SELECT 'aa_null',
+                CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END,
+                n_chars, CAST(doc_id AS VARCHAR)
+              FROM d
+             UNION ALL
+                   SELECT 'planted_shift',
+                CASE WHEN CAST(concat('0x', substr(md5(
+                    CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                    % 1000000000 % 2 = 0
+                  THEN 'a' ELSE 'b' END,
+                n_chars + CASE WHEN CAST(concat('0x', substr(md5(
+                    CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                    % 1000000000 % 2 = 0
+                  THEN 300 ELSE 0 END,
+                CAST(doc_id AS VARCHAR)
+              FROM d),
+          obs AS (SELECT panel,
+                SUM(CASE WHEN c = 'a' THEN v ELSE 0 END) AS oa,
+                CAST(SUM(CASE WHEN c = 'a' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ona,
+                SUM(CASE WHEN c = 'b' THEN v ELSE 0 END) AS ob,
+                CAST(SUM(CASE WHEN c = 'b' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS onb
+              FROM base GROUP BY 1),
+          reps AS (SELECT panel, b,
+                SUM(CASE WHEN bit = 0 THEN v ELSE 0 END) AS sa,
+                SUM(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS na,
+                SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS sb,
+                SUM(CASE WHEN bit = 1 THEN 1 ELSE 0 END) AS nb
+              FROM (SELECT base.*, t.b,
+                    CAST(concat('0x', substr(md5(id || '#' ||
+                      CAST(t.b AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+                      AS bit
+                  FROM base
+                  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) t)
+              GROUP BY 1, 2),
+          ex AS (SELECT reps.panel,
+                CASE WHEN na = 0 OR nb = 0 THEN 1
+                  WHEN abs(CAST(sa AS HUGEINT) * nb
+                      - CAST(sb AS HUGEINT) * na) * ona * onb
+                    >= abs(CAST(oa AS HUGEINT) * onb
+                      - CAST(ob AS HUGEINT) * ona) * na * nb
+                  THEN 1 ELSE 0 END AS x
+              FROM reps JOIN obs ON obs.panel = reps.panel)
+         SELECT ex.panel, ona AS n_a, onb AS n_b,
+                CAST(COUNT(*) AS BIGINT) AS b_reps,
+                CAST(SUM(x) AS BIGINT) AS n_exceed,
+                CAST((1000000 * (1 + SUM(x))) // 65 AS BIGINT) AS p_e6
+         FROM ex JOIN obs ON obs.panel = ex.panel
+         GROUP BY ex.panel, ona, onb
+         ORDER BY ex.panel""",
     // q_t44: the words/sentences/syllables cascade replayed; the
     // vowel-run + vowel-less-token syllable rule token-for-token
     "q_t44_readability" ->

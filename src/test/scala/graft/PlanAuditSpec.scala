@@ -934,6 +934,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q_qr28 plan contains a cross product:\n${plan.take(1500)}")
   }
 
+  test("centroid drift and perm test: map-side collapse, no cartesian, no window") {
+    // q_d15: one posexplode + (panel, dim) conditional sums — a
+    // 64-row grid per panel; q_a27: a constant 64× explode collapsed
+    // by ONE (panel, rep) aggregation. Neither may grow a window or
+    // a cross product; the a27 blowup must never shuffle raw.
+    for (name <- Seq("q_d15_centroid_drift", "q_a27_perm_test")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a cross product:\n${plan.take(1500)}")
+      assert(!plan.contains("Window"),
+        s"$name grew a window:\n${plan.take(1200)}")
+      assert(plan.contains("Generate"),
+        s"$name lost its explode:\n${plan.take(1200)}")
+    }
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
