@@ -936,6 +936,28 @@ object LlmPipeline {
       Multimodal.declaredMismatch(packed, "declared")
         .orderBy(col("declared"), col("sniffed"))
     }),
+    "q_m13_mp3_metadata" -> ((s, dir) => {
+      // MP3/ID3v2 header audit (r15, L176): the audio sibling of
+      // q_m9's box walk — synthetic MPEG1-Layer-III heads whose ID3
+      // tag length (id % 23, present for id % 3 ≠ 0) and inter-tag
+      // zero padding (id % 5) shift the frame sync to a
+      // DATA-DEPENDENT offset; bitrate/samplerate/channel-mode all
+      // derive from doc_id; every 11th doc writes bitrate index 15
+      // ("bad") and every 13th breaks the sync byte — both violation
+      // legs live. The oracle replays the generator formulas — the
+      // bounded sync scan must invert the construction exactly.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val packed = d.select(col("doc_id"),
+        Mp3Header.syntheticMp3(col("doc_id")).as("content"))
+      Mp3Header.metadata(packed, "doc_id", "content")
+        .groupBy(col("mpeg_version"), col("layer"), col("channels"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("id3_size")).as("sum_id3"),
+          sum(col("bitrate_kbps")).as("sum_kbps"),
+          sum(col("sample_rate")).as("sum_rate"))
+        .orderBy(col("mpeg_version"), col("layer"), col("channels"))
+    }),
     "q_m9_mp4_metadata" -> ((s, dir) => {
       // MP4/ISO-BMFF container-metadata audit (r14, L149): deterministic
       // synthetic MP4s built per doc as EXPRESSIONS (the q_m8 unhex
@@ -4480,6 +4502,35 @@ object LlmPipeline {
                   ELSE 1000000000000000 // (s // 30) END AS BIGINT)
                   AS alpha_e6
          FROM agg ORDER BY leg""",
+    // q_m13: generator-formula replay (the q_m9 inversion gate) —
+    // the same bitrate/samplerate literals the kernel's tables hold
+    "q_m13_mp3_metadata" ->
+      s"""WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          m AS (SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 OR doc_id % 11 = 0
+                  THEN 0 ELSE 1 END AS ok,
+                CASE WHEN doc_id % 3 <> 0 THEN 10 + doc_id % 23
+                  ELSE 0 END AS id3,
+                ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                  [CAST(doc_id % 14 + 1 AS INT)] AS kbps,
+                ([44100,48000,32000])
+                  [CAST(doc_id % 3 + 1 AS INT)] AS rate,
+                CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS ch
+              FROM d)
+         SELECT CASE WHEN ok = 1 THEN '1' END AS mpeg_version,
+                CAST(CASE WHEN ok = 1 THEN 3 END AS BIGINT) AS layer,
+                CAST(CASE WHEN ok = 1 THEN ch END AS BIGINT)
+                  AS channels,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN ok = 1 THEN id3 END) AS BIGINT)
+                  AS sum_id3,
+                CAST(SUM(CASE WHEN ok = 1 THEN kbps END) AS BIGINT)
+                  AS sum_kbps,
+                CAST(SUM(CASE WHEN ok = 1 THEN rate END) AS BIGINT)
+                  AS sum_rate
+         FROM m GROUP BY 1, 2, 3
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // q_v26: distinct-score grid walk — window cumulatives DESC, the
     // per-threshold term/f1 cascade, row_number argmax (f1 desc,
     // threshold desc — the operator's max-struct tie-break)

@@ -951,6 +951,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("mp3 header walk: per-partition kernel + one aggregation, join-free") {
+    // the q_m9 kernel class: blob bytes never shuffle; the plan is
+    // the synthetic-blob projection, the mapPartitions kernel, and
+    // ONE hash aggregation
+    val plan = executedPlan(q("q_m13_mp3_metadata"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"q_m13 grew a join or window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m13 lost its aggregation:\n${plan.take(1200)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
