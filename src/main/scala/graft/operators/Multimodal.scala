@@ -540,6 +540,135 @@ object Multimodal {
       }.toDF("id", "ph")
   }
 
+  /** Per-clip audio QUALITY audit (r15, L177 — the signal-level
+    * screen the fingerprint path doesn't ask: "is this clip clipped,
+    * silent, or healthy", the audio analog of L12's text quality
+    * ratios, over the SAME real `javax.sound.sampled` decode as
+    * [[decodeAudio]]): peak |amplitude|, clipped-sample count and
+    * silent-sample count over the mono mix in the signed 16-bit
+    * domain. Thresholds are part of the statistic's definition
+    * (documented constants, not tunables hidden in code):
+    * [[ClipLevel]] = 32512 (within half an 8-bit step of full scale
+    * — a limiter's flat-top lands here whatever dither did) and
+    * [[SilenceLevel]] = 256 (below the 8-bit LSB). Both apply to the
+    * MONO MIX — a stereo pair clipping out of phase can de-clip in
+    * the mix; stated convention, spec-pinned. Undecodable bytes emit
+    * NULL metrics (the L176/L149 violation contract). */
+  final case class AudioQuality(sampleRateHz: Int, channels: Int,
+      nFrames: Long, peak: Long, nClipped: Long, nSilent: Long)
+
+  private[graft] val ClipLevel = 32512L
+  private[graft] val SilenceLevel = 256L
+
+  def audioQuality(bytes: Array[Byte]): Option[AudioQuality] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val base = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f0 = base.getFormat
+      val pcm = f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+        f0.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      val in =
+        if (pcm && (f0.getSampleSizeInBits == 8 || f0.getSampleSizeInBits == 16))
+          base
+        else AudioSystem.getAudioInputStream(
+          new AudioFormat(f0.getSampleRate, 16, f0.getChannels, true, false),
+          base)
+      val fmt = in.getFormat
+      val data = in.readAllBytes()
+      val mono = pcmMono(data, fmt.getSampleSizeInBits, fmt.getChannels,
+        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
+        fmt.isBigEndian)
+      if (mono.isEmpty) None
+      else {
+        var peak = 0L; var clip = 0L; var silent = 0L
+        var i = 0
+        while (i < mono.length) {
+          val a = math.abs(mono(i))
+          if (a > peak) peak = a
+          if (a >= ClipLevel) clip += 1
+          if (a < SilenceLevel) silent += 1
+          i += 1
+        }
+        Some(AudioQuality(math.round(fmt.getSampleRate), fmt.getChannels,
+          mono.length.toLong, peak, clip, silent))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
+  }
+
+  /** DataFrame wrapper over [[audioQuality]] — the L149 kernel shape:
+    * (idCol, sample_rate, channels, n_frames, peak, n_clipped,
+    * n_silent), all NULL on undecodable bytes. */
+  def audioQualityAudit(df: DataFrame, idCol: String,
+      contentCol: String = "content"): DataFrame = {
+    Reserved.guard(Seq(idCol), Seq("sample_rate", "channels",
+      "n_frames", "peak", "n_clipped", "n_silent"), "Multimodal")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(idCol).isNotNull && col(contentCol).isNotNull)
+      .select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          audioQuality(bytes) match {
+            case Some(a) =>
+              (id, Option(a.sampleRateHz.toLong), Option(a.channels.toLong),
+                Option(a.nFrames), Option(a.peak), Option(a.nClipped),
+                Option(a.nSilent))
+            case None =>
+              (id, None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "n_frames", "peak",
+        "n_clipped", "n_silent")
+  }
+
+  /** Deterministic synthetic 16-bit mono PCM WAV from a non-negative
+    * id column (the q_m9/q_m13 corpus-builder discipline, and the
+    * piece that makes the audio audit ORACLE-ABLE where the energy
+    * fingerprint stays spec-gated: the PCM payload is a closed-form
+    * square wave, so peak/clip/silence replay as formulas while the
+    * JDK's WAV parse must invert this writer's 44-byte canonical
+    * header):
+    *   n = 64 + 2·(id % 19) frames at 8000 Hz;
+    *   amplitude a = min(32767, 1024·(id % 33)) — id % 33 = 0 gives
+    *   an all-silent clip, id % 33 = 32 an all-clipped one;
+    *   samples alternate +a, −a (LE two's complement);
+    *   every 23rd doc truncates the RIFF header — the violation leg. */
+  def syntheticWav(v: Column): Column = {
+    def hex2(c: Column) = lpad(hex(c.cast("long")), 2, "0")
+    def le16(c: Column) = concat(hex2(pmod(c, lit(256L))),
+      hex2(call_function("div", c, lit(256L))))
+    def le32(c: Column) = concat(
+      hex2(pmod(c, lit(256L))),
+      hex2(pmod(call_function("div", c, lit(256L)), lit(256L))),
+      hex2(pmod(call_function("div", c, lit(65536L)), lit(256L))),
+      hex2(call_function("div", c, lit(16777216L))))
+    val n = lit(64L) + pmod(v, lit(19L)) * 2L
+    val a = least(lit(32767L), lit(1024L) * pmod(v, lit(33L)))
+    val pos = le16(a)
+    val neg = le16(pmod(lit(65536L) - a, lit(65536L)))
+    val dataSize = n * 2L
+    val header = concat(lit("52494646"), le32(dataSize + 36L),
+      lit("57415645"), lit("666d7420"), le32(lit(16L)), le16(lit(1L)),
+      le16(lit(1L)), le32(lit(8000L)), le32(lit(16000L)),
+      le16(lit(2L)), le16(lit(16L)), lit("64617461"), le32(dataSize))
+    val payload = call_function("repeat", concat(pos, neg),
+      call_function("div", n, lit(2L)).cast("int"))
+    val whole = concat(header, payload)
+    // violation leg: truncate into the fmt chunk
+    unhex(when(pmod(v, lit(23L)) === 0L, substring(whole, 1, 24))
+      .otherwise(whole))
+  }
+
   /** Magic-byte media-type sniff (r13, L145) — the container-level
     * truth check of the multimodal front: a crawl's DECLARED
     * content-type lies constantly (mislabeled uploads, extension-based

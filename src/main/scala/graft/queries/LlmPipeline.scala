@@ -958,6 +958,31 @@ object LlmPipeline {
           sum(col("sample_rate")).as("sum_rate"))
         .orderBy(col("mpeg_version"), col("layer"), col("channels"))
     }),
+    "q_m14_audio_quality" -> ((s, dir) => {
+      // audio quality audit over REAL WAV decode (r15, L177): peak /
+      // clipping / silence on the mono mix — and, unlike the
+      // spec-gated energy fingerprint, ORACLE-ABLE: the synthetic
+      // 16-bit PCM payload is a closed-form square wave, so the
+      // metrics replay as formulas while javax.sound.sampled must
+      // invert the 44-byte canonical WAV header byte-for-byte.
+      // All-silent (id%33=0), all-clipped (id%33=32) and truncated
+      // (id%23=0) legs live at gate scale.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val packed = d.select(col("doc_id"),
+        Multimodal.syntheticWav(col("doc_id")).as("content"))
+      Multimodal.audioQualityAudit(packed, "doc_id", "content")
+        .groupBy(col("sample_rate"), col("channels"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_frames")).as("sum_frames"),
+          sum(col("peak")).as("sum_peak"),
+          sum(col("n_clipped")).as("sum_clipped"),
+          sum(col("n_silent")).as("sum_silent"),
+          count(when(col("n_clipped") > 0L, 1)).as("n_clip_docs"),
+          count(when(col("n_silent") === col("n_frames"), 1))
+            .as("n_silent_docs"))
+        .orderBy(col("sample_rate"))
+    }),
     "q_m9_mp4_metadata" -> ((s, dir) => {
       // MP4/ISO-BMFF container-metadata audit (r14, L149): deterministic
       // synthetic MP4s built per doc as EXPRESSIONS (the q_m8 unhex
@@ -4502,6 +4527,37 @@ object LlmPipeline {
                   ELSE 1000000000000000 // (s // 30) END AS BIGINT)
                   AS alpha_e6
          FROM agg ORDER BY leg""",
+    // q_m14: closed-form square-wave replay — peak = a, clip/silence
+    // all-or-none by construction; NULLS FIRST for the violation row
+    "q_m14_audio_quality" ->
+      s"""WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          m AS (SELECT doc_id,
+                CASE WHEN doc_id % 23 = 0 THEN 0 ELSE 1 END AS ok,
+                64 + 2 * (doc_id % 19) AS n,
+                LEAST(32767, 1024 * (doc_id % 33)) AS a
+              FROM d)
+         SELECT CAST(CASE WHEN ok = 1 THEN 8000 END AS BIGINT)
+                  AS sample_rate,
+                CAST(CASE WHEN ok = 1 THEN 1 END AS BIGINT)
+                  AS channels,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN ok = 1 THEN n END) AS BIGINT)
+                  AS sum_frames,
+                CAST(SUM(CASE WHEN ok = 1 THEN a END) AS BIGINT)
+                  AS sum_peak,
+                CAST(SUM(CASE WHEN ok = 1 THEN
+                    CASE WHEN a >= 32512 THEN n ELSE 0 END END)
+                  AS BIGINT) AS sum_clipped,
+                CAST(SUM(CASE WHEN ok = 1 THEN
+                    CASE WHEN a < 256 THEN n ELSE 0 END END)
+                  AS BIGINT) AS sum_silent,
+                CAST(COUNT(CASE WHEN ok = 1 AND a >= 32512 THEN 1 END)
+                  AS BIGINT) AS n_clip_docs,
+                CAST(COUNT(CASE WHEN ok = 1 AND a < 256 THEN 1 END)
+                  AS BIGINT) AS n_silent_docs
+         FROM m GROUP BY 1, 2
+         ORDER BY 1 NULLS FIRST""",
     // q_m13: generator-formula replay (the q_m9 inversion gate) —
     // the same bitrate/samplerate literals the kernel's tables hold
     "q_m13_mp3_metadata" ->

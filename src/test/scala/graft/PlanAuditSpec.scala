@@ -962,6 +962,14 @@ class PlanAuditSpec extends SparkSpec {
       s"q_m13 lost its aggregation:\n${plan.take(1200)}")
   }
 
+  test("audio quality audit: per-partition kernel + one aggregation, join-free") {
+    val plan = executedPlan(q("q_m14_audio_quality"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"q_m14 grew a join or window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m14 lost its aggregation:\n${plan.take(1200)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
