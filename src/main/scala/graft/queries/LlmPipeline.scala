@@ -2768,6 +2768,27 @@ object LlmPipeline {
           "panel", "st", "rv", "cv")
         .orderBy(col("panel"))
     }),
+    "q_qr29_ca_trend" -> ((s, dir) => {
+      // Cochran–Armitage trend test (r15, L182): does the zh share
+      // RISE with the length band — the ordered question q_qr23's
+      // unordered χ² dilutes across df. Bands 0..3 at 150/250/350;
+      // the hash-bit leg is the no-trend control (negative reads of
+      // the trend numerator exercise toward-zero truncation live).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val band = when(col("n_chars") < 150L, 0L)
+        .when(col("n_chars") < 250L, 1L)
+        .when(col("n_chars") < 350L, 2L).otherwise(3L)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val zh = d.select(lit("zh_trend").as("panel"), band.as("w"),
+        (col("lang") === "zh").cast("long").as("v"))
+      val nul = d.select(lit("hash_null").as("panel"), band.as("w"),
+        pmod(h, lit(2L)).as("v"))
+      Contingency.armitageTrend(zh.unionByName(nul), "panel", "w", "v")
+        .orderBy(col("panel"))
+    }),
     "q_qr26_mutual_info" -> ((s, dir) => {
       // table-exact mutual information + NMI (r15, L169; Shannon
       // 1948, Kvålseth 1987): the INFORMATION lens on exactly
@@ -4931,6 +4952,51 @@ object LlmPipeline {
                     [CAST(kk - 1 AS INT)]
                   THEN 1 ELSE 0 END AS BIGINT) AS sig
          FROM qq ORDER BY panel""",
+    // q_qr29: the 2×k trend rational replayed over the band grid
+    "q_qr29_ca_trend" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, lang FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          u AS (SELECT *,
+                CASE WHEN n_chars < 150 THEN 0
+                     WHEN n_chars < 250 THEN 1
+                     WHEN n_chars < 350 THEN 2 ELSE 3 END AS w,
+                CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 AS h
+              FROM d),
+          base AS (SELECT 'zh_trend' AS panel, w,
+                CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS v
+              FROM u
+             UNION ALL
+                   SELECT 'hash_null', w, CAST(h % 2 AS BIGINT)
+              FROM u),
+          cats AS (SELECT panel, w, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(v) AS BIGINT) AS r
+              FROM base GROUP BY 1, 2),
+          agg AS (SELECT panel,
+                CAST(COUNT(DISTINCT w) AS BIGINT) AS k,
+                SUM(n) AS nn, SUM(r) AS rr,
+                SUM(w * n) AS sn, SUM(w * r) AS sr,
+                SUM(w * w * n) AS s2n
+              FROM cats GROUP BY 1),
+          x AS (SELECT panel, k, nn, rr,
+                CAST(nn AS HUGEINT) * sr - CAST(rr AS HUGEINT) * sn
+                  AS num,
+                CAST(nn AS HUGEINT) * s2n
+                  - CAST(sn AS HUGEINT) * sn AS den
+              FROM agg)
+         SELECT panel, k, CAST(nn AS BIGINT) AS n,
+                CAST(rr AS BIGINT) AS pos,
+                CAST(CASE WHEN rr = 0 OR rr = nn OR den = 0 THEN NULL
+                  ELSE (1000000 * nn * num * num)
+                    // (rr * (nn - rr) * den) END AS BIGINT) AS z2_e6,
+                CAST(SIGN(num) AS BIGINT) AS d_sign,
+                CAST(CASE WHEN rr = 0 OR rr = nn OR den = 0 THEN 0
+                  WHEN (1000000 * nn * num * num)
+                    // (rr * (nn - rr) * den) >= 3841459
+                  THEN 1 ELSE 0 END AS BIGINT) AS sig
+         FROM x ORDER BY panel""",
     // q_qr26: the qr23 grids through the information lens — one
     // shared table-ln chain over the union of the mi / row-entropy /
     // col-entropy term families, then per-panel sums; `//` truncates

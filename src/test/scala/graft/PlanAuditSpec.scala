@@ -970,6 +970,15 @@ class PlanAuditSpec extends SparkSpec {
       s"q_m14 lost its aggregation:\n${plan.take(1200)}")
   }
 
+  test("ca trend: one conditional-count collapse, join-light grid tail") {
+    val plan = executedPlan(q("q_qr29_ca_trend"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_qr29 plan contains a cross product:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"q_qr29 grew a window:\n${plan.take(1200)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),

@@ -149,6 +149,67 @@ class ContingencySpec extends SparkSpec {
     assert(pooled === sign(rows).toLong)
   }
 
+  // ---- Cochran–Armitage trend (r15, L182) ----------------------------
+
+  private def runCa(rows: Seq[(Long, Long)]) = {
+    val df = rows.map { case (w, v) => ("p", w, v) }.toDF("p", "w", "v")
+    val r = Contingency.armitageTrend(df, "p", "w", "v")
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      r.getLong(5), r.getLong(6))
+  }
+
+  private def caGrid(cells: Seq[(Long, Int, Int)]): Seq[(Long, Long)] =
+    cells.flatMap { case (w, pos, neg) =>
+      Seq.fill(pos)((w, 1L)) ++ Seq.fill(neg)((w, 0L)) }
+
+  test("ca trend: hand-worked perfect gradient — Z2 = 20 exactly") {
+    // rates 0/10, 5/10, 10/10 at scores 0,1,2:
+    // num = 30·25 − 15·30 = 300, den = 30·50 − 900 = 600
+    // Z² = 30·300²/(15·15·600) = 20
+    val (k, n, pos, z2, dSign, sig) =
+      runCa(caGrid(Seq((0L, 0, 10), (1L, 5, 5), (2L, 10, 0))))
+    assert((k, n, pos) === ((3L, 30L, 15L)))
+    assert(z2 === Some(20000000L) && dSign === 1L && sig === 1L)
+  }
+
+  test("ca trend: flat rates read exactly 0 with sign 0") {
+    val (_, _, _, z2, dSign, sig) =
+      runCa(caGrid(Seq((0L, 5, 5), (1L, 5, 5), (2L, 5, 5))))
+    assert(z2 === Some(0L) && dSign === 0L && sig === 0L)
+  }
+
+  test("ca trend: degenerate conventions — all-positive and one category NULL") {
+    val (_, _, _, z2a, _, siga) =
+      runCa(caGrid(Seq((0L, 5, 0), (1L, 5, 0))))
+    assert(z2a === None && siga === 0L)
+    val (_, _, _, z2b, _, _) =
+      runCa(caGrid(Seq((0L, 3, 7))))
+    assert(z2b === None)
+  }
+
+  test("ca trend: seeded BigInt replay; a planted decreasing trend flags") {
+    val rnd = new scala.util.Random(1954)
+    val rows = (0L to 3L).flatMap { w =>
+      Seq.fill(200)((w,
+        if (rnd.nextInt(100) < 60 - 12 * w.toInt) 1L else 0L))
+    }
+    val (_, n, pos, z2, dSign, sig) = runCa(rows)
+    val cats = rows.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.count(_._2 == 1L).toLong))
+    val nn = BigInt(n); val rr = BigInt(pos)
+    val sn = cats.map { case (w, (c, _)) => BigInt(w) * c }.sum
+    val sr = cats.map { case (w, (_, r)) => BigInt(w) * r }.sum
+    val s2n = cats.map { case (w, (c, _)) => BigInt(w) * w * c }.sum
+    val num = nn * sr - rr * sn
+    val den = nn * s2n - sn * sn
+    val want = BigInt(1000000) * nn * num * num /
+      (rr * (nn - rr) * den)
+    assert(z2 === Some(want.toLong))
+    assert(dSign === -1L && sig === 1L)
+  }
+
   // ---- mutual information + NMI (r15, L169) --------------------------
 
   private def runMi(rows: Seq[(String, String)]) = {
