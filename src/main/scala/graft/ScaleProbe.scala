@@ -324,6 +324,35 @@ object ScaleProbe {
         f"| $tQr%.1f | $tQm%.2f | ${tQr / tQm}%.0fx | base untouched |")
     }
 
+    // --- HLL sketch economics (L168, r15): the third sketch family's
+    // merge-vs-recompute asymmetry, same fixture shape as `sketches` —
+    // persisted register table + 1% delta, register-wise-max fold vs
+    // full corpus re-sketch.
+    if (sections("hll")) {
+      import graft.operators.Hll
+      val basePath = s"$base/hll_base"
+      def gen(lo: Long, hi: Long, parts: Int) =
+        spark.range(lo, hi, 1, parts).select(
+          pmod(xxhash64(col("id")), lit(1000L)).cast("string").as("g"),
+          pmod(xxhash64(col("id") + 7), lit(300000L)).cast("string")
+            .as("k"))
+      gen(0, n, 256).write.mode("overwrite").parquet(basePath)
+      val baseRows = spark.read.parquet(basePath)
+      val hllPath = s"$base/hll_sketch"
+      Hll.sketch(baseRows, Seq("g"), "k")
+        .write.mode("overwrite").parquet(hllPath)
+      val batch = gen(n, n + n / 100, 8)
+      def hllRe(): Unit =
+        Hll.sketch(baseRows.unionByName(batch), Seq("g"), "k").collect()
+      def hllMe(): Unit =
+        Hll.merge(spark.read.parquet(hllPath)
+          .unionByName(Hll.sketch(batch, Seq("g"), "k")), Seq("g"))
+          .collect()
+      val tr = timeIt(2)(hllRe()); val tm = timeIt(2)(hllMe())
+      println(f"| ${n / 1000000}M base + 1%% batch | HLL re-sketch vs merge " +
+        f"| $tr%.1f | $tm%.2f | ${tr / tm}%.0fx | base untouched |")
+    }
+
     // --- exact edit-distance matching (L69, r8): wall-clock scaling of
     // the deletion-neighborhood self-join on synthetic entity keys —
     // 10% planted single-char typos (the true-pair load), d=1. The

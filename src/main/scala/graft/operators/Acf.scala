@@ -49,6 +49,11 @@ import org.apache.spark.sql.functions._
 object Acf {
 
   private val DayUs = 86400000000L
+
+  /** Gap-fill span ceiling (~274 years of days): spans beyond this
+    * are corrupt timestamps, not series — the guard raises rather
+    * than materializing the grid (r15 self-review). */
+  private[graft] val MaxSpanDays = 100000L
   private val d38 = "decimal(38,0)"
 
   /** Gap-filled centered daily series: (groupCol, x, __z) plus the
@@ -63,6 +68,15 @@ object Acf {
       .agg(count(lit(1)).as("y"))
     val span = daily.groupBy(col(groupCol))
       .agg(min(col("x")).as("__x0"), max(col("x")).as("__x1"))
+      // span guard (r15 self-review): one corrupted timestamp (a
+      // year-9999 row) would otherwise make the gap-fill sequence a
+      // multi-million-cell array per group — fail loudly at the
+      // GROUP row, not with an executor OOM mid-shuffle
+      .withColumn("__x1", when(col("__x1") - col("__x0") > MaxSpanDays,
+        raise_error(concat(lit(s"Acf: day span exceeds $MaxSpanDays ("),
+          (col("__x1") - col("__x0")).cast("string"),
+          lit(") — clean the timestamp column or pre-filter"))))
+        .otherwise(col("__x1")))
     val grid = span.select(col(groupCol),
       explode(sequence(col("__x0"), col("__x1"))).as("x"))
     val filled = grid.join(daily, Seq(groupCol, "x"), "left")

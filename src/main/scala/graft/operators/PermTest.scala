@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * (the +1 add-one-in estimator — the observed labeling is one of
   * the B+1; p can never read 0, Davison & Hinkley 1997 §4.1).
   *
-  * Capacity: |diff|·n² ≤ (N·v_max)·N² in DECIMAL(38,0) ⇒
-  * N³·v_max < 10³⁸ — any battery shape (documented).
+  * Capacity (re-derived, r15 self-review): the compare's left side
+  * is |S_Ab·n_Bb − S_Bb·n_Ab|·n_A·n_B ≤ (N²·v_max)·(N²/4) in
+  * DECIMAL(38,0) ⇒ N⁴·v_max < 4·10³⁸ — N ≤ ~8·10⁸ rows/panel at
+  * v_max = 10³ (documented; subsample beyond).
   *
   * Scale shape: ONE explode by B salts (a B× map-side blowup — B is
   * a constant 64, not data-sized), ONE (panel, rep) aggregation with

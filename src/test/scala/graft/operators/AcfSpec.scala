@@ -69,6 +69,19 @@ class AcfSpec extends SparkSpec {
     assert(q === lbReplay(ys, 7))
   }
 
+  test("span guard: a corrupt far-future timestamp raises, never a grid OOM") {
+    // one year-9999-class day would gap-fill a multi-million-cell
+    // array; the guard fails loudly at the group row instead
+    val ex = intercept[Exception] {
+      acf(Seq(0L, Acf.MaxSpanDays + 2L), maxLag = 1)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("day span exceeds")),
+      s"unexpected failure: ${messages(ex).mkString(" | ")}")
+  }
+
   private def countsOf(days: Seq[Long]): Seq[Long] = {
     val (lo, hi) = (days.min, days.max)
     val m = days.groupBy(identity).view.mapValues(_.size.toLong)
