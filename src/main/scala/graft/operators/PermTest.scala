@@ -45,11 +45,18 @@ object PermTest {
 
   /** Per-panel randomization test: (panelCol, n_a, n_b, b_reps,
     * n_exceed, p_e6). `idCol` seeds the replicate assignment —
-    * any stable row identity. */
+    * any stable row identity. `b` sets the replicate count: the p
+    * RESOLUTION is 1/(b+1), and a consumer that feeds a
+    * multiple-comparisons layer must size it so the smallest
+    * achievable p clears the corrected threshold — BH at m tests
+    * needs 1/(b+1) ≤ α/m, i.e. b ≥ m/α − 1 (measured live in r15:
+    * at b = 64, m = 20 the BH discovery set is STRUCTURALLY empty —
+    * the q_qr30 lesson, stated here so nobody re-learns it). */
   def meanDiff(df: DataFrame, panelCol: String, cohortCol: String,
       valueCol: String, idCol: String, cohortA: String,
-      cohortB: String): DataFrame = {
+      cohortB: String, b: Int = B): DataFrame = {
     require(cohortA != cohortB, "cohort labels must differ")
+    require(b >= 16 && b <= 4096, s"replicates $b outside [16, 4096]")
     val d38 = "decimal(38,0)"
     Reserved.guard(Seq(panelCol),
       Seq("__c", "__v", "__id", "__b", "__bit", "__sa", "__na",
@@ -71,7 +78,7 @@ object PermTest {
           .as("__ob"),
         sum((col("__c") === cohortB).cast("long")).as("__onb"))
     val reps = base
-      .withColumn("__b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__bit",
         pmod(conv(substring(md5(concat(col("__id"), lit("#"),
           col("__b").cast("string"))), 1, 14), 16, 10).cast("long"),
@@ -99,7 +106,7 @@ object PermTest {
         count(lit(1)).as("b_reps"), sum(col("__ex")).as("n_exceed"))
       .withColumn("p_e6", call_function("div",
         lit(1000000L) * (lit(1L) + col("n_exceed")),
-        lit((B + 1).toLong)))
+        lit((b + 1).toLong)))
       .select(col(panelCol), col("n_a"), col("n_b"), col("b_reps"),
         col("n_exceed"), col("p_e6"))
   }

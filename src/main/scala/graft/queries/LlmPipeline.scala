@@ -2768,6 +2768,36 @@ object LlmPipeline {
           "panel", "st", "rv", "cv")
         .orderBy(col("panel"))
     }),
+    "q_qr30_bh_fdr" -> ((s, dir) => {
+      // Benjamini–Hochberg FDR control (r15, L183; Benjamini &
+      // Hochberg 1995): the multiple-comparisons layer over a REAL
+      // 20-test panel — one L181 randomization test per source
+      // ("does src_k's mean length differ from the rest"), then the
+      // step-up over the 20 p's. At α = 0.05 a 20-test panel
+      // false-flags once per run on noise; BH is what a monitoring
+      // dashboard should sit behind. The source list is STATIC
+      // (src0..src19) so panels missing at small SFs read the
+      // conservative p = 1 instead of silently vanishing.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("source").isNotNull)
+      val base = d
+        .withColumn("panel", explode(array(
+          (0 until 20).map(i => lit(s"src$i")): _*)))
+        .select(col("panel"),
+          when(col("source") === col("panel"), "a").otherwise("b")
+            .as("c"),
+          col("n_chars"), col("doc_id"))
+      // b = 512: the p resolution 1/513 must clear BH's rank-1 bar
+      // α/m = 0.0025 (the structurally-empty-discovery-set lesson,
+      // measured at b = 64 and documented on the operator)
+      val ps = PermTest.meanDiff(base, "panel", "c", "n_chars",
+          "doc_id", "a", "b", b = 512)
+        .select(lit("sources").as("family"), col("panel").as("test"),
+          col("p_e6"))
+      Fdr.benjaminiHochberg(ps, "family", "test", "p_e6")
+        .orderBy(col("rank"))
+    }),
     "q_qr29_ca_trend" -> ((s, dir) => {
       // Cochran–Armitage trend test (r15, L182): does the zh share
       // RISE with the length band — the ordered question q_qr23's
@@ -4952,6 +4982,62 @@ object LlmPipeline {
                     [CAST(kk - 1 AS INT)]
                   THEN 1 ELSE 0 END AS BIGINT) AS sig
          FROM qq ORDER BY panel""",
+    // q_qr30: the a27 replicate machinery × 20 static source panels,
+    // then the division-free BH step-up compare p·m ≤ k·α
+    "q_qr30_bh_fdr" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, source FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND source IS NOT NULL),
+          srcs AS (SELECT 'src' || CAST(unnest(range(0, 20)) AS VARCHAR)
+                AS panel),
+          base AS (SELECT panel,
+                CASE WHEN source = panel THEN 'a' ELSE 'b' END AS c,
+                CAST(n_chars AS BIGINT) AS v,
+                CAST(doc_id AS VARCHAR) AS id
+              FROM d CROSS JOIN srcs),
+          obs AS (SELECT panel,
+                SUM(CASE WHEN c = 'a' THEN v ELSE 0 END) AS oa,
+                CAST(SUM(CASE WHEN c = 'a' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ona,
+                SUM(CASE WHEN c = 'b' THEN v ELSE 0 END) AS ob,
+                CAST(SUM(CASE WHEN c = 'b' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS onb
+              FROM base GROUP BY 1),
+          reps AS (SELECT panel, b,
+                SUM(CASE WHEN bit = 0 THEN v ELSE 0 END) AS sa,
+                SUM(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS na,
+                SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS sb,
+                SUM(CASE WHEN bit = 1 THEN 1 ELSE 0 END) AS nb
+              FROM (SELECT base.*, t.b,
+                    CAST(concat('0x', substr(md5(id || '#' ||
+                      CAST(t.b AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+                      AS bit
+                  FROM base
+                  CROSS JOIN (SELECT unnest(range(0, 512)) AS b) t)
+              GROUP BY 1, 2),
+          ex AS (SELECT reps.panel,
+                CASE WHEN na = 0 OR nb = 0 THEN 1
+                  WHEN abs(CAST(sa AS HUGEINT) * nb
+                      - CAST(sb AS HUGEINT) * na) * ona * onb
+                    >= abs(CAST(oa AS HUGEINT) * onb
+                      - CAST(ob AS HUGEINT) * ona) * na * nb
+                  THEN 1 ELSE 0 END AS x
+              FROM reps JOIN obs ON obs.panel = reps.panel),
+          pp AS (SELECT ex.panel,
+                (1000000 * (1 + SUM(x))) // 513 AS p
+              FROM ex GROUP BY 1),
+          rk AS (SELECT 'sources' AS family, panel AS test, p,
+                ROW_NUMBER() OVER (ORDER BY p, panel) AS k,
+                COUNT(*) OVER () AS m
+              FROM pp),
+          km AS (SELECT rk.*, MAX(CASE WHEN p * m <= k * 50000
+                THEN k ELSE 0 END) OVER () AS kmax
+              FROM rk)
+         SELECT family, test, CAST(p AS BIGINT) AS p_e6,
+                CAST(k AS BIGINT) AS rank, CAST(m AS BIGINT) AS m,
+                CAST(CASE WHEN k <= kmax THEN 1 ELSE 0 END AS BIGINT)
+                  AS reject
+         FROM km ORDER BY rank""",
     // q_qr29: the 2×k trend rational replayed over the band grid
     "q_qr29_ca_trend" ->
       s"""WITH d AS (SELECT doc_id, n_chars, lang FROM documents

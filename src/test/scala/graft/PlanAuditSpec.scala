@@ -979,6 +979,19 @@ class PlanAuditSpec extends SparkSpec {
       s"q_qr29 grew a window:\n${plan.take(1200)}")
   }
 
+  test("bh fdr: corpus collapses in the perm stage; windows only on the test grid") {
+    // q_qr30's heavy lift is the 512-replicate explode collapsed by
+    // ONE (panel, rep) map-side agg — the BH windows then run over a
+    // 20-row test grid. No cartesian anywhere; the explode must be
+    // present (losing it means the replicates materialized some
+    // other, wider way).
+    val plan = executedPlan(q("q_qr30_bh_fdr"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_qr30 plan contains a cartesian:\n${plan.take(1500)}")
+    assert(plan.contains("Generate"),
+      s"q_qr30 lost its replicate explode:\n${plan.take(1200)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),
