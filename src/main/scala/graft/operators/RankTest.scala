@@ -297,6 +297,91 @@ object RankTest {
         col("z2_e6"), col("sig"))
   }
 
+  /** Kendall's τ-b rank correlation (r15, L184; Kendall 1938,
+    * Biometrika 30; the τ-b tie treatment Kendall 1945 — the THIRD
+    * member of the correlation triad: q_a13's Pearson reads LINEAR
+    * association, L166's Spearman monotone association through
+    * ranks, τ reads the same monotone question through PAIRS, with
+    * the cleanest probabilistic meaning of the three — τ =
+    * P(concordant) − P(discordant) — and the gentlest response to a
+    * single wild row: one outlier moves τ by at most 2/(n−1)).
+    *
+    * Exact integers over the distinct-(x, y) pair grid: with grid
+    * cell counts c and x/y margin tie counts t_x, t_y,
+    *   C, D = Σ over grid pairs (x₂ > x₁) of c₁·c₂ split by
+    *          sign(y₂ − y₁)  (x-tied pairs contribute to neither)
+    *   n0 = n(n−1)/2,  n1 = Σ t_x(t_x−1)/2,  n2 = Σ t_y(t_y−1)/2
+    *   τ-b = (C − D)/√((n0−n1)(n0−n2))
+    * C/D/n0/n1/n2 are exact DECIMAL(38,0); the emission is the
+    * q_a13/L166 convention — one cast-to-double per factor, IEEE
+    * sqrt, round 6 dp. n < 2 or zero variance on either margin ⇒
+    * NULL.
+    *
+    * Scale shape, stated honestly (the Theil–Sen class): the pair
+    * frame is GRID²-sized, and for a continuous y the grid is
+    * corpus-sized — τ on raw values is inherently pairwise (the
+    * O(n log n) inversion-count form needs a coupled global sort no
+    * declarative plan expresses cleanly). Quantize or bucket the
+    * signals upstream, or prefer Spearman — the O(grid log grid)
+    * member — for corpus-scale monotone screening; τ-b is the
+    * retrospective-audit member kept for its pair-probability
+    * reading. The join is an equi-join on the leg with the x-range
+    * as residual (never a shuffle cartesian — plan-pinned). */
+  def kendallTauB(df: DataFrame, legCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Reserved.guard(Seq(legCol),
+      Seq("__x", "__y", "__n", "__lb", "__xb", "__yb", "__nb", "__c",
+        "__d", "__tx", "__ty", "__n1", "__n2", "n", "conc", "disc",
+        "tau_b6"),
+      "RankTest")
+    val grid = df
+      .filter(col(legCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(legCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col(legCol), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__n"))
+    val b = grid.select(col(legCol).as("__lb"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__n").as("__nb"))
+    val pairs = grid.join(b,
+      col("__lb") === col(legCol) && col("__xb") > col("__x"))
+    val cd = pairs.groupBy(col(legCol))
+      .agg(sum(when(col("__yb") > col("__y"),
+          col("__n").cast(d38) * col("__nb").cast(d38))
+          .otherwise(lit(0L).cast(d38))).as("__c"),
+        sum(when(col("__yb") < col("__y"),
+          col("__n").cast(d38) * col("__nb").cast(d38))
+          .otherwise(lit(0L).cast(d38))).as("__d"))
+    def tiePairs(df2: DataFrame, keyCol: String, out: String) =
+      df2.groupBy(col(legCol), col(keyCol))
+        .agg(sum(col("__n")).as("__t"))
+        .groupBy(col(legCol))
+        .agg(sum((col("__t").cast(d38) * (col("__t") - 1L).cast(d38)))
+          .as(out))
+    val tx = tiePairs(grid, "__x", "__tx")
+    val ty = tiePairs(grid, "__y", "__ty")
+    val tot = grid.groupBy(col(legCol)).agg(sum(col("__n")).as("n"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    // doubled pair counts throughout (t(t−1), n(n−1)) — the 2s cancel
+    val v1 = col("n").cast(d38) * (col("n") - 1L).cast(d38) - col("__tx")
+    val v2 = col("n").cast(d38) * (col("n") - 1L).cast(d38) - col("__ty")
+    // left join: a constant-x leg has NO x-ordered pairs at all (cd
+    // is empty) but must still emit its NULL-tau row, not vanish
+    tot.join(cd, Seq(legCol), "left").join(tx, Seq(legCol))
+      .join(ty, Seq(legCol))
+      .withColumn("__c", coalesce(col("__c"), lit(0L).cast(d38)))
+      .withColumn("__d", coalesce(col("__d"), lit(0L).cast(d38)))
+      .select(col(legCol), col("n"),
+        col("__c").cast("long").as("conc"),
+        col("__d").cast("long").as("disc"),
+        when(col("n") < 2L || v1 === lit(0L).cast(d38)
+            || v2 === lit(0L).cast(d38), lit(null).cast("double"))
+          .otherwise(round(
+            dd(lit(2L).cast(d38) * (col("__c") - col("__d")))
+              / sqrt(dd(v1)) / sqrt(dd(v2)), 6)).as("tau_b6"))
+  }
+
   /** Asymptotic 5% critical value of the two-sample Cramér–von Mises
     * T (Anderson & Darling 1952, Ann. Math. Stat. 23, the ω²
     * limiting distribution; Anderson 1962 table 2): 0.46136 at 1e-6.

@@ -2690,6 +2690,26 @@ object LlmPipeline {
           "leg", "v")
         .orderBy(col("leg"))
     }),
+    "q_a28_kendall" -> ((s, dir) => {
+      // Kendall's τ-b (r15, L184; Kendall 1938/1945): the triad's
+      // third member over exactly q_a26's legs, so the three
+      // association readings sit side by side — Pearson (linear),
+      // Spearman (monotone via ranks), τ (monotone via pairs, the
+      // P(concordant) − P(discordant) probability). len-vs-tokens
+      // reads high; the 56-bit-hash leg is exchangeable ≈ 0.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("n_chars").isNotNull)
+      val tok = TextAnalysis.tokenCount(col("text"))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000L))
+      val legTok = d.select(lit("len_tokens").as("leg"),
+        col("n_chars").as("x"), tok.cast("long").as("y"))
+      val legH = d.select(lit("len_hash").as("leg"),
+        col("n_chars").as("x"), h.as("y"))
+      RankTest.kendallTauB(legTok.unionByName(legH), "leg", "x", "y")
+        .orderBy(col("leg"))
+    }),
     "q_a26_spearman" -> ((s, dir) => {
       // Spearman rank correlation (r14, L166; Spearman 1904): the
       // monotone-association member beside q_a13's exact-moment
@@ -4219,6 +4239,57 @@ object LlmPipeline {
     },
     // q_a26: doubled-midrank grids per column, the exact HUGEINT
     // moments, the q_a13 one-rounded-double tail
+    // q_a28: pair-grid replay — C/D from the x-ordered grid join,
+    // doubled tie/total pair counts (the 2s cancel), one rounded
+    // double (the a13/a26 tail)
+    "q_a28_kendall" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS nc
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND n_chars IS NOT NULL),
+          base AS (SELECT 'len_tokens' AS leg, nc AS x,
+                CAST(len($duckToks) AS BIGINT) AS y
+              FROM d
+             UNION ALL
+                   SELECT 'len_hash', nc,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 14)) AS BIGINT) % 1000000
+              FROM d),
+          grid AS (SELECT leg, x, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2, 3),
+          cd AS (SELECT a.leg,
+                SUM(CASE WHEN b.y > a.y
+                  THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS cc,
+                SUM(CASE WHEN b.y < a.y
+                  THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS dd
+              FROM grid a JOIN grid b
+                ON b.leg = a.leg AND b.x > a.x
+              GROUP BY 1),
+          tx AS (SELECT leg, SUM(CAST(t AS HUGEINT) * (t - 1)) AS txx
+              FROM (SELECT leg, x, SUM(c) AS t FROM grid
+                    GROUP BY 1, 2) GROUP BY 1),
+          ty AS (SELECT leg, SUM(CAST(t AS HUGEINT) * (t - 1)) AS tyy
+              FROM (SELECT leg, y, SUM(c) AS t FROM grid
+                    GROUP BY 1, 2) GROUP BY 1),
+          tot AS (SELECT leg, CAST(SUM(c) AS BIGINT) AS n
+              FROM grid GROUP BY 1)
+         SELECT tot.leg, n, CAST(cc AS BIGINT) AS conc,
+                CAST(dd AS BIGINT) AS disc,
+                CASE WHEN n < 2
+                    OR CAST(n AS HUGEINT) * (n - 1) - txx = 0
+                    OR CAST(n AS HUGEINT) * (n - 1) - tyy = 0
+                  THEN NULL
+                  ELSE ROUND(CAST(2 * (cc - dd) AS DOUBLE)
+                    / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - txx
+                        AS DOUBLE))
+                    / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tyy
+                        AS DOUBLE)), 6)
+                END AS tau_b6
+         FROM tot
+         JOIN cd ON cd.leg = tot.leg
+         JOIN tx ON tx.leg = tot.leg
+         JOIN ty ON ty.leg = tot.leg
+         ORDER BY tot.leg""",
     "q_a26_spearman" ->
       s"""WITH d AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS nc
               FROM documents

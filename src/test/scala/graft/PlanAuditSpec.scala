@@ -992,6 +992,16 @@ class PlanAuditSpec extends SparkSpec {
       s"q_qr30 lost its replicate explode:\n${plan.take(1200)}")
   }
 
+  test("kendall tau-b: the pair join stays a leg equi-join, never a shuffle cartesian") {
+    // the x-range condition rides as a residual on the leg equi-key
+    // (the TheilSen/leadLag extraction class) — a fall to a shuffle
+    // CartesianProduct would be corpus-squared without the per-leg
+    // bound
+    val plan = executedPlan(q("q_a28_kendall"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_a28 pair join fell to a shuffle cartesian:\n${plan.take(1500)}")
+  }
+
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {
     val plan = executedPlan(q("q_g6_link_predict"))
     assert(plan.contains("TakeOrderedAndProject"),

@@ -282,6 +282,65 @@ class RankTestSpec extends SparkSpec {
     assert(r.getLong(5) === 1L, "the shifted scores must flag")
   }
 
+  // ---- Kendall's τ-b (r15, L184) -------------------------------------
+
+  private def runTau(pts: Seq[(Long, Long)]) = {
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = RankTest.kendallTauB(df, "g", "x", "y").collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+  }
+
+  test("tau-b: perfect concordance and discordance read ±1 exactly") {
+    assert(runTau(Seq((1L, 1L), (2L, 2L), (3L, 3L))) ===
+      ((3L, 3L, 0L, Some(1.0))))
+    assert(runTau(Seq((1L, 3L), (2L, 2L), (3L, 1L))) ===
+      ((3L, 0L, 3L, Some(-1.0))))
+  }
+
+  test("tau-b: the balanced 2x2 tie square reads exactly 0") {
+    // (1,1)(1,2)(2,1)(2,2): C = 1, D = 1, x/y ties symmetric
+    val (_, c, d, tau) =
+      runTau(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+    assert(c === 1L && d === 1L && tau === Some(0.0))
+  }
+
+  test("tau-b: tie correction hand case — duplicated point still reads 1") {
+    // (1,1)(1,1)(2,2): C = 2, v1 = v2 = 4 → 2·2/(2·2) = 1 exactly
+    val (_, c, _, tau) = runTau(Seq((1L, 1L), (1L, 1L), (2L, 2L)))
+    assert(c === 2L && tau === Some(1.0))
+  }
+
+  test("tau-b: constant margin is NULL (no pairs to order)") {
+    assert(runTau(Seq((5L, 1L), (5L, 2L), (5L, 3L)))._4 === None)
+  }
+
+  test("tau-b: seeded BigInt replay on a noisy monotone fixture") {
+    val rnd = new scala.util.Random(1938)
+    val pts = Seq.fill(300)({
+      val x = rnd.nextInt(40).toLong
+      (x, x * 2 + rnd.nextInt(25).toLong)
+    })
+    val (n, c, d, tau) = runTau(pts)
+    // plain-Scala mirror over all unordered pairs
+    var cc = BigInt(0); var dd = BigInt(0)
+    for (i <- pts.indices; j <- i + 1 until pts.size) {
+      val s = (pts(j)._1 - pts(i)._1).sign * (pts(j)._2 - pts(i)._2).sign
+      if (s > 0) cc += 1 else if (s < 0) dd += 1
+    }
+    val tx = pts.groupBy(_._1).values.map(g =>
+      BigInt(g.size) * (g.size - 1)).sum
+    val ty = pts.groupBy(_._2).values.map(g =>
+      BigInt(g.size) * (g.size - 1)).sum
+    val nn = BigInt(300) * 299
+    val want = math.rint(2.0 * (cc - dd).toDouble /
+      math.sqrt((nn - tx).toDouble) /
+      math.sqrt((nn - ty).toDouble) * 1e6) / 1e6
+    assert((n, c, d) === ((300L, cc.toLong, dd.toLong)))
+    assert(tau.get > 0.6 && math.abs(tau.get - want) < 2e-6,
+      s"tau ${tau.get} vs replay $want")
+  }
+
   // ---- two-sample Cramér–von Mises (r15, L180) -----------------------
 
   private def runCvm(a: Seq[Long], b: Seq[Long]) = {
