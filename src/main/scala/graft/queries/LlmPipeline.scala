@@ -4539,17 +4539,21 @@ object LlmPipeline {
                 CAST(SUM(CASE WHEN c = 'b' THEN 1 ELSE 0 END)
                   AS BIGINT) AS onb
               FROM base GROUP BY 1),
+          hs AS (SELECT id, s,
+                CAST(concat('0x', substr(md5(id || '#' ||
+                  CAST(s AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+              FROM (SELECT DISTINCT id FROM base)
+              CROSS JOIN (SELECT unnest(range(0, 2)) AS s)),
           reps AS (SELECT panel, b,
                 SUM(CASE WHEN bit = 0 THEN v ELSE 0 END) AS sa,
                 SUM(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS na,
                 SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS sb,
                 SUM(CASE WHEN bit = 1 THEN 1 ELSE 0 END) AS nb
               FROM (SELECT base.*, t.b,
-                    CAST(concat('0x', substr(md5(id || '#' ||
-                      CAST(t.b AS VARCHAR)), 1, 14)) AS BIGINT) % 2
-                      AS bit
+                    (h >> CAST(t.b % 56 AS INT)) % 2 AS bit
                   FROM base
-                  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) t)
+                  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) t
+                  JOIN hs ON hs.id = base.id AND hs.s = t.b // 56)
               GROUP BY 1, 2),
           ex AS (SELECT reps.panel,
                 CASE WHEN na = 0 OR nb = 0 THEN 1
@@ -5074,17 +5078,21 @@ object LlmPipeline {
                 CAST(SUM(CASE WHEN c = 'b' THEN 1 ELSE 0 END)
                   AS BIGINT) AS onb
               FROM base GROUP BY 1),
+          hs AS (SELECT id, s,
+                CAST(concat('0x', substr(md5(id || '#' ||
+                  CAST(s AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+              FROM (SELECT DISTINCT id FROM base)
+              CROSS JOIN (SELECT unnest(range(0, 10)) AS s)),
           reps AS (SELECT panel, b,
                 SUM(CASE WHEN bit = 0 THEN v ELSE 0 END) AS sa,
                 SUM(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS na,
                 SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS sb,
                 SUM(CASE WHEN bit = 1 THEN 1 ELSE 0 END) AS nb
               FROM (SELECT base.*, t.b,
-                    CAST(concat('0x', substr(md5(id || '#' ||
-                      CAST(t.b AS VARCHAR)), 1, 14)) AS BIGINT) % 2
-                      AS bit
+                    (h >> CAST(t.b % 56 AS INT)) % 2 AS bit
                   FROM base
-                  CROSS JOIN (SELECT unnest(range(0, 512)) AS b) t)
+                  CROSS JOIN (SELECT unnest(range(0, 512)) AS b) t
+                  JOIN hs ON hs.id = base.id AND hs.s = t.b // 56)
               GROUP BY 1, 2),
           ex AS (SELECT reps.panel,
                 CASE WHEN na = 0 OR nb = 0 THEN 1

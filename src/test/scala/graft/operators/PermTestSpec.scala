@@ -51,10 +51,11 @@ class PermTestSpec extends SparkSpec {
     val r = run(rows)
     // plain-Scala mirror with the same md5 bit assignments
     def bit(id: String, b: Int): Long = {
+      // the packed form: bit (b mod 56) of digest (b div 56)
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$id#$b".getBytes("UTF-8"))
+      val hex = md.digest(s"$id#${b / 56}".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(14)
-      java.lang.Long.parseLong(hex, 16) % 2
+      (java.lang.Long.parseLong(hex, 16) >> (b % 56)) % 2
     }
     val oa = rows.filter(_._1 == "a").map(_._2).sum
     val ob = rows.filter(_._1 == "b").map(_._2).sum
