@@ -627,6 +627,39 @@ object Relational {
             .as("corr6"))
         .orderBy(col("flag"))
     }),
+    "q_a29_winsorized_mean" -> ((s, dir) => {
+      // 10%-winsorized mean (r15, L185; Tukey & McLaughlin 1963;
+      // Dixon 1960): a20's trim DROPS the tails — winsorizing CLAMPS
+      // them to the cut values x_(k+1) / x_(n−k), keeping n constant
+      // and half-weighting wild tails instead of discarding them (the
+      // robust-location panel's fourth member: mean / median /
+      // trimmed / winsorized). Same partition-invariance argument as
+      // a20: rank ties at the boundary carry EQUAL values, so the
+      // clamped multiset needs no tie-break.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull &&
+          col("l_returnflag").isNotNull)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").as("v"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("flag"))
+      val k = expr("n DIV 10")
+      li.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("vlo",
+          max(when(col("r") === k + 1L, col("v"))).over(wAll))
+        .withColumn("vhi",
+          max(when(col("r") === col("n") - k, col("v"))).over(wAll))
+        .groupBy(col("flag"))
+        .agg(first(col("n")).as("n"),
+          count(when(col("r") <= k || col("r") > col("n") - k, 1))
+            .as("n_clamped"),
+          round(avg(col("v")), 4).as("mean4"),
+          round(avg(when(col("r") <= k, col("vlo"))
+            .when(col("r") > col("n") - k, col("vhi"))
+            .otherwise(col("v"))), 4).as("winsorized4"))
+        .orderBy(col("flag"))
+    }),
     "q_a20_trimmed_mean" -> ((s, dir) => {
       // 10%-trimmed mean (r11, L122; Tukey's robust location next to
       // a12's fences): per flag, drop the lowest and highest n DIV 10
@@ -1559,6 +1592,31 @@ object Relational {
          FROM m ORDER BY flag""",
     // q_a20: the same rank machinery; boundary ties carry equal values
     // so the kept multiset — and the rounded averages — are exact
+    // q_a29: the a20 rank machinery with boundary clamps instead of
+    // drops — conditional window maxes pick the cut values exactly
+    "q_a29_winsorized_mean" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_quantity AS v
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_returnflag IS NOT NULL),
+          r AS (SELECT flag, v,
+                  ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS r,
+                  COUNT(*) OVER (PARTITION BY flag) AS n
+                FROM li),
+          c AS (SELECT flag, v, r, n,
+                  MAX(CASE WHEN r = n // 10 + 1 THEN v END)
+                    OVER (PARTITION BY flag) AS vlo,
+                  MAX(CASE WHEN r = n - n // 10 THEN v END)
+                    OVER (PARTITION BY flag) AS vhi
+                FROM r)
+         SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+                CAST(COUNT(*) FILTER (WHERE r <= n // 10
+                     OR r > n - n // 10) AS BIGINT) AS n_clamped,
+                ROUND(AVG(v), 4) AS mean4,
+                ROUND(AVG(CASE WHEN r <= n // 10 THEN vlo
+                      WHEN r > n - n // 10 THEN vhi
+                      ELSE v END), 4) AS winsorized4
+         FROM c GROUP BY flag ORDER BY flag""",
     "q_a20_trimmed_mean" ->
       """WITH li AS (SELECT l_returnflag AS flag, l_quantity AS v
               FROM lineitem
