@@ -234,7 +234,9 @@ object Agreement {
     * [[RankTest.Chi2Crit95E6ByDf]] at df = k−1; k−1 > 8 ⇒ NULL
     * verdict with q_e6 still emitted. Subjects missing any treatment
     * drop (complete-block design — Cochran's requirement, enforced
-    * not assumed). Capacity: k·ΣT² ≤ k·N² and the 10⁶ scale keep
+    * not assumed); duplicate (subject, treatment) rows reduce by MAX
+    * — OR semantics, deterministic where an arbitrary-keep would
+    * flicker across partitionings. Capacity: k·ΣT² ≤ k·N² and the 10⁶ scale keep
     * everything in DECIMAL(38,0) for any N ≤ ~10¹⁵.
     *
     * Scale shape: one (panel, subject) aggregation building R_i and
@@ -255,7 +257,13 @@ object Agreement {
         col(treatmentCol).cast("string").as("__t"),
         col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isin(0L, 1L))
-      .dropDuplicates(Seq(panelCol, "__s", "__t"))
+      // duplicate (subject, treatment) rows reduce by MAX — OR
+      // semantics (a flag that fired in ANY duplicate row counts as
+      // fired), deterministic across runs and partitionings; a
+      // dropDuplicates here would keep an ARBITRARY row when
+      // duplicates conflict (r16 fix)
+      .groupBy(col(panelCol), col("__s"), col("__t"))
+      .agg(max(col("__v")).as("__v"))
     val k = base.groupBy(col(panelCol))
       .agg(countDistinct(col("__t")).as("__k"))
     // complete blocks only: subjects carrying every treatment

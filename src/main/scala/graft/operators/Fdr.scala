@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   * the classic implementation trap; the spec pins the non-monotone
   * case where p_(2) fails its own compare but is still rejected
   * because p_(3) passes. NULL p's drop (an unrun test is not
-  * evidence); an empty panel emits nothing.
+  * evidence); a p outside [0, 10⁶] raises (it is not a p-value, and
+  * silently ranking it would corrupt the whole panel's step-up); an
+  * empty panel emits nothing.
   *
   * Scale shape: tests-per-panel is panel-sized (tens to thousands),
   * never corpus-sized — the corpus work happened inside whatever
@@ -42,11 +44,19 @@ object Fdr {
       Seq("__p", "__k", "__m", "__hit", "__kmax", "p_e6", "rank", "m",
         "reject"),
       "Fdr")
+    val p = col(pCol).cast("long")
     val base = df
       .filter(col(panelCol).isNotNull && col(testCol).isNotNull &&
         col(pCol).isNotNull)
+      // domain guard (r16): a p outside [0, 1e6] is not a p-value —
+      // it would silently distort ranks, m, and the step-up compare;
+      // fail loudly at the offending row (the Acf span-guard
+      // discipline)
       .select(col(panelCol), col(testCol).cast("string").as(testCol),
-        col(pCol).cast("long").as("__p"))
+        when(p >= 0L && p <= 1000000L, p)
+          .otherwise(raise_error(concat(
+            lit("Fdr: p_e6 outside [0, 1e6]: "), p.cast("string"))))
+          .as("__p"))
     val w = Window.partitionBy(col(panelCol))
       .orderBy(col("__p"), col(testCol))
     val all = Window.partitionBy(col(panelCol))

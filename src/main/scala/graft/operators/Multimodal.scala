@@ -701,6 +701,10 @@ object Multimodal {
       // walk agree on what is a video container (IsoBmffSpec pins
       // syntheticMp4 output sniffing to this very type)
       .when(substring(h, 9, 8) === "66747970", lit("video/mp4"))
+      // EBML magic (RFC 8794): Matroska/WebM containers — added r16
+      // with the L-family Ebml walk so the router and the metadata
+      // parser agree (EbmlSpec pins syntheticWebm output to this)
+      .when(h.startsWith("1A45DFA3"), lit("video/webm"))
       .when(h.startsWith("424D"), lit("image/bmp"))
       .when(h.startsWith("25504446"), lit("application/pdf"))
       .when(h.startsWith("504B0304"), lit("application/zip"))

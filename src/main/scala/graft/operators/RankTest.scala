@@ -319,14 +319,13 @@ object RankTest {
     *
     * Scale shape, stated honestly (the Theil–Sen class): the pair
     * frame is GRID²-sized, and for a continuous y the grid is
-    * corpus-sized — τ on raw values is inherently pairwise (the
-    * O(n log n) inversion-count form needs a coupled global sort no
-    * declarative plan expresses cleanly). Quantize or bucket the
-    * signals upstream, or prefer Spearman — the O(grid log grid)
-    * member — for corpus-scale monotone screening; τ-b is the
-    * retrospective-audit member kept for its pair-probability
-    * reading. The join is an equi-join on the leg with the x-range
-    * as residual (never a shuffle cartesian — plan-pinned). */
+    * corpus-sized. For corpus scale use [[kendallTauBInversions]]
+    * (r16) — the SAME τ-b through the bit-decomposed inversion
+    * count, O(grid log grid) with no pair frame, spec-pinned equal
+    * to this form; the pair grid stays as the small-n reference
+    * implementation the spec replays. The join is an equi-join on
+    * the leg with the x-range as residual (never a shuffle
+    * cartesian — plan-pinned). */
   def kendallTauB(df: DataFrame, legCol: String, xCol: String,
       yCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
@@ -380,6 +379,120 @@ object RankTest {
           .otherwise(round(
             dd(lit(2L).cast(d38) * (col("__c") - col("__d")))
               / sqrt(dd(v1)) / sqrt(dd(v2)), 6)).as("tau_b6"))
+  }
+
+  /** Kendall's τ-b, inversion-count form (r16, VERDICT r15 #3 — the
+    * retirement of [[kendallTauB]]'s pair-frame caveat; Knight 1966,
+    * JASA 61, the O(n log n) τ; here the Fenwick/BIT bit-decomposition
+    * of the inversion count, expressed DECLARATIVELY so Catalyst owns
+    * the physical plan — no pair join, no mapPartitions, no driver
+    * state).
+    *
+    * Identity: with the corpus collapsed to the distinct-(x, y) grid
+    * (cell counts c) and y replaced by its per-leg dense 0-based rank
+    * r, the discordant-pair count D = Σ over pairs (x_a < x_b,
+    * r_a > r_b) of c_a·c_b is a weighted 2-D dominance count, and
+    * every such pair is counted EXACTLY ONCE at the highest bit where
+    * r_a and r_b differ: there r_a carries 1, r_b carries 0, and all
+    * higher bits agree. So for each bit level k and shared prefix
+    * g = r >> (k+1), D accumulates c_b · (Σ c_a over cells with the
+    * same (k, g), bit k = 1, and x_a < x_b) — one sort window per
+    * level, strict x_a < x_b via the RANGE … 1 PRECEDING frame
+    * (integer x), never a pair frame. Concordant pairs then come from
+    * inclusion–exclusion over the doubled margin counts
+    * (N0 = n(n−1), N1/N2 = Σ t(t−1) over x/y margins, N3 over cells):
+    *   C = (N0 − N1 − N2 + N3)/2 − D
+    * (x-tied pairs sort y-ascending inside a tied x, so they produce
+    * zero strict-rank descents — the classic Knight ordering — and
+    * a constant-x leg lands at C = D = 0 with a NULL τ, exactly
+    * [[kendallTauB]]'s left-join convention). τ-b emission is the
+    * q_a13/L166 convention verbatim: one cast-to-double per factor,
+    * IEEE sqrt, round 6 dp; n < 2 or a zero margin variance ⇒ NULL.
+    * The spec pins this form equal to the pair-grid form on seeded
+    * frames with ties on both margins.
+    *
+    * Scale shape: grid × ⌈log₂ rank-range⌉ rows (the bits ~ log n
+    * law — ~20 levels at a 10⁶-value grid), each level a hash
+    * partition by (leg, k, prefix) with a per-group sort: O(G log G)
+    * total where the pair frame was O(G²). All joins are grid-sized
+    * equi-joins (rank attach, level attach, margin assembly);
+    * bin()-length gives the exact level count with no float log. */
+  def kendallTauBInversions(df: DataFrame, legCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Reserved.guard(Seq(legCol),
+      Seq("__x", "__y", "__n", "__r", "__mr", "__k", "__g", "__b",
+        "__ones", "__dd", "__tx", "__ty", "__n3", "__tot", "n", "conc",
+        "disc", "tau_b6"),
+      "RankTest")
+    val grid = df
+      .filter(col(legCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(legCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col(legCol), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__n"))
+    // per-leg dense 0-based rank of the y VALUE (ties share a rank,
+    // so tied-y pairs never differ at any bit — strictness for free)
+    val yRank = grid.select(col(legCol), col("__y")).distinct()
+      .withColumn("__r", dense_rank().over(
+        Window.partitionBy(col(legCol)).orderBy(col("__y")))
+        .cast("long") - 1L)
+    val g2 = grid.join(yRank, Seq(legCol.toString, "__y"))
+    // exact level count: length(bin(maxRank)) — an integer-string op,
+    // replayed verbatim by the oracle (no float log2 boundary risk);
+    // maxRank 0 (single distinct y) yields one all-zero-bit level
+    // that contributes nothing
+    val mx = g2.groupBy(col(legCol)).agg(max(col("__r")).as("__mr"))
+    val lv = mx.select(col(legCol),
+      explode(sequence(lit(0), length(bin(col("__mr"))) - 1)).as("__k"))
+    val ex = g2.join(lv, Seq(legCol.toString))
+      .select(col(legCol), col("__k"), col("__x"), col("__n"),
+        expr("shiftright(__r, cast(__k as int) + 1)").as("__g"),
+        expr("shiftright(__r, cast(__k as int)) & 1").as("__b"))
+    val w = Window.partitionBy(col(legCol), col("__k"), col("__g"))
+      .orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val dSum = ex
+      .withColumn("__ones", sum(when(col("__b") === 1L, col("__n"))).over(w))
+      .filter(col("__b") === 0L)
+      .groupBy(col(legCol))
+      .agg(coalesce(sum(col("__n").cast(d38) *
+        coalesce(col("__ones"), lit(0L)).cast(d38)),
+        lit(0L).cast(d38)).as("__dd"))
+    def tiePairs(keyCol: String, out: String) =
+      grid.groupBy(col(legCol), col(keyCol))
+        .agg(sum(col("__n")).as("__t"))
+        .groupBy(col(legCol))
+        .agg(sum(col("__t").cast(d38) * (col("__t") - 1L).cast(d38))
+          .as(out))
+    val tx = tiePairs("__x", "__tx")
+    val ty = tiePairs("__y", "__ty")
+    val n3 = grid.groupBy(col(legCol))
+      .agg(sum(col("__n").cast(d38) * (col("__n") - 1L).cast(d38))
+        .as("__n3"))
+    val tot = grid.groupBy(col(legCol)).agg(sum(col("__n")).as("n"))
+    def dd2(c: org.apache.spark.sql.Column) = c.cast("double")
+    val n0 = col("n").cast(d38) * (col("n") - 1L).cast(d38)
+    val v1 = n0 - col("__tx")
+    val v2 = n0 - col("__ty")
+    // D legs with no (1,0) cross pair vanish from dSum — same
+    // left-join + coalesce convention as the pair-grid form
+    val conc = call_function("div",
+      n0 - col("__tx") - col("__ty") + col("__n3"), lit(2L).cast(d38)) -
+      col("__dd")
+    tot.join(dSum, Seq(legCol.toString), "left")
+      .join(tx, Seq(legCol.toString)).join(ty, Seq(legCol.toString))
+      .join(n3, Seq(legCol.toString))
+      .withColumn("__dd", coalesce(col("__dd"), lit(0L).cast(d38)))
+      .select(col(legCol), col("n"),
+        conc.cast("long").as("conc"),
+        col("__dd").cast("long").as("disc"),
+        when(col("n") < 2L || v1 === lit(0L).cast(d38)
+            || v2 === lit(0L).cast(d38), lit(null).cast("double"))
+          .otherwise(round(
+            dd2(lit(2L).cast(d38) * (conc - col("__dd")))
+              / sqrt(dd2(v1)) / sqrt(dd2(v2)), 6)).as("tau_b6"))
   }
 
   /** Asymptotic 5% critical value of the two-sample Cramér–von Mises

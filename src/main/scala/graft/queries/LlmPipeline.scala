@@ -1005,6 +1005,44 @@ object LlmPipeline {
           sum(col("timescale")).as("sum_ts"))
         .orderBy(col("major_brand"), col("n_tracks"), col("codecs"))
     }),
+    "q_m15_webm_metadata" -> ((s, dir) => {
+      // WebM/Matroska EBML container-metadata audit (r16, L186;
+      // VERDICT r15 #6 — the q_m9 discipline on the EBML surface,
+      // closing the last JDK-only multimodal gap: crawl video is
+      // predominantly WebM): synthetic containers whose element
+      // OFFSETS vary per doc (Void filler 0–7 bytes, variable
+      // DocType/codec lengths), with THREE routes live — every 11th
+      // doc a TXT decoy the sniffer must keep away from the walk,
+      // every 13th (non-11th) doc a TRUNCATED header that sniffs
+      // video/webm but must surface as the NULL-metadata violation
+      // row, the rest full containers the walk inverts back to the
+      // generator formulas. duration_ms is the family's ONE double
+      // quantization (EBML Duration is a float by spec) — timescales
+      // are quarters of a µs so both engines land on exact longs.
+      // The packed frame is checkpointed before routing (the q_m10
+      // lesson, applied from day one): predicate pushdown otherwise
+      // inlines the blob expression into every sniff CASE branch and
+      // overruns the 64 KB codegen limit; blobs are table DATA when
+      // routed in production anyway.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val full = Ebml.syntheticWebm(col("doc_id"))
+      val blob = when(pmod(col("doc_id"), lit(11L)) === 0L,
+          col("text").cast("binary"))
+        .when(pmod(col("doc_id"), lit(13L)) === 0L,
+          substring(full, 1, 6))
+        .otherwise(full)
+      val packed = d.select(col("doc_id"), blob.as("content"))
+        .localCheckpoint()
+      val routed = packed
+        .filter(Multimodal.sniffType(col("content")) === "video/webm")
+      Ebml.metadata(routed, "doc_id", "content")
+        .groupBy(col("doc_type"), col("n_tracks"), col("codecs"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("duration_ms")).as("sum_dur_ms"),
+          sum(col("timescale")).as("sum_ts"))
+        .orderBy(col("doc_type"), col("n_tracks"), col("codecs"))
+    }),
     "q_m12_jpeg_dims" -> ((s, dir) => {
       // JPEG SOF dimension walk (r14, L161): the kernel-shaped sibling
       // of q_m11's fixed-offset slices — synthetic JPEG segment soup
@@ -1094,7 +1132,18 @@ object LlmPipeline {
       // and the audit compares the declared codec (correct except
       // every 7th doc claims avc1) against the first stsd fourcc the
       // bytes actually carry — the q_m8 mislabel-surfacing discipline
-      // one level deeper than the container type.
+      // one level deeper than the container type. r16 shape (VERDICT
+      // r15 #1), two levers against the 64 KB codegen overrun that
+      // had this stage running interpreted: (a) the declared label
+      // rides THROUGH the walk kernel (metadataTagged) instead of
+      // joining back — the old join evaluated the blob tree on both
+      // branches; (b) the packed frame is CHECKPOINTED before
+      // routing, because predicate pushdown otherwise inlines the
+      // full blob expression into every branch of the sniff CASE
+      // cascade (~12 copies in one generated method). The checkpoint
+      // is also the production shape: real blobs are table DATA when
+      // routed, never a live construction expression — the synthetic
+      // build is harness-only.
       val d = t(s, dir, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
       val ci = pmod(expr("doc_id DIV 3"), lit(3L))
@@ -1106,12 +1155,12 @@ object LlmPipeline {
           .otherwise(IsoBmff.syntheticMp4(col("doc_id"))).as("content"),
         when(pmod(col("doc_id"), lit(7L)) === 0L, lit("avc1"))
           .otherwise(actualF).as("declared"))
+        .localCheckpoint()
       val routed = packed
         .filter(Multimodal.sniffType(col("content")) === "video/mp4")
-      val meta = IsoBmff.metadata(routed, "doc_id", "content")
-        .select(col("doc_id"),
+      IsoBmff.metadataTagged(routed, "doc_id", "content", "declared")
+        .select(col("declared"),
           substring_index(col("codecs"), ",", 1).as("actual"))
-      meta.join(routed.select(col("doc_id"), col("declared")), "doc_id")
         .groupBy(col("declared"), col("actual"))
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("mismatch",
@@ -2710,6 +2759,29 @@ object LlmPipeline {
       RankTest.kendallTauB(legTok.unionByName(legH), "leg", "x", "y")
         .orderBy(col("leg"))
     }),
+    "q_a28x_kendall_inversions" -> ((s, dir) => {
+      // Kendall's τ-b, inversion-count form (r16, VERDICT r15 #3):
+      // EXACTLY q_a28's legs through the O(grid log grid)
+      // bit-decomposed inversion count instead of the pair grid —
+      // same (n, conc, disc, tau_b6) row for row, so the two forms
+      // diff empty at every SF and the pair-frame scale caveat is
+      // retired. The len_hash leg is the continuous one (10⁶-value
+      // y grid → the rank decomposition earns its keep: ~20 bit
+      // levels instead of a grid² join).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("n_chars").isNotNull)
+      val tok = TextAnalysis.tokenCount(col("text"))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000L))
+      val legTok = d.select(lit("len_tokens").as("leg"),
+        col("n_chars").as("x"), tok.cast("long").as("y"))
+      val legH = d.select(lit("len_hash").as("leg"),
+        col("n_chars").as("x"), h.as("y"))
+      RankTest.kendallTauBInversions(legTok.unionByName(legH),
+          "leg", "x", "y")
+        .orderBy(col("leg"))
+    }),
     "q_a26_spearman" -> ((s, dir) => {
       // Spearman rank correlation (r14, L166; Spearman 1904): the
       // monotone-association member beside q_a13's exact-moment
@@ -4239,9 +4311,84 @@ object LlmPipeline {
     },
     // q_a26: doubled-midrank grids per column, the exact HUGEINT
     // moments, the q_a13 one-rounded-double tail
+    // q_a28x: the inversion-count replay, mirror-exact — dense
+    // 0-based y rank, len(bin(maxRank)) bit levels, the (k, prefix)
+    // window with RANGE … 1 PRECEDING for strict x' < x, D from the
+    // (1,0)-bit cross pairs, C by inclusion–exclusion over the
+    // doubled margins ('//' truncates like the engine's div; the
+    // numerator is even so it is exact)
+    "q_a28x_kendall_inversions" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS nc
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND n_chars IS NOT NULL),
+          base AS (SELECT 'len_tokens' AS leg, nc AS x,
+                CAST(len($duckToks) AS BIGINT) AS y
+              FROM d
+             UNION ALL
+                   SELECT 'len_hash', nc,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 14)) AS BIGINT) % 1000000
+              FROM d),
+          grid AS (SELECT leg, x, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2, 3),
+          yr AS (SELECT leg, y,
+                CAST(DENSE_RANK() OVER (PARTITION BY leg ORDER BY y)
+                  AS BIGINT) - 1 AS r
+              FROM (SELECT DISTINCT leg, y FROM grid)),
+          g2 AS (SELECT grid.leg, x, c, r FROM grid
+              JOIN yr ON yr.leg = grid.leg AND yr.y = grid.y),
+          mx AS (SELECT leg, MAX(r) AS mr FROM g2 GROUP BY 1),
+          lv AS (SELECT leg, CAST(u.k AS BIGINT) AS k
+              FROM mx, UNNEST(generate_series(0,
+                len(bin(mr)) - 1)) AS u(k)),
+          ex AS (SELECT g2.leg, k, x, c,
+                (r >> CAST(k + 1 AS INTEGER)) AS g,
+                ((r >> CAST(k AS INTEGER)) & 1) AS b
+              FROM g2 JOIN lv ON lv.leg = g2.leg),
+          pf AS (SELECT leg, b, c,
+                SUM(CASE WHEN b = 1 THEN c END) OVER (
+                  PARTITION BY leg, k, g ORDER BY x
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS ones
+              FROM ex),
+          dd AS (SELECT leg,
+                SUM(CAST(c AS HUGEINT) * COALESCE(ones, 0)) AS dsum
+              FROM pf WHERE b = 0 GROUP BY 1),
+          tx AS (SELECT leg, SUM(CAST(t AS HUGEINT) * (t - 1)) AS txx
+              FROM (SELECT leg, x, SUM(c) AS t FROM grid
+                    GROUP BY 1, 2) GROUP BY 1),
+          ty AS (SELECT leg, SUM(CAST(t AS HUGEINT) * (t - 1)) AS tyy
+              FROM (SELECT leg, y, SUM(c) AS t FROM grid
+                    GROUP BY 1, 2) GROUP BY 1),
+          n3 AS (SELECT leg, SUM(CAST(c AS HUGEINT) * (c - 1)) AS n33
+              FROM grid GROUP BY 1),
+          tot AS (SELECT leg, CAST(SUM(c) AS BIGINT) AS n
+              FROM grid GROUP BY 1),
+          fin AS (SELECT tot.leg, n,
+                CAST(n AS HUGEINT) * (n - 1) - txx AS v1,
+                CAST(n AS HUGEINT) * (n - 1) - tyy AS v2,
+                (CAST(n AS HUGEINT) * (n - 1) - txx - tyy + n33) // 2
+                  - COALESCE(dsum, 0) AS cc,
+                COALESCE(dsum, 0) AS ddd
+              FROM tot
+              LEFT JOIN dd ON dd.leg = tot.leg
+              JOIN tx ON tx.leg = tot.leg
+              JOIN ty ON ty.leg = tot.leg
+              JOIN n3 ON n3.leg = tot.leg)
+         SELECT leg, n, CAST(cc AS BIGINT) AS conc,
+                CAST(ddd AS BIGINT) AS disc,
+                CASE WHEN n < 2 OR v1 = 0 OR v2 = 0 THEN NULL
+                  ELSE ROUND(CAST(2 * (cc - ddd) AS DOUBLE)
+                    / sqrt(CAST(v1 AS DOUBLE))
+                    / sqrt(CAST(v2 AS DOUBLE)), 6)
+                END AS tau_b6
+         FROM fin ORDER BY leg""",
     // q_a28: pair-grid replay — C/D from the x-ordered grid join,
     // doubled tie/total pair counts (the 2s cancel), one rounded
-    // double (the a13/a26 tail)
+    // double (the a13/a26 tail). LEFT JOIN cd + COALESCE mirrors the
+    // operator's constant-x convention (RankTest.scala left join): a
+    // leg with NO x-ordered pairs keeps its NULL-tau row (r16 fix)
     "q_a28_kendall" ->
       s"""WITH d AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS nc
               FROM documents
@@ -4273,20 +4420,22 @@ object LlmPipeline {
                     GROUP BY 1, 2) GROUP BY 1),
           tot AS (SELECT leg, CAST(SUM(c) AS BIGINT) AS n
               FROM grid GROUP BY 1)
-         SELECT tot.leg, n, CAST(cc AS BIGINT) AS conc,
-                CAST(dd AS BIGINT) AS disc,
+         SELECT tot.leg, n,
+                CAST(COALESCE(cc, 0) AS BIGINT) AS conc,
+                CAST(COALESCE(dd, 0) AS BIGINT) AS disc,
                 CASE WHEN n < 2
                     OR CAST(n AS HUGEINT) * (n - 1) - txx = 0
                     OR CAST(n AS HUGEINT) * (n - 1) - tyy = 0
                   THEN NULL
-                  ELSE ROUND(CAST(2 * (cc - dd) AS DOUBLE)
+                  ELSE ROUND(CAST(2 * (COALESCE(cc, 0)
+                      - COALESCE(dd, 0)) AS DOUBLE)
                     / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - txx
                         AS DOUBLE))
                     / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tyy
                         AS DOUBLE)), 6)
                 END AS tau_b6
          FROM tot
-         JOIN cd ON cd.leg = tot.leg
+         LEFT JOIN cd ON cd.leg = tot.leg
          JOIN tx ON tx.leg = tot.leg
          JOIN ty ON ty.leg = tot.leg
          ORDER BY tot.leg""",
@@ -5002,8 +5151,8 @@ object LlmPipeline {
                   AS sig
          FROM z ORDER BY panel""",
     // q_v24: complete-block Q replay — the operator's subject filter
-    // (carries every treatment) is mirrored even though this
-    // construction makes it a no-op
+    // (carries every treatment) AND its MAX dup-reduce are mirrored
+    // even though this construction makes both no-ops
     "q_v24_cochran_q" ->
       s"""WITH d AS (SELECT doc_id, n_chars FROM documents
               WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
@@ -5024,19 +5173,21 @@ object LlmPipeline {
                 (h // 2) % 2 FROM u
              UNION ALL SELECT 'hash_null', doc_id, 'b2',
                 (h // 4) % 2 FROM u),
+          bb AS (SELECT panel, s, t, MAX(v) AS v
+              FROM base GROUP BY 1, 2, 3),
           k AS (SELECT panel, COUNT(DISTINCT t) AS kk
-              FROM base GROUP BY 1),
+              FROM bb GROUP BY 1),
           r AS (SELECT panel, s, COUNT(*) AS nt, SUM(v) AS rr
-              FROM base GROUP BY 1, 2),
+              FROM bb GROUP BY 1, 2),
           cb AS (SELECT r.panel, s, rr FROM r
               JOIN k ON k.panel = r.panel AND r.nt = k.kk),
           ragg AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS n,
                 SUM(rr) AS ssum,
                 SUM(CAST(rr AS HUGEINT) * rr) AS r2
               FROM cb GROUP BY 1),
-          tagg AS (SELECT base.panel, t, SUM(v) AS ts
-              FROM base JOIN cb ON cb.panel = base.panel
-                AND cb.s = base.s
+          tagg AS (SELECT bb.panel, t, SUM(v) AS ts
+              FROM bb JOIN cb ON cb.panel = bb.panel
+                AND cb.s = bb.s
               GROUP BY 1, 2),
           t2 AS (SELECT panel, SUM(CAST(ts AS HUGEINT) * ts) AS tt
               FROM tagg GROUP BY 1),
@@ -6305,6 +6456,52 @@ object LlmPipeline {
                 CAST(CASE WHEN declared <> actual THEN 1 ELSE 0 END
                   AS BIGINT) AS mismatch
          FROM m GROUP BY declared, actual ORDER BY declared, actual""",
+    // q_m15: the generator-formula replay on the EBML surface — the
+    // oracle recomputes doc type/timescale/duration/tracks/codecs
+    // arithmetically from doc_id; the 13th-doc truncation leg lands
+    // as the all-NULL metadata group (Spark's violation contract);
+    // duration_ms via integer '//' — equal to the engine's double
+    // truncation because every timescale is a quarter of a µs
+    "q_m15_webm_metadata" ->
+      """WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND doc_id % 11 <> 0),
+          p AS (SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN NULL
+                     WHEN doc_id % 2 = 0 THEN 'webm'
+                     ELSE 'matroska' END AS doc_type,
+                CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE 500000 + (doc_id % 4) * 250000 END AS timescale,
+                CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE 2000 + (doc_id % 7) * 555 END AS dur,
+                CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE 1 + doc_id % 3 END AS n_tracks
+              FROM d),
+          c AS (SELECT *,
+                CASE ((doc_id // 3) + 0) % 3 WHEN 0 THEN 'V_VP9'
+                  WHEN 1 THEN 'A_OPUS' ELSE 'V_AV1' END AS c0,
+                CASE ((doc_id // 3) + 1) % 3 WHEN 0 THEN 'V_VP9'
+                  WHEN 1 THEN 'A_OPUS' ELSE 'V_AV1' END AS c1,
+                CASE ((doc_id // 3) + 2) % 3 WHEN 0 THEN 'V_VP9'
+                  WHEN 1 THEN 'A_OPUS' ELSE 'V_AV1' END AS c2
+              FROM p),
+          m AS (SELECT doc_type, CAST(n_tracks AS BIGINT) AS n_tracks,
+                timescale,
+                CASE WHEN n_tracks IS NULL THEN NULL
+                     WHEN n_tracks = 1 THEN c0
+                     WHEN n_tracks = 2 THEN concat(c0, ',', c1)
+                     ELSE concat(c0, ',', c1, ',', c2) END AS codecs,
+                CASE WHEN dur IS NULL THEN NULL
+                  ELSE (CAST(dur AS HUGEINT) * timescale) // 1000000
+                  END AS dur_ms
+              FROM c)
+         SELECT doc_type, n_tracks, codecs,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+                CAST(SUM(timescale) AS BIGINT) AS sum_ts
+         FROM m GROUP BY 1, 2, 3
+         ORDER BY doc_type NULLS FIRST, n_tracks NULLS FIRST,
+                codecs NULLS FIRST""",
     // q_m9: the generator-formula replay — Spark PARSES the synthetic
     // MP4 bytes back to (brand, timescale, duration, n_tracks, codecs);
     // the oracle recomputes the same values arithmetically from doc_id,

@@ -37,25 +37,35 @@ object StreamingHll {
   /** A group's live sketch — the batch [[Hll.sketch]] row shape. */
   final case class Sketch(group: String, hll: Seq[Long])
 
-  /** Continuously maintained per-group register sketch. */
+  /** Continuously maintained per-group register sketch. A group that
+    * has only ever seen NULL keys is NEVER populated — no state, no
+    * emission — mirroring the batch side, where [[Hll.sketch]]'s
+    * null-key filter drops such groups before the aggregation (r16
+    * fix: the previous mapGroups form emitted an all-zero sketch row
+    * there, a crack in the stream ≡ batch identity). */
   def sketch(recs: Dataset[Rec])
       (implicit spark: SparkSession): Dataset[Sketch] = {
     import spark.implicits._
     recs
       .groupByKey(_.group)
-      .mapGroupsWithState[Array[Long], Sketch](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Array[Long], Sketch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (g: String, rows: Iterator[Rec],
             state: GroupState[Array[Long]]) =>
           val regs = state.getOption.getOrElse(Array.fill(Hll.M)(0L))
+          var live = state.exists
           rows.foreach { r =>
             if (r.key != null) {
+              live = true
               val (j, rho) = Hll.registerJvm(r.key)
               if (rho > regs(j)) regs(j) = rho
             }
           }
-          state.update(regs)
-          Sketch(g, regs.toSeq)
+          if (!live) Iterator.empty
+          else {
+            state.update(regs)
+            Iterator.single(Sketch(g, regs.toSeq))
+          }
       }
   }
 

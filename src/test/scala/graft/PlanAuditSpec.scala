@@ -781,13 +781,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("codec audit: the declared join-back stays an equi-join") {
-    // q_m10 joins the walked metadata back to the declared frame on
-    // doc_id — a loop join here would be |routed|² at corpus scale
+  test("codec audit: join-free — the declared label rides the walk kernel") {
+    // r16 (VERDICT r15 #1): q_m10's declared column is carried
+    // THROUGH metadataTagged instead of joined back, so the blob
+    // tree is evaluated once and nothing joins — the old join-back
+    // shape doubled the synthetic-container expression across both
+    // branches and overran the 64 KB whole-stage-codegen limit
     val plan = executedPlan(q("q_m10_codec_audit"))
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"q_m10 join-back fell to a loop join:\n${plan.take(1500)}")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q_m10 grew a join back:\n${plan.take(1500)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m10 lost its hash aggregation:\n${plan.take(1500)}")
+  }
+
+  test("webm metadata: join-free, window-free — route, kernel, one aggregation") {
+    // the q_m9 scale contract on the EBML surface (r16): checkpointed
+    // blob frame, sniff-route filter, one mapPartitions VINT walk,
+    // one map-side-combinable hash agg — nothing joins, nothing
+    // shuffles twice
+    val plan = executedPlan(q("q_m15_webm_metadata"))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q_m15 grew a join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"q_m15 grew a window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m15 lost its hash aggregation:\n${plan.take(1200)}")
   }
 
   test("mp4 metadata: join-free, window-free — scan, kernel, one aggregation") {
@@ -992,6 +1010,27 @@ class PlanAuditSpec extends SparkSpec {
       s"q_qr30 lost its replicate explode:\n${plan.take(1200)}")
   }
 
+  test("robust-location means: join-free rank windows, one hash agg " +
+      "(q_a20 trimmed / q_a29 winsorized)") {
+    // r16 (VERDICT r15 #4): the only recent queries without pins —
+    // both are the L122 rank-window machinery: one sort window per
+    // flag for row_number, the unbounded frames for n/vlo/vhi, then
+    // ONE map-side-combinable hash aggregation; a join or cartesian
+    // appearing here would mean the clamp/trim boundaries started
+    // materializing via self-joins (corpus² at scale)
+    for (name <- Seq("q_a20_trimmed_mean", "q_a29_winsorized_mean")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+        s"$name grew a join:\n${plan.take(1500)}")
+      assert(plan.contains("Window"),
+        s"$name lost its rank window:\n${plan.take(1200)}")
+      assert(plan.contains("HashAggregate") ||
+        plan.contains("ObjectHashAggregate") ||
+        plan.contains("SortAggregate"),
+        s"$name lost its aggregation:\n${plan.take(1200)}")
+    }
+  }
+
   test("kendall tau-b: the pair join stays a leg equi-join, never a shuffle cartesian") {
     // the x-range condition rides as a residual on the leg equi-key
     // (the TheilSen/leadLag extraction class) — a fall to a shuffle
@@ -1000,6 +1039,21 @@ class PlanAuditSpec extends SparkSpec {
     val plan = executedPlan(q("q_a28_kendall"))
     assert(!plan.contains("CartesianProduct"),
       s"q_a28 pair join fell to a shuffle cartesian:\n${plan.take(1500)}")
+  }
+
+  test("kendall inversion form: equi-joins only — no pair frame of any kind") {
+    // r16 (VERDICT r15 #3): the O(grid log grid) form must never fall
+    // back to a pair join — every join is a grid-sized equi-join
+    // (rank attach, level attach, margins) and the inversions come
+    // from bit-level windows over the explode
+    val plan = executedPlan(q("q_a28x_kendall_inversions"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_a28x grew a loop/pair join:\n${plan.take(1500)}")
+    assert(plan.contains("Window"),
+      s"q_a28x lost its bit-level windows:\n${plan.take(1200)}")
+    assert(plan.contains("Generate"),
+      s"q_a28x lost its level explode:\n${plan.take(1200)}")
   }
 
   test("link prediction: top-100 via TakeOrdered, no cartesian, no window") {

@@ -263,6 +263,26 @@ class AgreementSpec extends SparkSpec {
     assert(n1 === 2L && n2 === 2L && q1 === q2)
   }
 
+  test("cochranQ: conflicting duplicate (subject, treatment) rows " +
+      "reduce by MAX, deterministically (r16)") {
+    // the hand-worked block with s1/c carried TWICE with conflicting
+    // 0/1 values — MAX (OR semantics) makes it 1:
+    // X = [[1,1,1],[1,0,0],[1,1,1],[1,0,0]], T = (4,2,2), S = 8,
+    // ΣT² = 24, ΣR² = 9+1+9+1 = 20
+    // Q = 2·(3·24 − 64)/(3·8 − 20) = 16/4 = 4
+    val rows = Seq(
+      ("s1", "a", 1L), ("s1", "b", 1L), ("s1", "c", 0L),
+      ("s1", "c", 1L), // the conflicting duplicate
+      ("s2", "a", 1L), ("s2", "b", 0L), ("s2", "c", 0L),
+      ("s3", "a", 1L), ("s3", "b", 1L), ("s3", "c", 1L),
+      ("s4", "a", 1L), ("s4", "b", 0L), ("s4", "c", 0L))
+    val (n, k, q, _) = runQ(rows)
+    assert((n, k) === ((4L, 3L)))
+    assert(q === Some(4000000L))
+    // and the reduce is order-independent: reversed input, same Q
+    assert(runQ(rows.reverse)._3 === Some(4000000L))
+  }
+
   test("cochranQ: seeded BigInt replay on a biased 4-treatment panel") {
     val rnd = new scala.util.Random(909)
     val probs = Map("t0" -> 2, "t1" -> 4, "t2" -> 6, "t3" -> 8)

@@ -43,6 +43,23 @@ class FdrSpec extends SparkSpec {
     assert(out("a")._1 === 1L && out("m")._1 === 2L && out("z")._1 === 3L)
   }
 
+  test("p outside [0, 1e6] raises — the domain guard (r16)") {
+    // a silently-ranked 2e6 "p" would inflate m and distort every
+    // compare; the guard fails loudly at the offending row
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    Seq(2000000L, -1L).foreach { bad =>
+      val df = Seq(("f", "a", 1000L), ("f", "b", bad))
+        .toDF("f", "t", "p")
+      val ex = intercept[Exception] {
+        Fdr.benjaminiHochberg(df, "f", "t", "p").collect()
+      }
+      assert(messages(ex).exists(_.contains("Fdr: p_e6 outside")),
+        s"unexpected failure: ${messages(ex).mkString(" | ")}")
+    }
+  }
+
   test("null p's drop and shrink m; empty panel emits nothing") {
     val df = Seq(("f", "a", Some(1000L)), ("f", "b", None))
       .toDF("f", "t", "p")

@@ -341,6 +341,56 @@ class RankTestSpec extends SparkSpec {
       s"tau ${tau.get} vs replay $want")
   }
 
+  // ---- Kendall τ-b, inversion-count form (r16) -----------------------
+
+  private def runTauInv(pts: Seq[(Long, Long)]) = {
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = RankTest.kendallTauBInversions(df, "g", "x", "y")
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+  }
+
+  test("inversion form equals the pair grid on every hand case " +
+      "(±1, tie square, duplicated point, constant margins)") {
+    for (pts <- Seq(
+        Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+        Seq((1L, 3L), (2L, 2L), (3L, 1L)),
+        Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)),
+        Seq((1L, 1L), (1L, 1L), (2L, 2L)),
+        Seq((5L, 1L), (5L, 2L), (5L, 3L)), // constant x: C = D = 0
+        Seq((1L, 7L), (2L, 7L), (3L, 7L)), // constant y
+        Seq((-3L, -9L), (-1L, 4L), (0L, -9L), (2L, 11L))))
+      assert(runTauInv(pts) === runTau(pts), s"diverged on $pts")
+  }
+
+  test("inversion form: seeded multi-leg replay equals the pair grid " +
+      "with heavy ties on both margins") {
+    val rnd = new scala.util.Random(1966)
+    val rows = (0 until 3).flatMap { leg =>
+      Seq.fill(400)((s"leg$leg", rnd.nextInt(30).toLong,
+        rnd.nextInt(50).toLong - 25L))
+    }
+    val df = rows.toDF("g", "x", "y")
+    def read(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val pairGrid = read(RankTest.kendallTauB(df, "g", "x", "y").collect())
+    val inv = read(
+      RankTest.kendallTauBInversions(df, "g", "x", "y").collect())
+    assert(inv === pairGrid)
+  }
+
+  test("inversion form: wide rank range crosses several bit levels") {
+    // distinct y per row → maxRank = n−1 → 9 bit levels at n = 300;
+    // negative y exercises the rank (not value) decomposition
+    val rnd = new scala.util.Random(61)
+    val pts = (0 until 300).map(i =>
+      (rnd.nextInt(1000).toLong, (i * 7919L % 100000L) - 50000L))
+    assert(runTauInv(pts) === runTau(pts))
+  }
+
   // ---- two-sample Cramér–von Mises (r15, L180) -----------------------
 
   private def runCvm(a: Seq[Long], b: Seq[Long]) = {

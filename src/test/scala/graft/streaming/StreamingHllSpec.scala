@@ -77,6 +77,19 @@ class StreamingHllSpec extends SparkSpec {
     assert(batch === expected.toSeq)
   }
 
+  test("a group fed only NULL keys is never populated — no state, " +
+      "no all-zero row (batch parity, r16)") {
+    val real = recs(100)
+    // gnull sees only nulls across TWO batches; g0 absorbs a null
+    // alongside real keys
+    val b1 = real.take(50) ++ Seq(Rec("gnull", null), Rec("g0", null))
+    val b2 = real.drop(50) :+ Rec("gnull", null)
+    val live = runStream(Seq(b1, b2))
+    assert(!live.contains("gnull"),
+      "null-only group must not emit an all-zero sketch")
+    assert(live === batchSketch(real))
+  }
+
   test("estimate parity: the live sketch feeds Hll.estimate unchanged") {
     val all = recs(500)
     val live = runStream(Seq(all.take(250), all.drop(250)))
