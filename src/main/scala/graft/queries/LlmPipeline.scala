@@ -2860,6 +2860,77 @@ object LlmPipeline {
           "panel", "st", "rv", "cv")
         .orderBy(col("panel"))
     }),
+    "q_qr31_drift_fdr" -> ((s, dir) => {
+      // BH-FDR over the REAL drift panel (r16, L187; VERDICT r15 #7):
+      // q_qr30 demonstrated the step-up on a synthetic mean panel —
+      // this is the production dashboard it exists for: m = 30 tests
+      // from three REAL drift families — KS per source vs rest on
+      // n_chars (qr11's machinery), Mann–Whitney per non-en lang vs
+      // the en baseline (qr16's), Mann–Kendall daily-volume trend per
+      // event type (a16's) — each emitting an exact-integer p through
+      // the PValue tail tables (exp/erfc are not bit-portable across
+      // libms; the tables are), BH at α = 0.05 over all of them. ONE
+      // planted leg (a +150-char location shift on a quarter of the
+      // docs as a pseudo-source) keeps the rejection regime live: the
+      // real families read null at gate scale (measured — KS p ≥ 0.06
+      // at sf0.01, the daily volume is white, the lang shifts sit
+      // under the 30-test bar). The qr30 b-floor lesson is honored by
+      // construction: table resolution 1e-6 clears the rank-1 bar
+      // α/m ≈ 1667e-6 with three orders to spare.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("source").isNotNull && col("lang").isNotNull)
+      // KS family: 20 sources each vs the REAL rest, plus the planted
+      // shifted cohort on its OWN frame — folding the plant into one
+      // frame would put the shifted rows inside every real source's
+      // rest baseline and manufacture drift everywhere (measured at
+      // sf0.1 before splitting: 14 phantom rejections from exactly
+      // that contamination)
+      val real = d.select(col("source").as("g"), col("n_chars").as("v"))
+      val planted = d.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+        .select(lit("planted_shift").as("g"),
+          (col("n_chars") + lit(150L)).as("v"))
+      val ksFrame = KsDrift.perGroup(real, "g", "v").unionByName(
+        KsDrift.perGroup(real.unionByName(planted), "g", "v")
+          .filter(col("g") === "planted_shift"))
+      val ks = ksFrame
+        .select(lit("drift").as("panel"),
+          concat(lit("ks:"), col("g")).as("test"),
+          PValue.ksTail2E6(col("ks_num"), col("n1"), col("n2")).as("p"))
+      // MW family: the qr16 legs verbatim
+      val langs = d.select(col("lang").as("cmp"))
+        .filter(col("cmp") =!= "en").distinct()
+      val cand = d.filter(col("lang") =!= "en")
+        .select(col("lang").as("cmp"), lit("cand").as("cohort"),
+          col("n_chars"))
+      val base = d.filter(col("lang") === "en")
+        .crossJoin(broadcast(langs))
+        .select(col("cmp"), lit("base").as("cohort"), col("n_chars"))
+      val mw = RankTest.mannWhitney(cand.unionByName(base), "cmp",
+          "cohort", "n_chars", "cand", "base")
+        .select(lit("drift").as("panel"),
+          concat(lit("mw:"), col("cmp")).as("test"),
+          PValue.normTail2E6(col("z2_e6")).as("p"))
+      // MK family: a16's daily series; z² with the continuity
+      // correction z = (|S|−1)/√(var18/18) ⇒ z²_e6 = 18e6·(|S|−1)²
+      // div var18; S = 0 or a fully-tied series ⇒ z² = 0 (no evidence)
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events")
+      val mkz = when(col("s_stat") === 0L || col("var18") === 0L, lit(0L))
+        .otherwise(call_function("div",
+          lit(18000000L).cast(d38)
+            * (abs(col("s_stat")) - 1L).cast(d38)
+            * (abs(col("s_stat")) - 1L).cast(d38),
+          col("var18").cast(d38)).cast("long"))
+      val mk = Trend.dailyVolumeMannKendall(ev, "event_type",
+          Tables.epochMicros(ev, "ts"))
+        .select(lit("drift").as("panel"),
+          concat(lit("mk:"), col("event_type")).as("test"),
+          PValue.normTail2E6(mkz).as("p"))
+      Fdr.benjaminiHochberg(
+          ks.unionByName(mw).unionByName(mk), "panel", "test", "p")
+        .orderBy(col("rank"))
+    }),
     "q_qr30_bh_fdr" -> ((s, dir) => {
       // Benjamini–Hochberg FDR control (r15, L183; Benjamini &
       // Hochberg 1995): the multiple-comparisons layer over a REAL
@@ -5208,6 +5279,143 @@ object LlmPipeline {
                     [CAST(kk - 1 AS INT)]
                   THEN 1 ELSE 0 END AS BIGINT) AS sig
          FROM qq ORDER BY panel""",
+    // q_qr31: the drift dashboard replay — each family's exact
+    // statistic through its own established oracle chain (qr11's KS
+    // grid, qr16's MW midranks, a16's MK pairs), the SAME PValue
+    // table literals (exp/erfc are not bit-portable; the tables are),
+    // the same sqrt+floor centi-bucket, qr30's step-up tail
+    "q_qr31_drift_fdr" ->
+      s"""WITH dd AS MATERIALIZED (SELECT doc_id,
+                CAST(n_chars AS BIGINT) AS nc, source, lang
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND source IS NOT NULL AND lang IS NOT NULL),
+          tbl AS (SELECT ${PValue.ksSqlList} AS kst,
+                ${PValue.normSqlList} AS nmt),
+          ksreal AS MATERIALIZED (
+            WITH d AS MATERIALIZED (
+                SELECT source AS g, nc AS v FROM dd),
+            ${KsDrift.oracleSql}),
+          ksplant AS MATERIALIZED (
+            WITH d AS MATERIALIZED (
+                SELECT source AS g, nc AS v FROM dd
+               UNION ALL
+                SELECT 'planted_shift', nc + 150 FROM dd
+                WHERE doc_id % 4 = 0),
+            ${KsDrift.oracleSql}),
+          ksout AS (SELECT * FROM ksreal
+             UNION ALL
+                    SELECT * FROM ksplant WHERE g = 'planted_shift'),
+          ksp AS (SELECT 'ks:' || g AS test,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000
+                  WHEN CAST(floor(sqrt(CAST(
+                      (10000 * CAST(ks_num AS HUGEINT) * ks_num)
+                      // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2))
+                      AS DOUBLE))) AS INT) >= 350 THEN 0
+                  ELSE kst[CAST(floor(sqrt(CAST(
+                      (10000 * CAST(ks_num AS HUGEINT) * ks_num)
+                      // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2))
+                      AS DOUBLE))) AS INT) + 1]
+                END AS p
+              FROM ksout CROSS JOIN tbl),
+          mwz AS MATERIALIZED (
+            WITH rowsx AS (SELECT lang AS cmp, 'cand' AS c, nc AS v
+                    FROM dd WHERE lang <> 'en'
+               UNION ALL
+                    SELECT l.cmp, 'base', dd.nc FROM dd,
+                      (SELECT DISTINCT lang AS cmp FROM dd
+                       WHERE lang <> 'en') l
+                    WHERE dd.lang = 'en'),
+            grid AS (SELECT cmp, v, CAST(COUNT(*) AS BIGINT) AS t,
+                  CAST(SUM(CASE WHEN c = 'cand' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ta
+                FROM rowsx GROUP BY 1, 2),
+            cum AS (SELECT cmp, v, t, ta,
+                  COALESCE(SUM(t) OVER (PARTITION BY cmp ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS below
+                FROM grid),
+            agg AS (SELECT cmp, SUM(ta) AS n_a, SUM(t - ta) AS n_b,
+                  SUM(ta * (2 * below + t + 1)) AS r2,
+                  SUM(t * t * t - t) AS tie
+                FROM cum GROUP BY 1),
+            z AS (SELECT cmp, n_a, n_b,
+                  CAST(r2 AS HUGEINT) - CAST(n_a AS HUGEINT) * (n_a + 1)
+                    - CAST(n_a AS HUGEINT) * n_b AS delta,
+                  CAST(n_a + n_b AS HUGEINT) AS nn,
+                  CAST(tie AS HUGEINT) AS tie
+                FROM agg)
+            SELECT cmp,
+                  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                       WHEN nn * nn * nn - nn - tie = 0 THEN 0
+                       ELSE 3 * delta * delta * nn * (nn - 1) * 1000000
+                         // (CAST(n_a AS HUGEINT) * n_b
+                            * (nn * nn * nn - nn - tie))
+                  END AS z2
+            FROM z),
+          mwp AS (SELECT 'mw:' || cmp AS test,
+                CASE WHEN z2 IS NULL THEN NULL
+                  WHEN CAST(floor(sqrt(CAST(z2 // 100 AS DOUBLE)))
+                    AS INT) >= 500 THEN 0
+                  ELSE nmt[CAST(floor(sqrt(CAST(z2 // 100 AS DOUBLE)))
+                    AS INT) + 1]
+                END AS p
+              FROM mwz CROSS JOIN tbl),
+          mkstat AS MATERIALIZED (
+            WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+                 WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            s AS (SELECT event_type,
+                    (us - ((us % 86400000000 + 86400000000)
+                      % 86400000000)) // 86400000000 AS x,
+                    COUNT(*) AS y
+                  FROM e GROUP BY 1, 2),
+            p AS (SELECT a.event_type,
+                    CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+                  FROM s a JOIN s b
+                    ON a.event_type = b.event_type AND a.x < b.x),
+            sp AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat
+                   FROM p GROUP BY event_type),
+            tv AS (SELECT event_type, y, COUNT(*) AS t
+                   FROM s GROUP BY event_type, y),
+            ti AS (SELECT event_type,
+                     CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_sum
+                   FROM tv GROUP BY event_type),
+            nd AS (SELECT event_type, COUNT(*) AS n_days
+                   FROM s GROUP BY event_type)
+            SELECT nd.event_type, COALESCE(sp.s_stat, 0) AS s_stat,
+                  nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                    - ti.tie_sum AS var18
+            FROM nd JOIN ti ON nd.event_type = ti.event_type
+            LEFT JOIN sp ON nd.event_type = sp.event_type),
+          mkp AS (SELECT 'mk:' || event_type AS test,
+                CASE WHEN CAST(floor(sqrt(CAST(z2 // 100 AS DOUBLE)))
+                    AS INT) >= 500 THEN 0
+                  ELSE nmt[CAST(floor(sqrt(CAST(z2 // 100 AS DOUBLE)))
+                    AS INT) + 1]
+                END AS p
+              FROM (SELECT event_type,
+                  CASE WHEN s_stat = 0 OR var18 = 0 THEN 0
+                    ELSE (18000000 * CAST(ABS(s_stat) - 1 AS HUGEINT)
+                      * (ABS(s_stat) - 1)) // var18
+                  END AS z2
+                FROM mkstat) CROSS JOIN tbl),
+          allp AS (SELECT test, p FROM ksp
+             UNION ALL SELECT test, p FROM mwp
+             UNION ALL SELECT test, p FROM mkp),
+          rk AS (SELECT 'drift' AS panel, test, p,
+                ROW_NUMBER() OVER (ORDER BY p, test) AS k,
+                COUNT(*) OVER () AS m
+              FROM allp WHERE p IS NOT NULL),
+          km AS (SELECT rk.*, MAX(CASE WHEN p * m <= k * 50000
+                THEN k ELSE 0 END) OVER () AS kmax
+              FROM rk)
+         SELECT panel, test, CAST(p AS BIGINT) AS p_e6,
+                CAST(k AS BIGINT) AS rank, CAST(m AS BIGINT) AS m,
+                CAST(CASE WHEN k <= kmax THEN 1 ELSE 0 END AS BIGINT)
+                  AS reject
+         FROM km ORDER BY rank""",
     // q_qr30: the a27 replicate machinery × 20 static source panels,
     // then the division-free BH step-up compare p·m ≤ k·α
     "q_qr30_bh_fdr" ->

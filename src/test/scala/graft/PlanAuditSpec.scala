@@ -1041,6 +1041,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q_a28 pair join fell to a shuffle cartesian:\n${plan.take(1500)}")
   }
 
+  test("drift dashboard: no shuffle cartesian across all three families") {
+    // r16 (VERDICT r15 #7): q_qr31 composes qr11's KS (grid-free jump
+    // points), qr16's MW (4-row lang broadcast is the one allowed
+    // BNLJ class) and a16's MK (day-grid equi self-join) — a shuffle
+    // CartesianProduct anywhere would be corpus² at scale
+    val plan = executedPlan(q("q_qr31_drift_fdr"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_qr31 plan contains a shuffle cartesian:\n${plan.take(1500)}")
+    assert(plan.contains("Window"),
+      s"q_qr31 lost the BH rank window:\n${plan.take(1200)}")
+  }
+
   test("kendall inversion form: equi-joins only — no pair frame of any kind") {
     // r16 (VERDICT r15 #3): the O(grid log grid) form must never fall
     // back to a pair join — every join is a grid-sized equi-join
