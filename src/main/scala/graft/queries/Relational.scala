@@ -627,6 +627,66 @@ object Relational {
             .as("corr6"))
         .orderBy(col("flag"))
     }),
+    "q_a30_anova_f" -> ((s, dir) => {
+      // one-way ANOVA F (r16, L188; Fisher 1925): the parametric
+      // sibling of q_qr21's Kruskal–Wallis — the k-cohort MEAN
+      // question on raw moments. THREE panels over documents
+      // n_chars: lang cohorts (the real leg — zh sits ~17 chars
+      // under the rest; measured F = 2.50 > crit 2.37 at df 4 at
+      // sf0.1, the REAL mean shift flags), an md5-bit A/A null
+      // (F = 1.94, retained), and a planted +40-char shift on one
+      // hash cohort (F = 73.6 at sf0.1 — the rejection regime
+      // guaranteed at every SF). Below Df2Floor (sf ≤ 0.01: 500
+      // docs) the verdict is honestly NULL, statistics still exact.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val bit = pmod(h, lit(2L))
+      val langLeg = d.select(lit("lang_len").as("panel"),
+        col("lang").as("c"), col("n_chars").as("v"))
+      val nullLeg = d.select(lit("hash_null").as("panel"),
+        bit.cast("string").as("c"), col("n_chars").as("v"))
+      val planted = d.select(lit("planted_shift").as("panel"),
+        bit.cast("string").as("c"),
+        when(bit === 1L, col("n_chars") + 40L)
+          .otherwise(col("n_chars")).as("v"))
+      Anova.oneWayF(langLeg.unionByName(nullLeg).unionByName(planted),
+          "panel", "c", "v")
+        .orderBy(col("panel"))
+    }),
+    "q_a31_brown_forsythe" -> ((s, dir) => {
+      // Brown–Forsythe variance drift (r16, L189; Brown & Forsythe
+      // 1974): the SCALE-drift member the panel lacked — location
+      // drift has MW/KS/MK, spread drift had nothing. F on
+      // |v − cohort median|: lang cohorts (real leg — the lang
+      // spreads ARE equal, measured madm 121–124 and F = 0.30
+      // retained at sf0.1, exactly while a30 flags the zh MEAN on
+      // the same data: the location/scale separation live), an
+      // md5-bit A/A null (F = 0.13), and a planted doubled cohort
+      // (v·2 doubles the deviations — F = 1468 at sf0.1, the scale
+      // rejection live at every SF; its mean shift is invisible to
+      // BF by construction, which is the point of the test).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val bit = pmod(h, lit(2L))
+      val langLeg = d.select(lit("lang_len").as("panel"),
+        col("lang").as("c"), col("n_chars").as("v"))
+      val nullLeg = d.select(lit("hash_null").as("panel"),
+        bit.cast("string").as("c"), col("n_chars").as("v"))
+      val planted = d.select(lit("planted_scale").as("panel"),
+        bit.cast("string").as("c"),
+        when(bit === 1L, col("n_chars") * 2L)
+          .otherwise(col("n_chars")).as("v"))
+      Anova.brownForsythe(
+          langLeg.unionByName(nullLeg).unionByName(planted),
+          "panel", "c", "v")
+        .orderBy(col("panel"))
+    }),
     "q_a29_winsorized_mean" -> ((s, dir) => {
       // 10%-winsorized mean (r15, L185; Tukey & McLaughlin 1963;
       // Dixon 1960): a20's trim DROPS the tails — winsorizing CLAMPS
@@ -1590,6 +1650,109 @@ object Relational {
                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr6
          FROM m ORDER BY flag""",
+    // q_a30/q_a31: the F floor cascade replayed token-for-token
+    // (term_c, q, b = max(0, S−q), w = 10⁶Σv² − S, the final f div),
+    // verdict via the SAME χ² table asymptote ⌊crit(df1)/df1⌋ gated
+    // on N−k ≥ 1000; a31 stages |v − cohort-median| first (median =
+    // the 0-based rank n DIV 2 data value, the A8 convention)
+    "q_a30_anova_f" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v, lang
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          u AS (SELECT *, CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 % 2 AS bit
+              FROM d),
+          base AS (SELECT 'lang_len' AS panel, lang AS c, v FROM u
+             UNION ALL SELECT 'hash_null', CAST(bit AS VARCHAR), v
+              FROM u
+             UNION ALL SELECT 'planted_shift', CAST(bit AS VARCHAR),
+                CASE WHEN bit = 1 THEN v + 40 ELSE v END FROM u),
+          pc AS (SELECT panel, c, CAST(COUNT(*) AS BIGINT) AS nc,
+                SUM(v) AS tc, SUM(CAST(v AS HUGEINT) * v) AS sxx
+              FROM base GROUP BY 1, 2),
+          tm AS (SELECT panel, nc, sxx,
+                (1000000 * CAST(tc AS HUGEINT) * tc) // nc AS term,
+                tc
+              FROM pc),
+          pp AS (SELECT panel, CAST(SUM(nc) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS k, SUM(tc) AS t,
+                SUM(term) AS s, SUM(sxx) AS sxx
+              FROM tm GROUP BY 1),
+          ff AS (SELECT panel, n, k,
+                GREATEST(s - (1000000 * CAST(t AS HUGEINT) * t) // n,
+                  0) AS b,
+                1000000 * sxx - s AS w
+              FROM pp),
+          o AS (SELECT panel, n, k, CAST(b AS BIGINT) AS b_e6,
+                CAST(w AS BIGINT) AS w_e6,
+                CASE WHEN k < 2 OR w = 0 THEN NULL
+                  ELSE CAST((1000000 * b * (n - k)) // (w * (k - 1))
+                    AS BIGINT) END AS f_e6
+              FROM ff)
+         SELECT panel, n, k, b_e6, w_e6, f_e6,
+                CAST(CASE WHEN f_e6 IS NULL OR k - 1 > 8
+                    OR n - k < 1000 THEN NULL
+                  WHEN f_e6 >= (${RankTest.Chi2Crit95E6ByDf
+                      .mkString("[", ",", "]")})[CAST(k - 1 AS INT)]
+                    // (k - 1)
+                  THEN 1 ELSE 0 END AS BIGINT) AS sig
+         FROM o ORDER BY panel""",
+    "q_a31_brown_forsythe" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v, lang
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          u AS (SELECT *, CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 % 2 AS bit
+              FROM d),
+          base0 AS (SELECT 'lang_len' AS panel, lang AS c, v FROM u
+             UNION ALL SELECT 'hash_null', CAST(bit AS VARCHAR), v
+              FROM u
+             UNION ALL SELECT 'planted_scale', CAST(bit AS VARCHAR),
+                CASE WHEN bit = 1 THEN v * 2 ELSE v END FROM u),
+          mrk AS (SELECT panel, c, v,
+                ROW_NUMBER() OVER (PARTITION BY panel, c ORDER BY v)
+                  - 1 AS rn,
+                COUNT(*) OVER (PARTITION BY panel, c) AS nn
+              FROM base0),
+          med AS (SELECT panel, c, v AS medv FROM mrk
+              WHERE rn = nn // 2),
+          base AS (SELECT b.panel, b.c, ABS(b.v - m.medv) AS v
+              FROM base0 b JOIN med m
+                ON m.panel = b.panel AND m.c = b.c),
+          pc AS (SELECT panel, c, CAST(COUNT(*) AS BIGINT) AS nc,
+                SUM(v) AS tc, SUM(CAST(v AS HUGEINT) * v) AS sxx
+              FROM base GROUP BY 1, 2),
+          tm AS (SELECT panel, nc, sxx,
+                (1000000 * CAST(tc AS HUGEINT) * tc) // nc AS term,
+                tc
+              FROM pc),
+          pp AS (SELECT panel, CAST(SUM(nc) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS k, SUM(tc) AS t,
+                SUM(term) AS s, SUM(sxx) AS sxx
+              FROM tm GROUP BY 1),
+          ff AS (SELECT panel, n, k,
+                GREATEST(s - (1000000 * CAST(t AS HUGEINT) * t) // n,
+                  0) AS b,
+                1000000 * sxx - s AS w
+              FROM pp),
+          o AS (SELECT panel, n, k, CAST(b AS BIGINT) AS b_e6,
+                CAST(w AS BIGINT) AS w_e6,
+                CASE WHEN k < 2 OR w = 0 THEN NULL
+                  ELSE CAST((1000000 * b * (n - k)) // (w * (k - 1))
+                    AS BIGINT) END AS f_e6
+              FROM ff)
+         SELECT panel, n, k, b_e6, w_e6, f_e6,
+                CAST(CASE WHEN f_e6 IS NULL OR k - 1 > 8
+                    OR n - k < 1000 THEN NULL
+                  WHEN f_e6 >= (${RankTest.Chi2Crit95E6ByDf
+                      .mkString("[", ",", "]")})[CAST(k - 1 AS INT)]
+                    // (k - 1)
+                  THEN 1 ELSE 0 END AS BIGINT) AS sig
+         FROM o ORDER BY panel""",
     // q_a20: the same rank machinery; boundary ties carry equal values
     // so the kept multiset — and the rounded averages — are exact
     // q_a29: the a20 rank machinery with boundary clamps instead of

@@ -1041,6 +1041,21 @@ class PlanAuditSpec extends SparkSpec {
       s"q_a28 pair join fell to a shuffle cartesian:\n${plan.take(1500)}")
   }
 
+  test("anova/brown-forsythe: one moment pass, grid math after " +
+      "(a31's median join is grid-sized, join-free for a30)") {
+    // r16 (L188/L189): a30 is ONE map-side-combinable (panel, cohort)
+    // moment aggregation + cohort-grid arithmetic — no join at all;
+    // a31 adds the (panel, cohort, value)-grid median rank selection
+    // and one grid equi-join, never a cartesian
+    val a30 = executedPlan(q("q_a30_anova_f"))
+    assert(!a30.contains("Join") && a30.contains("HashAggregate"),
+      s"q_a30 grew a join or lost its agg:\n${a30.take(1200)}")
+    val a31 = executedPlan(q("q_a31_brown_forsythe"))
+    assert(!a31.contains("CartesianProduct") &&
+      !a31.contains("BroadcastNestedLoopJoin"),
+      s"q_a31 median join fell to a loop join:\n${a31.take(1200)}")
+  }
+
   test("drift dashboard: no shuffle cartesian across all three families") {
     // r16 (VERDICT r15 #7): q_qr31 composes qr11's KS (grid-free jump
     // points), qr16's MW (4-row lang broadcast is the one allowed
