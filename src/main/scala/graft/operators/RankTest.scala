@@ -194,6 +194,87 @@ object RankTest {
       .select(col(groupCol), col("k"), col("n"), col("h_e6"), col("sig"))
   }
 
+  /** Dunn's post-hoc pairwise rank test (r16, L190; Dunn 1964,
+    * Technometrics 6) — the WHICH behind the omnibus tests:
+    * [[kruskalWallis]] (and L188's ANOVA) say "SOME cohort differs";
+    * Dunn compares every cohort pair on the POOLED midranks, the
+    * standard post-hoc whose p's are meant to be fed to a
+    * multiple-comparisons layer ([[Fdr.benjaminiHochberg]] — the
+    * composition q_a32 runs; Dunn's own Bonferroni is dominated by
+    * BH and not replicated).
+    *
+    * Exact rational with the tie correction, on the SAME doubled
+    * midrank grid as [[kruskalWallis]] (the 2s cancel): with doubled
+    * cohort rank sums R2_c, sizes n_c, pooled N and T = Σ(t³−t),
+    *   Δ = R2_i·n_j − R2_j·n_i
+    *   z²_ij = 3(N−1)·Δ² / (n_i·n_j·(n_i+n_j)·(N³−N−T))
+    * Cascade (the L157 stance, TWO floors replayed token-for-token):
+    *   q1 = ⌊Δ²/(n_i·n_j)⌋  (≤ 4N⁴ — the factor that would
+    *                          otherwise push capacity to N⁷)
+    *   z2_e6 = ⌊3·10⁶·(N−1)·q1 / ((n_i+n_j)·(N³−N−T))⌋
+    * All values tied (T = N³−N) ⇒ z² = 0. p_e6 rides along through
+    * [[PValue.normTail2E6]] (Dunn's z is standard normal under H₀).
+    * Capacity: 3·10⁶·N·4N⁴ < 10³⁸ ⇒ N ≤ ~10⁶ rows/panel (the
+    * CvM-class bound — subsample beyond; the verdicts are long
+    * decided).
+    *
+    * Scale shape: the kruskalWallis passes verbatim (one map-side
+    * (panel, cohort, value) collapse, per-panel value-grid windows),
+    * then a cohort-grid self-join on the panel equi-key with the
+    * c_a < c_b residual — k²-sized, never corpus-sized. */
+  def dunnPairs(df: DataFrame, groupCol: String, cohortCol: String,
+      valueCol: String): DataFrame = {
+    Reserved.guard(Seq(groupCol),
+      Seq("__c", "__v", "__tc", "__t", "__below", "__r2", "__nc",
+        "__tie", "__ca", "__cb", "__na", "__nb", "__ra", "__rb",
+        "n", "c_a", "c_b", "n_a", "n_b", "z2_e6", "p_e6"),
+      "RankTest")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(cohortCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol), col(cohortCol).cast("string").as("__c"),
+        col(valueCol).cast("long").as("__v"))
+    val cg = base.groupBy(col(groupCol), col("__c"), col("__v"))
+      .agg(count(lit(1)).as("__tc"))
+    val vg = cg.groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__tc")).as("__t"))
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vgb = vg.withColumn("__below",
+      coalesce(sum(col("__t")).over(wb), lit(0L)))
+    val perC = cg.join(vgb, Seq(groupCol, "__v"))
+      .groupBy(col(groupCol), col("__c"))
+      .agg(sum(col("__tc")).as("__nc"),
+        sum(col("__tc") * (lit(2L) * col("__below") + col("__t")
+          + lit(1L))).as("__r2"))
+    val ties = vg.groupBy(col(groupCol))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tie"))
+    val tot = perC.groupBy(col(groupCol)).agg(sum(col("__nc")).as("n"))
+    val a = perC.select(col(groupCol), col("__c").as("__ca"),
+      col("__nc").as("__na"), col("__r2").as("__ra"))
+    val b = perC.select(col(groupCol).as("__gb"), col("__c").as("__cb"),
+      col("__nc").as("__nb"), col("__r2").as("__rb"))
+    val pairs = a.join(b,
+      col("__gb") === col(groupCol) && col("__ca") < col("__cb"))
+      .join(tot, Seq(groupCol)).join(ties, Seq(groupCol))
+    val nn = col("n").cast(d38)
+    val delta = col("__ra").cast(d38) * col("__nb").cast(d38) -
+      col("__rb").cast(d38) * col("__na").cast(d38)
+    val q1 = call_function("div", delta * delta,
+      col("__na").cast(d38) * col("__nb").cast(d38))
+    val tieFree = nn * nn * nn - nn - col("__tie").cast(d38)
+    val z2 = when(tieFree === lit(0L).cast(d38), lit(0L))
+      .otherwise(call_function("div",
+        lit(3000000L).cast(d38) * (nn - lit(1L).cast(d38)) * q1,
+        (col("__na") + col("__nb")).cast(d38) * tieFree).cast("long"))
+    pairs.select(col(groupCol), col("__ca").as("c_a"),
+        col("__cb").as("c_b"), col("__na").as("n_a"),
+        col("__nb").as("n_b"), z2.as("z2_e6"))
+      .withColumn("p_e6", PValue.normTail2E6(col("z2_e6")))
+  }
+
   /** Spearman rank correlation with exact midrank moments (Spearman
     * 1904, Am. J. Psychol. 15) — "do these two signals move together
     * MONOTONICALLY": the rank sibling of the q_a13 exact-moment

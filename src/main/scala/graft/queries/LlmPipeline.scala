@@ -375,6 +375,36 @@ object LlmPipeline {
       SetSimJoin.pairs(t(s, dir, "documents"), "doc_id", "text",
           shingleLen = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_d16_dup_coverage" -> ((s, dir) => {
+      // Chapman capture–recapture dup-coverage estimate (r16, L191):
+      // "how many near-dup pairs are still out there" after a
+      // detector pass is a population-size question — answered here
+      // with the estimator AUDITED against a known truth: the exact
+      // d9 pair set is the population, and two deterministically
+      // hash-thinned channels (independent base-3 digits of the pair
+      // key, each keeping ~2/3) play the two detectors, so the
+      // independence assumption holds BY CONSTRUCTION and N̂ must
+      // land near the true count carried alongside (n_true). The
+      // production use is two real imperfect detectors (L2 MinHash vs
+      // L3 SimHash); correlated misses under-read — the operator
+      // scaladoc states the direction.
+      val pairs = SetSimJoin.pairs(t(s, dir, "documents"), "doc_id",
+          "text", shingleLen = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val u = pmod(conv(substring(md5(concat(
+        col("id_a").cast("string"), lit(":"),
+        col("id_b").cast("string"))), 1, 14), 16, 10)
+        .cast("long"), lit(1000000000L))
+      val tagged = pairs.withColumn("__u", u)
+      val chA = tagged.filter(pmod(col("__u"), lit(3L)) =!= 0L)
+        .select(col("id_a"), col("id_b"))
+      val chB = tagged
+        .filter(pmod(expr("__u DIV 3"), lit(3L)) =!= 0L)
+        .select(col("id_a"), col("id_b"))
+      val truth = pairs.agg(count(lit(1)).as("n_true"))
+      CaptureRecapture.chapman(chA, chB, Seq("id_a", "id_b"))
+        .crossJoin(truth)
+    }),
     "q_d3_neardup_ensemble" -> ((s, dir) =>
       // MinHash ∪ SimHash candidates → exact confirm: recall guaranteed by
       // the MinHash leg (SimHash-64 alone misses J≈0.9 pairs at hamming 8+
@@ -4037,6 +4067,46 @@ object LlmPipeline {
     // q_d9 (L63): the prefix filter is lossless, so the exact join's
     // contract IS the exhaustive all-pairs computation — same oracle
     "q_d9_setsim_exact" -> nearDupOracle,
+    // q_d16: the d9 exact pair set as the population, the md5 base-3
+    // thinning replayed, the two Chapman divisions in HUGEINT —
+    // quadratic like its parent oracle (skip-list class at sf0.1)
+    "q_d16_dup_coverage" ->
+      s"""WITH sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len($duckToks) - 2, 0) + 1),
+                     i -> array_to_string(($duckToks)[i:i+2], ' ')))
+                     AS sh
+            FROM documents),
+          p AS MATERIALIZED (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                         nullif(len(list_distinct(
+                           list_concat(a.sh, b.sh))), 0), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.8),
+          t AS (SELECT id_a, id_b,
+                CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)
+                  || ':' || CAST(id_b AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 AS u
+              FROM p),
+          ca AS (SELECT id_a, id_b FROM t WHERE u % 3 <> 0),
+          cb AS (SELECT id_a, id_b FROM t WHERE (u // 3) % 3 <> 0),
+          st AS (SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS n_a,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS n_b,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM ca
+                   JOIN cb USING (id_a, id_b)) AS n_both,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_true)
+         SELECT n_a, n_b, n_both,
+                CAST((1000000 * CAST(n_a + 1 AS HUGEINT) * (n_b + 1))
+                  // (n_both + 1) - 1000000 AS BIGINT) AS nhat_e6,
+                CAST((1000000 * CAST(n_a + 1 AS HUGEINT) * (n_b + 1)
+                    * (n_a - n_both) * (n_b - n_both))
+                  // (CAST(n_both + 1 AS HUGEINT) * (n_both + 1)
+                    * (n_both + 2)) AS BIGINT) AS var_e6,
+                n_true
+         FROM st""",
     // q_d13: the same quote-corpus construction (every 5th doc's first
     // 15 tokens at id+100000), then the EXHAUSTIVE directed containment
     // scan — the decision compare is the identical integer form

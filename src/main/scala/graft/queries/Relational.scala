@@ -687,6 +687,39 @@ object Relational {
           "panel", "c", "v")
         .orderBy(col("panel"))
     }),
+    "q_a32_dunn_fdr" -> ((s, dir) => {
+      // Dunn's post-hoc pairwise rank test + BH (r16, L190; Dunn
+      // 1964): the WHICH behind the omnibus — q_qr21/q_a30 say "some
+      // cohort differs"; this ranks every cohort PAIR on the pooled
+      // midranks and BH-controls the pair p's per panel (the
+      // composition Dunn's own Bonferroni is dominated by). Panels:
+      // lang cohorts on n_chars (real — the zh pairs are the small
+      // p's; the verdict is the data's at each SF) and a planted
+      // 3-cohort hash panel whose cohort '2' is shifted +80 (pairs
+      // 0|2 and 1|2 reject, the 0|1 A/A pair is retained — the
+      // guaranteed regime at every SF; +40 measured at sf0.001 read
+      // p = 0.023 against the m = 3 rank-1 bar 0.0167 — just short,
+      // so the plant is sized for the smallest gate).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("lang").isNotNull)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val tri = pmod(h, lit(3L))
+      val langLeg = d.select(lit("lang_len").as("panel"),
+        col("lang").as("c"), col("n_chars").as("v"))
+      val planted = d.select(lit("planted_tri").as("panel"),
+        tri.cast("string").as("c"),
+        when(tri === 2L, col("n_chars") + 80L)
+          .otherwise(col("n_chars")).as("v"))
+      val pairs = RankTest.dunnPairs(langLeg.unionByName(planted),
+        "panel", "c", "v")
+      Fdr.benjaminiHochberg(pairs.select(col("panel"),
+          concat(col("c_a"), lit("|"), col("c_b")).as("test"),
+          col("p_e6")),
+        "panel", "test", "p_e6")
+        .orderBy(col("panel"), col("rank"))
+    }),
     "q_a29_winsorized_mean" -> ((s, dir) => {
       // 10%-winsorized mean (r15, L185; Tukey & McLaughlin 1963;
       // Dixon 1960): a20's trim DROPS the tails — winsorizing CLAMPS
@@ -1650,6 +1683,76 @@ object Relational {
                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr6
          FROM m ORDER BY flag""",
+    // q_a32: the Dunn cascade replayed token-for-token (doubled
+    // midranks, q1 = ⌊Δ²/(n_a·n_b)⌋ FIRST, then the z² div), the
+    // SAME PValue normal-table literal, per-panel BH step-up
+    "q_a32_dunn_fdr" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v, lang
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL),
+          u AS (SELECT *, CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000000 % 3 AS tri
+              FROM d),
+          tbl AS (SELECT ${PValue.normSqlList} AS nmt),
+          base AS (SELECT 'lang_len' AS panel, lang AS c, v FROM u
+             UNION ALL SELECT 'planted_tri', CAST(tri AS VARCHAR),
+                CASE WHEN tri = 2 THEN v + 80 ELSE v END FROM u),
+          cg AS (SELECT panel, c, v, CAST(COUNT(*) AS BIGINT) AS tc
+              FROM base GROUP BY 1, 2, 3),
+          vg AS (SELECT panel, v, SUM(tc) AS t FROM cg GROUP BY 1, 2),
+          vgb AS (SELECT panel, v, t,
+                COALESCE(SUM(t) OVER (PARTITION BY panel ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS below
+              FROM vg),
+          pc AS (SELECT cg.panel, c, SUM(tc) AS nc,
+                SUM(tc * (2 * below + t + 1)) AS r2
+              FROM cg JOIN vgb ON vgb.panel = cg.panel
+                AND vgb.v = cg.v
+              GROUP BY 1, 2),
+          ti AS (SELECT panel,
+                CAST(SUM(t * t * t - t) AS HUGEINT) AS tie
+              FROM vg GROUP BY 1),
+          tt AS (SELECT panel, CAST(SUM(nc) AS HUGEINT) AS n
+              FROM pc GROUP BY 1),
+          pr AS (SELECT a.panel, a.c AS ca, b.c AS cb, a.nc AS na,
+                b.nc AS nb,
+                (CAST(a.r2 AS HUGEINT) * b.nc
+                  - CAST(b.r2 AS HUGEINT) * a.nc) AS delta
+              FROM pc a JOIN pc b
+                ON b.panel = a.panel AND a.c < b.c),
+          z AS (SELECT pr.panel, ca, cb,
+                CASE WHEN n * n * n - n - tie = 0 THEN 0
+                  ELSE (3000000 * (n - 1) * ((delta * delta)
+                      // (CAST(na AS HUGEINT) * nb)))
+                    // (CAST(na + nb AS HUGEINT)
+                      * (n * n * n - n - tie))
+                END AS z2
+              FROM pr
+              JOIN tt ON tt.panel = pr.panel
+              JOIN ti ON ti.panel = pr.panel),
+          pz AS (SELECT panel, ca || '|' || cb AS test,
+                CASE WHEN CAST(floor(sqrt(CAST(z2 // 100 AS DOUBLE)))
+                    AS INT) >= 500 THEN 0
+                  ELSE nmt[CAST(floor(sqrt(CAST(z2 // 100 AS DOUBLE)))
+                    AS INT) + 1]
+                END AS p
+              FROM z CROSS JOIN tbl),
+          rk AS (SELECT panel, test, p,
+                ROW_NUMBER() OVER (PARTITION BY panel
+                  ORDER BY p, test) AS k,
+                COUNT(*) OVER (PARTITION BY panel) AS m
+              FROM pz WHERE p IS NOT NULL),
+          km AS (SELECT rk.*, MAX(CASE WHEN p * m <= k * 50000
+                THEN k ELSE 0 END) OVER (PARTITION BY panel) AS kmax
+              FROM rk)
+         SELECT panel, test, CAST(p AS BIGINT) AS p_e6,
+                CAST(k AS BIGINT) AS rank, CAST(m AS BIGINT) AS m,
+                CAST(CASE WHEN k <= kmax THEN 1 ELSE 0 END AS BIGINT)
+                  AS reject
+         FROM km ORDER BY panel, rank""",
     // q_a30/q_a31: the F floor cascade replayed token-for-token
     // (term_c, q, b = max(0, S−q), w = 10⁶Σv² − S, the final f div),
     // verdict via the SAME χ² table asymptote ⌊crit(df1)/df1⌋ gated

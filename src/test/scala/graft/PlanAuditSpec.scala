@@ -1056,6 +1056,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q_a31 median join fell to a loop join:\n${a31.take(1200)}")
   }
 
+  test("dunn + chapman: pair/stat joins stay equi or 1-row broadcast") {
+    // r16 (L190/L191): a32's cohort-pair join rides the panel
+    // equi-key with the c_a < c_b residual; d16's only loop joins are
+    // the documented 1-row-aggregate broadcasts (three stat frames +
+    // the truth count) — a shuffle cartesian anywhere is corpus²
+    for (name <- Seq("q_a32_dunn_fdr", "q_d16_dup_coverage")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a shuffle cartesian:\n${plan.take(1500)}")
+    }
+  }
+
   test("drift dashboard: no shuffle cartesian across all three families") {
     // r16 (VERDICT r15 #7): q_qr31 composes qr11's KS (grid-free jump
     // points), qr16's MW (4-row lang broadcast is the one allowed

@@ -391,6 +391,76 @@ class RankTestSpec extends SparkSpec {
     assert(runTauInv(pts) === runTau(pts))
   }
 
+  // ---- Dunn's post-hoc pairs (r16, L190) -----------------------------
+
+  private def dunnMirror(rows: Seq[(String, Long)])
+      : Map[(String, String), (BigInt, Long)] = {
+    // plain-Scala replay of the documented cascade on doubled midranks
+    val n = rows.size
+    val byV = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sortedV = byV.keys.toSeq.sorted
+    val below = sortedV.scanLeft(0L)((acc, v) => acc + byV(v))
+      .zip(sortedV).map { case (b, v) => v -> b }.toMap
+    def r2(c: String) = rows.filter(_._1 == c).map(_._2)
+      .map(v => 2 * below(v) + byV(v) + 1).map(BigInt(_)).sum
+    val tie = byV.values.map(t => BigInt(t) * t * t - t).sum
+    val cs = rows.map(_._1).distinct.sorted
+    val tieFree = BigInt(n) * n * n - n - tie
+    (for (i <- cs.indices; j <- i + 1 until cs.size) yield {
+      val (ci, cj) = (cs(i), cs(j))
+      val (ni, nj) = (rows.count(_._1 == ci), rows.count(_._1 == cj))
+      val delta = r2(ci) * nj - r2(cj) * ni
+      val q1 = delta * delta / (BigInt(ni) * nj)
+      val z2 = if (tieFree == 0) BigInt(0)
+        else BigInt(3000000) * (n - 1) * q1 / (BigInt(ni + nj) * tieFree)
+      (ci, cj) -> (z2, z2.toLong)
+    }).map { case (k, (z2, zl)) => k -> (z2, zl) }.toMap
+  }
+
+  private def runDunn(rows: Seq[(String, Long)]) =
+    RankTest.dunnPairs(rows.map(p => ("g", p._1, p._2))
+        .toDF("g", "c", "v"), "g", "c", "v")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(5), r.getLong(6))).toMap
+
+  test("dunn: canonical pairs, k cohorts yield k(k-1)/2 rows") {
+    val rows = Seq(("b", 1L), ("a", 2L), ("c", 3L), ("a", 4L),
+      ("b", 5L), ("c", 6L))
+    val got = runDunn(rows)
+    assert(got.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("dunn: k = 2 agrees with the Mann-Whitney z² up to the floors") {
+    val rnd = new scala.util.Random(1964)
+    val rows = (1 to 200).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        rnd.nextInt(40).toLong + (if (i % 2 == 0) 6L else 0L)))
+    val (z2, _) = runDunn(rows)(("a", "b"))
+    val mw = RankTest.mannWhitney(rows.map(p => ("g", p._1, p._2))
+        .toDF("g", "c", "v"), "g", "c", "v", "a", "b")
+      .collect().head.getLong(5)
+    // identical statistics through different exact cascades — agree
+    // to a few 1e-6 floor units
+    assert(math.abs(z2 - mw) <= 5L, s"dunn $z2 vs mw $mw")
+  }
+
+  test("dunn: all-tied values read z² = 0; seeded BigInt cascade replay") {
+    assert(runDunn(Seq(("a", 7L), ("a", 7L), ("b", 7L)))
+      .values.map(_._1).toSeq === Seq(0L))
+    val rnd = new scala.util.Random(190)
+    val rows = (1 to 300).map { i =>
+      val c = Seq("x", "y", "z")(i % 3)
+      (c, rnd.nextInt(50).toLong + (if (c == "z") 10L else 0L))
+    }
+    val want = dunnMirror(rows)
+    val got = runDunn(rows)
+    for ((k, (z2m, _)) <- want)
+      assert(got(k)._1 === z2m.toLong, s"pair $k")
+    // the shifted cohort's pairs carry the small p's
+    assert(got(("x", "z"))._2 < got(("x", "y"))._2)
+  }
+
   // ---- two-sample Cramér–von Mises (r15, L180) -----------------------
 
   private def runCvm(a: Seq[Long], b: Seq[Long]) = {
