@@ -160,6 +160,126 @@ object Contingency {
         col("n_neg"), col("pooled_sign"), col("reversal"))
   }
 
+  /** Mantel–Haenszel stratum-adjusted 2×2 association + the CMH test
+    * (r16, L192; Mantel & Haenszel 1959, JNCI 22; Cochran 1954 — the
+    * ANSWER to the question [[simpsonReversal]] only detects: when a
+    * stratum mix confounds the pooled 2×2, the MH common odds ratio
+    * and the CMH χ² read the association WITHIN strata, pooled with
+    * the right weights — the adjusted estimate that undoes the
+    * paradox instead of merely flagging it).
+    *
+    * With per-stratum cells a=n11, b=n10, c=n01, d=n00, n = a+b+c+d:
+    *   OR_MH = Σ(a·d/n) / Σ(b·c/n)
+    *   CMH   = (|Σa − ΣE| − ½)² / ΣV,  E = (a+b)(a+c)/n,
+    *           V = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))
+    * Quantization (a documented per-stratum cascade, replayed
+    * token-for-token): each stratum's ad/n, bc/n, E, V floor ONCE at
+    * 10⁶; or_e6 = ⌊10⁶·Σad_e6/Σbc_e6⌋ (Σbc_e6 = 0 ⇒ NULL — the
+    * infinite-OR edge surfaced, not faked); OE = 10⁶·Σa − ΣE_e6,
+    * CC = max(0, |OE| − 500000) (the ½ continuity correction at the
+    * 10⁶ scale), cmh_e6 = ⌊CC²/ΣV_e6⌋ (ΣV = 0 ⇒ NULL). Strata with
+    * n < 2 contribute no V (the lone-subject convention); non-binary
+    * rows drop (the [[simpsonReversal]] hygiene). d_sign = sign(OE);
+    * sig vs χ²₁ = 3.841459 (CMH ~ χ²₁ under H₀ for ANY number of
+    * strata — the test's point). Capacity: V's n⁴·10⁶ ⇒ n ≤ ~10⁷
+    * rows/stratum; CC² ≤ 10¹²N² ⇒ N ≤ ~10¹³/panel.
+    *
+    * Scale shape: ONE map-side (panel, stratum) conditional-count agg
+    * collapses the corpus; the cascade and the panel rollup are
+    * stratum-grid math — nothing corpus-sized after. */
+  def mantelHaenszel(df: DataFrame, panelCol: String,
+      stratumCol: String, rowCol: String, colCol: String): DataFrame = {
+    Reserved.guard(Seq(panelCol),
+      Seq("__s", "__r", "__c", "__n11", "__n10", "__n01", "__n00",
+        "__n", "__ad", "__bc", "__e", "__v", "__a", "n_strata", "n",
+        "or_e6", "cmh_e6", "d_sign", "sig"),
+      "Contingency")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(panelCol).isNotNull && col(stratumCol).isNotNull)
+      .select(col(panelCol), col(stratumCol).cast("string").as("__s"),
+        col(rowCol).cast("long").as("__r"),
+        col(colCol).cast("long").as("__c"))
+      .filter(col("__r").isin(0L, 1L) && col("__c").isin(0L, 1L))
+    def cell(r: Long, c: Long) =
+      sum(when(col("__r") === r && col("__c") === c, 1L).otherwise(0L))
+    val strata = base.groupBy(col(panelCol), col("__s"))
+      .agg(cell(1L, 1L).as("__n11"), cell(1L, 0L).as("__n10"),
+        cell(0L, 1L).as("__n01"), cell(0L, 0L).as("__n00"))
+      .withColumn("__n", col("__n11") + col("__n10") + col("__n01")
+        + col("__n00"))
+    def dc(c: org.apache.spark.sql.Column) = c.cast(d38)
+    val m = lit(1000000L).cast(d38)
+    val terms = strata
+      .withColumn("__ad", call_function("div",
+        m * dc(col("__n11")) * dc(col("__n00")), dc(col("__n"))))
+      .withColumn("__bc", call_function("div",
+        m * dc(col("__n10")) * dc(col("__n01")), dc(col("__n"))))
+      .withColumn("__e", call_function("div",
+        m * dc(col("__n11") + col("__n10"))
+          * dc(col("__n11") + col("__n01")), dc(col("__n"))))
+      .withColumn("__v", when(col("__n") < 2L, lit(0L).cast(d38))
+        .otherwise(call_function("div",
+          m * dc(col("__n11") + col("__n10"))
+            * dc(col("__n01") + col("__n00"))
+            * dc(col("__n11") + col("__n01"))
+            * dc(col("__n10") + col("__n00")),
+          dc(col("__n")) * dc(col("__n"))
+            * dc(col("__n") - 1L))))
+    val panel = terms.groupBy(col(panelCol))
+      .agg(count(lit(1)).as("n_strata"), sum(col("__n")).as("n"),
+        sum(col("__n11")).as("__a"), sum(col("__ad")).as("__ad"),
+        sum(col("__bc")).as("__bc"), sum(col("__e")).as("__e"),
+        sum(col("__v")).as("__v"))
+    val oe = m * dc(col("__a")) - col("__e")
+    val cc = greatest(abs(oe) - lit(500000L).cast(d38),
+      lit(0L).cast(d38))
+    panel.select(col(panelCol), col("n_strata"), col("n"),
+      when(col("__bc") === lit(0L).cast(d38), lit(null).cast("long"))
+        .otherwise(call_function("div", m * col("__ad"), col("__bc"))
+          .cast("long")).as("or_e6"),
+      when(col("__v") === lit(0L).cast(d38), lit(null).cast("long"))
+        .otherwise(call_function("div", cc * cc, col("__v"))
+          .cast("long")).as("cmh_e6"),
+      signum(oe).cast("long").as("d_sign"))
+      .withColumn("sig",
+        when(col("cmh_e6").isNull, lit(0L))
+          .otherwise((col("cmh_e6") >= lit(3841459L)).cast("long")))
+  }
+
+  /** JVM mirror of the [[mantelHaenszel]] cascade over one panel's
+    * stratum cells (a, b, c, d) — the Manifest.rowHashJvm convention:
+    * the streaming twin's snapshot scorer MUST read the same numbers
+    * as the batch columns from the same counts, pinned in spec.
+    * Returns (or_e6, cmh_e6, d_sign, sig). */
+  private[graft] def mantelHaenszelJvm(
+      cells: Seq[(Long, Long, Long, Long)])
+      : (Option[Long], Option[Long], Long, Long) = {
+    var sad, sbc, se, sv, sa = BigInt(0)
+    for ((a, b, c, d) <- cells) {
+      val n = a + b + c + d
+      if (n > 0) {
+        sad += BigInt(1000000) * a * d / n
+        sbc += BigInt(1000000) * b * c / n
+        se += BigInt(1000000) * (a + b) * (a + c) / n
+        if (n >= 2)
+          sv += BigInt(1000000) * (a + b) * (c + d) * (a + c) * (b + d) /
+            (BigInt(n) * n * (n - 1))
+        sa += a
+      }
+    }
+    val oe = BigInt(1000000) * sa - se
+    val cc = (oe.abs - 500000).max(BigInt(0))
+    val or = if (sbc == 0) None
+      else Some((BigInt(1000000) * sad / sbc).toLong)
+    val cmh = if (sv == 0) None else Some((cc * cc / sv).toLong)
+    val sig = cmh match {
+      case Some(x) if x >= 3841459L => 1L
+      case _ => 0L
+    }
+    (or, cmh, oe.signum.toLong, sig)
+  }
+
   /** Cochran–Armitage trend test (r15, L182; Cochran 1954,
     * Biometrics 10; Armitage 1955, Biometrics 11 — the ORDERED
     * companion of [[chiSquare]]: a 2×k grid where the k categories

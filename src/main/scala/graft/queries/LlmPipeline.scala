@@ -2860,6 +2860,44 @@ object LlmPipeline {
       Affinity.lift(flagged, "doc_id", "flag", universe = d)
         .orderBy(col("item_a"), col("item_b"))
     }),
+    "q_qr32_mantel_haenszel" -> ((s, dir) => {
+      // MH adjusted association + the CMH test (r16, L192; Mantel &
+      // Haenszel 1959): the ANSWER to q_qr24's detection — the SAME
+      // planted mod-100 reversal whose POOLED Δ reads negative there
+      // is read here within strata: d_sign = +1 with OR_MH = 1.714
+      // EXACTLY at every SF (mod-class cells scale proportionally, so
+      // the per-stratum floors coincide), the paradox undone side by
+      // side in the battery; the χ²₁ verdict flags at sf0.1 (CMH =
+      // 39.2; 3.47 at the small gates — just under the line, honest).
+      // Real leg: zh × length≥350 ADJUSTED for source strata — flags
+      // at sf0.1 with d_sign = −1 (zh is SHORTER, the a30 direction,
+      // source-adjusted). Hash-bit null retained at every SF.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull
+          && col("n_chars").isNotNull && col("source").isNotNull)
+      val u = pmod(col("doc_id"), lit(100L))
+      val planted = d.select(lit("planted_reversal").as("panel"),
+        when(u < 50L, "s0").otherwise("s1").as("st"),
+        when(u < 10L || (u >= 50L && u < 90L), 1L).otherwise(0L)
+          .as("rv"),
+        when(u < 8L || (u >= 10L && u < 38L)
+          || (u >= 50L && u < 62L) || u >= 90L && u < 92L, 1L)
+          .otherwise(0L).as("cv"))
+      val real = d.select(lit("zh_len_by_source").as("panel"),
+        col("source").as("st"),
+        (col("lang") === "zh").cast("long").as("rv"),
+        (col("n_chars") >= 350L).cast("long").as("cv"))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val nul = d.select(lit("hash_null").as("panel"),
+        pmod(h, lit(2L)).cast("string").as("st"),
+        pmod(call_function("div", h, lit(2L)), lit(2L)).as("rv"),
+        pmod(call_function("div", h, lit(4L)), lit(2L)).as("cv"))
+      Contingency.mantelHaenszel(
+          planted.unionByName(real).unionByName(nul),
+          "panel", "st", "rv", "cv")
+        .orderBy(col("panel"))
+    }),
     "q_qr24_simpson" -> ((s, dir) => {
       // Simpson's-paradox reversal detector (r14, L164; Simpson 1951,
       // Yule 1903): the confounding screen behind q_qr23 — a pooled
@@ -4664,6 +4702,78 @@ object LlmPipeline {
          JOIN cnt cb ON cb.f = fb
          CROSS JOIN tot
          ORDER BY item_a, item_b""",
+    // q_qr32: the same range/hash constructions + the source strata;
+    // the per-stratum MH cascade (ad/n, bc/n, E, V each floored once
+    // at 1e6), the ½-continuity CMH in HUGEINT, χ²₁ verdict
+    "q_qr32_mantel_haenszel" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, source,
+                doc_id % 100 AS u,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 14)) AS BIGINT) % 1000000000 AS h
+              FROM documents
+              WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+                AND n_chars IS NOT NULL AND source IS NOT NULL),
+          base AS (SELECT 'planted_reversal' AS panel,
+                CASE WHEN u < 50 THEN 's0' ELSE 's1' END AS st,
+                CASE WHEN u < 10 OR (u >= 50 AND u < 90)
+                  THEN 1 ELSE 0 END AS rv,
+                CASE WHEN u < 8 OR (u >= 10 AND u < 38)
+                    OR (u >= 50 AND u < 62) OR (u >= 90 AND u < 92)
+                  THEN 1 ELSE 0 END AS cv
+              FROM d
+             UNION ALL SELECT 'zh_len_by_source', source,
+                CASE WHEN lang = 'zh' THEN 1 ELSE 0 END,
+                CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END FROM d
+             UNION ALL SELECT 'hash_null', CAST(h % 2 AS VARCHAR),
+                (h // 2) % 2, (h // 4) % 2 FROM d),
+          cells AS (SELECT panel, st,
+                CAST(SUM(CASE WHEN rv = 1 AND cv = 1 THEN 1 ELSE 0
+                  END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN rv = 1 AND cv = 0 THEN 1 ELSE 0
+                  END) AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN rv = 0 AND cv = 1 THEN 1 ELSE 0
+                  END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN rv = 0 AND cv = 0 THEN 1 ELSE 0
+                  END) AS BIGINT) AS dd
+              FROM base GROUP BY 1, 2),
+          t AS (SELECT panel, a, a + b + c + dd AS n,
+                (1000000 * CAST(a AS HUGEINT) * dd)
+                  // (a + b + c + dd) AS ad,
+                (1000000 * CAST(b AS HUGEINT) * c)
+                  // (a + b + c + dd) AS bc,
+                (1000000 * CAST(a + b AS HUGEINT) * (a + c))
+                  // (a + b + c + dd) AS e,
+                CASE WHEN a + b + c + dd < 2 THEN 0
+                  ELSE (1000000 * CAST(a + b AS HUGEINT) * (c + dd)
+                      * (a + c) * (b + dd))
+                    // (CAST(a + b + c + dd AS HUGEINT)
+                      * (a + b + c + dd) * (a + b + c + dd - 1))
+                END AS v
+              FROM cells),
+          p AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS n_strata,
+                CAST(SUM(n) AS BIGINT) AS n, SUM(ad) AS sad,
+                SUM(bc) AS sbc, SUM(e) AS se, SUM(v) AS sv,
+                SUM(a) AS sa
+              FROM t GROUP BY 1),
+          f AS (SELECT panel, n_strata, n,
+                CASE WHEN sbc = 0 THEN NULL
+                  ELSE CAST((1000000 * sad) // sbc AS BIGINT)
+                END AS or_e6,
+                1000000 * CAST(sa AS HUGEINT) - se AS oe, sv
+              FROM p)
+         SELECT panel, n_strata, n, or_e6,
+                CASE WHEN sv = 0 THEN NULL
+                  ELSE CAST((GREATEST(ABS(oe) - 500000, 0)
+                      * GREATEST(ABS(oe) - 500000, 0)) // sv
+                    AS BIGINT)
+                END AS cmh_e6,
+                CAST(CASE WHEN oe > 0 THEN 1 WHEN oe < 0 THEN -1
+                  ELSE 0 END AS BIGINT) AS d_sign,
+                CAST(CASE WHEN sv = 0 THEN 0
+                  WHEN (GREATEST(ABS(oe) - 500000, 0)
+                      * GREATEST(ABS(oe) - 500000, 0)) // sv
+                    >= 3841459 THEN 1 ELSE 0 END AS BIGINT) AS sig
+         FROM f ORDER BY panel""",
     // q_qr24: range + hash-bit replay; per-stratum and pooled
     // cross-product signs as exact integers, the strict verdict CASE
     "q_qr24_simpson" ->

@@ -1056,6 +1056,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q_a31 median join fell to a loop join:\n${a31.take(1200)}")
   }
 
+  test("mantel-haenszel: one conditional-count pass, stratum-grid math, " +
+      "join-free") {
+    // r16 (L192): the qr24 shape — ONE map-side (panel, stratum)
+    // cell aggregation collapses the corpus, the cascade and the
+    // panel rollup are grid math; a join here would mean the strata
+    // started materializing pairwise
+    val plan = executedPlan(q("q_qr32_mantel_haenszel"))
+    assert(!plan.contains("Join") && plan.contains("HashAggregate"),
+      s"q_qr32 grew a join or lost its agg:\n${plan.take(1200)}")
+  }
+
   test("dunn + chapman: pair/stat joins stay equi or 1-row broadcast") {
     // r16 (L190/L191): a32's cohort-pair join rides the panel
     // equi-key with the c_a < c_b residual; d16's only loop joins are

@@ -292,4 +292,94 @@ class ContingencySpec extends SparkSpec {
     val hc = cm.values.map(v => BigInt(v) * Drift.lnE9Jvm(n, v)).sum
     (BigInt(1000000) * mi / (hr min hc)).toLong
   }
+
+  // ---- Mantel–Haenszel / CMH (r16, L192) ------------------------------
+
+  private def mhCells(st: String, a: Int, b: Int, c: Int, d: Int) =
+    Seq.fill(a)((st, 1L, 1L)) ++ Seq.fill(b)((st, 1L, 0L)) ++
+      Seq.fill(c)((st, 0L, 1L)) ++ Seq.fill(d)((st, 0L, 0L))
+
+  private def runMH(rows: Seq[(String, Long, Long)]) = {
+    val r = Contingency.mantelHaenszel(
+        rows.map(p => ("p", p._1, p._2, p._3)).toDF("p", "s", "r", "c"),
+        "p", "s", "r", "c")
+      .collect().head
+    (r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      r.getLong(5), r.getLong(6))
+  }
+
+  test("mh: hand-worked single stratum lands the exact cascade") {
+    // (a,b,c,d) = (3,1,1,3): OR = 9; E = 2, V = 256/448, OE = 1e6,
+    // CC = 5e5 → CMH = 25e10 // 571428 = 437500 (hand: 0.25/0.5714)
+    val (k, n, or_, cmh, sgn, sig) = runMH(mhCells("s", 3, 1, 1, 3))
+    assert((k, n) === ((1L, 8L)))
+    assert(or_ === Some(9000000L))
+    assert(cmh === Some(437500L) && sgn === 1L && sig === 0L)
+  }
+
+  test("mh: the qr24 paradox cells read the WITHIN-stratum direction") {
+    // strata (8,2,28,12) and (12,28,2,8): each Δ > 0 but the POOLED
+    // (20,30,30,20) Δ < 0 — Simpson's classic; CMH must read +1 with
+    // OR_MH = ⌊3840000e6/2240000⌋ = 1714285 (both strata floored at
+    // ad = bc-denominator n = 50)
+    val rows = mhCells("s0", 8, 2, 28, 12) ++ mhCells("s1", 12, 28, 2, 8)
+    val (_, _, or_, _, sgn, _) = runMH(rows)
+    assert(sgn === 1L, "CMH read the pooled artifact, not the strata")
+    assert(or_ === Some(1714285L))
+  }
+
+  test("mh: all-zero bc reads the infinite-OR edge as NULL") {
+    val (_, _, or_, _, sgn, _) = runMH(mhCells("s", 4, 0, 0, 4))
+    assert(or_ === None && sgn === 1L)
+  }
+
+  test("mh: a lone-subject stratum contributes no variance") {
+    val base = mhCells("s0", 3, 1, 1, 3)
+    val (_, _, _, cmhA, _, _) = runMH(base)
+    val (_, _, _, cmhB, _, _) = runMH(base ++ mhCells("s1", 1, 0, 0, 0))
+    // the n = 1 stratum adds E = 1e6 and a = 1 (OE unchanged) and
+    // V = 0 — the statistic must not move
+    assert(cmhA === cmhB)
+  }
+
+  test("mh: non-binary rows drop (hygiene)") {
+    val rows = mhCells("s", 3, 1, 1, 3) :+ (("s", 2L, 1L))
+    assert(runMH(rows)._2 === 8L)
+  }
+
+  test("mh: seeded BigInt cascade replay with a planted association") {
+    val rnd = new scala.util.Random(1959)
+    val rows = (1 to 800).map { i =>
+      val st = s"s${i % 4}"
+      val r = rnd.nextInt(2)
+      val c = if (rnd.nextInt(10) < 3 + 4 * r) 1 else 0 // planted OR
+      (st, r.toLong, c.toLong)
+    }
+    val (k, n, or_, cmh, sgn, sig) = runMH(rows)
+    // plain-Scala mirror of the documented per-stratum cascade
+    val byS = rows.groupBy(_._1)
+    def cellCount(g: Seq[(String, Long, Long)], r: Long, c: Long) =
+      g.count(p => p._2 == r && p._3 == c).toLong
+    var sad, sbc, se, sv, sa = BigInt(0)
+    for ((_, g) <- byS) {
+      val (a, b, c, d) = (cellCount(g, 1, 1), cellCount(g, 1, 0),
+        cellCount(g, 0, 1), cellCount(g, 0, 0))
+      val nn = a + b + c + d
+      sad += BigInt(1000000) * a * d / nn
+      sbc += BigInt(1000000) * b * c / nn
+      se += BigInt(1000000) * (a + b) * (a + c) / nn
+      if (nn >= 2)
+        sv += BigInt(1000000) * (a + b) * (c + d) * (a + c) * (b + d) /
+          (BigInt(nn) * nn * (nn - 1))
+      sa += a
+    }
+    val oe = BigInt(1000000) * sa - se
+    val cc = (oe.abs - 500000).max(BigInt(0))
+    assert((k, n) === ((4L, 800L)))
+    assert(or_ === Some((BigInt(1000000) * sad / sbc).toLong))
+    assert(cmh === Some((cc * cc / sv).toLong))
+    assert(sgn === oe.signum.toLong && sig === 1L)
+  }
 }
