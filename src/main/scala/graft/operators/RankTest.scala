@@ -194,6 +194,147 @@ object RankTest {
       .select(col(groupCol), col("k"), col("n"), col("h_e6"), col("sig"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative k-sample test (r16,
+    * L193; Jonckheere 1954, Biometrika 41; Terpstra 1952 — the
+    * ORDERED companion of [[kruskalWallis]], exactly as L182's
+    * Cochran–Armitage orders [[Contingency.chiSquare]]'s question:
+    * when the cohorts carry a meaningful order (length bands, weeks,
+    * dose steps), "does the signal RISE along it" buys power the
+    * unordered H dilutes across k−1 df. The continuous-response
+    * member beside CA-trend's binary one).
+    *
+    * Statistic, doubled so ties stay integral (the midrank
+    * discipline): JT2 = Σ over cohort pairs (score_i < score_j) of
+    * (2·#{v_a < v_b} + #{v_a = v_b}), computed on the per-panel
+    * cohort × value-grid expansion (k·|V| rows, k the cohort count —
+    * the BOUNDED grid class, documented; cohort pair joins are
+    * k²·|V|, with k tens at most). Null moments, tie-corrected
+    * (Hollander & Wolfe 1999 eq. 6.19):
+    *   Mean2 = (N² − Σn_c²)/2   (exact — the sum is even)
+    *   Var   = [N(N−1)(2N+5) − Σn(n−1)(2n+5) − Σt(t−1)(2t+5)]/72
+    *         + [Σn(n−1)(n−2) · Σt(t−1)(t−2)] / (36·N(N−1)(N−2))
+    *         + [Σn(n−1) · Σt(t−1)] / (8·N(N−1))
+    * Quantization (a documented three-floor cascade, one per term):
+    * var_e6 = Σ of the three terms each floored once at 10⁶;
+    * z2_e6 = ⌊10¹²·(JT2 − Mean2)² / (4·var_e6)⌋ (var is already at
+    * the 10⁶ scale, so the numerator carries 10¹²; the 2s of the
+    * doubled statistic cancel against the 4). d_sign = sign(JT2 −
+    * Mean2) — the trend direction; p_e6 through
+    * [[PValue.normTail2E6]] (z ~ N(0,1) under H₀), sig vs χ²₁.
+    * k < 2, N < 3, or zero variance (all values tied) ⇒ NULL
+    * statistics. Capacity: 10¹²·D² with D ≤ N²/2 ⇒ N ≤ ~4·10⁶ rows
+    * per panel (the CvM class — subsample beyond; the verdict is
+    * long decided).
+    *
+    * Scale shape: one map-side (panel, score, value) count collapses
+    * the corpus; the value grid, its per-cohort fills and the
+    * cohort-pair join are k-bounded grid math; moments are grid
+    * aggregates. */
+  def jonckheereTerpstra(df: DataFrame, panelCol: String,
+      scoreCol: String, valueCol: String): DataFrame = {
+    Reserved.guard(Seq(panelCol),
+      Seq("__sc", "__v", "__tc", "__t", "__below", "__at", "__sb",
+        "__scb", "__nc", "__jt", "__n2", "__tie2", "__tie3", "__nn2",
+        "__nn3", "__nn25", "__tt25", "__pb", "__vb", "__ab", "n", "k",
+        "jt2", "z2_e6", "d_sign", "p_e6", "sig"),
+      "RankTest")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(panelCol).isNotNull && col(scoreCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(panelCol), col(scoreCol).cast("long").as("__sc"),
+        col(valueCol).cast("long").as("__v"))
+    val cg = base.groupBy(col(panelCol), col("__sc"), col("__v"))
+      .agg(count(lit(1)).as("__tc"))
+    // per-cohort cumulative strictly-below count at the cohort's OWN
+    // jump points; the pair join evaluates cohort i's CDF at cohort
+    // j's values, so fill the full per-panel value grid per cohort
+    val vg = cg.select(col(panelCol), col("__v")).distinct()
+    val cs = cg.select(col(panelCol), col("__sc")).distinct()
+    val grid = vg.join(cs, Seq(panelCol))
+      .join(cg, Seq(panelCol, "__sc", "__v"), "left")
+      .withColumn("__tc", coalesce(col("__tc"), lit(0L)))
+    val w = Window.partitionBy(col(panelCol), col("__sc"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val filled = grid
+      .withColumn("__below", coalesce(sum(col("__tc")).over(w), lit(0L)))
+      .withColumn("__at", col("__tc"))
+    val j = filled.select(col(panelCol), col("__sc"), col("__v"),
+      col("__tc"))
+    val i = filled.select(col(panelCol).as("__pb"),
+      col("__sc").as("__scb"), col("__v").as("__vb"),
+      col("__below").as("__sb"), col("__at").as("__ab"))
+    val jt = j.join(i,
+        col("__pb") === col(panelCol) && col("__vb") === col("__v") &&
+          col("__scb") < col("__sc"))
+      .groupBy(col(panelCol))
+      .agg(sum(col("__tc").cast(d38) *
+        (lit(2L).cast(d38) * col("__sb").cast(d38) +
+          col("__ab").cast(d38))).as("__jt"))
+    val nC = cg.groupBy(col(panelCol), col("__sc"))
+      .agg(sum(col("__tc")).as("__nc"))
+    val nAgg = nC.groupBy(col(panelCol))
+      .agg(count(lit(1)).as("k"), sum(col("__nc")).as("n"),
+        sum(col("__nc").cast(d38) * col("__nc").cast(d38)).as("__n2"),
+        sum(col("__nc").cast(d38) * (col("__nc") - 1L).cast(d38) *
+          (lit(2L).cast(d38) * col("__nc").cast(d38) +
+            lit(5L).cast(d38))).as("__nn25"),
+        sum(col("__nc").cast(d38) * (col("__nc") - 1L).cast(d38))
+          .as("__nn2"),
+        sum(col("__nc").cast(d38) * (col("__nc") - 1L).cast(d38) *
+          (col("__nc") - 2L).cast(d38)).as("__nn3"))
+    val tv = cg.groupBy(col(panelCol), col("__v"))
+      .agg(sum(col("__tc")).as("__t"))
+    val tAgg = tv.groupBy(col(panelCol))
+      .agg(sum(col("__t").cast(d38) * (col("__t") - 1L).cast(d38) *
+        (lit(2L).cast(d38) * col("__t").cast(d38) + lit(5L).cast(d38)))
+        .as("__tt25"),
+        sum(col("__t").cast(d38) * (col("__t") - 1L).cast(d38))
+          .as("__tie2"),
+        sum(col("__t").cast(d38) * (col("__t") - 1L).cast(d38) *
+          (col("__t") - 2L).cast(d38)).as("__tie3"))
+    val nn = col("n").cast(d38)
+    val m = lit(1000000L).cast(d38)
+    // exact decimal floor division: var_e6's first term reaches
+    // ~2.6·10¹⁹ at N = 10⁵ — past Long.Max, where the SQL `div`
+    // (which CASTS ITS RESULT TO LONG) silently wraps; found by the
+    // sf0.1 gate reading var 3.3× low (the wrap is exactly 2·2⁶³).
+    // (a − pmod(a, b))/b is an exact integer, so the decimal divide
+    // introduces no rounding
+    def dfloor(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) = (a - pmod(a, b)) / b
+    val term1 = dfloor(
+      m * (nn * (nn - lit(1L).cast(d38)) *
+        (lit(2L).cast(d38) * nn + lit(5L).cast(d38)) -
+        col("__nn25") - col("__tt25")), lit(72L).cast(d38))
+    // n < 3 zeroes term2's denominator — guard before the division,
+    // the NULL-statistics convention handles the verdict downstream
+    val term2 = when(col("n") < 3L, lit(0L).cast(d38))
+      .otherwise(dfloor(m * col("__nn3") * col("__tie3"),
+        lit(36L).cast(d38) * nn * (nn - lit(1L).cast(d38)) *
+          (nn - lit(2L).cast(d38))))
+    val term3 = dfloor(m * col("__nn2") * col("__tie2"),
+      lit(8L).cast(d38) * nn * (nn - lit(1L).cast(d38)))
+    val mean2 = call_function("div", nn * nn - col("__n2"),
+      lit(2L).cast(d38))
+    val dd = coalesce(col("__jt"), lit(0L).cast(d38)) - mean2
+    val varE6 = term1 + term2 + term3
+    val z2 = call_function("div", m * m * dd * dd,
+      lit(4L).cast(d38) * varE6)
+    nAgg.join(tAgg, Seq(panelCol)).join(jt, Seq(panelCol), "left")
+      .select(col(panelCol), col("n"), col("k"),
+        coalesce(col("__jt"), lit(0L).cast(d38)).cast("long").as("jt2"),
+        when(col("k") < 2L || col("n") < 3L ||
+          varE6 <= lit(0L).cast(d38), lit(null).cast("long"))
+          .otherwise(z2.cast("long")).as("z2_e6"),
+        signum(dd).cast("long").as("d_sign"))
+      .withColumn("p_e6", PValue.normTail2E6(col("z2_e6")))
+      .withColumn("sig",
+        when(col("z2_e6").isNull, lit(0L))
+          .otherwise((col("z2_e6") >= lit(3841459L)).cast("long")))
+  }
+
   /** Dunn's post-hoc pairwise rank test (r16, L190; Dunn 1964,
     * Technometrics 6) — the WHICH behind the omnibus tests:
     * [[kruskalWallis]] (and L188's ANOVA) say "SOME cohort differs";

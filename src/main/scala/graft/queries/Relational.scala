@@ -687,6 +687,35 @@ object Relational {
           "panel", "c", "v")
         .orderBy(col("panel"))
     }),
+    "q_a33_jonckheere" -> ((s, dir) => {
+      // Jonckheere–Terpstra ordered trend (r16, L193; Jonckheere
+      // 1954): the ordered companion of q_qr21's Kruskal–Wallis —
+      // exactly as q_qr29's Cochran–Armitage orders the binary
+      // question, JT orders the continuous one. Three panels:
+      // planted_rise (doc_id%4 cohorts, +15/step on n_chars — flags
+      // at every SF), hash_null (md5%4 cohorts on raw n_chars — the
+      // A/A), and value_by_week (events value across ordered stream
+      // weeks — the real leg; the stream's level is flat by
+      // measurement, the verdict is the data's per SF).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val q4 = pmod(col("doc_id"), lit(4L))
+      val planted = d.select(lit("planted_rise").as("panel"),
+        q4.as("s"), (col("n_chars") + lit(15L) * q4).as("v"))
+      val nul = d.select(lit("hash_null").as("panel"),
+        pmod(h, lit(4L)).as("s"), col("n_chars").as("v"))
+      val ev = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+      val wk = ev.withColumn("__jus", Tables.epochMicros(ev, "ts"))
+        .select(lit("value_by_week").as("panel"),
+          expr("__jus DIV 86400000000 DIV 7").as("s"),
+          col("value").cast("long").as("v"))
+      RankTest.jonckheereTerpstra(
+          planted.unionByName(nul).unionByName(wk), "panel", "s", "v")
+        .orderBy(col("panel"))
+    }),
     "q_a32_dunn_fdr" -> ((s, dir) => {
       // Dunn's post-hoc pairwise rank test + BH (r16, L190; Dunn
       // 1964): the WHICH behind the omnibus — q_qr21/q_a30 say "some
@@ -1683,6 +1712,93 @@ object Relational {
                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr6
          FROM m ORDER BY flag""",
+    // q_a33: the JT cascade replayed token-for-token — doubled pair
+    // counts on the cohort×value-grid fill, the three-floor
+    // tie-corrected variance, 10¹² z² numerator, the PValue normal
+    // table; FLOOR(value) = Spark's positive-value long truncation
+    "q_a33_jonckheere" ->
+      s"""WITH dd AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 14)) AS BIGINT) % 1000000000 AS h
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          ee AS (SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,
+                CAST(FLOOR(value) AS BIGINT) AS v
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          tbl AS (SELECT ${PValue.normSqlList} AS nmt),
+          base AS (SELECT 'planted_rise' AS panel, doc_id % 4 AS s,
+                nc + 15 * (doc_id % 4) AS v FROM dd
+             UNION ALL SELECT 'hash_null', h % 4, nc FROM dd
+             UNION ALL SELECT 'value_by_week', wk, v FROM ee),
+          cg AS (SELECT panel, s, v, CAST(COUNT(*) AS BIGINT) AS tc
+              FROM base GROUP BY 1, 2, 3),
+          vg AS (SELECT DISTINCT panel, v FROM cg),
+          cs AS (SELECT DISTINCT panel, s FROM cg),
+          grid AS (SELECT vg.panel, cs.s, vg.v,
+                COALESCE(cg.tc, 0) AS tc
+              FROM vg JOIN cs ON cs.panel = vg.panel
+              LEFT JOIN cg ON cg.panel = vg.panel AND cg.s = cs.s
+                AND cg.v = vg.v),
+          filled AS (SELECT panel, s, v, tc,
+                COALESCE(SUM(tc) OVER (PARTITION BY panel, s
+                  ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS below
+              FROM grid),
+          jt AS (SELECT j.panel,
+                SUM(CAST(j.tc AS HUGEINT) * (2 * i.below + i.tc))
+                  AS jt2
+              FROM filled j JOIN filled i
+                ON i.panel = j.panel AND i.v = j.v AND i.s < j.s
+              GROUP BY 1),
+          ncx AS (SELECT panel, s, SUM(tc) AS n_c FROM cg
+              GROUP BY 1, 2),
+          na AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(n_c) AS BIGINT) AS n,
+                SUM(CAST(n_c AS HUGEINT) * n_c) AS n2,
+                SUM(CAST(n_c AS HUGEINT) * (n_c - 1) * (2 * n_c + 5))
+                  AS nn25,
+                SUM(CAST(n_c AS HUGEINT) * (n_c - 1)) AS nn2,
+                SUM(CAST(n_c AS HUGEINT) * (n_c - 1) * (n_c - 2))
+                  AS nn3
+              FROM ncx GROUP BY 1),
+          tvx AS (SELECT panel, v, SUM(tc) AS t FROM cg GROUP BY 1, 2),
+          ta AS (SELECT panel,
+                SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                  AS tt25,
+                SUM(CAST(t AS HUGEINT) * (t - 1)) AS tie2,
+                SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS tie3
+              FROM tvx GROUP BY 1),
+          z AS (SELECT na.panel, n, k, COALESCE(jt2, 0) AS jt2,
+                (1000000 * (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                    - nn25 - tt25)) // 72
+                  + CASE WHEN n < 3 THEN 0
+                    ELSE (1000000 * nn3 * tie3)
+                      // (36 * CAST(n AS HUGEINT) * (n - 1) * (n - 2))
+                    END
+                  + (1000000 * nn2 * tie2)
+                    // (8 * CAST(n AS HUGEINT) * (n - 1)) AS var_e6,
+                COALESCE(jt2, 0)
+                  - (CAST(n AS HUGEINT) * n - n2) // 2 AS d
+              FROM na JOIN ta ON ta.panel = na.panel
+              LEFT JOIN jt ON jt.panel = na.panel),
+          f AS (SELECT panel, n, k, CAST(jt2 AS BIGINT) AS jt2,
+                CASE WHEN k < 2 OR n < 3 OR var_e6 <= 0 THEN NULL
+                  ELSE CAST((1000000000000 * d * d) // (4 * var_e6)
+                    AS BIGINT) END AS z2_e6,
+                CAST(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1
+                  ELSE 0 END AS BIGINT) AS d_sign
+              FROM z)
+         SELECT panel, n, k, jt2, z2_e6, d_sign,
+                CASE WHEN z2_e6 IS NULL THEN NULL
+                  WHEN CAST(floor(sqrt(CAST(z2_e6 // 100 AS DOUBLE)))
+                    AS INT) >= 500 THEN 0
+                  ELSE nmt[CAST(floor(sqrt(CAST(z2_e6 // 100
+                    AS DOUBLE))) AS INT) + 1]
+                END AS p_e6,
+                CAST(CASE WHEN z2_e6 IS NULL THEN 0
+                  WHEN z2_e6 >= 3841459 THEN 1 ELSE 0 END AS BIGINT)
+                  AS sig
+         FROM f CROSS JOIN tbl ORDER BY panel""",
     // q_a32: the Dunn cascade replayed token-for-token (doubled
     // midranks, q1 = ⌊Δ²/(n_a·n_b)⌋ FIRST, then the z² div), the
     // SAME PValue normal-table literal, per-panel BH step-up

@@ -1056,6 +1056,15 @@ class PlanAuditSpec extends SparkSpec {
       s"q_a31 median join fell to a loop join:\n${a31.take(1200)}")
   }
 
+  test("jonckheere: cohort-bounded grid joins only, no cartesian") {
+    // r16 (L193): the cohort×value-grid fill and the cohort-pair join
+    // are k-bounded (k ≤ tens) equi-joins on (panel, v) with the
+    // score-order residual — a shuffle cartesian would be corpus²
+    val plan = executedPlan(q("q_a33_jonckheere"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_a33 plan contains a shuffle cartesian:\n${plan.take(1500)}")
+  }
+
   test("mantel-haenszel: one conditional-count pass, stratum-grid math, " +
       "join-free") {
     // r16 (L192): the qr24 shape — ONE map-side (panel, stratum)

@@ -391,6 +391,96 @@ class RankTestSpec extends SparkSpec {
     assert(runTauInv(pts) === runTau(pts))
   }
 
+  // ---- Jonckheere–Terpstra (r16, L193) --------------------------------
+
+  private def runJT(rows: Seq[(Long, Long)]) = {
+    val r = RankTest.jonckheereTerpstra(
+        rows.map(p => ("g", p._1, p._2)).toDF("g", "s", "v"),
+        "g", "s", "v")
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      r.getLong(5),
+      if (r.isNullAt(6)) None else Some(r.getLong(6)),
+      r.getLong(7))
+  }
+
+  test("jt: hand-worked 3-cohort rise lands the exact cascade") {
+    // c0={1,3} c1={2,4} c2={5,6}: JT2 = 2·(3+4+4) = 22, Mean2 = 12,
+    // Var = 456/72 → var_e6 = 6333333, z² = 100/(4·6.3333) = 3.947
+    val rows = Seq((0L, 1L), (0L, 3L), (1L, 2L), (1L, 4L),
+      (2L, 5L), (2L, 6L))
+    val (n, k, jt2, z2, sgn, p, sig) = runJT(rows)
+    assert((n, k, jt2) === ((6L, 3L, 22L)))
+    assert(z2 === Some(3947368L) && sgn === 1L && sig === 1L)
+    assert(p === Some(PValue.NormTail2E6ByZE2(198)))
+  }
+
+  test("jt: tie case carries the half-weight and the tie-corrected Var") {
+    // c0={1,2} c1={2,3}: JT2 = 2·3+1 = 7, Mean2 = 4; term1 = 102/72,
+    // term3 = 8/96 → var_e6 = 1416666 + 0 + 83333 = 1499999;
+    // z² = ⌊9e12/5999996⌋ = 1500001
+    val (_, _, jt2, z2, sgn, _, sig) =
+      runJT(Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L)))
+    assert(jt2 === 7L && z2 === Some(1500001L))
+    assert(sgn === 1L && sig === 0L)
+  }
+
+  test("jt: reversing the cohort order flips the direction, not the z²") {
+    val rows = Seq((0L, 1L), (0L, 3L), (1L, 2L), (1L, 4L),
+      (2L, 5L), (2L, 6L))
+    val rev = rows.map { case (s, v) => (2L - s, v) }
+    val a = runJT(rows); val b = runJT(rev)
+    assert(a._4 === b._4 && a._5 === 1L && b._5 === -1L)
+  }
+
+  test("jt: all-tied values and single cohorts read NULL") {
+    assert(runJT(Seq((0L, 7L), (1L, 7L), (2L, 7L)))._4 === None)
+    assert(runJT(Seq((0L, 1L), (0L, 2L), (0L, 3L)))._4 === None)
+  }
+
+  test("jt: seeded BigInt cascade replay; planted rise flags, null holds") {
+    val rnd = new scala.util.Random(1954)
+    def leg(slope: Long) = (1 to 600).map { i =>
+      val s = (i % 4).toLong
+      (s, rnd.nextInt(100).toLong + slope * s * 8L)
+    }
+    def mirror(rows: Seq[(Long, Long)]) = {
+      val n = rows.size
+      var jt2 = BigInt(0)
+      val byS = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val scores = byS.keys.toSeq.sorted
+      for (i <- scores.indices; jj <- i + 1 until scores.size;
+           a <- byS(scores(i)); b <- byS(scores(jj))) {
+        if (a < b) jt2 += 2 else if (a == b) jt2 += 1
+      }
+      val ns = byS.values.map(_.size.toLong).toSeq
+      val ts = rows.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val mean2 = (BigInt(n) * n - ns.map(x => BigInt(x) * x).sum) / 2
+      def s25(xs: Seq[Long]) =
+        xs.map(x => BigInt(x) * (x - 1) * (2 * x + 5)).sum
+      def s2(xs: Seq[Long]) = xs.map(x => BigInt(x) * (x - 1)).sum
+      def s3(xs: Seq[Long]) =
+        xs.map(x => BigInt(x) * (x - 1) * (x - 2)).sum
+      val t1 = BigInt(1000000) *
+        (BigInt(n) * (n - 1) * (2 * n + 5) - s25(ns) - s25(ts)) / 72
+      val t2 = BigInt(1000000) * s3(ns) * s3(ts) /
+        (BigInt(36) * n * (n - 1) * (n - 2))
+      val t3 = BigInt(1000000) * s2(ns) * s2(ts) /
+        (BigInt(8) * n * (n - 1))
+      val v = t1 + t2 + t3
+      val d = jt2 - mean2
+      (jt2.toLong, (BigInt("1000000000000") * d * d / (4 * v)).toLong,
+        d.signum.toLong)
+    }
+    for ((rows, wantSig) <- Seq((leg(0L), 0L), (leg(1L), 1L))) {
+      val (_, _, jt2, z2, sgn, _, sig) = runJT(rows)
+      val (mj, mz, ms) = mirror(rows)
+      assert((jt2, z2, sgn) === ((mj, Some(mz), ms)))
+      assert(sig === wantSig)
+    }
+  }
+
   // ---- Dunn's post-hoc pairs (r16, L190) -----------------------------
 
   private def dunnMirror(rows: Seq[(String, Long)])
