@@ -705,6 +705,9 @@ object Multimodal {
       // with the L-family Ebml walk so the router and the metadata
       // parser agree (EbmlSpec pins syntheticWebm output to this)
       .when(h.startsWith("1A45DFA3"), lit("video/webm"))
+      // Ogg capture pattern (RFC 3533) — added r16 with the Ogg walk
+      // (OggSpec pins syntheticOgg output to this)
+      .when(h.startsWith("4F676753"), lit("audio/ogg"))
       .when(h.startsWith("424D"), lit("image/bmp"))
       .when(h.startsWith("25504446"), lit("application/pdf"))
       .when(h.startsWith("504B0304"), lit("application/zip"))

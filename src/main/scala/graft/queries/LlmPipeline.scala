@@ -1035,6 +1035,39 @@ object LlmPipeline {
           sum(col("timescale")).as("sum_ts"))
         .orderBy(col("major_brand"), col("n_tracks"), col("codecs"))
     }),
+    "q_m16_ogg_metadata" -> ((s, dir) => {
+      // Ogg/Opus+Vorbis container-metadata audit (r16, L194; RFC
+      // 3533/7845): the audio-container closure beside MP3/ID3 (m13)
+      // and WAV (m14) — crawl audio is predominantly Ogg. All
+      // integers LITTLE-endian (the BMFF/EBML walks are big-endian —
+      // both byte disciplines exercised). THREE routes live: every
+      // 11th doc a TXT decoy the sniffer keeps from the walk, every
+      // 13th a TRUNCATED page header that sniffs audio/ogg but
+      // surfaces as the NULL-metadata violation row, the rest
+      // two-page streams the walk inverts back to the generator
+      // formulas — incl. the Opus-vs-Vorbis granule-clock split
+      // (Opus durations run on 48 kHz net of pre-skip whatever the
+      // input rate; Vorbis on the stream rate). Checkpointed before
+      // routing (the q_m10 pushdown-inlining lesson).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val full = Ogg.syntheticOgg(col("doc_id"))
+      val blob = when(pmod(col("doc_id"), lit(11L)) === 0L,
+          col("text").cast("binary"))
+        .when(pmod(col("doc_id"), lit(13L)) === 0L,
+          substring(full, 1, 20))
+        .otherwise(full)
+      val packed = d.select(col("doc_id"), blob.as("content"))
+        .localCheckpoint()
+      val routed = packed
+        .filter(Multimodal.sniffType(col("content")) === "audio/ogg")
+      Ogg.metadata(routed, "doc_id", "content")
+        .groupBy(col("codec"), col("channels"), col("sample_rate"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("duration_ms")).as("sum_dur_ms"),
+          sum(col("n_pages")).as("sum_pages"))
+        .orderBy(col("codec"), col("channels"), col("sample_rate"))
+    }),
     "q_m15_webm_metadata" -> ((s, dir) => {
       // WebM/Matroska EBML container-metadata audit (r16, L186;
       // VERDICT r15 #6 — the q_m9 discipline on the EBML surface,
@@ -6844,6 +6877,42 @@ object LlmPipeline {
                 CAST(CASE WHEN declared <> actual THEN 1 ELSE 0 END
                   AS BIGINT) AS mismatch
          FROM m GROUP BY declared, actual ORDER BY declared, actual""",
+    // q_m16: formula replay on the Ogg surface — codec/channels/rate
+    // per doc_id, the Opus-vs-Vorbis granule-clock split (48 kHz net
+    // of pre-skip vs stream rate), the 13th-doc truncation as the
+    // all-NULL violation group; '//' = the engine's LONG truncation
+    "q_m16_ogg_metadata" ->
+      """WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND doc_id % 11 <> 0),
+          p AS (SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN NULL
+                     WHEN doc_id % 2 = 0 THEN 'opus'
+                     ELSE 'vorbis' END AS codec,
+                CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE 1 + (doc_id // 2) % 2 END AS channels,
+                CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE ([8000,16000,44100,48000])
+                    [CAST((doc_id // 4) % 4 AS INT) + 1] END AS rate,
+                312 + ((doc_id // 16) % 5) * 24 AS preskip,
+                19200 * (1 + (doc_id // 80) % 7) AS g
+              FROM d),
+          m AS (SELECT codec, CAST(channels AS BIGINT) AS channels,
+                CAST(rate AS BIGINT) AS sample_rate,
+                CASE WHEN codec IS NULL THEN NULL
+                     WHEN codec = 'opus'
+                       THEN ((g - preskip) * 1000) // 48000
+                     ELSE (g * 1000) // rate END AS dur_ms,
+                CASE WHEN codec IS NULL THEN NULL ELSE 2 END
+                  AS n_pages
+              FROM p)
+         SELECT codec, channels, sample_rate,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+                CAST(SUM(n_pages) AS BIGINT) AS sum_pages
+         FROM m GROUP BY 1, 2, 3
+         ORDER BY codec NULLS FIRST, channels NULLS FIRST,
+                sample_rate NULLS FIRST""",
     // q_m15: the generator-formula replay on the EBML surface — the
     // oracle recomputes doc type/timescale/duration/tracks/codecs
     // arithmetically from doc_id; the 13th-doc truncation leg lands

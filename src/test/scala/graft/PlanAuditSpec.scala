@@ -794,6 +794,19 @@ class PlanAuditSpec extends SparkSpec {
       s"q_m10 lost its hash aggregation:\n${plan.take(1500)}")
   }
 
+  test("ogg metadata: join-free, window-free — route, kernel, one aggregation") {
+    // the q_m9/q_m15 scale contract on the Ogg surface (r16):
+    // checkpointed blob frame, sniff-route filter, one mapPartitions
+    // page walk, one map-side-combinable hash agg
+    val plan = executedPlan(q("q_m16_ogg_metadata"))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q_m16 grew a join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"q_m16 grew a window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m16 lost its hash aggregation:\n${plan.take(1200)}")
+  }
+
   test("webm metadata: join-free, window-free — route, kernel, one aggregation") {
     // the q_m9 scale contract on the EBML surface (r16): checkpointed
     // blob frame, sniff-route filter, one mapPartitions VINT walk,
