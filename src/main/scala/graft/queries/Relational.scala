@@ -687,6 +687,42 @@ object Relational {
           "panel", "c", "v")
         .orderBy(col("panel"))
     }),
+    "q_a34_shape_panel" -> ((s, dir) => {
+      // distribution-shape panel + Jarque–Bera (r16, L195; Jarque &
+      // Bera 1980): skew²/kurtosis/normality — the shape member
+      // beside the location (mean/median/trimmed/winsorized) and
+      // scale (a31) panels. THREE byte-scaled legs, all verdicts
+      // MEASURED: len_len (n_chars DIV 4 — the real leg: the length
+      // distribution is decisively PLATYKURTIC, k ≈ 1.8 vs the
+      // normal 3, JB 29–288 flags at every SF — a shape fact no
+      // location/scale monitor sees); irwin_hall (the sum of 12 md5
+      // bytes DIV 16 — the CLT control: retained at the small gates
+      // (JB 1.86), and at sf0.1's N = 5600 JB correctly RESOLVES
+      // Irwin–Hall(12)'s true excess of −6/(5·12) = −0.1 and flags
+      // (7.24 > 5.99) — the test being sharp enough to tell a CLT
+      // approximation from normal is the statistic working, stated
+      // rather than tuned away); planted_skew (a squared uniform
+      // byte — right-skewed, flags everywhere). Capacity stance:
+      // the operator's byte-scale / N ≤ 5·10⁴ bound.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val md = md5(col("doc_id").cast("string"))
+      val h = pmod(conv(substring(md, 1, 14), 16, 10).cast("long"),
+        lit(1000000000L))
+      val ih = (1 to 12).map(k =>
+        conv(substring(md, 2 * k - 1, 2), 16, 10).cast("long"))
+        .reduce(_ + _)
+      val sq = pmod(h, lit(256L))
+      val lenLeg = d.select(lit("len_len").as("panel"),
+        call_function("div", col("n_chars"), lit(4L)).as("v"))
+      val ihLeg = d.select(lit("irwin_hall").as("panel"),
+        call_function("div", ih, lit(16L)).as("v"))
+      val planted = d.select(lit("planted_skew").as("panel"),
+        call_function("div", sq * sq, lit(256L)).as("v"))
+      Moments.shapePanel(
+          lenLeg.unionByName(ihLeg).unionByName(planted), "panel", "v")
+        .orderBy(col("panel"))
+    }),
     "q_a33_jonckheere" -> ((s, dir) => {
       // Jonckheere–Terpstra ordered trend (r16, L193; Jonckheere
       // 1954): the ordered companion of q_qr21's Kruskal–Wallis —
@@ -1712,6 +1748,73 @@ object Relational {
                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr6
          FROM m ORDER BY flag""",
+    // q_a34: the cleared-central-moment cascade replayed
+    // token-for-token (M2/M3/M4 in HUGEINT, the two-floor s², the
+    // one-floor kurtosis, the JB assembly), χ²₂ verdict literal
+    "q_a34_shape_panel" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+                md5(CAST(doc_id AS VARCHAR)) AS mh
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          u AS (SELECT nc,
+                CAST(concat('0x', substr(mh, 1, 14)) AS BIGINT)
+                  % 1000000000 % 256 AS sq,
+                (CAST(concat('0x', substr(mh, 1, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 3, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 5, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 7, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 9, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 11, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 13, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 15, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 17, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 19, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 21, 2)) AS BIGINT)
+                 + CAST(concat('0x', substr(mh, 23, 2)) AS BIGINT))
+                  AS ih
+              FROM d),
+          base AS (SELECT 'len_len' AS panel, nc // 4 AS v FROM u
+             UNION ALL SELECT 'irwin_hall', ih // 16 FROM u
+             UNION ALL SELECT 'planted_skew', (sq * sq) // 256 FROM u),
+          s AS (SELECT panel, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(v AS HUGEINT)) AS s1,
+                SUM(CAST(v AS HUGEINT) * v) AS s2,
+                SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+                SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+              FROM base GROUP BY 1),
+          mm AS (SELECT panel, n,
+                n * s2 - s1 * s1 AS m2,
+                CAST(n AS HUGEINT) * n * s3 - 3 * n * s1 * s2
+                  + 2 * s1 * s1 * s1 AS m3,
+                CAST(n AS HUGEINT) * n * n * s4
+                  - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+                  + 6 * n * s1 * s1 * s2
+                  - 3 * s1 * s1 * s1 * s1 AS m4
+              FROM s),
+          c AS (SELECT panel, n, m2, m3,
+                CASE WHEN n < 2 OR m2 = 0 THEN NULL
+                  ELSE (1000000 * m4) // (m2 * m2) END AS k_e6,
+                CASE WHEN n < 2 OR m2 = 0 THEN NULL
+                  ELSE (((1000000 * m3) // m2) * m3) // (m2 * m2)
+                END AS s2_e6
+              FROM mm),
+          f AS (SELECT panel, n, s2_e6, k_e6,
+                CASE WHEN s2_e6 IS NULL THEN NULL
+                  ELSE (n * (s2_e6 + ((k_e6 - 3000000)
+                      * (k_e6 - 3000000)) // 4000000)) // 6
+                END AS jb_e6,
+                CASE WHEN s2_e6 IS NULL THEN NULL
+                  WHEN m3 > 0 THEN 1 WHEN m3 < 0 THEN -1 ELSE 0
+                END AS skew_sign
+              FROM c)
+         SELECT panel, n, CAST(s2_e6 AS BIGINT) AS s2_e6,
+                CAST(k_e6 AS BIGINT) AS k_e6,
+                CAST(jb_e6 AS BIGINT) AS jb_e6,
+                CAST(skew_sign AS BIGINT) AS skew_sign,
+                CAST(CASE WHEN jb_e6 IS NULL THEN 0
+                  WHEN jb_e6 >= 5991465 THEN 1 ELSE 0 END AS BIGINT)
+                  AS sig
+         FROM f ORDER BY panel""",
     // q_a33: the JT cascade replayed token-for-token — doubled pair
     // counts on the cohort×value-grid fill, the three-floor
     // tie-corrected variance, 10¹² z² numerator, the PValue normal

@@ -1069,6 +1069,16 @@ class PlanAuditSpec extends SparkSpec {
       s"q_a31 median join fell to a loop join:\n${a31.take(1200)}")
   }
 
+  test("shape panel: one power-sum pass, scalar math after, join-free") {
+    // r16 (L195): a34 is ONE map-side-combinable (panel) power-sum
+    // aggregation + per-panel scalar arithmetic — nothing joins,
+    // nothing windows
+    val plan = executedPlan(q("q_a34_shape_panel"))
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      plan.contains("HashAggregate"),
+      s"q_a34 grew a join/window or lost its agg:\n${plan.take(1200)}")
+  }
+
   test("jonckheere: cohort-bounded grid joins only, no cartesian") {
     // r16 (L193): the cohort×value-grid fill and the cohort-pair join
     // are k-bounded (k ≤ tens) equi-joins on (panel, v) with the
