@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
   *
   * Capacity: 10⁶·T_c² needs (n_c·|v|max)² ≤ 10³², i.e. N·V ≤ 10¹⁶
   * (documents n_chars at V ~ 10³: N ≤ 10¹³ rows/panel — stated, not
-  * silently wrapped; everything runs in DECIMAL(38,0)).
+  * silently wrapped; everything runs in DECIMAL(38,0), and every
+  * floor quotient is [[Exact.dfloor]] — SQL `div` would cast its
+  * result to LONG and wrap once n_c·V² ≳ 9.2·10¹², far inside this
+  * envelope; r17 ADVICE fix).
   *
   * Scale shape: ONE map-side-combinable (panel, cohort) moment
   * aggregation collapses the corpus; everything after is
@@ -80,20 +83,26 @@ object Anova {
     val perC = base.groupBy(col(panelCol), col("__c"))
       .agg(count(lit(1)).as("__nc"), sum(col("__v")).as("__tc"),
         sum(col("__v").cast(d38) * col("__v").cast(d38)).as("__sxx"))
-    val terms = perC.withColumn("__term", call_function("div",
+    // __term = ⌊10⁶·T_c²/n_c⌋ exceeds Long once n_c·V² ≳ 9.2·10¹²,
+    // far inside the documented envelope — the JT div-to-LONG wrap
+    // class (r17 ADVICE): exact decimal floor, cast back to (38,0)
+    // (lossless — the floor is an exact integer) for sum headroom
+    val terms = perC.withColumn("__term", Exact.dfloor(
       lit(1000000L).cast(d38) * col("__tc").cast(d38)
-        * col("__tc").cast(d38), col("__nc").cast(d38)))
+        * col("__tc").cast(d38), col("__nc").cast(d38)).cast(d38))
     val panel = terms.groupBy(col(panelCol))
       .agg(sum(col("__nc")).as("n"), count(lit(1)).as("k"),
         sum(col("__tc")).as("__t"), sum(col("__term")).as("__s"),
         sum(col("__sxx")).as("__sxx"))
-      .withColumn("__q", call_function("div",
+      .withColumn("__q", Exact.dfloor(
         lit(1000000L).cast(d38) * col("__t").cast(d38)
-          * col("__t").cast(d38), col("n").cast(d38)))
+          * col("__t").cast(d38), col("n").cast(d38)).cast(d38))
     val b = greatest(col("__s") - col("__q"), lit(0L).cast(d38))
     val w = lit(1000000L).cast(d38) * col("__sxx") - col("__s")
     val df1 = col("k") - 1L
-    val f = call_function("div",
+    // f_e6 = 10⁶·F wraps `div`'s LONG result whenever w_e6 is tiny
+    // against b_e6 (near-constant cohorts) — same exact-floor stance
+    val f = Exact.dfloor(
       lit(1000000L).cast(d38) * b * (col("n") - col("k")).cast(d38),
       w * df1.cast(d38))
     panel.select(col(panelCol), col("n"), col("k"),

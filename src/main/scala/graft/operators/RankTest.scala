@@ -296,14 +296,11 @@ object RankTest {
           (col("__t") - 2L).cast(d38)).as("__tie3"))
     val nn = col("n").cast(d38)
     val m = lit(1000000L).cast(d38)
-    // exact decimal floor division: var_e6's first term reaches
-    // ~2.6·10¹⁹ at N = 10⁵ — past Long.Max, where the SQL `div`
-    // (which CASTS ITS RESULT TO LONG) silently wraps; found by the
-    // sf0.1 gate reading var 3.3× low (the wrap is exactly 2·2⁶³).
-    // (a − pmod(a, b))/b is an exact integer, so the decimal divide
-    // introduces no rounding
-    def dfloor(a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column) = (a - pmod(a, b)) / b
+    // exact decimal floor division ([[Exact.dfloor]]): var_e6's first
+    // term reaches ~2.6·10¹⁹ at N = 10⁵ — past Long.Max, where the
+    // SQL `div` (which CASTS ITS RESULT TO LONG) silently wraps;
+    // found by the sf0.1 gate reading var 3.3× low (exactly 2·2⁶³)
+    import Exact.dfloor
     val term1 = dfloor(
       m * (nn * (nn - lit(1L).cast(d38)) *
         (lit(2L).cast(d38) * nn + lit(5L).cast(d38)) -
@@ -357,7 +354,9 @@ object RankTest {
     * [[PValue.normTail2E6]] (Dunn's z is standard normal under H₀).
     * Capacity: 3·10⁶·N·4N⁴ < 10³⁸ ⇒ N ≤ ~10⁶ rows/panel (the
     * CvM-class bound — subsample beyond; the verdicts are long
-    * decided).
+    * decided). q1 is an [[Exact.dfloor]] — it exceeds Long past
+    * N ~ 4·10⁴, where SQL `div` would silently wrap (r17 ADVICE
+    * fix, the JT wrap class).
     *
     * Scale shape: the kruskalWallis passes verbatim (one map-side
     * (panel, cohort, value) collapse, per-panel value-grid windows),
@@ -403,8 +402,12 @@ object RankTest {
     val nn = col("n").cast(d38)
     val delta = col("__ra").cast(d38) * col("__nb").cast(d38) -
       col("__rb").cast(d38) * col("__na").cast(d38)
-    val q1 = call_function("div", delta * delta,
-      col("__na").cast(d38) * col("__nb").cast(d38))
+    // q1 ≤ 4N⁴ exceeds Long past N ~ 4·10⁴ — the JT div-to-LONG wrap
+    // class (r17 ADVICE): keep the floor exact in DECIMAL. The cast
+    // back to (38,0) is lossless (q1 is an exact integer) and
+    // restores full 10³⁸ headroom for the z2 numerator product
+    val q1 = Exact.dfloor(delta * delta,
+      col("__na").cast(d38) * col("__nb").cast(d38)).cast(d38)
     val tieFree = nn * nn * nn - nn - col("__tie").cast(d38)
     val z2 = when(tieFree === lit(0L).cast(d38), lit(0L))
       .otherwise(call_function("div",

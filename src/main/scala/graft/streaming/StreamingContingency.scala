@@ -33,26 +33,38 @@ object StreamingContingency {
 
   /** Continuously maintained per-(panel, stratum) cells — Update
     * mode: each trigger re-emits changed strata; the latest row per
-    * key (cells only grow) is the live table. */
+    * key (cells only grow) is the live table. A stratum that has
+    * only ever received NON-BINARY rows is NEVER populated — no
+    * state, no emission — mirroring the batch side, where
+    * [[Contingency.mantelHaenszel]]'s hygiene filter drops such rows
+    * BEFORE the groupBy so the stratum never exists there (r17
+    * ADVICE fix, the StreamingHll all-NULL-key class: the previous
+    * mapGroups form emitted an all-zero Cells row, skewing a
+    * snapshot's stratum set and n_strata vs batch). */
   def cells(recs: Dataset[Rec])
       (implicit spark: SparkSession): Dataset[Cells] = {
     import spark.implicits._
     recs
       .groupByKey(r => (r.panel, r.stratum))
-      .mapGroupsWithState[Array[Long], Cells](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Array[Long], Cells](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (k: (String, String), rows: Iterator[Rec],
             state: GroupState[Array[Long]]) =>
           val s = state.getOption.getOrElse(Array.fill(4)(0L))
+          var live = state.exists
           rows.foreach { r =>
             // batch hygiene: only binary flags count
             if ((r.r == 0L || r.r == 1L) && (r.c == 0L || r.c == 1L)) {
+              live = true
               val idx = (if (r.r == 1L) 0 else 2) + (if (r.c == 1L) 0 else 1)
               s(idx) += 1L
             }
           }
-          state.update(s)
-          Cells(k._1, k._2, s(0), s(1), s(2), s(3))
+          if (!live) Iterator.empty
+          else {
+            state.update(s)
+            Iterator.single(Cells(k._1, k._2, s(0), s(1), s(2), s(3)))
+          }
       }
   }
 

@@ -85,6 +85,28 @@ class AnovaSpec extends SparkSpec {
     }
   }
 
+  test("large-magnitude cohorts do not wrap the term floors " +
+      "(r17 ADVICE: the JT div-to-LONG class)") {
+    // T_c ≈ 10⁷ ⇒ 10⁶·T_c² ≈ 10²⁰ — the quotient ⌊10⁶·T_c²/n_c⌋
+    // ≈ 10¹⁹ exceeds Long.Max, where SQL `div` silently wraps; the
+    // exact decimal floor must land on the BigInt replay
+    val a = (1L to 10L).map(i => ("a", 1000000L + i))
+    val b = (1L to 10L).map(i => ("b", 1001000L + i))
+    val rows = a ++ b
+    val byC = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val terms = byC.values.map(vs =>
+      BigInt(1000000) * BigInt(vs.sum) * BigInt(vs.sum) / vs.size).sum
+    val t = BigInt(rows.map(_._2).sum)
+    val q = BigInt(1000000) * t * t / rows.size
+    val wantB = (terms - q).max(BigInt(0))
+    val wantW = BigInt(1000000) *
+      rows.map(v => BigInt(v._2) * v._2).sum - terms
+    val wantF = BigInt(1000000) * wantB * (rows.size - 2) / wantW
+    val (_, _, gotB, gotW, gotF, _) = runF(rows)
+    assert((gotB, gotW, gotF) ===
+      ((wantB.toLong, wantW.toLong, Some(wantF.toLong))))
+  }
+
   // ---- Brown–Forsythe --------------------------------------------------
 
   private def runBF(rows: Seq[(String, Long)]) = {

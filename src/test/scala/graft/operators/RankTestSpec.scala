@@ -551,6 +551,24 @@ class RankTestSpec extends SparkSpec {
     assert(got(("x", "z"))._2 < got(("x", "y"))._2)
   }
 
+  test("dunn: a 40k-per-cohort separation does not wrap q1 " +
+      "(r17 ADVICE: the JT div-to-LONG class)") {
+    // complete separation of two 40k cohorts on a 2-value grid:
+    // Δ = −2n³ ⇒ q1 = 4n⁴ ≈ 1.02·10¹⁹ > Long.Max, where SQL `div`
+    // silently wraps; the exact decimal floor must land on the
+    // BigInt mirror. The value grid stays 2×2 — the 80k rows
+    // collapse map-side, so the spec runs in grid time.
+    val n = 40000
+    val rows = Seq.fill(n)(("a", 1L)) ++ Seq.fill(n)(("b", 2L))
+    val q1 = BigInt(4) * BigInt(n).pow(4) // Δ²/(n·n) for this layout
+    assert(q1 > BigInt(Long.MaxValue),
+      "construction must actually exercise the >Long q1 regime")
+    val want = dunnMirror(rows)(("a", "b"))
+    val got = runDunn(rows)(("a", "b"))
+    assert(got._1 === want._2, s"z2 got ${got._1} want ${want._2}")
+    assert(got._2 === 0L, "complete separation must read p = 0")
+  }
+
   // ---- two-sample Cramér–von Mises (r15, L180) -----------------------
 
   private def runCvm(a: Seq[Long], b: Seq[Long]) = {

@@ -72,6 +72,18 @@ class StreamingContingencySpec extends SparkSpec {
     assert(runStream(Seq(all)) === batchCells(all))
   }
 
+  test("a stratum fed ONLY non-binary rows never materializes " +
+      "(batch stratum-set parity, r17 ADVICE)") {
+    // batch drops non-binary rows BEFORE the groupBy, so stratum s9
+    // never exists there; the stream twin must not emit an all-zero
+    // Cells row for it (the StreamingHll all-NULL-key class)
+    val all = recs(120) ++ Seq(Rec("p", "s9", 2L, 1L),
+      Rec("p", "s9", 0L, 7L), Rec("p", "s9", -1L, 0L))
+    val got = runStream(Seq(all.take(60), all.drop(60)))
+    assert(!got.contains(("p", "s9")), s"phantom stratum emitted: $got")
+    assert(got.keySet === batchCells(all).keySet)
+  }
+
   test("snapshot scorer equals the batch operator on the same data") {
     val all = recs(500)
     val live = runStream(Seq(all.take(250), all.drop(250)))
