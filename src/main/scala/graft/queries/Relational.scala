@@ -1296,6 +1296,93 @@ object Relational {
       filled.agg(count(lit(1)).as("n"),
         count(when(col("v").isNull, lit(1))).as("nulls_left"),
         round(sum(col("v")), 2).as("total"))
+    }),
+    "q_x16_pivot" -> ((s, dir) => {
+      // PIVOT reshaping (r17, X12): long→wide with an EXPLICIT value
+      // list — the scale-correct form: a value-less pivot runs a whole
+      // extra distinct-discovery pass over the corpus before the real
+      // aggregation, so the columns are pinned to the generator's five
+      // langs and the plan is ONE hash aggregate. Empty cells surface
+      // as 0 (na.fill) to match the oracle's FILTER counts — pivot's
+      // empty-cell NULL vs COUNT's 0 is an engine accident, not
+      // semantics.
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .na.fill(0L, langs)
+        .orderBy(col("source"))
+    }),
+    "q_x17_unpivot" -> ((s, dir) => {
+      // UNPIVOT / melt (r17, X12): the inverse reshaping — the wide
+      // per-source lang-count frame back to long (source, lang, n)
+      // triples via the Dataset unpivot operator (Spark's Expand:
+      // ONE pass over the wide frame, no join, rows × k_values). The
+      // wide frame is built by the same pinned-value pivot as q_x16,
+      // so the pair round-trips the reshaping surface.
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .na.fill(0L, langs)
+      wide.unpivot(Array(col("source")), langs.map(col).toArray,
+          "lang", "n")
+        .orderBy(col("source"), col("lang"))
+    }),
+    "q_a35_grouping_sets" -> ((s, dir) => {
+      // ROLLUP + CUBE grouping sets (r17, X13): the multi-level
+      // subtotal surface — one Expand-based aggregation per set op
+      // (Spark expands each input row into its grouping-set
+      // combinations map-side, then ONE hash aggregate; never k
+      // separate scans). grouping_id() disambiguates subtotal NULLs
+      // from data NULLs (inputs are null-filtered here, but the gid
+      // convention is the operator's contract and both engines agree
+      // on the bitmask: first grouping column = MSB).
+      val d = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+      def leg(label: String,
+          g: org.apache.spark.sql.RelationalGroupedDataset) =
+        g.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+            grouping_id().cast("long").as("gid"))
+          .select(lit(label).as("set_op"),
+            coalesce(col("lang"), lit("ALL")).as("lang"),
+            coalesce(col("source"), lit("ALL")).as("source"),
+            col("gid"), col("n"), col("sum_chars"))
+      leg("rollup", d.rollup(col("lang"), col("source")))
+        .unionByName(leg("cube", d.cube(col("lang"), col("source"))))
+        .orderBy(col("set_op"), col("gid"), col("lang"), col("source"))
+    }),
+    "q_w4_range_frame" -> ((s, dir) => {
+      // RANGE-frame window (r17, W2 extension): trailing-7-day sum
+      // per event type over the DAILY grid — the time-based frame the
+      // W series lacked (w2's running sum is a ROWS frame; a ROWS
+      // frame over days with gaps reads the wrong window, which is
+      // exactly what days_present makes visible). Values are
+      // quantized ONCE per row to cents (the q_a13 convention), so
+      // every sum after is exact integer arithmetic at any
+      // partitioning. Scale shape: one map-side (type, day) collapse
+      // to the daily grid — the corpus never reaches the window; the
+      // range frame runs over grid rows only.
+      val ev = t(s, dir, "events")
+      val day = call_function("div", Tables.epochMicros(ev, "ts"),
+        lit(86400000000L))
+      val daily = ev
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), day.as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("day_cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily.select(col("event_type"), col("day"), col("day_cents"),
+          sum(col("day_cents")).over(w).as("trailing7_cents"),
+          count(lit(1)).over(w).as("days_present"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -2608,6 +2695,76 @@ object Relational {
          SELECT COUNT(*) AS n,
                 COUNT(*) FILTER (WHERE COALESCE(base.v, m.mv) IS NULL) AS nulls_left,
                 ROUND(SUM(COALESCE(base.v, m.mv)), 2) AS total
-         FROM base, m"""
+         FROM base, m""",
+    // q_x16: the pinned-value pivot as conditional counts — FILTER's
+    // empty-cell 0 matches the Spark side's na.fill(0)
+    "q_x16_pivot" ->
+      """SELECT source,
+                COUNT(*) FILTER (lang = 'de') AS de,
+                COUNT(*) FILTER (lang = 'en') AS en,
+                COUNT(*) FILTER (lang = 'es') AS es,
+                COUNT(*) FILTER (lang = 'fr') AS fr,
+                COUNT(*) FILTER (lang = 'zh') AS zh
+         FROM documents
+         WHERE lang IS NOT NULL AND source IS NOT NULL
+         GROUP BY source ORDER BY source""",
+    // q_x17: the same wide frame melted back to long triples
+    "q_x17_unpivot" ->
+      """WITH w AS (
+           SELECT source,
+                  COUNT(*) FILTER (lang = 'de') AS de,
+                  COUNT(*) FILTER (lang = 'en') AS en,
+                  COUNT(*) FILTER (lang = 'es') AS es,
+                  COUNT(*) FILTER (lang = 'fr') AS fr,
+                  COUNT(*) FILTER (lang = 'zh') AS zh
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY source)
+         SELECT source, lang, n FROM (
+           SELECT source, 'de' AS lang, de AS n FROM w
+           UNION ALL SELECT source, 'en', en FROM w
+           UNION ALL SELECT source, 'es', es FROM w
+           UNION ALL SELECT source, 'fr', fr FROM w
+           UNION ALL SELECT source, 'zh', zh FROM w)
+         ORDER BY source, lang""",
+    // q_a35: ROLLUP/CUBE with the shared GROUPING bitmask convention
+    // (first grouping column = MSB on both engines)
+    "q_a35_grouping_sets" ->
+      """WITH d AS (SELECT lang, source, n_chars FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+                AND n_chars IS NOT NULL),
+          r AS (SELECT 'rollup' AS set_op,
+                  COALESCE(lang, 'ALL') AS lang,
+                  COALESCE(source, 'ALL') AS source,
+                  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+                  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                FROM d GROUP BY ROLLUP(lang, source)),
+          c AS (SELECT 'cube' AS set_op,
+                  COALESCE(lang, 'ALL') AS lang,
+                  COALESCE(source, 'ALL') AS source,
+                  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+                  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                FROM d GROUP BY CUBE(lang, source))
+         SELECT * FROM (SELECT * FROM r UNION ALL SELECT * FROM c)
+         ORDER BY set_op, gid, lang, source""",
+    // q_w4: per-row cent quantization, daily grid, RANGE frame over
+    // the day number — epoch_us(ts) on both sides
+    "q_w4_range_frame" ->
+      """WITH e AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+          daily AS (SELECT event_type, day,
+                  CAST(SUM(cents) AS BIGINT) AS day_cents
+                FROM e GROUP BY event_type, day)
+         SELECT event_type, day, day_cents,
+                CAST(SUM(day_cents) OVER (PARTITION BY event_type
+                  ORDER BY day RANGE BETWEEN 6 PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS trailing7_cents,
+                COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS days_present
+         FROM daily ORDER BY event_type, day"""
   )
 }

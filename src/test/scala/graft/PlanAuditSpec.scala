@@ -1069,6 +1069,29 @@ class PlanAuditSpec extends SparkSpec {
       s"q_a31 median join fell to a loop join:\n${a31.take(1200)}")
   }
 
+  test("reshaping surface: pivot/unpivot/grouping-sets stay single-pass " +
+      "Expand/agg plans, join-free; w4's frame is RANGE, not ROWS") {
+    // r17 (X12/X13/W2-ext): a pinned-value pivot is ONE hash aggregate
+    // (a value-less pivot would add a distinct-discovery pass); unpivot
+    // and rollup/cube ride Expand — never a join or k separate scans
+    val x16 = executedPlan(q("q_x16_pivot"))
+    assert(!x16.contains("Join") && x16.contains("HashAggregate"),
+      s"q_x16 grew a join or lost its agg:\n${x16.take(1200)}")
+    val x17 = executedPlan(q("q_x17_unpivot"))
+    assert(!x17.contains("Join") && x17.contains("Expand"),
+      s"q_x17 must melt via Expand, join-free:\n${x17.take(1200)}")
+    val a35 = executedPlan(q("q_a35_grouping_sets"))
+    assert(!a35.contains("Join") && a35.contains("Expand") &&
+      a35.contains("HashAggregate"),
+      s"q_a35 must aggregate via Expand, join-free:\n${a35.take(1200)}")
+    // the trailing-7-day window must be a RANGE frame over the daily
+    // grid (a ROWS frame silently misreads gapped days), join-free
+    val w4 = executedPlan(q("q_w4_range_frame"))
+    assert(!w4.contains("Join") && w4.contains("Window") &&
+      w4.contains("RangeFrame, -6"),
+      s"q_w4 lost its RANGE frame:\n${w4.take(1200)}")
+  }
+
   test("shape panel: one power-sum pass, scalar math after, join-free") {
     // r16 (L195): a34 is ONE map-side-combinable (panel) power-sum
     // aggregation + per-panel scalar arithmetic — nothing joins,
