@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   * divisions of exact integer products —
   *   nhat_e6 = ⌊10⁶(n_A+1)(n_B+1)/(m+1)⌋ − 10⁶
   *   var_e6  = ⌊10⁶(n_A+1)(n_B+1)(n_A−m)(n_B−m)/((m+1)²(m+2))⌋
-  * in DECIMAL(38,0) (capacity n_A·n_B·n_A·n_B·10⁶ ⇒ catches to
-  * ~10⁷ pairs each; beyond that drop the 10⁶ scale — stated).
+  * in DECIMAL(38,0) via [[Exact.dfloor]] (capacity
+  * n_A·n_B·n_A·n_B·10⁶ ⇒ catches to ~10⁷ pairs each; beyond that
+  * drop the 10⁶ scale — stated). The quotients themselves must fit
+  * the LONG output columns: N̂ ≤ 9.2·10¹² (an m = 0 overlap with
+  * ≳3·10⁶-pair catches crosses it and emits NULL rather than a
+  * wrapped number — SQL `div` would have wrapped silently; r17
+  * sweep).
   *
   * Assumption stated honestly (Seber §3.2): the estimator is
   * unbiased only under INDEPENDENT catches — two real detectors
@@ -54,11 +59,18 @@ object CaptureRecapture {
     val a1 = (col("n_a") + 1L).cast(d38)
     val b1 = (col("n_b") + 1L).cast(d38)
     val m1 = (col("n_both") + 1L).cast(d38)
+    // exact decimal floors (r17 sweep, the JT div-to-LONG class): at
+    // m = 0 the N̂ quotient is 10⁶(n_A+1)(n_B+1), past Long once
+    // n_A·n_B ≳ 9.2·10¹² — inside the stated ~10⁷-catch envelope,
+    // where SQL `div` would wrap silently. With dfloor the emission
+    // is exact wherever nhat_e6 itself is representable (N̂ ≤
+    // 9.2·10¹² — beyond that the LONG output column is the honest
+    // bound, stated in the object doc)
     na.crossJoin(nb).crossJoin(nm)
       .select(col("n_a"), col("n_b"), col("n_both"),
-        (call_function("div", lit(1000000L).cast(d38) * a1 * b1, m1)
+        (Exact.dfloor(lit(1000000L).cast(d38) * a1 * b1, m1)
           .cast("long") - 1000000L).as("nhat_e6"),
-        call_function("div",
+        Exact.dfloor(
           lit(1000000L).cast(d38) * a1 * b1 *
             (col("n_a") - col("n_both")).cast(d38) *
             (col("n_b") - col("n_both")).cast(d38),

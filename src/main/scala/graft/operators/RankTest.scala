@@ -131,7 +131,11 @@ object RankTest {
     * 1.2·10⁷·N⁴ < 10³⁸ ⇒ N ≤ ~4·10⁷ rows per group (subsample
     * beyond; the verdict is long decided). h₀·(N³−N) is bounded by
     * the SAME 1.2·10⁷·N⁴ (S ≤ 1.2·10⁷·N³ since R2_c²/n_c ≤ 4·n_c·N²,
-    * so h₀ ≤ 1.2·10⁷·N) — one bound governs both steps.
+    * so h₀ ≤ 1.2·10⁷·N) — one bound governs both steps. term_c is an
+    * [[Exact.dfloor]]: its quotient ≤ 1.2·10⁷·n_c·N² exceeds Long at
+    * a balanced 2-cohort panel of just ~12k rows — far inside this
+    * envelope, where SQL `div` wrapped silently (r17 sweep, the JT
+    * class).
     *
     * Scale shape: one map-side-combinable (group, cohort, value) count
     * collapses the corpus; the value grid and its running `below` are
@@ -162,10 +166,15 @@ object RankTest {
       .agg(sum(col("__tc")).as("__nc"),
         sum(col("__tc") * (lit(2L) * col("__below") + col("__t")
           + lit(1L))).as("__r2"))
-    val term = call_function("div",
+    // term_c = ⌊3·10⁶·R2_c²/n_c⌋ ≤ 1.2·10⁷·n_c·N² exceeds Long once
+    // n_c·N² ≳ 7.7·10¹¹ (a balanced 2-cohort panel of just ~12k rows)
+    // — far inside the documented N ≤ 4·10⁷ capacity. The JT
+    // div-to-LONG wrap class, found in the r17 self-review sweep:
+    // exact decimal floor, cast back to (38,0) for sum headroom
+    val term = Exact.dfloor(
       lit(3000000L).cast(d38) * col("__r2").cast(d38)
         * col("__r2").cast(d38),
-      col("__nc").cast(d38))
+      col("__nc").cast(d38)).cast(d38)
     val perG = perC.withColumn("__term", term)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("k"), sum(col("__nc")).as("n"),

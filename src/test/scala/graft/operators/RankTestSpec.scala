@@ -138,6 +138,31 @@ class RankTestSpec extends SparkSpec {
     assert(h3 === Some(0L), "clamp restores the mathematical H ≥ 0")
   }
 
+  test("KW: a 15k-per-cohort separation does not wrap term_c " +
+      "(r17 sweep: the JT div-to-LONG class)") {
+    // two 15k cohorts on a 2-value grid: R2 = n(n+1) ≈ 2.25·10⁸,
+    // term = ⌊3·10⁶·R2²/n⌋ ≈ 10¹⁹ > Long.Max, where SQL `div`
+    // silently wrapped; the exact decimal floor must land on the
+    // BigInt cascade. Map-side collapse keeps the spec in grid time.
+    val n = 15000
+    val rows = Map("A" -> Seq.fill(n)(1L), "B" -> Seq.fill(n)(2L))
+    // grouped-count mirror of the documented cascade
+    val bigN = BigInt(2 * n)
+    def r2(lo: Boolean) = // doubled midrank sum for the tied block
+      if (lo) BigInt(n) * (n + 1) else BigInt(n) * (3 * n + 1)
+    val terms = Seq(true, false).map(l =>
+      BigInt(3000000) * r2(l) * r2(l) / n)
+    assert(terms.head > BigInt(Long.MaxValue),
+      "construction must actually exercise the >Long term regime")
+    val tie = (BigInt(n).pow(3) - n) * 2
+    val h0 = terms.sum / (bigN * (bigN + 1)) - 3000000 * (bigN + 1)
+    val want = (h0 * (bigN.pow(3) - bigN) /
+      (bigN.pow(3) - bigN - tie)).max(0)
+    val (_, _, h, sig) = runKw(rows)
+    assert(h === Some(want.toLong), s"h got $h want $want")
+    assert(sig === Some(1L), "complete separation must flag")
+  }
+
   test("KW df > 8 emits h but a NULL verdict") {
     val cs = (0 until 10).map(i => s"c$i" -> Seq(i.toLong)).toMap
     val (k, _, h, sig) = runKw(cs)
