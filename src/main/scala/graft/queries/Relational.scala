@@ -1383,6 +1383,87 @@ object Relational {
           sum(col("day_cents")).over(w).as("trailing7_cents"),
           count(lit(1)).over(w).as("days_present"))
         .orderBy(col("event_type"), col("day"))
+    }),
+    "q_a36_signed_rank" -> ((s, dir) => {
+      // Wilcoxon signed-rank (r17, L199; Wilcoxon 1945): the PAIRED
+      // location test — pairing removes between-user variance. Three
+      // legs: first_last (real — per user, last-minus-first purchase
+      // cents; MEASURED sf0.01: 75+/75− of 150 pairs, the paired
+      // median is flat → retained, the data's verdict); hash_flip
+      // (A/A: ±(1+digit) on the SECOND md5 half — MEASURED retained
+      // at every SF, z² ≤ 0.40; the first-half digits drew z² = 6.4
+      // at the 500-doc gates, a 1-in-90 draw this fixed corpus
+      // happens to hold — measured first, then chosen, the L-series
+      // discipline); planted_shift (digit − 30: median +19.5 flags
+      // at every SF, and its digit = 30 class exercises the
+      // zero-drop convention live — n_zero > 0).
+      val ev = t(s, dir, "events")
+      val us = Tables.epochMicros(ev, "ts")
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val firstLast = ev
+        .filter(col("event_type") === "purchase" &&
+          col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), struct(us.as("us"),
+          col("event_id").as("eid"), cents.as("c")).as("rec"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("np"), min(col("rec")).as("f"),
+          max(col("rec")).as("l"))
+        .filter(col("np") >= 2L)
+        .select(lit("first_last").as("panel"),
+          (col("l.c") - col("f.c")).as("d"))
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 14), 16, 10).cast("long"), lit(1000000000L))
+      val h2 = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        15, 14), 16, 10).cast("long"), lit(1000000000L))
+      val flip = d.select(lit("hash_flip").as("panel"),
+        ((pmod(h2, lit(2L)) * 2L - 1L) *
+          (lit(1L) + pmod(call_function("div", h2, lit(2L)),
+            lit(100L)))).as("d"))
+      val planted = d.select(lit("planted_shift").as("panel"),
+        (pmod(call_function("div", h, lit(200L)), lit(100L)) - 30L)
+          .as("d"))
+      PairedTest.wilcoxonSignedRank(
+          firstLast.unionByName(flip).unionByName(planted), "panel", "d")
+        .orderBy(col("panel"))
+    }),
+    "q_a37_friedman" -> ((s, dir) => {
+      // Friedman blocked rank test (r17, L200; Friedman 1937): "do
+      // the k treatments rank consistently WITHIN each block" —
+      // the k-sample paired sibling of a36 exactly as Kruskal–Wallis
+      // is mannWhitney's. Three legs: spend_profile (real — blocks =
+      // users, treatments = the five event types, value = the user's
+      // total cents per type, duplicate cells SUMMED by the operator
+      // convention; MEASURED: per-type means are flat ~50 → the
+      // within-user type ranking is exchangeable, retained);
+      // hash_split (A/A: three independent md5 bytes per doc as
+      // pseudo-treatments — exchangeable by construction); planted
+      // (the same bytes with +40 on t1 — flags at every SF).
+      val ev = t(s, dir, "events")
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val spend = ev
+        .filter(col("event_type").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .select(lit("spend_profile").as("panel"),
+          col("user_id").cast("string").as("b"),
+          col("event_type").as("c"), cents.as("v"))
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val md = md5(col("doc_id").cast("string"))
+      def byte(k: Int) =
+        conv(substring(md, 2 * k - 1, 2), 16, 10).cast("long")
+      def hashLeg(label: String, boost: Long) = d.select(
+        lit(label).as("panel"), col("doc_id").cast("string").as("b"),
+        explode(array(
+          struct(lit("t0").as("c"), byte(1).as("v")),
+          struct(lit("t1").as("c"), (byte(2) + boost).as("v")),
+          struct(lit("t2").as("c"), byte(3).as("v")))).as("e"))
+        .select(col("panel"), col("b"), col("e.c").as("c"),
+          col("e.v").as("v"))
+      PairedTest.friedman(
+          spend.unionByName(hashLeg("hash_split", 0L))
+            .unionByName(hashLeg("planted_boost", 40L)),
+          "panel", "b", "c", "v")
+        .orderBy(col("panel"))
     })
   )
 
@@ -2765,6 +2846,152 @@ object Relational {
                 COUNT(*) OVER (PARTITION BY event_type ORDER BY day
                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                   AS days_present
-         FROM daily ORDER BY event_type, day"""
+         FROM daily ORDER BY event_type, day""",
+    // q_a36: the signed-rank cascade replayed token-for-token —
+    // zero-drop, doubled midranks over the |d| grid, the ONE floor
+    // z2 = ⌊12·10⁶·Δ2²/(2n(n+1)(2n+1) − T)⌋, the PValue normal table
+    "q_a36_signed_rank" ->
+      s"""WITH tbl AS (SELECT ${PValue.normSqlList} AS nmt),
+          p0 AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events WHERE event_type = 'purchase'
+                AND value IS NOT NULL AND user_id IS NOT NULL),
+          rk AS (SELECT user_id, c,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS rf,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY us DESC, event_id DESC) AS rl,
+                COUNT(*) OVER (PARTITION BY user_id) AS np FROM p0),
+          fl AS (SELECT 'first_last' AS panel, l.c - f.c AS d
+              FROM (SELECT user_id, c FROM rk
+                    WHERE rf = 1 AND np >= 2) f
+              JOIN (SELECT user_id, c FROM rk
+                    WHERE rl = 1 AND np >= 2) l USING (user_id)),
+          dd AS (SELECT CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                % 1000000000 AS h,
+                CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR)), 15, 14)) AS BIGINT)
+                % 1000000000 AS h2
+              FROM documents WHERE doc_id IS NOT NULL),
+          base AS (SELECT panel, d FROM fl
+             UNION ALL SELECT 'hash_flip',
+                ((h2 % 2) * 2 - 1) * (1 + (h2 // 2) % 100) FROM dd
+             UNION ALL SELECT 'planted_shift',
+                (h // 200) % 100 - 30 FROM dd),
+          z AS (SELECT panel, CAST(COUNT(*) FILTER (d = 0) AS BIGINT)
+                AS n_zero FROM base GROUP BY 1),
+          g AS (SELECT panel, ABS(d) AS a,
+                CAST(COUNT(*) AS BIGINT) AS t,
+                CAST(COUNT(*) FILTER (d > 0) AS BIGINT) AS tp
+              FROM base WHERE d <> 0 GROUP BY 1, 2),
+          gb AS (SELECT panel, a, t, tp,
+                COALESCE(SUM(t) OVER (PARTITION BY panel ORDER BY a
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS below
+              FROM g),
+          agg AS (SELECT panel, CAST(SUM(t) AS BIGINT) AS n,
+                CAST(SUM(tp * (2 * below + t + 1)) AS BIGINT) AS r2,
+                SUM(CAST(t AS HUGEINT) * t * t - t) AS tie
+              FROM gb GROUP BY 1),
+          st AS (SELECT z.panel, COALESCE(agg.n, 0) AS n, z.n_zero,
+                agg.r2 AS w2_plus,
+                CASE WHEN agg.n IS NULL OR agg.n = 0 THEN NULL
+                  ELSE (12000000 *
+                    CAST(agg.r2 - agg.n * (agg.n + 1) // 2 AS HUGEINT)
+                    * (agg.r2 - agg.n * (agg.n + 1) // 2))
+                    // (2 * CAST(agg.n AS HUGEINT) * (agg.n + 1)
+                      * (2 * agg.n + 1) - agg.tie) END AS z2_e6,
+                CASE WHEN agg.n IS NULL THEN NULL
+                  WHEN agg.r2 - agg.n * (agg.n + 1) // 2 > 0 THEN 1
+                  WHEN agg.r2 - agg.n * (agg.n + 1) // 2 < 0 THEN -1
+                  ELSE 0 END AS d_sign
+              FROM z LEFT JOIN agg ON agg.panel = z.panel)
+         SELECT panel, n, n_zero, w2_plus,
+                CAST(z2_e6 AS BIGINT) AS z2_e6,
+                CAST(d_sign AS BIGINT) AS d_sign,
+                CASE WHEN z2_e6 IS NULL THEN NULL
+                  WHEN CAST(floor(sqrt(CAST(z2_e6 // 100 AS DOUBLE)))
+                    AS INT) >= 500 THEN 0
+                  ELSE nmt[CAST(floor(sqrt(CAST(z2_e6 // 100
+                    AS DOUBLE))) AS INT) + 1]
+                END AS p_e6,
+                CAST(CASE WHEN z2_e6 IS NOT NULL AND z2_e6 >= 3841459
+                  THEN 1 ELSE 0 END AS BIGINT) AS sig
+         FROM st CROSS JOIN tbl ORDER BY panel""",
+    // q_a37: the Friedman cascade replayed token-for-token —
+    // duplicate cells summed, complete blocks only, doubled
+    // within-block midranks, Conover's tie-general Q with the ONE
+    // floor, the chi2 critical list at df = k−1
+    "q_a37_friedman" ->
+      s"""WITH ev AS (SELECT 'spend_profile' AS panel,
+                CAST(user_id AS VARCHAR) AS b, event_type AS c,
+                CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events WHERE event_type IS NOT NULL
+                AND value IS NOT NULL AND user_id IS NOT NULL),
+          dd AS (SELECT CAST(doc_id AS VARCHAR) AS b,
+                md5(CAST(doc_id AS VARCHAR)) AS mh
+              FROM documents WHERE doc_id IS NOT NULL),
+          hl AS (SELECT 'hash_split' AS panel, b, 't0' AS c,
+                CAST(concat('0x', substr(mh, 1, 2)) AS BIGINT) AS v
+                FROM dd
+             UNION ALL SELECT 'hash_split', b, 't1',
+                CAST(concat('0x', substr(mh, 3, 2)) AS BIGINT) FROM dd
+             UNION ALL SELECT 'hash_split', b, 't2',
+                CAST(concat('0x', substr(mh, 5, 2)) AS BIGINT) FROM dd
+             UNION ALL SELECT 'planted_boost', b, 't0',
+                CAST(concat('0x', substr(mh, 1, 2)) AS BIGINT) FROM dd
+             UNION ALL SELECT 'planted_boost', b, 't1',
+                CAST(concat('0x', substr(mh, 3, 2)) AS BIGINT) + 40
+                FROM dd
+             UNION ALL SELECT 'planted_boost', b, 't2',
+                CAST(concat('0x', substr(mh, 5, 2)) AS BIGINT) FROM dd),
+          cells AS (SELECT panel, b, c, CAST(SUM(v) AS BIGINT) AS v
+              FROM (SELECT * FROM ev UNION ALL SELECT * FROM hl)
+              GROUP BY 1, 2, 3),
+          kp AS (SELECT panel, CAST(COUNT(DISTINCT c) AS BIGINT) AS k
+              FROM cells GROUP BY 1),
+          kb AS (SELECT panel, b, COUNT(*) AS kb FROM cells
+              GROUP BY 1, 2),
+          comp AS (SELECT cells.* FROM cells
+              JOIN kb ON kb.panel = cells.panel AND kb.b = cells.b
+              JOIN kp ON kp.panel = cells.panel
+              WHERE kb.kb = kp.k),
+          vg AS (SELECT panel, b, v, CAST(COUNT(*) AS BIGINT) AS t
+              FROM comp GROUP BY 1, 2, 3),
+          vgb AS (SELECT panel, b, v, t,
+                COALESCE(SUM(t) OVER (PARTITION BY panel, b ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS below
+              FROM vg),
+          ranked AS (SELECT comp.panel, comp.b, comp.c,
+                2 * vgb.below + vgb.t + 1 AS r2
+              FROM comp JOIN vgb ON vgb.panel = comp.panel
+                AND vgb.b = comp.b AND vgb.v = comp.v),
+          pt AS (SELECT panel, c, CAST(COUNT(*) AS BIGINT) AS nb,
+                CAST(SUM(r2) AS BIGINT) AS rsum,
+                SUM(CAST(r2 AS HUGEINT) * r2) AS a2c
+              FROM ranked GROUP BY 1, 2),
+          pp AS (SELECT pt.panel, MAX(kp.k) AS k, MAX(pt.nb) AS n_blocks,
+                SUM(pt.a2c) AS a2,
+                SUM((CAST(pt.rsum AS HUGEINT) - pt.nb * (kp.k + 1))
+                  * (CAST(pt.rsum AS HUGEINT) - pt.nb * (kp.k + 1)))
+                  AS s2
+              FROM pt JOIN kp ON kp.panel = pt.panel GROUP BY 1),
+          o AS (SELECT panel, n_blocks, k,
+                CASE WHEN k < 2 OR a2 = CAST(n_blocks AS HUGEINT) * k
+                    * (k + 1) * (k + 1) THEN NULL
+                  ELSE (1000000 * (k - 1) * s2)
+                    // (a2 - CAST(n_blocks AS HUGEINT) * k * (k + 1)
+                      * (k + 1)) END AS q_e6
+              FROM pp)
+         SELECT panel, CAST(n_blocks AS BIGINT) AS n_blocks,
+                CAST(k AS BIGINT) AS k, CAST(q_e6 AS BIGINT) AS q_e6,
+                CAST(CASE WHEN q_e6 IS NULL THEN 0
+                  WHEN k - 1 > 8 THEN NULL
+                  WHEN q_e6 >= (${RankTest.Chi2Crit95E6ByDf
+                      .mkString("[", ",", "]")})[CAST(k - 1 AS INT)]
+                  THEN 1 ELSE 0 END AS BIGINT) AS sig
+         FROM o ORDER BY panel"""
   )
 }

@@ -1092,6 +1092,21 @@ class PlanAuditSpec extends SparkSpec {
       s"q_w4 lost its RANGE frame:\n${w4.take(1200)}")
   }
 
+  test("paired tests: grid collapses + bounded windows, no cartesian") {
+    // r17 (L199/L200): a36 collapses to the (panel, |d|) magnitude
+    // grid map-side before its window; a37's midranks ride windows
+    // over k-bounded block partitions with grid equi-joins — neither
+    // may grow a cartesian or loop join
+    for (name <- Seq("q_a36_signed_rank", "q_a37_friedman")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name grew a cartesian/loop join:\n${plan.take(1200)}")
+      assert(plan.contains("Window") && plan.contains("HashAggregate"),
+        s"$name lost its grid/window shape:\n${plan.take(1200)}")
+    }
+  }
+
   test("shape panel: one power-sum pass, scalar math after, join-free") {
     // r16 (L195): a34 is ONE map-side-combinable (panel) power-sum
     // aggregation + per-panel scalar arithmetic — nothing joins,
