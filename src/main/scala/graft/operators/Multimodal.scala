@@ -708,6 +708,9 @@ object Multimodal {
       // Ogg capture pattern (RFC 3533) — added r16 with the Ogg walk
       // (OggSpec pins syntheticOgg output to this)
       .when(h.startsWith("4F676753"), lit("audio/ogg"))
+      // FLAC stream marker (RFC 9639) — added r17 with the Flac walk
+      // (FlacSpec pins syntheticFlac output to this)
+      .when(h.startsWith("664C6143"), lit("audio/flac"))
       .when(h.startsWith("424D"), lit("image/bmp"))
       .when(h.startsWith("25504446"), lit("application/pdf"))
       .when(h.startsWith("504B0304"), lit("application/zip"))

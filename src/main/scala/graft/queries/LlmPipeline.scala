@@ -1068,6 +1068,39 @@ object LlmPipeline {
           sum(col("n_pages")).as("sum_pages"))
         .orderBy(col("codec"), col("channels"), col("sample_rate"))
     }),
+    "q_m17_flac_metadata" -> ((s, dir) => {
+      // FLAC container-metadata audit (r17, L202; RFC 9639): the
+      // lossless-audio closure beside Ogg (m16), MP3 (m13) and WAV
+      // (m14) — all integers BIG-endian where Ogg is little-endian,
+      // so both byte disciplines stay exercised. THREE routes live:
+      // every 11th doc a TXT decoy the sniffer keeps from the walk,
+      // every 13th a TRUNCATED STREAMINFO that sniffs audio/flac but
+      // surfaces as the NULL-metadata violation row, the rest full
+      // streams the walk inverts back to the generator formulas
+      // (112-way rate×channels×bps×samples grid + 0–2 trailing
+      // padding blocks). Checkpointed before routing (the q_m10
+      // pushdown-inlining lesson).
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val full = Flac.syntheticFlac(col("doc_id"))
+      val blob = when(pmod(col("doc_id"), lit(11L)) === 0L,
+          col("text").cast("binary"))
+        .when(pmod(col("doc_id"), lit(13L)) === 0L,
+          substring(full, 1, 20))
+        .otherwise(full)
+      val packed = d.select(col("doc_id"), blob.as("content"))
+        .localCheckpoint()
+      val routed = packed
+        .filter(Multimodal.sniffType(col("content")) === "audio/flac")
+      Flac.metadata(routed, "doc_id", "content")
+        .groupBy(col("channels"), col("bits_per_sample"),
+          col("sample_rate"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("duration_ms")).as("sum_dur_ms"),
+          sum(col("n_blocks")).as("sum_blocks"))
+        .orderBy(col("channels"), col("bits_per_sample"),
+          col("sample_rate"))
+    }),
     "q_m15_webm_metadata" -> ((s, dir) => {
       // WebM/Matroska EBML container-metadata audit (r16, L186;
       // VERDICT r15 #6 — the q_m9 discipline on the EBML surface,
@@ -3659,6 +3692,54 @@ object LlmPipeline {
         .select(col("exact_u"),
           (abs(col("__a") - col("exact_u")) * lit(100L) <=
             col("exact_u") * lit(5L)).cast("int").as("err_ok"))),
+    "q_t45_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Ranked-retrieval scorecard (r17, L201): NDCG@10 + MRR@10 —
+      // the eval layer over the retrieval stack (BM25 L60, RRF L92,
+      // ANN v-series). Three panels: perfect_ranker (candidates
+      // ranked BY their own graded relevance — ndcg_ppm = 10⁶ and
+      // mrr_e6 = 10⁶ exactly, the metric's top end pinned);
+      // hash_ranker (the SAME candidates and judgments ranked by an
+      // independent md5 key — the chance baseline, measured);
+      // bm25_dup (real — the q_t22 BM25 top-20 page scored against a
+      // graded 'dup'-occurrence judgment: the ranking is 3-term +
+      // length-normalized, the judgment single-term, so NDCG reads
+      // high-but-not-1, measured not assumed).
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val md = md5(col("doc_id").cast("string"))
+      val rel = pmod(conv(substring(md, 1, 2), 16, 10).cast("long"),
+        lit(4L))
+      val rkey = conv(substring(md, 3, 14), 16, 10).cast("long")
+      val base = docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(20L)).cast("string").as("qid"),
+        rel.as("rel"), rkey.as("rkey"))
+      val wPerf = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("doc_id"))
+      val perfect = base.select(lit("perfect_ranker").as("panel"),
+        col("qid"), row_number().over(wPerf).cast("long").as("rank"),
+        col("rel"))
+      val wHash = Window.partitionBy(col("qid"))
+        .orderBy(col("rkey").desc, col("doc_id"))
+      val hashed = base.select(lit("hash_ranker").as("panel"),
+        col("qid"), row_number().over(wHash).cast("long").as("rank"),
+        col("rel"))
+      val page = Bm25.topK(docs, "doc_id", "text",
+        Seq("dup", "spark", "vector"), k = 20)
+      val wB = Window.orderBy(col("score_e6").desc, col("doc_id"))
+      val dupGrade = least(lit(3L), call_function("div",
+        length(col("text")) -
+          length(replace(col("text"), lit("dup"), lit(""))),
+        lit(3L)).cast("long"))
+      val bm = page.join(docs.select(col("doc_id"), col("text")),
+          "doc_id")
+        .select(lit("bm25_dup").as("panel"), lit("q0").as("qid"),
+          row_number().over(wB).cast("long").as("rank"),
+          dupGrade.as("rel"))
+      RankEval.ndcgMrrAtK(
+          perfect.unionByName(hashed).unionByName(bm),
+          "panel", "qid", "rank", "rel", k = 10)
+        .orderBy(col("panel"))
+    }),
     "q_a2y_approx_distinct_grouped" -> ((s, dir) =>
       // the q_v2 recall-report trick applied to HLL (r8): per group the
       // engine emits the EXACT distinct count (oracle-recomputable) and
@@ -9070,6 +9151,115 @@ object LlmPipeline {
                  COUNT(DISTINCT source || '#' || CAST(pack_id AS VARCHAR)) AS n_packs
           FROM pk GROUP BY split ORDER BY split"""
     }
+    ,
+    // q_t45: the metric replayed token-for-token — the SAME e9
+    // discount literals, the ideal reordering window, the
+    // unjudged-vs-miss conventions, the three per-query floors; the
+    // bm25_dup leg re-runs the q_t22 BM25 CTEs verbatim
+    "q_t45_ndcg" ->
+      s"""WITH tbl AS (SELECT ${RankEval.discountSqlList} AS disc),
+          dd AS (SELECT doc_id,
+                CAST(doc_id % 20 AS VARCHAR) AS qid,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 2)) AS BIGINT) % 4 AS rel,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  3, 14)) AS BIGINT) AS rkey
+              FROM documents WHERE doc_id IS NOT NULL),
+          perf AS (SELECT 'perfect_ranker' AS panel, qid,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY rel DESC, doc_id) AS BIGINT) AS rank, rel
+              FROM dd),
+          hsh AS (SELECT 'hash_ranker' AS panel, qid,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY rkey DESC, doc_id) AS BIGINT) AS rank, rel
+              FROM dd),
+          d AS (SELECT doc_id, $duckToks AS tk, len($duckToks) AS dl
+              FROM documents WHERE doc_id IS NOT NULL),
+          stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM d),
+          m AS (SELECT doc_id, dl,
+                  unnest(list_filter(tk,
+                    t -> t IN ('dup', 'spark', 'vector'))) AS t
+                FROM d),
+          tf AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM m
+                 GROUP BY doc_id, dl, t),
+          dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+          c AS (SELECT tf.doc_id,
+                  CAST(FLOOR(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                    ((tf * (1.2 + 1.0)) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total / n))))
+                    * 1000000 + 0.5) AS BIGINT) AS c_e6
+                FROM tf JOIN dft USING (t) CROSS JOIN stats),
+          sc AS (SELECT doc_id, CAST(SUM(c_e6) AS BIGINT) AS score_e6
+                 FROM c GROUP BY doc_id),
+          bm AS (SELECT 'bm25_dup' AS panel, 'q0' AS qid,
+                CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id)
+                  AS BIGINT) AS rank,
+                LEAST(3, (length(text) -
+                  length(replace(text, 'dup', ''))) // 3) AS rel
+              FROM sc JOIN documents USING (doc_id)
+              ORDER BY score_e6 DESC, doc_id LIMIT 20),
+          base AS (SELECT * FROM perf UNION ALL SELECT * FROM hsh
+             UNION ALL SELECT * FROM bm),
+          rnk AS (SELECT panel, qid, rank, rel,
+                CAST(ROW_NUMBER() OVER (PARTITION BY panel, qid
+                  ORDER BY rel DESC, rank) AS BIGINT) AS irank
+              FROM base),
+          perq AS (SELECT panel, qid,
+                CAST(SUM(CASE WHEN rank <= 10
+                  THEN rel * disc[CAST(rank AS INT)] ELSE 0 END)
+                  AS BIGINT) AS dcg,
+                CAST(SUM(CASE WHEN irank <= 10
+                  THEN rel * disc[CAST(irank AS INT)] ELSE 0 END)
+                  AS BIGINT) AS idcg,
+                MIN(CASE WHEN rel > 0 AND rank <= 10 THEN rank END)
+                  AS rr
+              FROM rnk CROSS JOIN tbl GROUP BY 1, 2),
+          scq AS (SELECT panel,
+                CASE WHEN idcg = 0 THEN NULL
+                  ELSE (1000000 * CAST(dcg AS HUGEINT)) // idcg
+                END AS ndcg,
+                COALESCE(1000000 // rr, 0) AS rr
+              FROM perq)
+         SELECT panel, COUNT(*) AS n_q,
+                CAST(COUNT(ndcg) AS BIGINT) AS n_judged,
+                CASE WHEN COUNT(ndcg) = 0 THEN NULL
+                  ELSE CAST(SUM(ndcg) // COUNT(ndcg) AS BIGINT)
+                END AS ndcg_ppm,
+                CAST(SUM(rr) // COUNT(*) AS BIGINT) AS mrr_e6
+         FROM scq GROUP BY panel ORDER BY panel"""
+    ,
+    // q_m17: the generator formulas replayed (the m16 convention) —
+    // the walk inverts the construction exactly, so the oracle needs
+    // only the parameter arithmetic; the 13-route (non-11) is the
+    // NULL-metadata violation group, 11-multiples never sniff in
+    "q_m17_flac_metadata" ->
+      """WITH d AS (SELECT doc_id FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND doc_id % 11 <> 0),
+          r AS (SELECT doc_id,
+                CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 44100 ELSE 48000 END AS rate,
+                1 + (doc_id // 4) % 2 AS ch,
+                CASE (doc_id // 8) % 2 WHEN 0 THEN 16 ELSE 24 END
+                  AS bps,
+                96000 * (1 + (doc_id // 16) % 7) AS samples,
+                2 + (doc_id // 112) % 3 AS nb
+              FROM d),
+          ok AS (SELECT CAST(ch AS BIGINT) AS channels,
+                CAST(bps AS BIGINT) AS bits_per_sample,
+                CAST(rate AS BIGINT) AS sample_rate,
+                COUNT(*) AS n_docs,
+                CAST(SUM(samples * 1000 // rate) AS BIGINT)
+                  AS sum_dur_ms,
+                CAST(SUM(nb) AS BIGINT) AS sum_blocks
+              FROM r WHERE doc_id % 13 <> 0 GROUP BY 1, 2, 3),
+          viol AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT), COUNT(*), CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT)
+              FROM r WHERE doc_id % 13 = 0 HAVING COUNT(*) > 0)
+         SELECT * FROM (SELECT * FROM ok UNION ALL SELECT * FROM viol)
+         ORDER BY channels NULLS FIRST, bits_per_sample NULLS FIRST,
+                  sample_rate NULLS FIRST"""
     // Every battery entry is oracled (r9): the last holdout, q_a2x,
     // now carries the q_a2y exact-count + error-bound-verdict pair; the
     // ANN entries (q_v2/v4/v6) gate through annRecallOracle's exact

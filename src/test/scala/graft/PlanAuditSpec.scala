@@ -807,6 +807,19 @@ class PlanAuditSpec extends SparkSpec {
       s"q_m16 lost its hash aggregation:\n${plan.take(1200)}")
   }
 
+  test("flac metadata: join-free, window-free — route, kernel, one aggregation") {
+    // the m16 scale contract on the FLAC surface (r17): checkpointed
+    // blob frame, sniff-route filter, one mapPartitions block walk,
+    // one map-side-combinable hash agg
+    val plan = executedPlan(q("q_m17_flac_metadata"))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q_m17 grew a join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"q_m17 grew a window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate"),
+      s"q_m17 lost its hash aggregation:\n${plan.take(1200)}")
+  }
+
   test("webm metadata: join-free, window-free — route, kernel, one aggregation") {
     // the q_m9 scale contract on the EBML surface (r16): checkpointed
     // blob frame, sniff-route filter, one mapPartitions VINT walk,
@@ -1090,6 +1103,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!w4.contains("Join") && w4.contains("Window") &&
       w4.contains("RangeFrame, -6"),
       s"q_w4 lost its RANGE frame:\n${w4.take(1200)}")
+  }
+
+  test("rank eval: page-bounded windows + equi-joins, no cartesian") {
+    // r17 (L201): candidate pages ride per-qid windows; the BM25 leg
+    // joins a 20-row page back to documents on the doc_id equi-key.
+    // The only loop join allowed is BM25's own 1-row corpus-stats
+    // broadcast (the documented TF-IDF pattern, counted in the FINAL
+    // plan section only — AQE's toString repeats the tree)
+    val plan = executedPlan(q("q_t45_ndcg"))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_t45 grew a cartesian:\n${plan.take(1200)}")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(loops <= 1, s"q_t45 has $loops loop joins (max 1 — the " +
+      s"1-row BM25 stats broadcast):\n${finalPlan.take(2000)}")
+    assert(plan.contains("Window"),
+      s"q_t45 lost its ranking windows:\n${plan.take(800)}")
   }
 
   test("paired tests: grid collapses + bounded windows, no cartesian") {
