@@ -53,9 +53,24 @@ object Clusters {
     * label table held in a bounded pool of [[MaxLiveResults]]; when a
     * result is evicted its storage is released and a STALE handle cannot
     * be re-queried (checkpoints truncate lineage by design) — re-derive
-    * by calling this again. [[releaseResults]] drops all live results. */
+    * by calling this again. [[releaseResults]] drops all live results.
+    *
+    * Size dispatch (r17 optimization, guide §1.2): the iterative loop
+    * pays ~4 distributed jobs per round regardless of data size — on the
+    * sf0.1 pair sets (hundreds of edges) that fixed scheduling cost IS
+    * the operator's wall time (measured 1.4–2.7 s per call inside
+    * q_e15/q_d5). An edge table at or under `localEdgeBound` directed
+    * rows (default [[LocalEdgeBound]] = 32 MB collected) is therefore
+    * solved by a driver-side union-find — the same bounded-collect class
+    * as the engine's grid/page collects, with the bound explicit — and
+    * larger graphs take the distributed loop unchanged. Both paths emit
+    * the identical (id, component-minimum) mapping; ClustersSpec pins
+    * local ≡ distributed on random graphs and forces the distributed
+    * path (bound 0) for the pointer-jump convergence proof. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 50,
+      localEdgeBound: Long = LocalEdgeBound): DataFrame = {
+    val spark = pairs.sparkSession
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // Lazy checkpoints throughout: the per-round checksum action
@@ -66,6 +81,38 @@ object Clusters {
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(false)
+
+    // One count materializes the checkpoint (the first round's
+    // aggregation paid this anyway) and sizes the dispatch.
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeBound) {
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      releaseCheckpoint(edges)
+      // Union-find, larger root parented under the smaller — roots are
+      // component minima by construction (the ClustersSpec reference
+      // model, now the engine's small-graph path).
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val nodes = new java.util.TreeSet[java.lang.Long]()
+      es.foreach { case (a, _) => nodes.add(a) } // both directions present
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        nodes.size())
+      nodes.forEach(id => out += ((id.longValue(), find(id.longValue()))))
+      return out.toSeq.toDF("id", "cluster")
+    }
 
     // lbl(u) = min(u, min neighbor) — one aggregation over the edges.
     var labels = edges.groupBy("src")
@@ -120,6 +167,13 @@ object Clusters {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Directed-edge count at or under which the component computation
+    * collects to the driver (union-find): 2M (src, dst) longs ≈ 32 MB
+    * collected, result ≤ 2M (id, cluster) rows — the bounded-collect
+    * budget class shared with the broadcast caps. Above it the
+    * distributed pointer-jump loop runs unchanged. */
+  private[graft] val LocalEdgeBound = 2L * 1000 * 1000
 
   /** Bound on concurrently-live result label tables (each pair-set-sized,
     * checkpoint-backed). */

@@ -297,13 +297,28 @@ object NearDup {
     val pairStruct = struct(col("id_a"), col("id_b")).as("pair")
     val melted = pairs.select(col("id_a").as("id"), pairStruct, lit("a").as("role"))
       .unionAll(pairs.select(col("id_b").as("id"), pairStruct, lit("b").as("role")))
+    // |A∪B| = |A|+|B|−|A∩B|: hs arrays are DISTINCT-element sets
+    // (shingleHashesFromTokens ends in array_distinct), so the union
+    // size is arithmetic and array_union's per-pair allocate+re-dedup
+    // of both arrays is dropped (r17, guide §2.3 narrow-the-work).
+    // Measured NEUTRAL at sf0.1 (43k candidate pairs: min-of-3 1.02 s
+    // old vs 1.07 s new — stage overhead dominates at gate scale); the
+    // win is the removed O(|A|+|B|) allocation per candidate pair,
+    // which is real at payload scale. Same IEEE division as
+    // TextAnalysis.jaccard (double / double), identical result bit for
+    // bit; the union===0 guard keeps the empty-set convention (0.0).
+    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
+      .cast("double")
+    val union = size(col("hs_a")) + size(col("hs_b")) -
+      size(array_intersect(col("hs_a"), col("hs_b")))
+    val jac = when(union === 0, lit(0.0)).otherwise(inter / union)
     melted.join(shingles, "id")
       .groupBy(col("pair"))
       .agg(
         first(when(col("role") === "a", col("hs")), ignoreNulls = true).as("hs_a"),
         first(when(col("role") === "b", col("hs")), ignoreNulls = true).as("hs_b"))
       .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
-        round(TextAnalysis.jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
+        round(jac, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

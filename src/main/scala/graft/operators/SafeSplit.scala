@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * key has no stable split fate — [[Sampling.hashSplit]]'s contract). */
 object SafeSplit {
 
+  /** Label-table broadcast cap for [[assignFromPairs]]: 4M (id, cluster)
+    * rows ≈ 64 MB framed — comfortable executor/driver cost, far inside
+    * Spark's 8 GB / 512M-row broadcast relation limit. Beyond it the
+    * plan falls back to the key-partitioned join. */
+  private[operators] val BroadcastMaxLabelRows = 4L * 1000 * 1000
+
   /** Assign every document a (cluster, split): cluster = component-min id
     * of its near-dup family (its own id when unpaired), split from
     * `splits` (name, fraction) in [[Sampling.hashSplit]]'s priority-order
@@ -54,8 +60,19 @@ object SafeSplit {
       s"input already has a '$c' column — rename it before splitting"))
     val labels = Clusters.connectedComponents(pairs)
       .select(col("id").as(idCol), col("cluster"))
+    // Size-dispatched broadcast (r17 optimization, guide §3.1): the label
+    // table is checkpoint-backed and bounded by the PAIRED doc count —
+    // orders of magnitude under the corpus. Un-hinted, Spark cannot size
+    // the LogicalRDD leaf and plans a SortMergeJoin that exchanges + sorts
+    // the FULL corpus by id (measured sf0.1: both sides exchanged for a
+    // 477-row label table). The count is one job over checkpointed rows;
+    // above the cap (64 MB of (long, long) rows ≈ well inside the 8 GB /
+    // 512M-row broadcast limit) the key-partitioned join stands.
+    val nLabels = labels.count()
+    val labelSide =
+      if (nLabels <= BroadcastMaxLabelRows) broadcast(labels) else labels
     val clustered = docs
-      .join(labels, Seq(idCol), "left")
+      .join(labelSide, Seq(idCol), "left")
       .withColumn("cluster",
         coalesce(col("cluster"), col(idCol).cast("long")))
     Sampling.hashSplit(clustered, col("cluster"), splits)

@@ -160,8 +160,8 @@ object SetSimJoin {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, threshold: Double = 0.8,
       maxTokenGroup: Int = Int.MaxValue): DataFrame =
-    containmentJoin(df, df, idCol, textCol, shingleLen, threshold,
-      maxTokenGroup)
+    containmentJoinImpl(df, df, idCol, textCol, shingleLen, threshold,
+      maxTokenGroup, same = true)
 
   /** The two-frame form of [[containmentPairs]] (r12): directed pairs
     * (id_a ∈ probe, id_b ∈ index) with C(A→B) ≥ threshold — the
@@ -186,22 +186,46 @@ object SetSimJoin {
     * slice (unlike the self-join's quadratic oracle). */
   def containmentJoin(probe: DataFrame, index: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 3, threshold: Double = 0.8,
-      maxTokenGroup: Int = Int.MaxValue): DataFrame = {
+      maxTokenGroup: Int = Int.MaxValue): DataFrame =
+    containmentJoinImpl(probe, index, idCol, textCol, shingleLen,
+      threshold, maxTokenGroup, same = false)
+
+  /** Shared body. `same = true` is the self-join fast path (r17
+    * optimization, guide §1.2 "don't compute things you throw away"):
+    * with probe ≡ index, the generic path computed hashedShingles TWICE
+    * (two persisted frames, two fill counts), deduplicated the doubled
+    * exploded token set through a full dropDuplicates shuffle, semi-
+    * joined prefixes against the probe ids (a tautology), and unioned +
+    * re-deduplicated the confirm shingle table — all identity
+    * transformations when the two frames are the same. The self path
+    * computes each once; the emitted rows are identical by construction
+    * (exploded(sh) is already distinct per (id, g), prefix ids ⊆ probe
+    * ids, and shP ∪ shI dedup-by-id = shP). */
+  private def containmentJoinImpl(probe: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, shingleLen: Int,
+      threshold: Double, maxTokenGroup: Int, same: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold outside (0, 1] — at 0 every pair qualifies")
     val t6 = math.round(threshold * 1e6)
     NearDup.materialized { cache =>
       val shP = cache(NearDup.hashedShingles(probe, idCol, textCol,
         shingleLen))
-      val shI = cache(NearDup.hashedShingles(index, idCol, textCol,
-        shingleLen))
-      shP.count(); shI.count() // fill before branches race
+      val shI = if (same) shP
+        else cache(NearDup.hashedShingles(index, idCol, textCol,
+          shingleLen))
+      shP.count(); if (!same) shI.count() // fill before branches race
       // one global rarity order over the distinct (id, token) rows of
-      // both frames; prefixes restricted to probe ids
-      val exAll = exploded(shP).unionAll(exploded(shI))
-        .dropDuplicates("id", "g")
-      val prefix = prefixRows(exAll, t6)
-        .join(shP.select(col("id")), Seq("id"), "left_semi")
+      // both frames; prefixes restricted to probe ids. Self case: the
+      // exploded rows are already distinct per (id, g) and every prefix
+      // id IS a probe id — skip the dedup shuffle and the semi-join.
+      val exAll =
+        if (same) exploded(shP)
+        else exploded(shP).unionAll(exploded(shI))
+          .dropDuplicates("id", "g")
+      val prefixAll = prefixRows(exAll, t6)
+      val prefix =
+        if (same) prefixAll
+        else prefixAll.join(shP.select(col("id")), Seq("id"), "left_semi")
       val cand = taggedTokenPairs(prefix, exploded(shI), maxTokenGroup)
       // necessary size condition: |A∩B| ≤ |B| forces n_b ≥ ⌈t·n_a⌉
       def sizes(sh: DataFrame) =
@@ -215,7 +239,8 @@ object SetSimJoin {
         .select(col("id_a"), col("id_b"))
       // one shingle table for the melt-join confirm; shared ids carry
       // identical sets by the shared-id-space contract
-      val shingles = shP.unionAll(shI).dropDuplicates("id")
+      val shingles =
+        if (same) shP else shP.unionAll(shI).dropDuplicates("id")
       confirmContainment(cache(sized), shingles, t6)
     }
   }

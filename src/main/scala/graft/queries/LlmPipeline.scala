@@ -3024,8 +3024,18 @@ object LlmPipeline {
       val planted = d.filter(pmod(col("doc_id"), lit(4L)) === 0L)
         .select(lit("planted_shift").as("g"),
           (col("n_chars") + lit(150L)).as("v"))
+      // The planted leg keeps ONE group (planted_shift vs the real rest);
+      // its KS row depends only on the planted rows' jump points and the
+      // corpus-wide CDF — never on how the rest rows are labeled — so the
+      // rest side collapses to a single label and perGroup computes 2
+      // group legs instead of 21 (20 of which were discarded by the
+      // filter; r17 optimization, guide §1.2 "don't compute things you
+      // throw away"). Row-identical by construction: n1, nTotal, cumAll
+      // and the planted (g, v) jump set are all unchanged.
       val ksFrame = KsDrift.perGroup(real, "g", "v").unionByName(
-        KsDrift.perGroup(real.unionByName(planted), "g", "v")
+        KsDrift.perGroup(
+            real.select(lit("__rest").as("g"), col("v"))
+              .unionByName(planted), "g", "v")
           .filter(col("g") === "planted_shift"))
       val ks = ksFrame
         .select(lit("drift").as("panel"),

@@ -41,12 +41,32 @@ class ClustersSpec extends SparkSpec {
   test("200-node chain converges via pointer jumping (O(log n) rounds)") {
     // Diameter 199 >> maxIter 50: neighbor propagation alone CANNOT
     // finish — only the lbl <- lbl(lbl) doubling step makes this converge,
-    // so this test fails if the jump is ever dropped.
+    // so this test fails if the jump is ever dropped. localEdgeBound = 0
+    // forces the DISTRIBUTED path (the r17 size dispatch would otherwise
+    // solve this tiny graph on the driver and the jump would go untested).
     val chain = (0L until 199L).map(i => (i, i + 1))
-    val got = Clusters.connectedComponents(chain.toDF("id_a", "id_b"))
+    val got = Clusters.connectedComponents(chain.toDF("id_a", "id_b"),
+        localEdgeBound = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == 200)
     assert(got.forall(_._2 == 0L))
+  }
+
+  test("local union-find path ≡ distributed loop (r17 size dispatch)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(120) {
+        val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val df = edges.toDF("id_a", "id_b")
+      val local = Clusters.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      val dist = Clusters.connectedComponents(df, localEdgeBound = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"trial $trial")
+      assert(local == ufComponents(edges), s"trial $trial vs reference")
+    }
   }
 
   test("two components + self-contained determinism across runs") {
@@ -76,7 +96,9 @@ class ClustersSpec extends SparkSpec {
   test("intermediate checkpoints are released; results bounded + releasable") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    Clusters.connectedComponents(pairs).count()
+    // bound 0: the checkpoint-lifecycle contract under test is the
+    // distributed loop's (the local path holds no checkpoints at all)
+    Clusters.connectedComponents(pairs, localEdgeBound = 0L).count()
     // only the live RESULT's checkpoint may remain (intermediate rounds
     // and the edge table are released inside the loop)...
     val during = spark.sparkContext.getPersistentRDDs.keySet -- before
