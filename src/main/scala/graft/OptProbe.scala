@@ -180,6 +180,32 @@ object OptProbe {
       }
     }
 
+    if (which("g1")) {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      for (r <- 1 to 2) {
+        val pairs = time(s"g1.pairs r$r") {
+          val p = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+            .select(col("o_custkey").as("cust"),
+              (col("l_suppkey") + lit(1000000L)).as("supp"))
+            .distinct().persist()
+          p.count(); p
+        }
+        time(s"g1.ranks r$r") {
+          val edges = pairs.select(col("cust").as("src"),
+              col("supp").as("dst"))
+            .unionAll(pairs.select(col("supp").as("src"),
+              col("cust").as("dst")))
+          graft.operators.PageRank.ranks(edges, "src", "dst",
+            iterations = 5).count()
+        }
+        pairs.unpersist()
+        time(s"g1.full r$r") {
+          SparkEntry.queries("q_g1_pagerank")(spark, sfDir).count()
+        }
+      }
+    }
+
     if (which("confirm_ab")) {
       // old union-array form vs new set-arithmetic form of the jaccard
       // confirm, alternated within one session so host drift can't fake

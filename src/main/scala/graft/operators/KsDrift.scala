@@ -55,11 +55,16 @@ object KsDrift {
     * for cross-action consistency (the offset collect and the final
     * query are separate actions; an un-pinned repartitionByRange could
     * re-sample different boundaries between them) and the caller
-    * releases it only after materializing everything built on top. */
+    * releases it only after materializing everything built on top.
+    *
+    * Also returns nTotal = Σ c_all: the per-partition totals collected
+    * for the offset fold already carry the corpus count, so the caller
+    * no longer pays a separate aggregate-and-head job to learn it
+    * (r17 optimization — one fewer Spark job per perGroup call). */
   private[graft] def cumulativeByValue(perVal: DataFrame,
       partitions: Int,
       chain: scala.collection.mutable.ArrayBuffer[DataFrame])
-      : DataFrame = {
+      : (DataFrame, Long) = {
     val spark = perVal.sparkSession
     val local = perVal.repartitionByRange(partitions, col("v"))
       .withColumn("pid", spark_partition_id())
@@ -78,10 +83,11 @@ object KsDrift {
     }.toSeq
     import spark.implicits._
     val offDf = offsets.toDF("pid", "off")
-    cached
+    val cum = cached
       .join(broadcast(offDf), Seq("pid"))
       .select(col("v"), col("c_all"),
         (col("cum_local") + col("off")).as("cum_all"))
+    (cum, totals.map(_._2).sum)
   }
 
   /** Per-group exact KS vs rest-of-corpus: (g, n1, n2, ks_num, ks)
@@ -116,13 +122,13 @@ object KsDrift {
         col(valueCol).cast("long").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
     val perVal = d.groupBy(col("v")).agg(count(lit(1)).as("c_all"))
-    val cumAll = cumulativeByValue(perVal, cdfPartitions, chain)
-      .localCheckpoint(false)
+    // nTotal rides out of the offset collect — the old separate
+    // agg-and-head job re-scanned cumAll for a scalar the partition
+    // totals already summed to (r17; the checkpoint now materializes
+    // inside the caller's single result job instead)
+    val (cumAll0, nTotal) = cumulativeByValue(perVal, cdfPartitions, chain)
+    val cumAll = cumAll0.localCheckpoint(false)
     chain += cumAll
-    val nTotal = cumAll.agg(sum(col("c_all"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
     val perGroupVal = d.groupBy(col("g"), col("v"))
       .agg(count(lit(1)).as("c_s"))
     val w = Window.partitionBy(col("g")).orderBy(col("v"))

@@ -40,9 +40,11 @@ object NegativeSampling {
         floor(pow(col("cnt").cast("double"), lit(0.75)) * lit(10000)
           + lit(0.5)).cast("long").as("c_all"))
     val chain = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val cum = KsDrift.cumulativeByValue(tf,
+    // the total weight rides out of the offset collect (r17): max
+    // cum_all = Σ c_all, so the old agg-and-collect job is gone
+    val (cum0, tot) = KsDrift.cumulativeByValue(tf,
         spark.sessionState.conf.numShufflePartitions, chain)
-      .localCheckpoint(false)
+    val cum = cum0.localCheckpoint(false)
     cum.count() // one job materializes the prefix-sum chain
     chain.foreach(Checkpoints.release)
     liveCums.synchronized {
@@ -50,10 +52,7 @@ object NegativeSampling {
       if (liveCums.size > MaxLiveCums)
         Checkpoints.release(liveCums.removeFirst())
     }
-    val totRow = cum.agg(max(col("cum_all"))).collect().head
-    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
-      "negative sampling over an empty vocabulary")
-    val tot = totRow.getLong(0)
+    require(tot > 0, "negative sampling over an empty vocabulary")
     val vocab = cum.select(col("v").as("neg_token"),
       (col("cum_all") - col("c_all")).as("lo"),
       (col("cum_all") - 1).as("hi"),

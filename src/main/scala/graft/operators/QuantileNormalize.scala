@@ -44,10 +44,12 @@ object QuantileNormalize {
       .withColumn("ng",
         count(lit(1)).over(Window.partitionBy(col("g"))))
     val chain = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val pooled = KsDrift.cumulativeByValue(
+    // the pooled count rides out of the offset collect (r17): max
+    // cum_all = Σ c_all, so the old agg-and-collect job is gone
+    val (pooled0, n) = KsDrift.cumulativeByValue(
         e.groupBy(col("v")).agg(count(lit(1)).as("c_all")),
         e.sparkSession.sessionState.conf.numShufflePartitions, chain)
-      .localCheckpoint(false)
+    val pooled = pooled0.localCheckpoint(false)
     pooled.count()
     chain.foreach(Checkpoints.release)
     liveCums.synchronized {
@@ -55,10 +57,7 @@ object QuantileNormalize {
       if (liveCums.size > MaxLiveCums)
         Checkpoints.release(liveCums.removeFirst())
     }
-    val totRow = pooled.agg(max(col("cum_all"))).collect().head
-    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
-      "quantile normalization over an empty input")
-    val n = totRow.getLong(0)
+    require(n > 0, "quantile normalization over an empty input")
     val targets = pooled.select(col("v").as("target_v"),
       (col("cum_all") - col("c_all") + 1).as("lo"),
       col("cum_all").as("hi"), lit(1).as("__one"))

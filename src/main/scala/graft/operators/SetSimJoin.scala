@@ -218,10 +218,20 @@ object SetSimJoin {
       // both frames; prefixes restricted to probe ids. Self case: the
       // exploded rows are already distinct per (id, g) and every prefix
       // id IS a probe id — skip the dedup shuffle and the semi-join.
+      // Cross-frame dedup rides the slim id column, not the exploded
+      // token set (r17, guide §2.3): a shared id carries an IDENTICAL
+      // shingle set by the shared-id-space contract, so distinct
+      // (id, g) rows of the union = index rows + probe rows whose id is
+      // absent from the index — one anti-join on ids instead of a
+      // full-width dropDuplicates shuffle of every exploded token row
+      // (the old form shuffled the doubled token set; q_d14's index
+      // explosion is the corpus). Identical rows by construction; like
+      // the dropDuplicates form, inputs violating the shared-id
+      // contract are out of scope.
       val exAll =
         if (same) exploded(shP)
-        else exploded(shP).unionAll(exploded(shI))
-          .dropDuplicates("id", "g")
+        else exploded(shI).unionAll(exploded(
+          shP.join(shI.select(col("id")), Seq("id"), "left_anti")))
       val prefixAll = prefixRows(exAll, t6)
       val prefix =
         if (same) prefixAll
@@ -238,9 +248,12 @@ object SetSimJoin {
         .filter(col("__nb") * lit(1000000L) >= lit(t6) * col("__na"))
         .select(col("id_a"), col("id_b"))
       // one shingle table for the melt-join confirm; shared ids carry
-      // identical sets by the shared-id-space contract
+      // identical sets by the shared-id-space contract — same anti-join
+      // dedup as exAll (dropDuplicates("id") shuffled every hs array)
       val shingles =
-        if (same) shP else shP.unionAll(shI).dropDuplicates("id")
+        if (same) shP
+        else shI.unionAll(
+          shP.join(shI.select(col("id")), Seq("id"), "left_anti"))
       confirmContainment(cache(sized), shingles, t6)
     }
   }

@@ -74,14 +74,15 @@ class KsDriftSpec extends SparkSpec {
     for (parts <- Seq(1, 5, 64)) {
       val chain = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.DataFrame]
-      val got = KsDrift.cumulativeByValue(perVal, parts, chain)
-        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val (cum, nTotal) = KsDrift.cumulativeByValue(perVal, parts, chain)
+      val got = cum.as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
       chain.foreach(Checkpoints.release)
       var acc = 0L
       val want = (1L to 500L).map { v =>
         acc += v % 7 + 1; (v, v % 7 + 1, acc)
       }
       assert(got === want, s"parts=$parts")
+      assert(nTotal === want.last._3, s"nTotal parts=$parts")
     }
   }
 
