@@ -180,6 +180,77 @@ object OptProbe {
       }
     }
 
+    if (which("g6")) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      for (r <- 1 to 2) {
+        val pairs = time(s"g6.bucketPairs r$r") {
+          val buckets = ev.select(col("event_type").as("band"),
+              call_function("div", graft.Tables.epochMicros(ev, "ts"),
+                lit(300000000L)).as("key"),
+              col("user_id").as("id"))
+            .filter(col("band").isNotNull && col("key").isNotNull &&
+              col("id").isNotNull)
+            .distinct()
+          val p = graft.operators.NearDup.bucketPairs(buckets, 10000)
+            .persist()
+          System.err.println(s"[opt] g6 pairs=${p.count()}")
+          p
+        }
+        time(s"g6.adamicAdar r$r") {
+          graft.operators.LinkPredict.adamicAdar(pairs, "id_a", "id_b")
+            .orderBy(col("aa_e6").desc, col("cn").desc, col("a"), col("b"))
+            .limit(100).count()
+        }
+        pairs.unpersist()
+        time(s"g6.full r$r") {
+          SparkEntry.queries("q_g6_link_predict")(spark, sfDir).count()
+        }
+      }
+    }
+
+    if (which("misc")) {
+      for (r <- 1 to 2) {
+        time(s"a37.full r$r") {
+          SparkEntry.queries("q_a37_friedman")(spark, sfDir).count()
+        }
+        time(s"qr18.full r$r") {
+          SparkEntry.queries("q_qr18_benford_chisq")(spark, sfDir).count()
+        }
+        time(s"g2.full r$r") {
+          SparkEntry.queries("q_g2_triangles")(spark, sfDir).count()
+        }
+        time(s"g4.full r$r") {
+          SparkEntry.queries("q_g4_assortativity")(spark, sfDir).count()
+        }
+        time(s"d16.full r$r") {
+          SparkEntry.queries("q_d16_dup_coverage")(spark, sfDir).count()
+        }
+      }
+    }
+
+    if (which("vq")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      for (r <- 1 to 2) {
+        val coarse = time(s"vq.coarse-fit r$r") {
+          graft.operators.KMeansLloyd.fitModel(emb, "vec_id", "embedding",
+            k = 8, rounds = 2)
+        }
+        time(s"vq.pq-residual r$r") {
+          graft.operators.IvfPq.fitPqResidual(emb, "vec_id", "embedding",
+            coarse, m = 8, ksub = 8, rounds = 2).codes.count()
+        }
+        time(s"vq.v11.full r$r") {
+          SparkEntry.queries("q_v11_pq_residual_codes")(spark, sfDir).count()
+        }
+        time(s"vq.v9.full r$r") {
+          SparkEntry.queries("q_v9_ann_ivfpq")(spark, sfDir).count()
+        }
+        time(s"vq.v8.full r$r") {
+          SparkEntry.queries("q_v8_kmeans")(spark, sfDir).count()
+        }
+      }
+    }
+
     if (which("g1")) {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

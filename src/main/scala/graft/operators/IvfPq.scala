@@ -73,8 +73,10 @@ object IvfPq {
     * (block, cluster, dim)-keyed aggregation over the corpus instead
     * of m scans. */
   def fitPq(df: DataFrame, idCol: String, vecCol: String, m: Int,
-      ksub: Int, rounds: Int): PqModel =
-    fitPqQuantized(KMeansLloyd.quantize(df, idCol, vecCol), m, ksub, rounds)
+      ksub: Int, rounds: Int,
+      localCellBound: Long = KMeansLloyd.LocalCellBound): PqModel =
+    fitPqQuantized(KMeansLloyd.quantize(df, idCol, vecCol), m, ksub, rounds,
+      localCellBound)
 
   /** PQ over coarse RESIDUALS (the paper's IVFADC form): codebooks fit
     * on `x − coarse_centroid(x)` — residuals concentrate near the
@@ -87,7 +89,8 @@ object IvfPq {
     * per-block recurrences). */
   def fitPqResidual(df: DataFrame, idCol: String, vecCol: String,
       coarse: KMeansLloyd.Model, m: Int, ksub: Int,
-      rounds: Int): PqModel = {
+      rounds: Int,
+      localCellBound: Long = KMeansLloyd.LocalCellBound): PqModel = {
     val cLit = typedlit(coarse.centroids.map(_.toSeq))
     val rq = KMeansLloyd.quantize(df, idCol, vecCol)
       .join(coarse.assign.select(col("vec_id").as("id"), col("cluster")),
@@ -95,13 +98,14 @@ object IvfPq {
       .select(col("id"),
         zip_with(col("q"), element_at(cLit, col("cluster") + 1),
           (a, b) => a - b).as("q"))
-    fitPqQuantized(rq, m, ksub, rounds)
+    fitPqQuantized(rq, m, ksub, rounds, localCellBound)
   }
 
   /** The fused all-blocks trainer over an already-quantized (id, q)
     * frame — the body shared by [[fitPq]] and [[fitPqResidual]]. */
   private def fitPqQuantized(qdf: DataFrame, m: Int, ksub: Int,
-      rounds: Int): PqModel = {
+      rounds: Int,
+      localCellBound: Long = KMeansLloyd.LocalCellBound): PqModel = {
     require(m >= 1 && m <= 64, s"m must be in [1, 64], got $m")
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
     require(rounds >= 0 && rounds <= 100,
@@ -116,11 +120,75 @@ object IvfPq {
     val dim = seeds.head.getSeq[Long](1).length
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
     val sub = dim / m
-    val ragged = q.filter(size(col("q")) =!= dim).count()
-    require(ragged == 0, s"$ragged vectors differ from dimension $dim")
     var books: IndexedSeq[IndexedSeq[Array[Long]]] =
       (0 until m).map(j => seeds.map(
         _.getSeq[Long](1).slice(j * sub, (j + 1) * sub).toArray).toIndexedSeq)
+
+    // Size dispatch (r17, the KMeansLloyd discipline): at or under the
+    // cell bound the identical per-block integer recurrence runs on the
+    // driver — same seeds, same (dist, code) tie-break, same
+    // floor-division means and empty-cluster rule — so books, codes and
+    // packed agree digit for digit (IvfPqSpec pins local ≡ distributed;
+    // the generated oracle gates q_v10/q_v11 at 3 SFs).
+    val nRows = q.count() // cheap: blocks cached by the seeds collect
+    if (nRows * dim <= localCellBound) {
+      val spark = qdf.sparkSession
+      import spark.implicits._
+      val rows = q.as[(Long, Array[Long])].collect()
+      Checkpoints.release(q)
+      val raggedL = rows.count(_._2.length != dim)
+      require(raggedL == 0, s"$raggedL vectors differ from dimension $dim")
+      def argmin(v: Array[Long], j: Int,
+          bk: IndexedSeq[Array[Long]]): (Long, Int) = {
+        var bestD = Long.MaxValue; var bestC = -1
+        var c = 0
+        while (c < bk.length) {
+          val ct = bk(c)
+          var d = 0L; var i = 0
+          while (i < sub) {
+            val t = v(j * sub + i) - ct(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        (bestD, bestC)
+      }
+      for (_ <- 1 to rounds) {
+        val n = Array.ofDim[Long](m, kEff)
+        val s = Array.ofDim[Long](m, kEff, sub)
+        rows.foreach { case (_, v) =>
+          var j = 0
+          while (j < m) {
+            val (_, c) = argmin(v, j, books(j))
+            n(j)(c) += 1
+            var i = 0
+            while (i < sub) { s(j)(c)(i) += v(j * sub + i); i += 1 }
+            j += 1
+          }
+        }
+        val next = books.map(_.map(_.clone()))
+        for (j <- 0 until m; c <- 0 until kEff if n(j)(c) > 0) {
+          var i = 0
+          while (i < sub) {
+            next(j)(c)(i) = Math.floorDiv(s(j)(c)(i), n(j)(c)); i += 1
+          }
+        }
+        books = next
+      }
+      val codeRows = rows.flatMap { case (id, v) =>
+        (0 until m).map { j =>
+          val (d, c) = argmin(v, j, books(j)); (id, j, c, d)
+        }
+      }
+      val codesDf = codeRows.toSeq.toDF("vec_id", "block", "code", "dist_q")
+      val packedDf = rows.map { case (id, v) =>
+        (id, (0 until m).map(j => argmin(v, j, books(j))._2).toArray)
+      }.toSeq.toDF("vec_id", "codes")
+      return PqModel(books, codesDf, packedDf)
+    }
+
+    val ragged = q.filter(size(col("q")) =!= dim).count()
+    require(ragged == 0, s"$ragged vectors differ from dimension $dim")
     for (_ <- 1 to rounds) {
       val bookLit = typedlit(books.map(_.map(_.toSeq)))
       // assign BEFORE exploding (the KMeansLloyd HOF lesson: a combined

@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   * nothing collects. */
 object KCore {
 
+  /** Canonical-edge count at or under which the peel runs on the
+    * driver (32 MB collected — the Clusters/PageRank bound class). */
+  private[graft] val LocalEdgeBound = 2L * 1000 * 1000
+
   private val MaxLiveResults = 4
   private val liveResults =
     new java.util.ArrayDeque[DataFrame]()
@@ -33,7 +37,7 @@ object KCore {
     * Self-loops/duplicate/reversed edges collapse first (the census
     * family's hygiene); vertices peeled to isolation disappear. */
   def vertices(edges: DataFrame, aCol: String, bCol: String, k: Int,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 8, localEdgeBound: Long = LocalEdgeBound): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(rounds >= 1, s"rounds $rounds must be >= 1")
     var e = edges
@@ -43,6 +47,38 @@ object KCore {
         col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(false)
+
+    // Size dispatch (r17, the Clusters/PageRank discipline): `rounds`
+    // peels are 3 shuffles each even in the single materializing job —
+    // pure fixed cost on gate-scale graphs. At or under
+    // `localEdgeBound` canonical edges the identical peel sequence runs
+    // on the driver (degree count → keep d ≥ k → filter edges), which
+    // is exact by construction; KCoreSpec pins local ≡ distributed and
+    // the unrolled oracle gates both.
+    val nEdges = e.count() // materializes the checkpoint; sizes dispatch
+    if (nEdges <= localEdgeBound) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var es = e.as[(Long, Long)].collect()
+      Checkpoints.release(e)
+      for (_ <- 1 to rounds) {
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (a, b) =>
+          deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+        }
+        es = es.filter { case (a, b) => deg.get(a) >= k && deg.get(b) >= k }
+      }
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (a, b) =>
+        deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        deg.size())
+      val ids = new java.util.TreeSet[java.lang.Long]()
+      deg.keySet().forEach(v => ids.add(v))
+      ids.forEach(id => out += ((id.longValue(), deg.get(id))))
+      return out.toSeq.toDF("id", "d")
+    }
     val chain = scala.collection.mutable.ArrayBuffer(e)
     def degrees(edgeSet: DataFrame): DataFrame =
       edgeSet.select(col("a").as("v"))

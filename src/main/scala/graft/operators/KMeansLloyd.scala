@@ -73,9 +73,19 @@ object KMeansLloyd {
     * Precondition (the CorpusDiff discipline — documented, not paid
     * for with an O(corpus) shuffle): `idCol` is unique; duplicate ids
     * would double-weight their vector in every centroid mean. */
+  /** Quantized-cell count (rows × dim longs) at or under which the
+    * Lloyd recurrence runs on the driver: 4M cells ≈ 32 MB collected —
+    * the Clusters/PageRank bounded-collect class. The distributed loop
+    * pays seeds + ragged + one collect per round + the output
+    * materialization as separate jobs; on gate-scale corpora that
+    * fixed job cost dominates (measured: coarse fit 0.86 s warm at
+    * sf0.1 for a ~4k × 64 corpus). */
+  private[graft] val LocalCellBound = 4L * 1000 * 1000
+
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      rounds: Int): DataFrame = run(df, idCol, vecCol, k, rounds,
-    checkpointOut = true)._1
+      rounds: Int, localCellBound: Long = LocalCellBound): DataFrame =
+    run(df, idCol, vecCol, k, rounds, checkpointOut = true,
+      localCellBound = localCellBound)._1
 
   /** Fitted model: the assignment table of [[fit]] PLUS the final
     * quantized-integer centroids (k × dim longs, grid-sized) — what a
@@ -85,9 +95,9 @@ object KMeansLloyd {
       centroids: IndexedSeq[Array[Long]])
 
   def fitModel(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      rounds: Int): Model = {
+      rounds: Int, localCellBound: Long = LocalCellBound): Model = {
     val (assign, cents) = run(df, idCol, vecCol, k, rounds,
-      checkpointOut = true)
+      checkpointOut = true, localCellBound = localCellBound)
     Model(assign, cents)
   }
 
@@ -99,10 +109,33 @@ object KMeansLloyd {
     * returned frame still reads it. */
   private[graft] def fitUncheckpointed(df: DataFrame, idCol: String,
       vecCol: String, k: Int, rounds: Int): DataFrame =
-    run(df, idCol, vecCol, k, rounds, checkpointOut = false)._1
+    // bound 0 forces the distributed loop: this hook exists so
+    // PlanAuditSpec can pin the narrow-projection plan shape, which a
+    // driver-built result could not show
+    run(df, idCol, vecCol, k, rounds, checkpointOut = false,
+      localCellBound = 0L)._1
+
+  /** Driver-side replica of one argmin: exact integer squared-L2 over
+    * the current centroids, ties to the smaller index — the `nearest`
+    * struct-min semantics in plain Scala (strict `<` keeps the first/
+    * smallest index). */
+  private def nearestLocal(v: Array[Long],
+      cents: IndexedSeq[Array[Long]]): (Long, Int) = {
+    var bestD = Long.MaxValue; var bestJ = -1
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var d = 0L; var i = 0
+      while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; bestJ = j }
+      j += 1
+    }
+    (bestD, bestJ)
+  }
 
   private def run(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      rounds: Int, checkpointOut: Boolean)
+      rounds: Int, checkpointOut: Boolean,
+      localCellBound: Long = LocalCellBound)
       : (DataFrame, IndexedSeq[Array[Long]]) = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
     require(rounds >= 0 && rounds <= 100,
@@ -111,12 +144,57 @@ object KMeansLloyd {
     val seeds = q.orderBy(col("id")).limit(k).collect()
     require(seeds.nonEmpty, "k-means over an empty corpus")
     val dim = seeds.head.getSeq[Long](1).length
+    var cents: IndexedSeq[Array[Long]] =
+      seeds.map(_.getSeq[Long](1).toArray).toIndexedSeq
+
+    // Size dispatch (r17, the Clusters/PageRank discipline): at or
+    // under `localCellBound` quantized cells the identical integer
+    // recurrence runs on the driver — same seeds, same argmin
+    // tie-break, same floor-division means, same empty-cluster rule —
+    // so the assignment table and centroids agree digit for digit
+    // (KMeansLloydSpec pins local ≡ distributed; the generated oracle
+    // gates both at 3 SFs).
+    val nRows = q.count() // cheap: blocks cached by the seeds collect
+    if (nRows * dim <= localCellBound) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rows = q.as[(Long, Array[Long])].collect()
+      Checkpoints.release(q)
+      val ragged = rows.count(_._2.length != dim)
+      require(ragged == 0, s"$ragged vectors differ from dimension $dim")
+      for (_ <- 1 to rounds) {
+        val n = new Array[Long](cents.length)
+        val s = Array.ofDim[Long](cents.length, dim)
+        rows.foreach { case (_, v) =>
+          val (_, c) = nearestLocal(v, cents)
+          n(c) += 1
+          var i = 0
+          while (i < dim) { s(c)(i) += v(i); i += 1 }
+        }
+        val next = cents.map(_.clone())
+        var c = 0
+        while (c < cents.length) {
+          if (n(c) > 0) {
+            var i = 0
+            while (i < dim) {
+              next(c)(i) = Math.floorDiv(s(c)(i), n(c)); i += 1
+            }
+          }
+          c += 1
+        }
+        cents = next
+      }
+      val out = rows.map { case (id, v) =>
+        val (d, c) = nearestLocal(v, cents)
+        (id, c, d)
+      }.toSeq.toDF("vec_id", "cluster", "dist_q")
+      return (out, cents)
+    }
+
     // one aggregate over the checkpointed frame; a ragged corpus would
     // make zip_with pad with nulls and silently poison distances
     val ragged = q.filter(size(col("q")) =!= dim).count()
     require(ragged == 0, s"$ragged vectors differ from dimension $dim")
-    var cents: IndexedSeq[Array[Long]] =
-      seeds.map(_.getSeq[Long](1).toArray).toIndexedSeq
     for (_ <- 1 to rounds) {
       // assign BEFORE exploding: the argmin is a higher-order-function
       // tree (interpreted, not codegen'd), and a combined

@@ -44,6 +44,10 @@ import org.apache.spark.sql.functions._
   * surface). */
 object LabelProp {
 
+  /** Canonical-edge count at or under which the recurrence runs on the
+    * driver (32 MB collected — the Clusters/PageRank bound class). */
+  private[graft] val LocalEdgeBound = 2L * 1000 * 1000
+
   private val MaxLiveResults = 4
   private val liveResults = new java.util.ArrayDeque[DataFrame]()
 
@@ -53,7 +57,7 @@ object LabelProp {
     * are always some vertex id of the graph). Self-loops, duplicate
     * and reversed edges collapse first; null endpoints drop. */
   def communities(edges: DataFrame, aCol: String, bCol: String,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4, localEdgeBound: Long = LocalEdgeBound): DataFrame = {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
@@ -62,6 +66,52 @@ object LabelProp {
         col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(false)
+
+    // Size dispatch (r17, the Clusters/PageRank/KCore discipline): at
+    // or under `localEdgeBound` canonical edges the identical
+    // synchronous plurality recurrence runs on the driver — counts per
+    // (vertex, neighbor label), max count, ties to the SMALLEST label,
+    // exactly the roundUpdate semantics (LabelPropSpec pins local ≡
+    // distributed; the unrolled oracle gates both).
+    val nEdges = und.count() // materializes the checkpoint
+    if (nEdges <= localEdgeBound) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = und.as[(Long, Long)].collect()
+      Checkpoints.release(und)
+      val nbrs = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+      def nb(v: Long) = {
+        var l = nbrs.get(v)
+        if (l == null) { l = new java.util.ArrayList[Long](); nbrs.put(v, l) }
+        l
+      }
+      es.foreach { case (a, b) => nb(a).add(b); nb(b).add(a) }
+      var lbl = new java.util.HashMap[Long, Long]()
+      nbrs.keySet().forEach(v => lbl.put(v, v))
+      for (_ <- 1 to rounds) {
+        val next = new java.util.HashMap[Long, Long]()
+        val prev = lbl
+        nbrs.forEach { (v, ns) =>
+          val cnt = new java.util.HashMap[Long, Long]()
+          ns.forEach(u => cnt.merge(prev.get(u), 1L, _ + _))
+          var bestLbl = Long.MaxValue; var bestCnt = -1L
+          cnt.forEach { (l, c) =>
+            if (c > bestCnt || (c == bestCnt && l < bestLbl)) {
+              bestCnt = c; bestLbl = l
+            }
+          }
+          next.put(v, bestLbl)
+        }
+        lbl = next
+      }
+      val ids = new java.util.TreeSet[java.lang.Long]()
+      nbrs.keySet().forEach(v => ids.add(v))
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        ids.size())
+      ids.forEach(v => out += ((v.longValue(), lbl.get(v.longValue()))))
+      return out.toSeq.toDF("id", "community")
+    }
+
     // directed both ways: every (src, dst) with dst a neighbor of src
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))

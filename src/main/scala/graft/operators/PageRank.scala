@@ -37,7 +37,8 @@ object PageRank {
     * edge list after exactly `iterations` quantized steps from the
     * uniform start 10⁹ DIV N. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, dampE3: Long = 850L): DataFrame = {
+      iterations: Int = 5, dampE3: Long = 850L,
+      localEdgeBound: Long = LocalEdgeBound): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(dampE3 >= 0L && dampE3 <= 1000L,
@@ -48,11 +49,54 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(false)
+
+    // Size dispatch (r17 optimization, the Clusters discipline): the
+    // distributed loop is 3 shuffles per iteration — measured 4.2 s of
+    // q_g1's 5.0 s at sf0.1 for a 16k-node graph, pure per-stage fixed
+    // cost. At or under `localEdgeBound` directed edges (32 MB
+    // collected) the identical quantized-integer recurrence runs on the
+    // driver: every step is floor division / integer sums, so the two
+    // paths agree on every digit (PageRankSpec pins local ≡ distributed
+    // and the unrolled oracle gates both at 3 SFs).
+    val nEdges = e.count() // materializes the checkpoint; sizes dispatch
+    if (nEdges <= localEdgeBound) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect()
+      Checkpoints.release(e)
+      require(es.nonEmpty, "PageRank over an empty edge list")
+      val deg = new java.util.HashMap[Long, Long]()
+      val nodeSet = new java.util.TreeSet[java.lang.Long]()
+      es.foreach { case (s0, d0) =>
+        deg.merge(s0, 1L, _ + _); nodeSet.add(s0); nodeSet.add(d0)
+      }
+      val n = nodeSet.size().toLong
+      val base = Math.floorDiv((1000L - dampE3) * 1000000000L, 1000L * n)
+      var pr = new java.util.HashMap[Long, Long]()
+      nodeSet.forEach(id =>
+        pr.put(id, Math.floorDiv(1000000000L, n)))
+      for (_ <- 1 to iterations) {
+        val inflow = new java.util.HashMap[Long, Long]()
+        es.foreach { case (s0, d0) =>
+          inflow.merge(d0, Math.floorDiv(pr.get(s0), deg.get(s0)), _ + _)
+        }
+        val next = new java.util.HashMap[Long, Long]()
+        nodeSet.forEach(id => next.put(id,
+          base + Math.floorDiv(
+            dampE3 * inflow.getOrDefault(id, 0L), 1000L)))
+        pr = next
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        nodeSet.size())
+      nodeSet.forEach(id => out += ((id.longValue(), pr.get(id))))
+      return out.toSeq.toDF("id", "pr_e9")
+    }
+
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(false)
-    val n = nodes.count() // materializes both checkpoints; the 1 scalar
+    val n = nodes.count() // materializes the checkpoint; the 1 scalar
     require(n > 0, "PageRank over an empty edge list")
     val base = Math.floorDiv((1000L - dampE3) * 1000000000L, 1000L * n)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
@@ -92,6 +136,11 @@ object PageRank {
     }
     result
   }
+
+  /** Directed-edge count at or under which the recurrence runs on the
+    * driver: 2M (src, dst) longs ≈ 32 MB collected — the bounded-collect
+    * budget class shared with [[Clusters.LocalEdgeBound]]. */
+  private[graft] val LocalEdgeBound = 2L * 1000 * 1000
 
   /** Bound on concurrently-live result vectors (each node-table-sized,
     * checkpoint-backed) — the Clusters LRU pattern. */

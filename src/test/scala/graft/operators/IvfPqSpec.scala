@@ -36,6 +36,25 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("local driver path ≡ distributed trainer (r17 size dispatch)") {
+    val m = 4; val ksub = 8; val rounds = 2
+    val local = IvfPq.fitPq(emb, "vec_id", "embedding", m, ksub, rounds)
+    val dist = IvfPq.fitPq(emb, "vec_id", "embedding", m, ksub, rounds,
+      localCellBound = 0L)
+    assert(local.books.map(_.map(_.toSeq)) ===
+      dist.books.map(_.map(_.toSeq)))
+    val lc = local.codes.orderBy(col("vec_id"), col("block"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    val dc = dist.codes.orderBy(col("vec_id"), col("block"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(lc === dc)
+    val lp = local.packed.orderBy(col("vec_id"))
+      .as[(Long, Seq[Int])].collect().toSeq
+    val dp = dist.packed.orderBy(col("vec_id"))
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(lp === dp)
+  }
+
   test("fitPq on a corpus smaller than ksub adapts the codebook size") {
     // ADVICE r10: ksub=8 over 3 vectors used to seed 3 codebook rows
     // but scan indices 0..7 — element_at past the literal's end is a

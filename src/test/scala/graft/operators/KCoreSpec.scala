@@ -52,6 +52,26 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  test("local driver path ≡ distributed loop (r17 size dispatch)") {
+    val rnd = new scala.util.Random(81)
+    for (trial <- 1 to 3) {
+      val n = rnd.nextInt(20) + 10
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.15
+      } yield (a, b)).toSeq
+      for (k <- Seq(2, 3); rounds <- Seq(1, 8)) {
+        val df = edges.toDF("id_a", "id_b")
+        val local = KCore.vertices(df, "id_a", "id_b", k, rounds)
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+        val dist = KCore.vertices(df, "id_a", "id_b", k, rounds,
+            localEdgeBound = 0L)
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+        assert(local === dist, s"trial $trial k=$k rounds=$rounds")
+      }
+    }
+  }
+
   test("long chain needs its rounds: 1 round is NOT the fixpoint, 8 are") {
     // a 10-vertex path at k=2 peels one endpoint pair per round; the
     // fixed-round CONTRACT makes partial peels well-defined (and the

@@ -98,6 +98,26 @@ class KMeansLloydSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("local driver path ≡ distributed loop (r17 size dispatch)") {
+    val rnd = new scala.util.Random(13)
+    val data = (1L to 90L).map(i =>
+      i -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+    val df = data.toDF("vec_id", "embedding")
+    for ((k, rounds) <- Seq((3, 2), (5, 3))) {
+      val local = KMeansLloyd.fit(df, "vec_id", "embedding", k, rounds)
+        .orderBy(col("vec_id")).as[(Long, Int, Long)].collect().toSeq
+      val dist = KMeansLloyd.fit(df, "vec_id", "embedding", k, rounds,
+          localCellBound = 0L)
+        .orderBy(col("vec_id")).as[(Long, Int, Long)].collect().toSeq
+      assert(local === dist, s"k=$k rounds=$rounds")
+      val ml = KMeansLloyd.fitModel(df, "vec_id", "embedding", k, rounds)
+      val md = KMeansLloyd.fitModel(df, "vec_id", "embedding", k, rounds,
+        localCellBound = 0L)
+      assert(ml.centroids.map(_.toSeq) === md.centroids.map(_.toSeq),
+        s"centroids k=$k rounds=$rounds")
+    }
+  }
+
   test("ragged dimensions are rejected, empty corpus is rejected") {
     intercept[IllegalArgumentException] {
       KMeansLloyd.fit(vecs(1L -> Seq(1f, 2f), 2L -> Seq(1f)),

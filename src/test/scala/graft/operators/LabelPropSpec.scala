@@ -69,6 +69,27 @@ class LabelPropSpec extends SparkSpec {
     }
   }
 
+  test("local driver path ≡ distributed loop (r17 size dispatch)") {
+    val rnd = new scala.util.Random(86)
+    for (trial <- 1 to 3) {
+      val n = rnd.nextInt(20) + 10
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.18
+      } yield (a, b)).toSeq
+      for (r <- Seq(1, 4)) {
+        val df = edges.toDF("id_a", "id_b")
+        val local = LabelProp.communities(df, "id_a", "id_b", r)
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+        val dist = LabelProp.communities(df, "id_a", "id_b", r,
+            localEdgeBound = 0L)
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+        assert(local === dist, s"trial $trial rounds=$r")
+        assert(local === reference(edges, r), s"trial $trial vs reference")
+      }
+    }
+  }
+
   test("hygiene: self-loops, duplicates, reversed edges and nulls collapse") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (null, 1L), (2L, null))
