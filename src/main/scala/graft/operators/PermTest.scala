@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   * DECIMAL(38,0) ⇒ N⁴·v_max < 4·10³⁸ — N ≤ ~8·10⁸ rows/panel at
   * v_max = 10³ (documented; subsample beyond).
   *
-  * Scale shape: ONE explode by B salts (a B× map-side blowup — B is
-  * a constant 64, not data-sized), ONE (panel, rep) aggregation with
-  * conditional sums, a 1-row-per-panel observed frame joined back on
-  * panel, and a B-row fold. Nothing corpus-shaped past the first
-  * aggregation; the blowup never shuffles unaggregated. */
+  * Scale shape: the B-replicate fan-out is a JIT'd per-partition
+  * kernel (r17; previously an explode-by-B through the hash
+  * aggregate) accumulating the conditional sums in flat long arrays
+  * per panel — panels×B partial rows leave each partition, one
+  * (panel, rep) merge aggregation follows, then a 1-row-per-panel
+  * observed frame joined back on panel and a B-row fold. Nothing
+  * corpus-shaped past the kernel; the blowup never materializes as
+  * rows at all. */
 object PermTest {
 
   /** Replicate count: 64 → p resolution 1/65 ≈ 0.0154, under the
@@ -60,18 +63,25 @@ object PermTest {
     require(b >= 16 && b <= 4096, s"replicates $b outside [16, 4096]")
     val d38 = "decimal(38,0)"
     Reserved.guard(Seq(panelCol),
-      Seq("__c", "__v", "__id", "__b", "__bit", "__hs", "__sa", "__na",
+      Seq("__p", "__c", "__v", "__id", "__b", "__bit", "__hs", "__sa", "__na",
         "__sb", "__nb", "__oa", "__ona", "__ob", "__onb", "__ex",
+        "__psa", "__pna", "__psb", "__pnb",
         "n_a", "n_b", "b_reps", "n_exceed", "p_e6"),
       "PermTest")
+    // panel keys ride the same string normalization as the cohort/id
+    // columns (r17): the replicate kernel below is a typed
+    // mapPartitions and needs a concrete panel encoder; every battery
+    // caller already passes string panels, so the output column is
+    // unchanged for them.
     val base = df
       .filter(col(panelCol).isNotNull && col(cohortCol).isNotNull &&
         col(valueCol).isNotNull && col(idCol).isNotNull)
-      .select(col(panelCol), col(cohortCol).cast("string").as("__c"),
+      .select(col(panelCol).cast("string").as("__p"),
+        col(cohortCol).cast("string").as("__c"),
         col(valueCol).cast("long").as("__v"),
         col(idCol).cast("string").as("__id"))
       .filter(col("__c").isin(cohortA, cohortB))
-    val obs = base.groupBy(col(panelCol))
+    val obs = base.groupBy(col("__p"))
       .agg(sum(when(col("__c") === cohortA, col("__v")).otherwise(0L))
           .as("__oa"),
         sum((col("__c") === cohortA).cast("long")).as("__ona"),
@@ -89,23 +99,58 @@ object PermTest {
     val hs = transform(sequence(lit(0), lit(nSalts - 1)),
       s => conv(substring(md5(concat(col("__id"), lit("#"),
         s.cast("string"))), 1, 14), 16, 10).cast("long"))
-    val reps = base
+    // Replicate fan-out as a JIT'd per-partition kernel (r17
+    // optimization; the minhashSignatures discipline): the previous
+    // explode-by-b form pushed |rows|·b tuples (51M at b = 512 on the
+    // gate corpus) through the hash aggregate — row-at-a-time hash
+    // probes on a key space of only panels×b. The kernel accumulates
+    // the same conditional sums in flat long arrays per panel (one
+    // scalar loop per row — digests sliced bit by bit exactly as the
+    // old `shiftright`/`pmod` expressions: bit k = (hs[k/56] >> (k%56))
+    // & 1 on nonnegative 56-bit longs) and emits panels×b partial rows
+    // per partition; the groupBy below merges partitions. Integer
+    // sums, order-independent — identical output by construction.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partial = base
       .withColumn("__hs", hs)
-      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("__bit",
-        pmod(call_function("shiftright",
-          element_at(col("__hs"),
-            call_function("div", col("__b").cast("long"), lit(56L))
-              .cast("int") + 1),
-          pmod(col("__b").cast("long"), lit(56L)).cast("int")),
-          lit(2L)))
-      .groupBy(col(panelCol), col("__b"))
-      .agg(sum(when(col("__bit") === 0L, col("__v")).otherwise(0L))
-          .as("__sa"),
-        sum((col("__bit") === 0L).cast("long")).as("__na"),
-        sum(when(col("__bit") === 1L, col("__v")).otherwise(0L))
-          .as("__sb"),
-        sum((col("__bit") === 1L).cast("long")).as("__nb"))
+      .select(col("__p"), col("__v"), col("__hs"))
+      .as[(String, Long, Array[Long])]
+      .mapPartitions { rows =>
+        final class Acc {
+          val sa = new Array[Long](b); val na = new Array[Long](b)
+          val sb = new Array[Long](b); val nb = new Array[Long](b)
+        }
+        val acc = new java.util.HashMap[String, Acc]()
+        rows.foreach { case (p, v, h) =>
+          var a = acc.get(p)
+          if (a == null) { a = new Acc; acc.put(p, a) }
+          var k = 0
+          while (k < b) {
+            if (((h(k / 56) >> (k % 56)) & 1L) == 0L) {
+              a.sa(k) += v; a.na(k) += 1
+            } else {
+              a.sb(k) += v; a.nb(k) += 1
+            }
+            k += 1
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (String, Int, Long, Long, Long, Long)](acc.size() * b)
+        acc.forEach { (p, a) =>
+          var k = 0
+          while (k < b) {
+            out += ((p, k, a.sa(k), a.na(k), a.sb(k), a.nb(k)))
+            k += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("__p", "__b", "__psa", "__pna", "__psb", "__pnb")
+    val reps = partial
+      .groupBy(col("__p"), col("__b"))
+      .agg(sum(col("__psa")).as("__sa"), sum(col("__pna")).as("__na"),
+        sum(col("__psb")).as("__sb"), sum(col("__pnb")).as("__nb"))
     val obsDiff = abs(col("__oa").cast(d38) * col("__onb").cast(d38)
       - col("__ob").cast(d38) * col("__ona").cast(d38))
     val repDiff = abs(col("__sa").cast(d38) * col("__nb").cast(d38)
@@ -115,15 +160,15 @@ object PermTest {
           * col("__onb").cast(d38)
         >= obsDiff * col("__na").cast(d38) * col("__nb").cast(d38))
         .cast("long"))
-    reps.join(obs, Seq(panelCol))
+    reps.join(obs, Seq("__p"))
       .withColumn("__ex", exceed)
-      .groupBy(col(panelCol))
+      .groupBy(col("__p"))
       .agg(max(col("__ona")).as("n_a"), max(col("__onb")).as("n_b"),
         count(lit(1)).as("b_reps"), sum(col("__ex")).as("n_exceed"))
       .withColumn("p_e6", call_function("div",
         lit(1000000L) * (lit(1L) + col("n_exceed")),
         lit((b + 1).toLong)))
-      .select(col(panelCol), col("n_a"), col("n_b"), col("b_reps"),
-        col("n_exceed"), col("p_e6"))
+      .select(col("__p").as(panelCol), col("n_a"), col("n_b"),
+        col("b_reps"), col("n_exceed"), col("p_e6"))
   }
 }

@@ -980,9 +980,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("centroid drift and perm test: map-side collapse, no cartesian, no window") {
     // q_d15: one posexplode + (panel, dim) conditional sums — a
-    // 64-row grid per panel; q_a27: a constant 64× explode collapsed
-    // by ONE (panel, rep) aggregation. Neither may grow a window or
-    // a cross product; the a27 blowup must never shuffle raw.
+    // 64-row grid per panel; q_a27: the replicate fan-out is a JIT'd
+    // mapPartitions kernel since r17 (the explode-by-B form pushed
+    // |rows|·B tuples through the hash aggregate) — the blowup must
+    // never materialize as raw rows. Neither may grow a window or a
+    // cross product.
     for (name <- Seq("q_d15_centroid_drift", "q_a27_perm_test")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("CartesianProduct") &&
@@ -990,9 +992,11 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plan contains a cross product:\n${plan.take(1500)}")
       assert(!plan.contains("Window"),
         s"$name grew a window:\n${plan.take(1200)}")
-      assert(plan.contains("Generate"),
-        s"$name lost its explode:\n${plan.take(1200)}")
     }
+    assert(executedPlan(q("q_d15_centroid_drift")).contains("Generate"),
+      "q_d15 lost its posexplode")
+    assert(executedPlan(q("q_a27_perm_test")).contains("MapPartitions"),
+      "q_a27 lost its replicate kernel")
   }
 
   test("mp3 header walk: per-partition kernel + one aggregation, join-free") {
@@ -1024,16 +1028,19 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("bh fdr: corpus collapses in the perm stage; windows only on the test grid") {
-    // q_qr30's heavy lift is the 512-replicate explode collapsed by
-    // ONE (panel, rep) map-side agg — the BH windows then run over a
-    // 20-row test grid. No cartesian anywhere; the explode must be
-    // present (losing it means the replicates materialized some
-    // other, wider way).
+    // q_qr30's heavy lift is the 512-replicate fan-out, a JIT'd
+    // mapPartitions kernel since r17 (the explode form pushed 51M
+    // tuples through the hash aggregate) — the BH windows then run
+    // over a 20-row test grid. No cartesian anywhere; the panel
+    // explode (20 static sources per doc) and the kernel must both
+    // be present.
     val plan = executedPlan(q("q_qr30_bh_fdr"))
     assert(!plan.contains("CartesianProduct"),
       s"q_qr30 plan contains a cartesian:\n${plan.take(1500)}")
     assert(plan.contains("Generate"),
-      s"q_qr30 lost its replicate explode:\n${plan.take(1200)}")
+      s"q_qr30 lost its panel explode:\n${plan.take(1200)}")
+    assert(plan.contains("MapPartitions"),
+      s"q_qr30 lost its replicate kernel:\n${plan.take(1200)}")
   }
 
   test("robust-location means: join-free rank windows, one hash agg " +
